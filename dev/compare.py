@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Dev-side oracle parity check (mirrors the driver's t2 gate).
+
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name>/ parquet dump produced by graft.Verify,
+runs the matching SQL from oracle_sql.json in DuckDB against the sfDir
+tables, sorts columns by name and rows by all columns, and diffs values
+exactly (floats: exact bit equality first, then 1e-9 relative tolerance
+reported separately).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def rows_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = rel.fetchall()
+    rows = [tuple(r[i] for i in order) for r in data]
+    return [cols[i] for i in order], rows
+
+def cmp_val(a, b):
+    if a is None or b is None:
+        return (a is None) == (b is None), False
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False, False
+        if af == bf or (math.isnan(af) and math.isnan(bf)):
+            return True, False
+        if bf != 0 and abs(af - bf) / max(abs(af), abs(bf)) < 1e-9:
+            return True, True  # close but not exact
+        return False, False
+    return a == b, False
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_close = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            scols, srows = rows_of(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+        except Exception as e:
+            print(f"FAIL {name}: spark dump unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            ocols, orows = rows_of(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        srows.sort(key=repr)
+        orows.sort(key=repr)
+        bad = close = 0
+        first_bad = None
+        for sr, orow in zip(srows, orows):
+            for c, (sv, ov) in enumerate(zip(sr, orow)):
+                ok, was_close = cmp_val(sv, ov)
+                if was_close:
+                    close += 1
+                if not ok:
+                    bad += 1
+                    if first_bad is None:
+                        first_bad = (scols[c], sv, ov)
+        if bad:
+            print(f"FAIL {name}: {bad} mismatched values; first: "
+                  f"col={first_bad[0]} spark={first_bad[1]!r} oracle={first_bad[2]!r}")
+            n_fail += 1
+        elif close:
+            print(f"CLOSE {name}: {len(srows)} rows OK but {close} floats "
+                  f"only ~equal (1e-9) — hash compare would fail")
+            n_close += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_close} close, {n_fail} fail "
+          f"(+{len([k for k in json.load(open(f'{out_dir}/oracle_sql.json'))])} oracles total)")
+
+if __name__ == "__main__":
+    main()

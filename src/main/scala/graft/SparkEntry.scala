@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine surface is organized in packs (one object per SURVEY.md §2
+  * area); this object is the flat registry the driver consumes. Every
+  * query with SQL-expressible semantics has a DuckDB oracle entry with
+  * matching column names/aliases; rows-only queries (the GeoJSON quake
+  * pipeline) intentionally omit theirs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-schema revenue join (broadcast dims + one fact-fact shuffle).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q02StarRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      EventQueries.queries ++
+      DedupTextQueries.queries ++
+      SimilarityQueries.queries ++
+      MultimodalQueries.queries ++
+      QuakeQueries.queries
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (driver
+    * records a weaker rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++
+      EventQueries.oracle ++
+      DedupTextQueries.oracle ++
+      SimilarityQueries.oracle ++
+      MultimodalQueries.oracle ++
+      QuakeQueries.oracle
 }

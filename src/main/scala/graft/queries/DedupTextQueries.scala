@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.core.Tables._
+
+/** Deduplication + text analysis over `documents` — the training-data
+  * pipeline surface (BASELINE.json north_star): exact dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard, text stats, language scoring, token counting,
+  * rolling-hash fingerprinting.
+  *
+  * All hashing is md5-derived so every stage is oracle-checkable: both
+  * Spark and DuckDB compute md5 over UTF-8 and can slice hex digits into
+  * BIGINTs (`conv(substr(md5(x),1,15),16,10)` ⟷ `('0x'||substr(md5(x),1,15))::BIGINT`),
+  * giving identical 60-bit positive hash values on both engines. At 100 TB
+  * murmur3 (`hash()`/`xxhash64`) would be ~3× cheaper per token — the
+  * algorithms below are hash-agnostic, md5 is the cross-engine test choice.
+  *
+  * Scale shape: everything is explode → partial-agg → shuffle-by-key.
+  * Shingle/token explosion is linear in corpus size; LSH banding turns the
+  * all-pairs O(n²) candidate problem into a self-equi-join on band keys,
+  * which is the only join — no cross joins anywhere.
+  */
+object DedupTextQueries {
+
+  private val P = 16 // minhash permutations
+  private val Bands = 4 // LSH bands (rows per band = P / Bands = 4)
+
+  /** Whitespace tokens with empties dropped — Spark `split` keeps trailing
+    * empty strings while DuckDB's `string_split_regex` may not; filtering
+    * makes both sides identical.
+    */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), x => length(x) > 0)
+
+  private val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+
+  /** 3-word shingles (0-based in Spark, 1-based in DuckDB — same output). */
+  private val shinglesExpr =
+    "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+
+  private val shinglesSql =
+    "list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])"
+
+  /** 60-bit positive hash of a string column, seeded: both engines take the
+    * first 15 hex digits of md5(seed || ':' || value).
+    */
+  private def seededHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+
+  private def seededHashSql(seed: Int, v: String): String =
+    s"('0x' || substr(md5('$seed:' || $v), 1, 15))::BIGINT"
+
+  /** q30 — exact dedup by content fingerprint: md5 of lowercased text,
+    * canonical = min doc_id per fingerprint. Hash-groupBy: one shuffle on
+    * the fingerprint; at 100 TB this is the classic exact-dedup pass
+    * (fingerprint is 16 bytes, not the document).
+    */
+  val q30DedupExact: Q = (s, d) => {
+    val w = Window.partitionBy(md5(lower(col("text"))))
+    documents(s, d)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      | MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id,
+      | doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), col("lang"), col("source"), explode(col("sh")).as("s"))
+
+  private val shingleRowsSql =
+    s"""docs AS (SELECT doc_id, lang, source, $tokensSql AS w FROM documents),
+       |sh AS (SELECT doc_id, lang, source, unnest($shinglesSql) AS s
+       |       FROM docs WHERE len(w) >= 3)""".stripMargin
+
+  /** q31 — MinHash signature: P=16 independent min-hashes over the 3-word
+    * shingle set. One explode + one groupBy(doc_id) with 16 min() partial
+    * aggregates — map-side combine reduces each doc to one row before the
+    * shuffle.
+    */
+  val q31MinhashSignature: Q = (s, d) => {
+    val aggs = (0 until P).map(i =>
+      min(seededHash(i, col("s"))).as(f"mh$i%02d"))
+    shingleRows(s, d)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  val q31Sql: String = {
+    val mins = (0 until P).map(i =>
+      s" MIN(${seededHashSql(i, "s")}) AS mh${"%02d".format(i)}").mkString(",\n")
+    s"""WITH $shingleRowsSql
+       |SELECT doc_id,
+       |$mins
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q32 — LSH candidate pairs: signature → 4 bands of 4 hashes; a band
+    * key is md5 of its 4 minhashes; candidates are docs sharing any band
+    * key. The self-join is an equi-join on (band, key) — no O(n²) scan —
+    * and at scale band keys are near-unique except for true near-dups, so
+    * join fan-out stays tiny.
+    */
+  val q32MinhashPairs: Q = (s, d) => {
+    val sig = q31MinhashSignature(s, d)
+    val bandStructs = (0 until Bands).map { b =>
+      val keyCols = (0 until P / Bands).map(j =>
+        col(f"mh${b * (P / Bands) + j}%02d").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", keyCols: _*)).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q32Sql: String = {
+    val mins = (0 until P).map(i =>
+      s" MIN(${seededHashSql(i, "s")}) AS mh${"%02d".format(i)}").mkString(",\n")
+    val bandSelects = (0 until Bands).map { b =>
+      val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
+      s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH $shingleRowsSql,
+       |sig AS (SELECT doc_id,
+       |$mins
+       | FROM sh GROUP BY doc_id),
+       |bands AS (
+       | $bandSelects)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val SimhashBits = 32
+
+  /** q33 — frequency-weighted SimHash (32-bit): per token a 32-bit md5
+    * hash votes ±1 on each bit position; the sign of each bit's vote sum
+    * forms the fingerprint. One explode + one groupBy with 32 conditional
+    * sums — all partial-aggregated map-side.
+    */
+  val q33Simhash: Q = (s, d) => {
+    val toks = documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val simhash = (0 until SimhashBits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  val q33Sql: String = {
+    val votes = (0 until SimhashBits).map(b =>
+      s" SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
+    val combine = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM docs),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM tok),
+       |b AS (SELECT doc_id,
+       |$votes
+       | FROM h GROUP BY doc_id)
+       |SELECT doc_id, $combine AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** q34 — exact n-gram Jaccard near-dup, blocked by (lang, source): the
+    * shingle-level equi-join computes |A∩B| without materializing pairs,
+    * then |A∪B| = |A|+|B|−|A∩B|. Blocking bounds the join fan-out; the
+    * unblocked scale path is q32's LSH.
+    */
+  val q34NgramJaccard: Q = (s, d) => {
+    val sh = shingleRows(s, d).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("lang", "source", "s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q34Sql: String =
+    s"""WITH $shingleRowsSql,
+       |ds AS (SELECT DISTINCT doc_id, lang, source, s FROM sh),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+       |inter AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       | FROM ds a JOIN ds b ON a.lang = b.lang AND a.source = b.source
+       |   AND a.s = b.s AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
+       |FROM inter
+       | JOIN cnt ca ON doc_a = ca.doc_id
+       | JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE i / (ca.n + cb.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q35 — per-document text statistics (quality-scoring features). */
+  val q35TextStats: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct_words"),
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("total_word_chars"))
+      .withColumn("chars_per_word", col("total_word_chars") / col("n_words"))
+      .withColumn("ttr", col("n_distinct_words") / col("n_words"))
+      .orderBy("doc_id")
+
+  val q35Sql: String =
+    s"""WITH docs AS (SELECT doc_id, n_chars, $tokensSql AS w FROM documents)
+       |SELECT doc_id, n_chars,
+       | len(w) AS n_words,
+       | len(list_distinct(w)) AS n_distinct_words,
+       | CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_word_chars,
+       | CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / len(w) AS chars_per_word,
+       | len(list_distinct(w)) / len(w) AS ttr
+       |FROM docs ORDER BY doc_id""".stripMargin
+
+  private val Stopwords = Seq("a", "the", "value", "data", "row", "table")
+
+  /** q36 — stopword-ratio language scoring (n-gram-heuristic language ID:
+    * score membership against a per-language function-word list; here one
+    * list, thresholded).
+    */
+  val q36LangScore: Q = (s, d) => {
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("hits", expr(s"size(filter(w, x -> x IN ($inList)))"))
+      .withColumn("hit_ratio", col("hits") / size(col("w")))
+      .withColumn("predicted",
+        when(col("hit_ratio") >= 0.08, lit("en")).otherwise(lit("unk")))
+      .select("doc_id", "lang", "hits", "hit_ratio", "predicted")
+      .orderBy("doc_id")
+  }
+
+  val q36Sql: String = {
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, lang, $tokensSql AS w FROM documents)
+       |SELECT doc_id, lang,
+       | len(list_filter(w, x -> x IN ($inList))) AS hits,
+       | len(list_filter(w, x -> x IN ($inList))) / len(w) AS hit_ratio,
+       | CASE WHEN len(list_filter(w, x -> x IN ($inList))) / len(w) >= 0.08
+       |      THEN 'en' ELSE 'unk' END AS predicted
+       |FROM docs ORDER BY doc_id""".stripMargin
+  }
+
+  /** q37 — regex token counting (BPE-ish pre-tokenizer: letter runs,
+    * digit runs, single punctuation marks).
+    */
+  val q37TokenCount: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).as("n_alpha_tokens"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n_digit_tokens"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).as("n_punct"))
+      .orderBy("doc_id")
+
+  val q37Sql: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+      | len(regexp_extract_all(text, '[0-9]+')) AS n_digit_tokens,
+      | len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q38 — order-sensitive rolling-hash fingerprint: polynomial hash over
+    * the token hash sequence, mod 1e9+7. Unlike q30's content hash this is
+    * computed from the token stream (the document-fingerprinting primitive
+    * for shift-tolerant chunk dedup).
+    */
+  val q38Fingerprint: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("hs",
+        expr("transform(w, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) AS bigint))"))
+      .withColumn("fp",
+        expr("aggregate(hs, 0L, (acc, h) -> (acc * 31 + h) % 1000000007)"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  val q38Sql: String =
+    s"""WITH docs AS (SELECT doc_id, $tokensSql AS w FROM documents)
+       |SELECT doc_id,
+       | list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+       |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+       |FROM docs ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_dedup_exact" -> q30DedupExact,
+    "q31_minhash_signature" -> q31MinhashSignature,
+    "q32_minhash_pairs" -> q32MinhashPairs,
+    "q33_simhash" -> q33Simhash,
+    "q34_ngram_jaccard" -> q34NgramJaccard,
+    "q35_text_stats" -> q35TextStats,
+    "q36_lang_score" -> q36LangScore,
+    "q37_token_count" -> q37TokenCount,
+    "q38_fingerprint" -> q38Fingerprint
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_minhash_signature" -> q31Sql,
+    "q32_minhash_pairs" -> q32Sql,
+    "q33_simhash" -> q33Sql,
+    "q34_ngram_jaccard" -> q34Sql,
+    "q35_text_stats" -> q35Sql,
+    "q36_lang_score" -> q36Sql,
+    "q37_token_count" -> q37Sql,
+    "q38_fingerprint" -> q38Sql
+  )
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.quakes.QuakeFunctions
+
+/** Event-stream queries: the reference's filter/projection/time semantics
+  * (F2/F3, D1-D7, P1-P11 — SURVEY.md §2.2-2.4) re-expressed over the
+  * `events` table, plus the streaming-ish surface (tumbling windows,
+  * session windows, as-of join) batch-tested here and stream-tested in
+  * graft.streaming.
+  */
+object EventQueries {
+
+  /** F2 + D7 (task.ts:190-193): age-in-minutes filter against one per-run
+    * `now` literal; keep iff age <= maxAge (the reference drops on strict >).
+    * The predicate folds to `ts >= constant`, which pushes into the parquet
+    * scan — the same effect as the reference encoding the filter into the
+    * source URL (F1).
+    */
+  val q14FilterAge: Q = (s, d) => {
+    val maxAgeMinutes = 10080.0
+    events(s, d)
+      .filter(QuakeFunctions.ageMinutes(col("ts"), lit(NowMs)) <= maxAgeMinutes)
+      .select(col("event_id"), col("user_id"),
+        QuakeFunctions.ageMinutes(col("ts"), lit(NowMs)).as("age_min"))
+      .orderBy("event_id")
+  }
+
+  val q14Sql: String =
+    s"""SELECT event_id, user_id, ($NowMs - epoch_ms(ts)) / 60000.0 AS age_min
+       |FROM events
+       |WHERE ($NowMs - epoch_ms(ts)) / 60000.0 <= 10080
+       |ORDER BY event_id""".stripMargin
+
+  /** F3 (task.ts:195-204): categorical exclusion filter. */
+  val q15FilterQuality: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type") =!= "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val q15Sql: String =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |WHERE event_type <> 'error'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** P1/P2/P3/P10/S2 analogs (task.ts:212-248): id synthesis, formatted
+    * callsign (via exact DECIMAL rendering — see package doc on why not
+    * printf), constant type code, negated magnitude, and JSON field
+    * extraction from the `props` column.
+    */
+  val q16ProjCot: Q = (s, d) =>
+    events(s, d)
+      .select(
+        concat(lit("event-"), col("event_id").cast("string")).as("id"),
+        concat(lit("M"), col("value").cast("decimal(10,2)").cast("string"),
+          lit(" u"), col("user_id").cast("string")).as("callsign"),
+        lit("a-o-X-i-g-e").as("cot_type"),
+        (-col("value")).as("neg_value"),
+        get_json_object(col("props"), "$.k").cast("int").as("json_k"),
+        col("event_id"))
+      .orderBy("event_id")
+
+  val q16Sql: String =
+    """SELECT 'event-' || CAST(event_id AS VARCHAR) AS id,
+      | 'M' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) || ' u' || CAST(user_id AS VARCHAR) AS callsign,
+      | 'a-o-X-i-g-e' AS cot_type,
+      | -value AS neg_value,
+      | CAST(json_extract_string(props, '$.k') AS INTEGER) AS json_k,
+      | event_id
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** J1/P4/P5 (task.ts:218,225): dictionary lookup as a broadcast LEFT
+    * join against a tiny dimension with a default on miss. Key is
+    * user_id % 30 so ids ≥ 25 exercise the miss path (nation has 25 rows).
+    */
+  val q17LookupDefault: Q = (s, d) =>
+    events(s, d)
+      .withColumn("nation_key", col("user_id") % 30)
+      .join(broadcast(nation(s, d)), col("nation_key") === col("n_nationkey"), "left")
+      .withColumn("nation_name", coalesce(col("n_name"), lit("Unknown")))
+      .groupBy("nation_name")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("nation_name")
+
+  val q17Sql: String =
+    """SELECT COALESCE(n_name, 'Unknown') AS nation_name, COUNT(*) AS n_events
+      |FROM events LEFT JOIN nation ON (user_id % 30) = n_nationkey
+      |GROUP BY COALESCE(n_name, 'Unknown') ORDER BY nation_name""".stripMargin
+
+  /** D1-analog calendar aggregation over order dates (UTC session TZ;
+    * NZ-timezone rendering is covered by scalatest golden tests where the
+    * oracle can't follow).
+    */
+  val q18DateAgg: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("o_year", "o_month")
+
+  val q18Sql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      | CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin
+
+  /** D5 (task.ts:111-126): the pipeline's actual `timeAgo` Column function,
+    * oracle-checked end-to-end (largest whole unit + singular/plural).
+    */
+  val q19TimeAgo: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"),
+        QuakeFunctions.timeAgo(col("ts"), lit(NowMs)).as("time_ago"))
+      .orderBy("event_id")
+
+  val q19Sql: String =
+    s"""WITH b AS (
+       | SELECT event_id,
+       |  CAST(FLOOR(($NowMs - epoch_ms(ts)) / 60000.0) AS BIGINT) AS m
+       | FROM events),
+       |u AS (
+       | SELECT event_id, m,
+       |  CAST(FLOOR(m / 60.0) AS BIGINT) AS h,
+       |  CAST(FLOOR(FLOOR(m / 60.0) / 24.0) AS BIGINT) AS dd
+       | FROM b)
+       |SELECT event_id,
+       | CASE
+       |  WHEN m < 60 THEN m || ' minute' || (CASE WHEN m = 1 THEN '' ELSE 's' END) || ' ago'
+       |  WHEN h < 24 THEN h || ' hour' || (CASE WHEN h = 1 THEN '' ELSE 's' END) || ' ago'
+       |  ELSE dd || ' day' || (CASE WHEN dd = 1 THEN '' ELSE 's' END) || ' ago'
+       | END AS time_ago
+       |FROM u ORDER BY event_id""".stripMargin
+
+  /** Tumbling 10-minute windows (§2.8): Spark `window()` on the event time;
+    * oracle via epoch-millis bucket arithmetic (both floor to the same
+    * epoch-aligned boundary). Map-side partial agg keeps the shuffle small.
+    */
+  val q20Tumbling: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("bucket_ms", "event_type")
+
+  val q20Sql: String =
+    """SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
+
+  /** Session windows, 30-minute gap, per user: Spark `session_window`
+    * (which merges events whose gap to the previous event is < 30 min;
+    * a gap of exactly 30 min starts a new session). Oracle reproduces the
+    * same semantics with the classic gaps-and-islands window construction.
+    */
+  val q21Session: Q = (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_ms")
+
+  val q21Sql: String =
+    """WITH flagged AS (
+      | SELECT user_id, ts, value,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+      |), sess AS (
+      | SELECT user_id, ts, value,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM flagged)
+      |SELECT user_id,
+      | epoch_ms(MIN(ts)) AS session_start_ms,
+      | epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
+  /** As-of join: for every click, the most recent error (ts <= click ts)
+    * by the same user. Implemented the scalable way — union both sides,
+    * one shuffle on user_id, a single `last(ignoreNulls)` running window —
+    * instead of a per-row subquery or inequality join (which would
+    * nest-loop and die at scale). Errors sort before clicks at equal ts.
+    */
+  val q22AsofJoin: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        col("event_id").as("err_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        lit(null).cast("long").as("err_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errors.unionByName(clicks)
+      .withColumn("last_err_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("last_err_id"))
+      .orderBy("event_id")
+  }
+
+  val q22Sql: String =
+    """WITH u AS (
+      | SELECT user_id, ts, event_id, 0 AS tag, event_id AS err_id
+      | FROM events WHERE event_type = 'error'
+      | UNION ALL
+      | SELECT user_id, ts, event_id, 1 AS tag, NULL AS err_id
+      | FROM events WHERE event_type = 'click')
+      |SELECT event_id, user_id, last_err_id FROM (
+      | SELECT event_id, user_id, tag,
+      |  LAST_VALUE(err_id IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, tag, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_id
+      | FROM u)
+      |WHERE tag = 1 ORDER BY event_id""".stripMargin
+
+  /** Analytic window functions: lag/lead deltas per user. */
+  val q23LagLead: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))).as("ms_since_prev"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  val q23Sql: String =
+    """SELECT event_id, user_id,
+      | epoch_ms(ts) - epoch_ms(LAG(ts, 1) OVER w) AS ms_since_prev,
+      | LEAD(event_type, 1) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Running (cumulative) sum per user — exact via DECIMAL. */
+  val q24Running: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        sum(money(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  val q24Sql: String =
+    """SELECT event_id, user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q14_filter_age" -> q14FilterAge,
+    "q15_filter_quality" -> q15FilterQuality,
+    "q16_proj_cot" -> q16ProjCot,
+    "q17_lookup_default" -> q17LookupDefault,
+    "q18_date_agg" -> q18DateAgg,
+    "q19_time_ago" -> q19TimeAgo,
+    "q20_tumbling" -> q20Tumbling,
+    "q21_session" -> q21Session,
+    "q22_asof_join" -> q22AsofJoin,
+    "q23_lag_lead" -> q23LagLead,
+    "q24_running" -> q24Running
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q14_filter_age" -> q14Sql,
+    "q15_filter_quality" -> q15Sql,
+    "q16_proj_cot" -> q16Sql,
+    "q17_lookup_default" -> q17Sql,
+    "q18_date_agg" -> q18Sql,
+    "q19_time_ago" -> q19Sql,
+    "q20_tumbling" -> q20Sql,
+    "q21_session" -> q21Sql,
+    "q22_asof_join" -> q22Sql,
+    "q23_lag_lead" -> q23Sql,
+    "q24_running" -> q24Sql
+  )
+}

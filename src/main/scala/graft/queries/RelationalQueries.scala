@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+
+/** Relational core: aggregation, joins, windows, sorts, set ops.
+  *
+  * The reference itself has only one aggregate (A1 count, task.ts:255) and
+  * one join-shaped op (J1 dictionary lookup, task.ts:218); everything else
+  * here is the "free" Spark surface SURVEY.md §2.5-2.7 commits to, each
+  * exercised once with a DuckDB oracle.
+  *
+  * Scale notes are inline per query: what shuffles, what broadcasts, and
+  * why the plan survives 1000 executors.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary. One hash-agg shuffle on a 6-value
+    * grouping key; partial aggregation map-side reduces ~150k rows/partition
+    * to 6 before the exchange, so the shuffle is O(partitions), not O(rows).
+    */
+  val q01PricingSummary: Q = (s, d) => {
+    val li = lineitem(s, d)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        avg(col("l_quantity").cast("long")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | AVG(CAST(l_quantity AS BIGINT)) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5-shaped star join: revenue per nation for one region.
+    * nation⋈region (25×5 rows) and customer are broadcast; the only real
+    * shuffle is lineitem⋈orders on orderkey. At 100 TB both fact tables
+    * would be bucketed on orderkey to make that shuffle-free too.
+    */
+  val q02StarRevenue: Q = (s, d) => {
+    val dims = nation(s, d)
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+    customer(s, d)
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q02Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM customer, orders, lineitem, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Top-3 orders per customer — ranking window, deterministic tiebreak.
+    * Single shuffle on o_custkey; rank predicate prunes before output.
+    */
+  val q03TopOrdersPerCust: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q03Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      | FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Global top-k — planned as TakeOrderedAndProject: each partition keeps
+    * its local top-10, the driver merges k·partitions rows. No full sort.
+    */
+  val q04TopKGlobal: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val q04Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS): customers in BUILDING with at least one
+    * URGENT order. Semi-join output carries only the left side, so Spark
+    * can broadcast the deduplicated right keys.
+    */
+  val q05SemiJoin: Q = (s, d) => {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no pending orders. */
+  val q06AntiJoin: Q = (s, d) => {
+    val pending = orders(s, d).filter(col("o_orderstatus") === "P")
+    customer(s, d)
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-outer join + aggregate: customer count / balance per nation,
+    * keeping empty nations. nation (25 rows) broadcast to the customer side.
+    */
+  val q07OuterAgg: Q = (s, d) =>
+    broadcast(nation(s, d))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(
+        count(col("c_custkey")).as("n_cust"),
+        coalesce(sum(money(col("c_acctbal"))), lit(0)).cast("double").as("total_acctbal"))
+      .orderBy("n_name")
+
+  val q07Sql: String =
+    """SELECT n_name, COUNT(c_custkey) AS n_cust,
+      | CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_acctbal
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** ROLLUP region → nation over customers (grouping-set aggregation).
+    * Expressed through the `spark.sql` entry point: referencing rollup
+    * grouping columns after a join trips Spark's ambiguous-self-join
+    * false positive in the DSL (the SQL path resolves fine, and the plan
+    * is identical — Expand + two-phase hash aggregate over broadcast
+    * joins).
+    */
+  val q08Rollup: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("g_customer")
+    nation(s, d).createOrReplaceTempView("g_nation")
+    region(s, d).createOrReplaceTempView("g_region")
+    s.sql(
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        |       COALESCE(n_name, 'ALL') AS nation_name,
+        |       COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM g_customer
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin)
+  }
+
+  val q08Sql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+      | COUNT(*) AS n_cust,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region_name, nation_name""".stripMargin
+
+  /** CUBE over order status × priority. */
+  val q09Cube: Q = (s, d) =>
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  val q09Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact distinct aggregation (expands to a two-phase plan in Spark). */
+  val q10Distinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val q10Sql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+      | COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** INTERSECT: BUILDING-segment customers that also placed orders. */
+  val q11Intersect: Q = (s, d) =>
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+      .intersect(orders(s, d).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val q11Sql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  /** EXCEPT: parts never shipped in near-max quantity (≥ 48). */
+  val q12Except: Q = (s, d) =>
+    part(s, d).select(col("p_partkey").as("partkey"))
+      .except(lineitem(s, d).filter(col("l_quantity") >= 48)
+        .select(col("l_partkey").as("partkey")))
+      .orderBy("partkey")
+
+  val q12Sql: String =
+    """SELECT p_partkey AS partkey FROM part
+      |EXCEPT
+      |SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 48
+      |ORDER BY partkey""".stripMargin
+
+  /** Equi + range join: lineitems shipped within 60 days of their order
+    * date. The equi key carries the shuffle; the range predicate is a
+    * post-join filter — the scalable shape for interval joins (vs a pure
+    * inequality join, which would nest-loop).
+    */
+  val q13RangeJoin: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lineitems"))
+      .orderBy("o_orderpriority")
+
+  val q13Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lineitems
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_star_revenue" -> q02StarRevenue,
+    "q03_top_orders_per_cust" -> q03TopOrdersPerCust,
+    "q04_topk_global" -> q04TopKGlobal,
+    "q05_semi_join" -> q05SemiJoin,
+    "q06_anti_join" -> q06AntiJoin,
+    "q07_outer_agg" -> q07OuterAgg,
+    "q08_rollup" -> q08Rollup,
+    "q09_cube" -> q09Cube,
+    "q10_distinct" -> q10Distinct,
+    "q11_intersect" -> q11Intersect,
+    "q12_except" -> q12Except,
+    "q13_range_join" -> q13RangeJoin
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_star_revenue" -> q02Sql,
+    "q03_top_orders_per_cust" -> q03Sql,
+    "q04_topk_global" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_outer_agg" -> q07Sql,
+    "q08_rollup" -> q08Sql,
+    "q09_cube" -> q09Sql,
+    "q10_distinct" -> q10Sql,
+    "q11_intersect" -> q11Sql,
+    "q12_except" -> q12Sql,
+    "q13_range_join" -> q13Sql
+  )
+}

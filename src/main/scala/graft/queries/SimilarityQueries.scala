@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * The scoring primitive is the custom codegen'd Catalyst expression
+  * [[graft.functions.CosineSimilarity]] — a fused double-precision loop
+  * inside whole-stage codegen. The oracle reproduces the exact same
+  * index-ordered arithmetic with DuckDB list functions, so similarity
+  * values are bit-identical and need no rounding.
+  *
+  * Scale paths:
+  *  - q40 brute force: broadcast the query vector; each partition keeps a
+  *    local top-k (TakeOrderedAndProject) → driver merges k·partitions rows.
+  *    O(n·dim) work, O(k) shuffle — the right baseline for one query.
+  *  - q41 IVF: coarse-quantize every vector to its nearest centroid once
+  *    (broadcast centroids, map-side argmax, no shuffle), then probe only
+  *    the closest cells — the 100 TB path where brute force is 16× more
+  *    scan than needed. Here centroids are the first 16 vectors for
+  *    determinism; a real build would k-means them.
+  *  - q42 all-pairs near-dup, blocked by label (the embedding analog of
+  *    q34's blocking; the unblocked path is LSH over random hyperplanes —
+  *    see q33's bit-sketch machinery).
+  */
+object SimilarityQueries {
+
+  /** DuckDB rendering of the same cosine arithmetic (double accumulation
+    * in index order).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val qVecSql =
+    "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)"
+
+  /** q40 — exact top-10 nearest to vector 0 by cosine. */
+  val q40KnnBrute: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q40Sql: String =
+    s"""WITH $qVecSql
+       |SELECT vec_id, ${cosSql("CAST(embedding AS DOUBLE[])", "qe")} AS sim
+       |FROM embeddings, q
+       |WHERE vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** q41 — IVF (inverted-file) approximate top-10: assign every vector to
+    * its nearest of 16 centroids (map-side max(struct) — partial-agg
+    * friendly, deterministic: ties break to the larger centroid id),
+    * probe the 2 cells nearest the query.
+    */
+  val q41KnnIvf: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+
+    val cells = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_sim", cosineSimilarity(col("embedding"), col("c_emb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("c_sim"), col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("cell"))
+
+    val probe = cent.crossJoin(broadcast(qv))
+      .select(col("c_id"), cosineSimilarity(col("c_emb"), col("q_emb")).as("p_sim"))
+      .orderBy(col("p_sim").desc, col("c_id"))
+      .limit(2)
+      .select(col("c_id").as("cell"))
+
+    emb.join(cells, Seq("vec_id"))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q41Sql: String = {
+    val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    val cosCQ = cosSql("c.c_emb", "qe")
+    val cosEQ = cosSql("CAST(e.embedding AS DOUBLE[])", "qe")
+    s"""WITH $qVecSql,
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |         FROM embeddings WHERE vec_id < 16),
+       |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
+       |           FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probe AS (SELECT c.c_id AS cell FROM cent c CROSS JOIN q
+       |          ORDER BY $cosCQ DESC, c.c_id LIMIT 2)
+       |SELECT e.vec_id, $cosEQ AS sim
+       |FROM embeddings e
+       | JOIN cells ON e.vec_id = cells.vec_id
+       | JOIN probe ON cells.cell = probe.cell
+       | CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q42 — embedding-cosine near-dup pairs, blocked by label. */
+  val q42EmbedNearDup: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= 0.35)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q42Sql: String = {
+    val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cosAB >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_knn_brute" -> q40KnnBrute,
+    "q41_knn_ivf" -> q41KnnIvf,
+    "q42_embed_neardup" -> q42EmbedNearDup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_knn_brute" -> q40Sql,
+    "q41_knn_ivf" -> q41Sql,
+    "q42_embed_neardup" -> q42Sql
+  )
+}

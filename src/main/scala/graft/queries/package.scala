@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared conventions for the oracle-checked query suite.
+  *
+  * Oracle-parity rules (SURVEY.md §7.4):
+  *  - Money aggregates go through DECIMAL(18,2): decimal sums are exact and
+  *    order-independent, so Spark's parallel partial aggregation and
+  *    DuckDB's serial sum agree bit-for-bit; the final value is cast to
+  *    DOUBLE (exact for these magnitudes) so output schemas match without
+  *    decimal precision/scale mismatches between engines.
+  *  - No `round()` on doubles whose shortest decimal representation could
+  *    sit on a rounding boundary (Spark rounds the shortest repr HALF_UP,
+  *    DuckDB rounds the binary value) — averages are only taken over
+  *    integer-valued columns, where both engines sum exactly.
+  *  - Timestamps are compared as epoch millis (BIGINT), never as raw
+  *    timestamp columns, sidestepping ns/µs precision differences between
+  *    the parquet writers.
+  *  - Every query ends in a total ORDER BY on a unique key.
+  *  - `now` is a fixed literal (task.ts:184 semantics: one clock read per
+  *    run), pinned just after the events table's max timestamp.
+  */
+package object queries {
+  /** A named engine query: (session, sf-dir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed "now" for age/time-ago queries: 2024-01-31T00:00:00Z, just past
+    * `events.ts` max (2024-01-30T23:57Z).
+    */
+  val NowMs: Long = 1706659200000L
+
+  /** Exact money arithmetic: see package doc. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+}
