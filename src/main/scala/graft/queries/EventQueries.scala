@@ -21,9 +21,14 @@ object EventQueries {
     * source URL (F1).
     */
   val q14FilterAge: Q = (s, d) => {
-    val maxAgeMinutes = 10080.0
+    val maxAgeMinutes = 10080L
+    // `age <= maxAge` rewritten to its pushable form `ts >= cutoff`: one
+    // literal comparison per row instead of per-row arithmetic, and a
+    // filter shape source scans can push down (identical inclusive
+    // boundary — the reference drops on strict `>`, task.ts:193).
+    val cutoff = timestamp_millis(lit(NowMs - maxAgeMinutes * 60000L))
     events(s, d)
-      .filter(QuakeFunctions.ageMinutes(col("ts"), lit(NowMs)) <= maxAgeMinutes)
+      .filter(col("ts") >= cutoff)
       .select(col("event_id"), col("user_id"),
         QuakeFunctions.ageMinutes(col("ts"), lit(NowMs)).as("age_min"))
       .orderBy("event_id")

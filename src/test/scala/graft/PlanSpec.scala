@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries._
+
+/** Physical-plan assertions: the plans we'd want at 100 TB, not just
+  * plans that produce correct rows (builder prompt: ".explain the plan
+  * and iterate until it's the plan you'd want").
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 star join: dimensions broadcast, no shuffle on the dim side") {
+    val p = physical(RelationalQueries.q02StarRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q04 global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = physical(RelationalQueries.q04TopKGlobal(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q05 semi / q06 anti plan as existence joins") {
+    assert(physical(RelationalQueries.q05SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(physical(RelationalQueries.q06AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q12 scan pushdown: quantity predicate reaches the parquet reader") {
+    val p = RelationalQueries.q12Except(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48.0)]"),
+      p.take(3000))
+  }
+
+  test("q01 aggregation is whole-stage codegen'd with partial aggregation") {
+    val df = RelationalQueries.q01PricingSummary(spark, sf)
+    assert(physical(df).contains("partial_sum"), physical(df).take(3000))
+    df.collect() // let AQE finalize, then inspect the executed plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // `*(N)` prefixes mark whole-stage-codegen spans in the plan string
+    assert(finalPlan.contains("*(1)"), finalPlan.take(3000))
+  }
+
+  test("q17 lookup join broadcasts the 25-row dimension") {
+    val p = physical(EventQueries.q17LookupDefault(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q40 knn: query vector broadcast + TakeOrderedAndProject top-k") {
+    val p = physical(SimilarityQueries.q40KnnBrute(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("column pruning: q16 scans only the columns it projects") {
+    val scan = EventQueries.q16ProjCot(spark, sf)
+      .queryExecution.executedPlan.toString
+    // events has 6 columns; props/value/user_id/event_id are used, ts is not
+    assert(scan.contains("ReadSchema"), scan.take(3000))
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("\"ts\""), readSchema)
+  }
+}
