@@ -44,14 +44,27 @@ object DedupTextQueries {
   private val shinglesSql =
     "list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])"
 
-  /** 60-bit positive hash of a string column, seeded: both engines take the
-    * first 15 hex digits of md5(seed || ':' || value).
+  /** MinHash permutation family: ONE md5 base hash per value, then P
+    * universal-hash derivations `(aᵢ·h + bᵢ) mod p` — 16× fewer digest
+    * computations than seeded-md5-per-permutation, identical arithmetic
+    * on both engines. p = 1e9+7 keeps aᵢ·h < 2⁶³ overflow-free.
     */
-  private def seededHash(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+  private val Mod = 1000000007L
+  private def hashA(i: Int): Long = (1103515245L * (i + 1)) % Mod
+  private def hashB(i: Int): Long = 12345L * (i + 1) + 1
 
-  private def seededHashSql(seed: Int, v: String): String =
-    s"('0x' || substr(md5('$seed:' || $v), 1, 15))::BIGINT"
+  /** 60-bit base hash reduced mod p: first 15 hex digits of md5. */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % Mod
+
+  private val baseHashSql =
+    "('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007"
+
+  private def permuted(i: Int, h: Column): Column =
+    (lit(hashA(i)) * h + lit(hashB(i))) % Mod
+
+  private def permutedSql(i: Int, h: String): String =
+    s"(${hashA(i)} * $h + ${hashB(i)}) % 1000000007"
 
   /** q30 — exact dedup by content fingerprint: md5 of lowercased text,
     * canonical = min doc_id per fingerprint. Hash-groupBy: one shuffle on
@@ -73,40 +86,69 @@ object DedupTextQueries {
       | doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("w", tokens(col("text")))
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", expr(shinglesExpr))
-      .select(col("doc_id"), col("lang"), col("source"), explode(col("sh")).as("s"))
+  /** The documents table arrives as one small parquet file → one input
+    * partition, which would serialize all per-row CPU (tokenize + shingle
+    * lambdas) on a single core. Repartition to the session's parallelism
+    * BEFORE the heavy projection — the 100 TB analog is sizing
+    * files.maxPartitionBytes so CPU-bound stages get full-width input.
+    */
+  private def parallelDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** Shingles via posexplode + windowed lead instead of nested array
+    * lambdas: higher-order functions are codegen *fallbacks* in Spark, and
+    * projection collapse re-inlines the tokenizer into every `w[i]`
+    * access — the lambda formulation (kept above as [[shinglesExpr]] for
+    * documentation) measured ~40× slower. This shape tokenizes each doc
+    * exactly once and keeps the whole stage in generated code; the window
+    * shuffle is on (doc_id, pos), which at 100 TB is the same partitioning
+    * the downstream groupBy(doc_id) wants.
+    */
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    parallelDocs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("tok1", lead("tok", 1).over(w))
+      .withColumn("tok2", lead("tok", 2).over(w))
+      .filter(col("tok2").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", col("tok"), col("tok1"), col("tok2")).as("s"))
+  }
 
   private val shingleRowsSql =
     s"""docs AS (SELECT doc_id, lang, source, $tokensSql AS w FROM documents),
        |sh AS (SELECT doc_id, lang, source, unnest($shinglesSql) AS s
        |       FROM docs WHERE len(w) >= 3)""".stripMargin
 
-  /** q31 — MinHash signature: P=16 independent min-hashes over the 3-word
-    * shingle set. One explode + one groupBy(doc_id) with 16 min() partial
-    * aggregates — map-side combine reduces each doc to one row before the
-    * shuffle.
+  /** q31 — MinHash signature: P=16 permutation min-hashes over the 3-word
+    * shingle set. One explode, one md5 per shingle, one groupBy(doc_id)
+    * with 16 min() partial aggregates — map-side combine reduces each doc
+    * to one row before the shuffle.
     */
   val q31MinhashSignature: Q = (s, d) => {
     val aggs = (0 until P).map(i =>
-      min(seededHash(i, col("s"))).as(f"mh$i%02d"))
+      min(permuted(i, col("hb"))).as(f"mh$i%02d"))
     shingleRows(s, d)
+      .withColumn("hb", baseHash(col("s")))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("doc_id")
   }
 
-  val q31Sql: String = {
+  private val sigSelectSql: String = {
     val mins = (0 until P).map(i =>
-      s" MIN(${seededHashSql(i, "s")}) AS mh${"%02d".format(i)}").mkString(",\n")
-    s"""WITH $shingleRowsSql
-       |SELECT doc_id,
+      s" MIN(${permutedSql(i, "hb")}) AS mh${"%02d".format(i)}").mkString(",\n")
+    s"""hashed AS (SELECT doc_id, $baseHashSql AS hb FROM sh),
+       |sig AS (SELECT doc_id,
        |$mins
-       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       | FROM hashed GROUP BY doc_id)""".stripMargin
   }
+
+  val q31Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$sigSelectSql
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
 
   /** q32 — LSH candidate pairs: signature → 4 bands of 4 hashes; a band
     * key is md5 of its 4 minhashes; candidates are docs sharing any band
@@ -124,26 +166,32 @@ object DedupTextQueries {
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Bucket-local pair generation instead of a self-join: one shuffle on
+    // the band key, pairs enumerated inside each bucket. This computes the
+    // signature pipeline ONCE (a self-join would evaluate it per side) and
+    // is the standard LSH shape at scale — bucket sizes are near-1 except
+    // for true near-dups, so the quadratic step is bounded. A skew guard
+    // (cap + salt) would go on `size(ids)` for adversarial corpora.
+    bands.groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
   }
 
   val q32Sql: String = {
-    val mins = (0 until P).map(i =>
-      s" MIN(${seededHashSql(i, "s")}) AS mh${"%02d".format(i)}").mkString(",\n")
     val bandSelects = (0 until Bands).map { b =>
       val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
       s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
     }.mkString("\n UNION ALL\n ")
     s"""WITH $shingleRowsSql,
-       |sig AS (SELECT doc_id,
-       |$mins
-       | FROM sh GROUP BY doc_id),
+       |$sigSelectSql,
        |bands AS (
        | $bandSelects)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
@@ -159,7 +207,7 @@ object DedupTextQueries {
     * sums — all partial-aggregated map-side.
     */
   val q33Simhash: Q = (s, d) => {
-    val toks = documents(s, d)
+    val toks = parallelDocs(s, d)
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), explode(col("w")).as("word"))
       .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
@@ -192,17 +240,26 @@ object DedupTextQueries {
     * unblocked scale path is q32's LSH.
     */
   val q34NgramJaccard: Q = (s, d) => {
-    val sh = shingleRows(s, d).distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_a"))
-    val b = sh.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("lang", "source", "s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // Single pass over the shingle pipeline: per-doc set sizes are
+    // attached by a window BEFORE bucketing, so each pair emerges from
+    // its bucket already carrying |A| and |B| — no count-join, and the
+    // tokenize/shingle stage evaluates exactly once.
+    val wDoc = Window.partitionBy("doc_id")
+    val shd = shingleRows(s, d).distinct()
+      .withColumn("n", count(lit(1)).over(wDoc))
+    // |A∩B| via bucket-local pair generation (one shuffle on the shingle,
+    // pairs enumerated per bucket) — same shape as q32, no self-join.
+    shd.groupBy("lang", "source", "s")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.n AS na, y.n AS nb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -300,7 +357,7 @@ object DedupTextQueries {
     * for shift-tolerant chunk dedup).
     */
   val q38Fingerprint: Q = (s, d) =>
-    documents(s, d)
+    parallelDocs(s, d)
       .withColumn("w", tokens(col("text")))
       .withColumn("hs",
         expr("transform(w, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) AS bigint))"))

@@ -117,11 +117,14 @@ object SimilarityQueries {
   /** q42 — embedding-cosine near-dup pairs, blocked by label. */
   val q42EmbedNearDup: Q = (s, d) => {
     val emb = embeddings(s, d)
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
+    // Repartition the probe side: the table arrives as ONE small parquet
+    // file, and without this every pairwise cosine runs on a single core.
+    val a = emb.repartition(s.sparkContext.defaultParallelism)
+      .select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
     val b = emb.select(col("label"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
+    a.join(broadcast(b), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= 0.35)
