@@ -49,6 +49,23 @@ object QuakeQueries {
       .orderBy("id")
   }
 
-  val queries: Map[String, Q] = Map("q50_quake_pipeline" -> q50QuakePipeline)
+  /** q51 — the same pipeline fed by the `geonet` DataSource V2 connector
+    * with the MMI≥5 predicate pushed into the source scan (F1 semantics,
+    * task.ts:176). Rows-only check; the source itself is covered by
+    * GeoNetSourceSpec.
+    */
+  val q51GeonetSource: Q = (s, _) => {
+    val flat = s.read.format("geonet").option("body", FixtureJson).load()
+      .filter(col("mmi") >= 5)
+    QuakePipeline.transform(graft.sources.GeoNetSource.nest(flat),
+        QuakeConfig(), FixtureNowMs)
+      .select(col("id"), col("properties.callsign").as("callsign"),
+        col("properties.metadata.intensity").as("intensity"))
+      .orderBy("id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q50_quake_pipeline" -> q50QuakePipeline,
+    "q51_geonet_source" -> q51GeonetSource)
   val oracle: Map[String, String] = Map.empty
 }

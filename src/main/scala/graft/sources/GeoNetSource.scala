@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the GeoNet quake feed — `format("geonet")`.
+  *
+  * The reference encodes its intensity filter into the request URL
+  * (`?MMI={mmi}`, task.ts:176) so filtering happens server-side before any
+  * data moves. This connector expresses the same optimization the Spark
+  * way: [[GeoNetScanBuilder]] implements `SupportsPushDownFilters` and
+  * absorbs `mmi >= v` / `mmi > v` predicates into the source request, and
+  * `SupportsPushDownRequiredColumns` so projection reaches the parser.
+  * Catalyst then never sees the filtered rows at all — `.filter(col("mmi")
+  * >= 5)` on this source costs the same as the reference's URL parameter.
+  *
+  * Input options (first match wins):
+  *  - `body`: an inline FeatureCollection JSON string (tests, and the
+  *    driver-fetch pattern where the HTTP GET happens outside the scan)
+  *  - `path`: a local/DFS file containing one FeatureCollection; a 100 TB
+  *    backfill points this at an archive directory, one partition per file
+  *
+  * Rows come out FLAT (publicID, time, depth, magnitude, mmi, locality,
+  * quality, lon, lat) — the relational view of the feed; [[GeoNetSource.nest]]
+  * rebuilds the GeoJSON nesting for [[graft.quakes.QuakePipeline]].
+  */
+class GeoNetTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "geonet"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoNetSource.FlatSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GeoNetTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class GeoNetTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead {
+  override def name(): String = "geonet"
+  override def schema(): StructType = GeoNetSource.FlatSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoNetScanBuilder(options)
+}
+
+final class GeoNetScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var mmiMin: Option[Int] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GeoNetSource.FlatSchema
+
+  /** Absorb `mmi >= v` (and `mmi > v`, as `>= v+1` — mmi is integral) into
+    * the source request, exactly like the reference's URL parameter. All
+    * other predicates are returned for Spark to evaluate post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThanOrEqual("mmi", _: Number) => true
+      case GreaterThan("mmi", _: Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual(_, v: Number) =>
+        mmiMin = Some(mmiMin.fold(v.intValue)(math.max(_, v.intValue)))
+      case GreaterThan(_, v: Number) =>
+        mmiMin = Some(mmiMin.fold(v.intValue + 1)(math.max(_, v.intValue + 1)))
+      case _ =>
+    }
+    pushed = accepted
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GeoNetScan(options.asCaseSensitiveMap.asScala.toMap, mmiMin, required)
+}
+
+final class GeoNetScan(options: Map[String, String], mmiMin: Option[Int],
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GeoNetScan(mmiPushed=${mmiMin.getOrElse("none")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // One partition per response body. A backfill over an archive would
+    // emit one partition per file here instead.
+    val body = options.get("body").orElse(
+      options.get("path").map(p =>
+        new String(Files.readAllBytes(Paths.get(p)), "UTF-8")))
+      .getOrElse(throw new IllegalArgumentException(
+        "geonet source requires a 'body' or 'path' option"))
+    Array(GeoNetInputPartition(body))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoNetPartitionReaderFactory(mmiMin, required)
+}
+
+final case class GeoNetInputPartition(body: String) extends InputPartition
+
+final class GeoNetPartitionReaderFactory(mmiMin: Option[Int],
+    required: StructType) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val body = p.asInstanceOf[GeoNetInputPartition].body
+    new PartitionReader[InternalRow] {
+      private val features = {
+        val root = new ObjectMapper().readTree(body)
+        val fs = root.path("features")
+        // the pushed filter applies before any row reaches Spark —
+        // the moral equivalent of the server-side ?MMI= parameter
+        (0 until fs.size).iterator.map(fs.get)
+          .filter(f => mmiMin.forall(m =>
+            f.path("properties").path("mmi").asInt(Int.MinValue) >= m))
+      }
+
+      private var current: com.fasterxml.jackson.databind.JsonNode = _
+
+      override def next(): Boolean = {
+        if (features.hasNext) { current = features.next(); true } else false
+      }
+
+      override def get(): InternalRow = {
+        val props = current.path("properties")
+        val coords = current.path("geometry").path("coordinates")
+        def str(n: String) = UTF8String.fromString(props.path(n).asText)
+        val values = required.fields.map { f =>
+          (f.name, f.dataType) match {
+            case ("publicID", _) => str("publicID")
+            case ("time", _) => str("time")
+            case ("depth", _) => props.path("depth").asDouble
+            case ("magnitude", _) => props.path("magnitude").asDouble
+            case ("mmi", _) => props.path("mmi").asInt
+            case ("locality", _) => str("locality")
+            case ("quality", _) => str("quality")
+            case ("lon", _) => coords.get(0).asDouble
+            case ("lat", _) => coords.get(1).asDouble
+            case (other, _) => throw new IllegalStateException(
+              s"unknown column $other")
+          }
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}
+
+object GeoNetSource {
+  /** The flat relational view of one GeoNet feature (task.ts:64-79). */
+  val FlatSchema: StructType = StructType(Seq(
+    StructField("publicID", StringType, nullable = false),
+    StructField("time", StringType, nullable = false),
+    StructField("depth", DoubleType),
+    StructField("magnitude", DoubleType),
+    StructField("mmi", IntegerType),
+    StructField("locality", StringType),
+    StructField("quality", StringType),
+    StructField("lon", DoubleType),
+    StructField("lat", DoubleType)
+  ))
+
+  /** Rebuild the GeoJSON nesting expected by QuakePipeline.transform. */
+  def nest(flat: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    flat.select(
+      lit("Feature").as("type"),
+      struct(col("publicID"), col("time"), col("depth"), col("magnitude"),
+        col("mmi"), col("locality"), col("quality")).as("properties"),
+      struct(lit("Point").as("type"),
+        array(col("lon"), col("lat")).as("coordinates")).as("geometry"))
+  }
+}
