@@ -270,7 +270,47 @@ object RelationalQueries {
       |WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** GROUPING SETS (beyond rollup/cube): per-status and per-priority
+    * totals in one pass over orders — one Expand + one aggregate instead
+    * of a UNION of two scans.
+    */
+  val q25GroupingSets: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM g_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q25Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  /** HLL sketch aggregation: approx_count_distinct next to the exact
+    * count. No oracle entry — HLL implementations differ across engines —
+    * the rows-only check plus a scalatest accuracy bound (< 5% relative
+    * error) cover it. At 100 TB the sketch is the difference between a
+    * map-side-combinable single pass and a two-phase exact distinct.
+    */
+  val q26ApproxDistinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "q25_grouping_sets" -> q25GroupingSets,
+    "q26_approx_distinct" -> q26ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_star_revenue" -> q02StarRevenue,
     "q03_top_orders_per_cust" -> q03TopOrdersPerCust,
@@ -287,6 +327,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q25_grouping_sets" -> q25Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_star_revenue" -> q02Sql,
     "q03_top_orders_per_cust" -> q03Sql,

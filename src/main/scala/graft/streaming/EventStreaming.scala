@@ -1,9 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.queries.money
+
+/** A keyed observation in the expiry stream. */
+case class KeyedObs(id: String, ts: Timestamp)
+
+/** Emitted when a key goes stale (J2 semantics, task.ts:195-203). */
+case class Expired(id: String, last_seen: Timestamp)
 
 /** Structured-Streaming surface (SURVEY.md §2.8).
   *
@@ -50,4 +59,37 @@ object EventStreaming {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicates("event_id")
+
+  /** Stateful stale-key expiry via `flatMapGroupsWithState` — the
+    * streaming form of the reference sink's snapshot-expiry contract
+    * (task.ts:195-203: a previously published id that stops appearing is
+    * expired) combined with its per-feature stale TTL (task.ts:221).
+    *
+    * Per key the state holds only the last-seen event time; an event-time
+    * timeout at lastSeen + staleMs fires once the watermark passes it and
+    * emits one [[Expired]] record, then drops the state — so state size is
+    * O(live keys), bounded regardless of stream length.
+    */
+  def expireStale(events: Dataset[KeyedObs], staleMs: Long): Dataset[Expired] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Timestamp, Expired](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id: String, obs: Iterator[KeyedObs], state: GroupState[Timestamp]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(Expired(id, last))
+          } else {
+            val newest = obs.map(_.ts).maxBy(_.getTime)
+            val last = state.getOption.fold(newest)(cur =>
+              if (cur.after(newest)) cur else newest)
+            state.update(last)
+            state.setTimeoutTimestamp(last.getTime + staleMs)
+            Iterator.empty
+          }
+      }
+  }
 }

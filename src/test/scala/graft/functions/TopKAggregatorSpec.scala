@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+import graft.functions.VectorFunctions.cosineSimilarity
+
+class TopKAggregatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("per-group top-k matches the window-rank formulation") {
+    import spark.implicits._
+    val data = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.7), ("a", 3L, 0.95), ("a", 4L, 0.1),
+      ("b", 5L, 0.5), ("b", 6L, 0.6)).toDF("g", "id", "score")
+    val topk = udaf(new TopKAggregator(2))
+    val got = data
+      .groupBy("g")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(t => (t.getLong(0), t.getDouble(1))))
+      .toMap
+    assert(got("a") == Seq((3L, 0.95), (1L, 0.9)))
+    assert(got("b") == Seq((6L, 0.6), (5L, 0.5)))
+  }
+
+  test("global top-10 similarity equals the orderBy/limit plan (q40)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+    val viaSort = scored.orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val topk = udaf(new TopKAggregator(10))
+    val viaAgg = scored.agg(topk(col("vec_id"), col("sim")).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(t => (t.getLong(0), t.getDouble(1)))
+    assert(viaAgg == viaSort)
+  }
+
+  test("ties break toward the smaller id deterministically") {
+    import spark.implicits._
+    val data = Seq((9L, 1.0), (3L, 1.0), (5L, 1.0)).toDF("id", "score")
+    val topk = udaf(new TopKAggregator(2))
+    val got = data.agg(topk(col("id"), col("score")))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(t => t.getLong(0))
+    assert(got == Seq(3L, 5L))
+  }
+}
