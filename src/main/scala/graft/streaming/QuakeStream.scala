@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.quakes.QuakeModel.{FeatureCollectionSchema, QuakeConfig}
+import graft.quakes.QuakePipeline
+
+/** Structured-Streaming wrapper for the quake pipeline (SURVEY.md §2.8).
+  *
+  * The reference runs as a platform-scheduled batch (task.ts:143); the
+  * streaming equivalent treats each fetched FeatureCollection file landing
+  * in a directory as one micro-batch snapshot: `readStream` file source →
+  * the exact same `QuakePipeline.transform` → per-batch snapshot handling
+  * in `foreachBatch` (where the sink's update/expire contract lives).
+  * `Trigger.AvailableNow` gives the scheduled-backfill behavior: process
+  * everything that has landed, then stop — re-invocation is the schedule.
+  *
+  * At scale the landing directory is date-partitioned; the file source
+  * tracks processed files in its checkpoint, so replays are exactly-once
+  * per file.
+  */
+object QuakeStream {
+
+  /** One row per GeoNet feature from every FeatureCollection file that
+    * lands in `dir` (each file = one API response snapshot).
+    */
+  def featureStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(FeatureCollectionSchema)
+      .option("multiLine", "true")
+      .json(dir)
+      .select(explode(col("features")).as("feature"))
+      .select(col("feature.*"))
+
+  /** The full streaming pipeline: landed snapshots → CoT features. */
+  def cotStream(spark: SparkSession, dir: String, cfg: QuakeConfig,
+      nowMs: Long): DataFrame =
+    QuakePipeline.transform(featureStream(spark, dir), cfg, nowMs)
+}
