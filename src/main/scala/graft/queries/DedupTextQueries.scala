@@ -375,7 +375,78 @@ object DedupTextQueries {
        |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
        |FROM docs ORDER BY doc_id""".stripMargin
 
+  /** q39 — character-trigram language ID: build a top-20 trigram profile
+    * per language FROM the corpus itself (one pass + window rank), then
+    * score every document by profile-hit count and predict the argmax
+    * language. Two shuffles ((lang,tri) counts; per-doc scoring join on
+    * the trigram) — the profile is tiny and broadcast. Positions are
+    * exploded and sliced with `substring` (codegen) rather than array
+    * lambdas (see shingleRows note).
+    */
+  val q39LangNgram: Q = (s, d) => {
+    val docs = parallelDocs(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("txt"))
+      .filter(length(col("txt")) >= 3)
+    val tri = docs
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), length(col("txt")) - 2)).as("i"),
+        col("txt"))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(txt, i, 3)").as("tri"))
+    val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("plang").orderBy(col("n").desc, col("tri").asc)))
+      .filter(col("rn") <= 20)
+      .select("plang", "tri")
+    val hits = tri.select(col("doc_id"), col("tri")).distinct()
+      .join(broadcast(profile), Seq("tri"))
+      .groupBy("doc_id", "plang")
+      .agg(count(lit(1)).as("hits"))
+    val langs = documents(s, d).select(col("lang").as("plang")).distinct()
+    val scored = documents(s, d).select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(langs))
+      .join(hits, Seq("doc_id", "plang"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("plang").asc)
+    scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"),
+        col("hits"))
+      .orderBy("doc_id")
+  }
+
+  val q39Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, lower(text) AS txt FROM documents
+      |  WHERE length(lower(text)) >= 3),
+      |tri AS (
+      |  SELECT doc_id, lang, substr(txt, CAST(i AS INTEGER), 3) AS tri
+      |  FROM docs, unnest(range(1, length(txt) - 1)) AS t(i)),
+      |profile AS (
+      |  SELECT plang, tri FROM (
+      |    SELECT lang AS plang, tri, COUNT(*) AS n,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri ASC) AS rn
+      |    FROM tri GROUP BY lang, tri) WHERE rn <= 20),
+      |doc_tri AS (SELECT DISTINCT doc_id, tri FROM tri),
+      |hits AS (
+      |  SELECT doc_id, plang, COUNT(*) AS hits
+      |  FROM doc_tri JOIN profile USING (tri)
+      |  GROUP BY doc_id, plang),
+      |langs AS (SELECT DISTINCT lang AS plang FROM documents),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang, l.plang, COALESCE(h.hits, 0) AS hits
+      |  FROM documents d CROSS JOIN langs l
+      |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = l.plang)
+      |SELECT doc_id, lang, plang AS predicted, hits FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rn
+      |  FROM scored) WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_lang_ngram" -> q39LangNgram,
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
@@ -388,6 +459,7 @@ object DedupTextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q39_lang_ngram" -> q39Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,

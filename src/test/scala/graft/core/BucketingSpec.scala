@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bucketing: the 100 TB answer to the one real shuffle in the star join
+  * (q02's lineitem⋈orders). Both facts bucketed+sorted on the join key
+  * co-locate matching rows at write time, so the join plans with NO
+  * exchange on either side — the shuffle is paid once at ingest, not per
+  * query.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("bucketed fact-fact join plans without a shuffle and matches results") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path so the exchange (or its absence) is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, sf).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      Tables.orders(spark, sf).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bucketed")
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("orders_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // neither join input needs an exchange: bucket layout == join keys
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        joinSection.take(2000))
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        joinSection.take(2000))
+
+      // and the result is identical to the unbucketed plan
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    }
+  }
+}
