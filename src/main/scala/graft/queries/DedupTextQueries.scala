@@ -393,13 +393,20 @@ object DedupTextQueries {
         col("txt"))
       .select(col("doc_id"), col("lang"),
         expr("substring(txt, i, 3)").as("tri"))
-    val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
-      .agg(count(lit(1)).as("n"))
+    // One aggregation over the exploded trigrams feeds BOTH consumers:
+    // the per-language profile (sum of per-doc counts) and the per-doc
+    // distinct trigram set (the group keys). Because profile and hits
+    // both read the same Exchange subplan, ReuseExchange evaluates the
+    // expensive explode+substring stage exactly once.
+    val docTriCnt = tri.groupBy("doc_id", "lang", "tri")
+      .agg(count(lit(1)).as("cnt"))
+    val profile = docTriCnt.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(sum(col("cnt")).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("plang").orderBy(col("n").desc, col("tri").asc)))
       .filter(col("rn") <= 20)
       .select("plang", "tri")
-    val hits = tri.select(col("doc_id"), col("tri")).distinct()
+    val hits = docTriCnt.select(col("doc_id"), col("tri"))
       .join(broadcast(profile), Seq("tri"))
       .groupBy("doc_id", "plang")
       .agg(count(lit(1)).as("hits"))
