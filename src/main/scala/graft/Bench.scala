@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Per-round benchmark: runs every registered query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. A query that throws is reported with value -1
+  * and its message under "errors" (and on stderr) — failures must never
+  * masquerade as fast times.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +15,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // dev loop: SPARK_GRAFT_ONLY=q39_lang_ngram,q42_embed_neardup
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) sec else -1.0, err, sec)
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"${esc(k)}\":$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m), _) =>
+      s"\"${esc(k)}\":\"${esc(m)}\"" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, _, None, sec) => sec }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -170,16 +170,12 @@ object DedupTextQueries {
     // the band key, pairs enumerated inside each bucket. This computes the
     // signature pipeline ONCE (a self-join would evaluate it per side) and
     // is the standard LSH shape at scale — bucket sizes are near-1 except
-    // for true near-dups, so the quadratic step is bounded. A skew guard
-    // (cap + salt) would go on `size(ids)` for adversarial corpora.
-    bands.groupBy("band", "bkey")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // for true near-dups, so the quadratic step is bounded. Hot-band
+    // buckets beyond BucketPairs.DefaultCap are dropped (skew guard; see
+    // BucketPairs + BucketPairsSpec's adversarial corpus).
+    graft.operators.BucketPairs
+      .boundedPairs(bands, Seq(col("band"), col("bkey")), col("doc_id"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
@@ -190,12 +186,15 @@ object DedupTextQueries {
       val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
       s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
     }.mkString("\n UNION ALL\n ")
+    // sized/bsz mirrors the Spark-side skew cap (BucketPairs.DefaultCap)
     s"""WITH $shingleRowsSql,
        |$sigSelectSql,
        |bands AS (
-       | $bandSelects)
+       | $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -249,16 +248,14 @@ object DedupTextQueries {
       .withColumn("n", count(lit(1)).over(wDoc))
     // |A∩B| via bucket-local pair generation (one shuffle on the shingle,
     // pairs enumerated per bucket) — same shape as q32, no self-join.
-    shd.groupBy("lang", "source", "s")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |           x.n AS na, y.n AS nb))))""".stripMargin)).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+    // Stop-shingle buckets beyond the cap are dropped (skew guard): a
+    // shingle shared by >cap documents in one block contributes ~zero
+    // Jaccard signal but O(bucket²) pairs in ONE task.
+    graft.operators.BucketPairs.boundedPairs(shd,
+        Seq(col("lang"), col("source"), col("s")),
+        struct(col("doc_id"), col("n")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.5)
@@ -267,13 +264,17 @@ object DedupTextQueries {
   }
 
   val q34Sql: String =
+    // sized/bsz mirrors the Spark-side skew cap (BucketPairs.DefaultCap);
+    // |A|/|B| stay uncapped, matching Spark (n is attached pre-bucketing)
     s"""WITH $shingleRowsSql,
        |ds AS (SELECT DISTINCT doc_id, lang, source, s FROM sh),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, source, s) AS bsz FROM ds),
        |inter AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       | FROM ds a JOIN ds b ON a.lang = b.lang AND a.source = b.source
+       | FROM sized a JOIN sized b ON a.lang = b.lang AND a.source = b.source
        |   AND a.s = b.s AND a.doc_id < b.doc_id
+       | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
        | GROUP BY 1, 2)
        |SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
        |FROM inter
@@ -395,11 +396,18 @@ object DedupTextQueries {
         expr("substring(txt, i, 3)").as("tri"))
     // One aggregation over the exploded trigrams feeds BOTH consumers:
     // the per-language profile (sum of per-doc counts) and the per-doc
-    // distinct trigram set (the group keys). Because profile and hits
-    // both read the same Exchange subplan, ReuseExchange evaluates the
-    // expensive explode+substring stage exactly once.
+    // distinct trigram set (the group keys). ReuseExchange does NOT fire
+    // here on its own — column pruning gives the two consumers different
+    // partial-aggregate signatures (profile keeps `cnt`, hits prunes it),
+    // so the exchanges never canonicalize equal and the explode+substring
+    // stage would run twice (round-1 plan audit). Persisting the shared
+    // aggregate materializes it once; both consumers then read the
+    // InMemoryRelation. At 100 TB this cache is one (doc, lang, trigram,
+    // count) row per distinct per-doc trigram — orders of magnitude
+    // smaller than the exploded stream it replaces.
     val docTriCnt = tri.groupBy("doc_id", "lang", "tri")
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profile = docTriCnt.groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("cnt")).as("n"))
       .withColumn("rn", row_number().over(
@@ -410,17 +418,24 @@ object DedupTextQueries {
       .join(broadcast(profile), Seq("tri"))
       .groupBy("doc_id", "plang")
       .agg(count(lit(1)).as("hits"))
-    val langs = documents(s, d).select(col("lang").as("plang")).distinct()
-    val scored = documents(s, d).select(col("doc_id"), col("lang"))
-      .crossJoin(broadcast(langs))
-      .join(hits, Seq("doc_id", "plang"), "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
-    val wBest = Window.partitionBy("doc_id")
-      .orderBy(col("hits").desc, col("plang").asc)
-    scored.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("plang").as("predicted"),
-        col("hits"))
+    // argmax(plang by hits, ties → smallest plang) as ONE aggregate:
+    // min(struct(-hits, plang)) — no per-doc window, no langs cross join.
+    // The round-1 formulation (crossJoin(langs) + left join + row_number
+    // window) produced the same rows through three more codegen stages.
+    val best = hits.groupBy("doc_id")
+      .agg(min(struct((-col("hits")).as("nh"), col("plang"))).as("b"))
+      .select(col("doc_id"), col("b.plang").as("predicted"),
+        (-col("b.nh")).as("hits"))
+    // docs whose trigrams hit NO profile keep hits=0 and fall back to the
+    // alphabetically-first language (what the all-zero argmax resolves to)
+    val fallback = documents(s, d)
+      .agg(min(col("lang")).as("fb_lang"))
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .crossJoin(broadcast(fallback))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("predicted"), col("fb_lang")).as("predicted"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
       .orderBy("doc_id")
   }
 

@@ -114,17 +114,37 @@ object SimilarityQueries {
        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
-  /** q42 — embedding-cosine near-dup pairs, blocked by label. */
+  /** Salt fan-out for the q42 self-join: each label's pair matrix is cut
+    * into `PairSalts` row-blocks so no single task owns a whole label.
+    */
+  private val PairSalts = 8
+
+  /** q42 — embedding-cosine near-dup pairs, blocked by label.
+    *
+    * Label is a LOW-cardinality blocking key (10 values here), so a plain
+    * shuffle join on `label` puts one whole label — potentially unbounded —
+    * in one task, and round 1's `broadcast(b)` shipped the entire table to
+    * every executor (driver OOM at 100 TB). Instead: the classic
+    * replicate-one-side skew join. Side A carries a deterministic salt
+    * `hash(vec_id) % S`; side B is replicated across all S salts; the join
+    * key is (label, salt). Every (a, b) pair within a label meets in
+    * exactly one bucket, per-task work drops to 1/S of the label's pair
+    * matrix, and shuffle volume is |A| + S·|B| — bounded and tunable,
+    * unlike a broadcast. `shuffle_hash` pins the join strategy so
+    * Catalyst's size estimate (post-explode stats are unknown) can't fall
+    * back to a broadcast.
+    */
   val q42EmbedNearDup: Q = (s, d) => {
     val emb = embeddings(s, d)
-    // Repartition the probe side: the table arrives as ONE small parquet
-    // file, and without this every pairwise cosine runs on a single core.
-    val a = emb.repartition(s.sparkContext.defaultParallelism)
+    val a = emb
       .select(col("label"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))
+      .withColumn("salt", pmod(hash(col("vec_a")), lit(PairSalts)))
     val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    a.join(broadcast(b), Seq("label"))
+        col("embedding").as("emb_b"))
+      .withColumn("salt",
+        explode(array((0 until PairSalts).map(lit): _*)))
+    a.join(b.hint("shuffle_hash"), Seq("label", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= 0.35)

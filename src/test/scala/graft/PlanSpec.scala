@@ -57,6 +57,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q39 trigram aggregate materializes once: both consumers read the " +
+    "cached relation (round-1 audit found it computed twice)") {
+    val df = DedupTextQueries.q39LangNgram(spark, TestSpark.Sf0001)
+    val p = physical(df)
+    // the shared (doc, lang, trigram, count) aggregate is persisted; the
+    // profile and hits branches must BOTH read it from memory, so the
+    // expensive explode+substring stage runs exactly once
+    assert(p.split("InMemoryTableScan").length - 1 >= 2, p.take(4000))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q42 near-dup joins on (label, salt) with no broadcast of the " +
+    "embeddings table (round-1 audit: full-table broadcast)") {
+    val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString

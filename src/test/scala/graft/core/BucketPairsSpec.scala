@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.BucketPairs
+
+/** Skew-guard contract of the bucket-local pair enumerator shared by the
+  * LSH (q32) and n-gram Jaccard (q34) queries.
+  */
+class BucketPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("normal buckets: all in-bucket pairs, ordered a < b, once each") {
+    val df = Seq(("k1", 3L), ("k1", 1L), ("k1", 2L), ("k2", 9L), ("k2", 7L),
+      ("k3", 5L)).toDF("k", "id")
+    val pairs = BucketPairs.boundedPairs(df, Seq(col("k")), col("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 9L)))
+  }
+
+  test("adversarial corpus: a hot bucket (stop-shingle) is dropped, " +
+    "normal buckets unaffected") {
+    // one shingle shared by 10k docs — uncapped this is ~50M pairs in ONE
+    // task; capped it contributes nothing
+    val hot = (0 until 10000).map(i => ("the end", i.toLong))
+    val good = Seq(("rare phrase one", 1L), ("rare phrase one", 2L))
+    val df = (hot ++ good).toDF("k", "id")
+    val pairs = BucketPairs.boundedPairs(df, Seq(col("k")), col("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("cap boundary: bucket of exactly cap enumerates, cap+1 drops") {
+    val cap = BucketPairs.DefaultCap
+    val atCap = (0 until cap).map(i => ("at", i.toLong))
+    val over = (0 until cap + 1).map(i => ("over", i.toLong))
+    val df = (atCap ++ over).toDF("k", "id")
+    val n = BucketPairs.boundedPairs(df, Seq(col("k")), col("id")).count()
+    assert(n === cap.toLong * (cap - 1) / 2)
+  }
+
+  test("capped result equals uncapped enumeration when no bucket is hot") {
+    val df = (0 until 300).map(i => (s"k${i % 50}", i.toLong)).toDF("k", "id")
+    val capped = BucketPairs.boundedPairs(df, Seq(col("k")), col("id"))
+      .as[(Long, Long)].collect().toSet
+    val uncapped = BucketPairs
+      .boundedPairs(df, Seq(col("k")), col("id"), cap = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    assert(capped.size === 50 * 6 * 5 / 2)
+  }
+}
