@@ -144,12 +144,19 @@ object QuakePipeline {
     * a single JSON payload. Driver-side single row — the POST itself is an
     * external side effect outside the engine.
     */
-  def toFeatureCollectionJson(cot: DataFrame): String = {
-    val fc = cot.agg(collect_list(struct(col("id"), col("type"),
+  def toFeatureCollectionJson(cot: DataFrame): String = snapshot(cot)._1
+
+  /** K1 payload + feature count in one action (the count feeds the
+    * reference's `ok - fetched N earthquakes` log line, task.ts:255).
+    */
+  def snapshot(cot: DataFrame): (String, Long) = {
+    val row = cot.agg(collect_list(struct(col("id"), col("type"),
       col("properties"), col("geometry"))).as("features"))
-      .select(to_json(struct(lit("FeatureCollection").as("type"),
-        col("features")))).head.getString(0)
-    fc
+      .select(
+        to_json(struct(lit("FeatureCollection").as("type"), col("features"))),
+        size(col("features")).cast("long"))
+      .head
+    (row.getString(0), row.getLong(1))
   }
 
   /** J2 (task.ts:195-203 comment): the snapshot sink's expiry semantics —

@@ -33,6 +33,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    driver-fetch pattern where the HTTP GET happens outside the scan)
   *  - `path`: a local/DFS file containing one FeatureCollection; a 100 TB
   *    backfill points this at an archive directory, one partition per file
+  *  - neither: live mode — GET `api.geonet.org.nz/quake?MMI=` once at
+  *    planning via [[GeoNetHttp]], the MMI taken from the pushed filter
+  *    (else the `mmi` option, else the reference default). Non-2xx throws
+  *    `Failed to fetch data: ...` (task.ts:179-181).
   *
   * Rows come out FLAT (publicID, time, depth, magnitude, mmi, locality,
   * quality, lon, lat) — the relational view of the feed; [[GeoNetSource.nest]]
@@ -106,16 +110,27 @@ final class GeoNetScan(options: Map[String, String], mmiMin: Option[Int],
     s"GeoNetScan(mmiPushed=${mmiMin.getOrElse("none")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // With neither `body` nor `path`, the scan performs the reference's
+  // live leg (task.ts:176-181): build `?MMI=` from the PUSHED filter
+  // (falling back to the `mmi` option, then the reference's default)
+  // and GET it once, driver-side at planning — the same single-fetch
+  // shape as the reference, with non-2xx failing the run. `lazy val`
+  // memoizes: Spark may call planInputPartitions more than once per
+  // query, and one run must mean one request.
+  private lazy val body: String = options.get("body")
+    .orElse(options.get("path").map(p =>
+      new String(Files.readAllBytes(Paths.get(p)), "UTF-8")))
+    .getOrElse {
+      val mmi = mmiMin
+        .orElse(options.get("mmi").map(_.toInt))
+        .getOrElse(graft.quakes.QuakeModel.QuakeConfig().mmi)
+      GeoNetHttp.fetchBody(GeoNetHttp.defaultTransport, mmi)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
     // One partition per response body. A backfill over an archive would
     // emit one partition per file here instead.
-    val body = options.get("body").orElse(
-      options.get("path").map(p =>
-        new String(Files.readAllBytes(Paths.get(p)), "UTF-8")))
-      .getOrElse(throw new IllegalArgumentException(
-        "geonet source requires a 'body' or 'path' option"))
     Array(GeoNetInputPartition(body))
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoNetPartitionReaderFactory(mmiMin, required)
