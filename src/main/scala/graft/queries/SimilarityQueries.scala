@@ -60,10 +60,17 @@ object SimilarityQueries {
     * its nearest of 16 centroids (map-side max(struct) — partial-agg
     * friendly, deterministic: ties break to the larger centroid id),
     * probe the 2 cells nearest the query.
+    *
+    * Centroids are a deterministic unbiased sample: the 16 vectors with
+    * the smallest md5(vec_id) — order-independent and oracle-expressible
+    * on both engines (round 1 used "first 16 rows", which correlates with
+    * insertion order). The Lloyd-refined quantizer is q45.
     */
   val q41KnnIvf: Q = (s, d) => {
     val emb = embeddings(s, d)
-    val cent = emb.filter(col("vec_id") < 16)
+    val cent = emb
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(16)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
 
@@ -96,7 +103,7 @@ object SimilarityQueries {
     val cosEQ = cosSql("CAST(e.embedding AS DOUBLE[])", "qe")
     s"""WITH $qVecSql,
        |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
-       |         FROM embeddings WHERE vec_id < 16),
+       |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
        |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
        |           FROM embeddings e CROSS JOIN cent c),
        |cells AS (SELECT vec_id, c_id AS cell FROM (
@@ -161,15 +168,122 @@ object SimilarityQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** IVF search with a Lloyd-trained coarse quantizer (the q45 engine,
+    * parameterized for the recall spec). Train → pick the `nprobe` cells
+    * nearest the query (driver-side over k·dim doubles) → score only
+    * members of probed cells. At 100 TB assignment is a map-side
+    * projection against broadcast-literal centroids and the scan prunes
+    * to nprobe/k of the corpus.
+    */
+  def ivfKmeansTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      queryId: Long, k: Int = 10, kCells: Int = 16, iters: Int = 3,
+      nprobe: Int = 4): org.apache.spark.sql.DataFrame =
+    ivfSearch(embeddings(s, d), queryId, k, kCells, iters, nprobe)
+
+  /** The q45 engine over any (vec_id, embedding) frame — the recall spec
+    * feeds it a clustered corpus, q45 feeds it the embeddings table.
+    */
+  def ivfSearch(emb: org.apache.spark.sql.DataFrame,
+      queryId: Long, k: Int = 10, kCells: Int = 16, iters: Int = 3,
+      nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
+    // Spherical k-means: cluster on L2-NORMALIZED vectors so Euclidean
+    // cells align with the cosine ranking the search uses (|x−y|² =
+    // 2−2·cos for unit vectors); clustering raw magnitudes against a
+    // cosine objective probes the wrong cells. The norm falls out of
+    // l2Distance(v, 0⃗).
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val zero = typedlit(Seq.fill(dim)(0.0))
+    val unit = emb
+      .withColumn("l2n", graft.functions.VectorFunctions
+        .l2Distance(col("embedding"), zero))
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
+    val cents = graft.ml.KMeans.fit(unit, "nemb", "vec_id", kCells, iters)
+    val q = unit.filter(col("vec_id") === queryId)
+      .select(col("nemb")).head.getSeq[Double](0).toArray
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var sum = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); sum += dd * dd; i += 1 }
+      math.sqrt(sum)
+    }
+    val probes = cents.zipWithIndex
+      .map { case (c, j) => (l2(c, q), j) }
+      .sorted.take(nprobe).map(_._2)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    unit.withColumn("cell", graft.ml.KMeans.assign(col("nemb"), cents))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** q45 — q41's IVF with the quantizer actually TRAINED
+    * ([[graft.ml.KMeans]], deterministic Lloyd). No SQL oracle — the
+    * iterative decimal-mean refinement isn't one statement — so the
+    * driver records rows-only; correctness is held by KMeansSpec
+    * (bit-determinism across cluster layouts) and the recall-vs-brute
+    * bound in SimilarityRecallSpec.
+    */
+  val q45KnnIvfKmeans: Q = (s, d) => ivfKmeansTopK(s, d, queryId = 0L)
+
+  /** q44 — top-3 most-similar vectors to vector 0 PER LABEL, via the typed
+    * [[graft.functions.TopKAggregator]]. A global top-k plans as
+    * `TakeOrderedAndProject` (q40), but the per-group case needs either a
+    * row_number window — which sorts EVERY group's full candidate list —
+    * or this bounded-buffer Aggregator: each map-side partial keeps only
+    * k candidates, so the shuffle carries ≤ k·partitions rows per label
+    * instead of the whole scored table. That's the shape that wins at
+    * 100 TB (k=3 vs millions of rows per label through the exchange).
+    * TopKAggregatorSpec proves it row-identical to the window form.
+    */
+  val q44TopkPerLabel: Q = (s, d) => {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("label"),
+        col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .as[(Int, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, sim) => (id, sim) }
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+      .flatMap { case (label, topk) =>
+        topk.zipWithIndex.map { case ((id, sim), i) =>
+          (label, (i + 1).toLong, id, sim)
+        }
+      }
+      .toDF("label", "rank", "vec_id", "sim")
+      .orderBy("label", "rank")
+  }
+
+  val q44Sql: String =
+    s"""WITH $qVecSql,
+       |scored AS (
+       |  SELECT label, vec_id, ${cosSql("CAST(embedding AS DOUBLE[])", "qe")} AS sim
+       |  FROM embeddings, q WHERE vec_id <> 0)
+       |SELECT label, rank, vec_id, sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 3
+       |ORDER BY label, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
-    "q42_embed_neardup" -> q42EmbedNearDup
+    "q42_embed_neardup" -> q42EmbedNearDup,
+    "q44_topk_per_label" -> q44TopkPerLabel,
+    "q45_knn_ivf_kmeans" -> q45KnnIvfKmeans
   )
 
   val oracle: Map[String, String] = Map(
     "q40_knn_brute" -> q40Sql,
     "q41_knn_ivf" -> q41Sql,
-    "q42_embed_neardup" -> q42Sql
+    "q42_embed_neardup" -> q42Sql,
+    "q44_topk_per_label" -> q44Sql
   )
 }

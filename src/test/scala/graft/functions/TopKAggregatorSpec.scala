@@ -45,6 +45,25 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(viaAgg == viaSort)
   }
 
+  test("q44 registered per-label top-3 equals the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val w = Window.partitionBy("label").orderBy(col("sim").desc, col("vec_id").asc)
+    val viaWindow = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("label"), col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("label", "rank", "vec_id", "sim")
+      .orderBy("label", "rank")
+      .collect().toSeq
+    val viaAgg = graft.queries.SimilarityQueries
+      .q44TopkPerLabel(spark, TestSpark.Sf0001).collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
   test("ties break toward the smaller id deterministically") {
     import spark.implicits._
     val data = Seq((9L, 1.0), (3L, 1.0), (5L, 1.0)).toDF("id", "score")
