@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -272,18 +273,101 @@ object SimilarityQueries {
        |  FROM scored) WHERE rank <= 3
        |ORDER BY label, rank""".stripMargin
 
+  private val NumBands = 6
+  private val BandBits = 6
+
+  /** 36 fixed random hyperplanes (seeded, generated once) — shared
+    * verbatim by the Spark plan and the SQL oracle, so both engines
+    * compute identical sign bits.
+    */
+  private lazy val Hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumBands * BandBits)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** q46 — random-hyperplane LSH near-dup over ALL embeddings: the
+    * UNBLOCKED scale path that q42's label-blocking sidesteps. Each
+    * vector gets sign-bits against 36 fixed hyperplanes, grouped as 6
+    * bands of 6 bits; vectors sharing any band key become candidates
+    * (bucket-local pair enumeration with the standard skew cap), and only
+    * candidates get an exact cosine. sim(p_bit)=1−θ/π, so close pairs
+    * collide in some band with high probability while the ~C(n,2) far
+    * pairs are never touched — candidate volume is Σ bucket² instead of
+    * n². Banding/recall trade-off documented in SimilarityRecallSpec's
+    * clustered-corpus test; on this corpus the query reports the
+    * colliding subset of the ≥0.35 pairs, deterministically.
+    */
+  val q46EmbedLsh: Q = (s, d) =>
+    lshNearDup(embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism), 0.35)
+
+  /** The q46 engine over any 64-dim (vec_id, embedding) frame — the
+    * recall spec feeds it a clustered corpus.
+    */
+  def lshNearDup(emb: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    def bit(h: Int): Column =
+      cosineSimilarity(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
+    val bandKeys = (0 until NumBands).map { b =>
+      val key = (0 until BandBits)
+        .map(j => when(bit(b * BandBits + j), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(array(bandKeys: _*)).as("bd"))
+      .select(col("vec_id"), col("embedding"),
+        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    graft.operators.BucketPairs.boundedPairs(bands,
+        Seq(col("band"), col("bkey")),
+        struct(col("vec_id"), col("embedding")))
+      .withColumn("sim", cosineSimilarity(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("n_bands"), max(col("sim")).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q46Sql: String = {
+    def planeSql(h: Int): String =
+      Hyperplanes(h).mkString("[", ", ", "]")
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandBits).map { j =>
+        s"(CASE WHEN list_dot_product(emb, ${planeSql(b * BandBits + j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, emb, $b AS band, $key AS bkey FROM e"
+    }.mkString("\n UNION ALL\n ")
+    val cosAB = cosSql("ea", "eb")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bands AS (
+       | $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+       |pairs AS (
+       | SELECT a.vec_id AS va, b.vec_id AS vb, a.emb AS ea, b.emb AS eb
+       | FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey
+       |   AND a.vec_id < b.vec_id
+       | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}),
+       |scored AS (SELECT va, vb, $cosAB AS sim FROM pairs)
+       |SELECT va AS vec_a, vb AS vec_b, COUNT(*) AS n_bands, MAX(sim) AS sim
+       |FROM scored WHERE sim >= 0.35
+       |GROUP BY 1, 2 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
     "q42_embed_neardup" -> q42EmbedNearDup,
     "q44_topk_per_label" -> q44TopkPerLabel,
-    "q45_knn_ivf_kmeans" -> q45KnnIvfKmeans
+    "q45_knn_ivf_kmeans" -> q45KnnIvfKmeans,
+    "q46_embed_lsh" -> q46EmbedLsh
   )
 
   val oracle: Map[String, String] = Map(
     "q40_knn_brute" -> q40Sql,
     "q41_knn_ivf" -> q41Sql,
     "q42_embed_neardup" -> q42Sql,
-    "q44_topk_per_label" -> q44Sql
+    "q44_topk_per_label" -> q44Sql,
+    "q46_embed_lsh" -> q46Sql
   )
 }

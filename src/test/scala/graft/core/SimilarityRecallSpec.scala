@@ -56,6 +56,31 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"avg recall $avg, per-query $recalls")
   }
 
+  test("q46 hyperplane LSH recalls >=90% of true near-dup pairs " +
+    "(clustered 64-dim corpus, cos >= 0.9)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val pts = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    // exact >= 0.9 pairs via the all-pairs scan
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val exact = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.9)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.lshNearDup(emb, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall of ${exact.size} true pairs")
+  }
+
   test("structureless corpus: recall still beats the probed fraction 2x") {
     val emb = Tables.embeddings(spark, sf)
     val recalls = Seq(0L, 7L, 23L).map { qid =>
