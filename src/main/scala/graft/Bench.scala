@@ -15,6 +15,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup OUTSIDE the timed region: the flagship star join
+    // at sf0.001 exercises the parquet reader, broadcast join, hash agg
+    // and whole-stage codegen paths once, so the first timed query no
+    // longer absorbs multi-second JIT/janino warmup that isn't its own.
+    SparkEntry.entry(spark).count()
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

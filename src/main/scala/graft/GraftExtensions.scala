@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, L2Distance}
+
+/** Session-extension entry point: makes the engine's custom Catalyst
+  * expressions first-class SQL functions in ANY session without calling
+  * [[graft.functions.VectorFunctions.register]] by hand —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * then `SELECT cosine_sim(embedding, q_emb) ...` parses, analyzes and
+  * codegens like a built-in. This is the supported injection seam for
+  * libraries (config-driven, catalog-visible, no session mutation), vs
+  * `functionRegistry.createOrReplaceTempFunction` which is per-session
+  * and invisible to `DESCRIBE FUNCTION`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float/double arrays " +
+          "(index-ordered double accumulation)"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("l2_dist"),
+      info("l2_dist",
+        "l2_dist(a, b) - Euclidean distance of two float/double arrays"),
+      (es: Seq[Expression]) => L2Distance(es.head, es(1))))
+  }
+}

@@ -194,11 +194,17 @@ object SimilarityQueries {
     // l2Distance(v, 0⃗).
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val zero = typedlit(Seq.fill(dim)(0.0))
+    // persisted: every Lloyd iteration (assign + means + collect) and the
+    // final probe scan re-read this frame — recomputing the normalize
+    // projection 2·iters+2 times is pure waste. At 100 TB caching the
+    // unit vectors is the standard IVF-build tradeoff (or materialize to
+    // a table between train and serve).
     val unit = emb
       .withColumn("l2n", graft.functions.VectorFunctions
         .l2Distance(col("embedding"), zero))
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = graft.ml.KMeans.fit(unit, "nemb", "vec_id", kCells, iters)
     val q = unit.filter(col("vec_id") === queryId)
       .select(col("nemb")).head.getSeq[Double](0).toArray

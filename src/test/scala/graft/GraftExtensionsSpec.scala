@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injection seam: a session built `withExtensions(new
+  * GraftExtensions())` must resolve the custom expressions straight from
+  * SQL text. (The equivalent `spark.sql.extensions=graft.GraftExtensions`
+  * config is a STATIC conf bound when the SparkContext is created, so it
+  * can't be exercised inside this shared-context test JVM — same class,
+  * same apply path.)
+  *
+  * Extensions are per-SparkSession, so the test clears the JVM-default
+  * session (getOrCreate would otherwise return the shared TestSpark one,
+  * silently skipping the extensions) and builds a sibling session over
+  * the same SparkContext. The context itself is shared — no stop().
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions registers cosine_sim/l2_dist as SQL functions") {
+    val shared = TestSpark.spark // ensure the context exists
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s.sql(
+        """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+          |       l2_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+        .head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 5.0)
+      // catalog-visible, unlike a temp-function registration
+      assert(s.sql("DESCRIBE FUNCTION cosine_sim").collect()
+        .map(_.getString(0)).mkString("\n").contains("cosine_sim"))
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
