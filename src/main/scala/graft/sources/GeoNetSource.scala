@@ -57,7 +57,7 @@ final class GeoNetTable(options: CaseInsensitiveStringMap) extends Table
   override def name(): String = "geonet"
   override def schema(): StructType = GeoNetSource.FlatSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GeoNetScanBuilder(options)
 }
@@ -117,26 +117,110 @@ final class GeoNetScan(options: Map[String, String], mmiMin: Option[Int],
   // shape as the reference, with non-2xx failing the run. `lazy val`
   // memoizes: Spark may call planInputPartitions more than once per
   // query, and one run must mean one request.
-  private lazy val body: String = options.get("body")
-    .orElse(options.get("path").map(p =>
-      new String(Files.readAllBytes(Paths.get(p)), "UTF-8")))
-    .getOrElse {
-      val mmi = mmiMin
-        .orElse(options.get("mmi").map(_.toInt))
-        .getOrElse(graft.quakes.QuakeModel.QuakeConfig().mmi)
-      GeoNetHttp.fetchBody(GeoNetHttp.defaultTransport, mmi)
-    }
+  private lazy val body: String = GeoNetSource.resolveBody(options, mmiMin)
 
   override def planInputPartitions(): Array[InputPartition] =
     // One partition per response body. A backfill over an archive would
     // emit one partition per file here instead.
     Array(GeoNetInputPartition(body))
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GeoNetMicroBatchStream(options, mmiMin, required)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoNetPartitionReaderFactory(mmiMin, required)
 }
 
 final case class GeoNetInputPartition(body: String) extends InputPartition
+
+/** Snapshot counter offset: batch N = the N-th fetch of the feed. */
+final case class GeoNetOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = n.toString
+}
+
+/** Streaming form of the source — the reference's cron re-invocation
+  * (task.ts:143) recast as a Structured Streaming micro-batch source:
+  * EVERY TRIGGER fetches one fresh FeatureCollection snapshot (or
+  * re-reads `body`/`path`, for tests and replayable landings) and emits
+  * it as one batch. Offsets count snapshots; with `Trigger.AvailableNow`
+  * a run processes exactly one snapshot and stops — byte-for-byte the
+  * reference's scheduled single-fetch semantics, checkpointed.
+  */
+final class GeoNetMicroBatchStream(options: Map[String, String],
+    mmiMin: Option[Int], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val progressed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // AvailableNow contract: after prepare, latestOffset must return a
+  // FIXED offset (the engine drains up to it, then terminates); we fix it
+  // to start+1 on the first post-prepare call — one fresh snapshot per
+  // invocation, whatever offset the checkpoint restarts from
+  // (re-invocation is the schedule, task.ts:143).
+  @volatile private var availableNowMode = false
+  @volatile private var fixedTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowMode = true
+    fixedTarget = None
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = GeoNetOffset(0L)
+
+  /** Admission-control form (the one the engine uses): one snapshot ahead
+    * of the start — each trigger fetches once; under AvailableNow the
+    * target freezes so the run processes exactly one snapshot and stops.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GeoNetOffset].n
+    if (availableNowMode) {
+      if (fixedTarget.isEmpty) fixedTarget = Some(s + 1)
+      GeoNetOffset(fixedTarget.get)
+    } else GeoNetOffset(s + 1)
+  }
+
+  /** Legacy no-arg form (not called when admission control is present). */
+  override def latestOffset(): Offset = GeoNetOffset(progressed.get() + 1)
+
+  override def deserializeOffset(json: String): Offset =
+    GeoNetOffset(json.trim.toLong)
+
+  // One fetch per BATCH, memoized by end offset: Spark replans a
+  // micro-batch several times (logical + physical planning, retries), and
+  // every replanning of the same batch must observe the SAME snapshot —
+  // both for single-request semantics and for determinism within a batch.
+  private val bodies = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GeoNetOffset].n
+    val e = end.asInstanceOf[GeoNetOffset].n
+    if (e <= s) Array.empty
+    // One fetch per planned batch, however many offsets the range spans
+    // (ranges >1 only happen on restart-catchup, where the feed has no
+    // per-offset history to replay anyway — each fetch IS the snapshot).
+    else Array(GeoNetInputPartition(bodies.computeIfAbsent(e,
+      _ => GeoNetSource.resolveBody(options, mmiMin))))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoNetPartitionReaderFactory(mmiMin, required)
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GeoNetOffset].n
+    progressed.updateAndGet(cur => math.max(cur, e))
+    bodies.keySet().removeIf(_ <= e) // committed snapshots won't replan
+  }
+
+  override def stop(): Unit = ()
+}
 
 final class GeoNetPartitionReaderFactory(mmiMin: Option[Int],
     required: StructType) extends PartitionReaderFactory {
@@ -188,6 +272,22 @@ final class GeoNetPartitionReaderFactory(mmiMin: Option[Int],
 }
 
 object GeoNetSource {
+
+  /** Shared body resolution: inline `body` > `path` file > live GET with
+    * the MMI from the pushed filter / `mmi` option / reference default.
+    */
+  private[sources] def resolveBody(options: Map[String, String],
+      mmiMin: Option[Int]): String =
+    options.get("body")
+      .orElse(options.get("path").map(p =>
+        new String(Files.readAllBytes(Paths.get(p)), "UTF-8")))
+      .getOrElse {
+        val mmi = mmiMin
+          .orElse(options.get("mmi").map(_.toInt))
+          .getOrElse(graft.quakes.QuakeModel.QuakeConfig().mmi)
+        GeoNetHttp.fetchBody(GeoNetHttp.defaultTransport, mmi)
+      }
+
   /** The flat relational view of one GeoNet feature (task.ts:64-79). */
   val FlatSchema: StructType = StructType(Seq(
     StructField("publicID", StringType, nullable = false),

@@ -37,4 +37,35 @@ object QuakeStream {
   def cotStream(spark: SparkSession, dir: String, cfg: QuakeConfig,
       nowMs: Long): DataFrame =
     QuakePipeline.transform(featureStream(spark, dir), cfg, nowMs)
+
+  /** One row per GeoNet feature per fetched snapshot, via the `geonet`
+    * source's micro-batch stream: every trigger performs one feed fetch
+    * (or re-reads the `body`/`path` option). The reference's cron loop as
+    * a continuous query.
+    */
+  def geonetStream(spark: SparkSession,
+      options: Map[String, String]): DataFrame =
+    spark.readStream.format("graft.sources.GeoNetTableProvider")
+      .options(options).load()
+
+  /** Streaming K1 (task.ts:251-256, continuous form): each micro-batch
+    * snapshot is assembled into one FeatureCollection and POSTed through
+    * the transport seam. `Trigger.AvailableNow` = one snapshot per
+    * invocation (the reference's semantics); a processing-time trigger
+    * polls the feed continuously. Checkpointed, so a restart resumes the
+    * snapshot counter instead of double-submitting batch 0.
+    */
+  def submitEachSnapshot(cot: DataFrame, url: String,
+      transport: graft.sources.HttpTransport, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cot.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (fcJson, _) = QuakePipeline.snapshot(batch.toDF())
+        graft.sources.GeoNetHttp.submit(transport, url, fcJson)
+      }
+      .trigger(trigger)
+      .start()
 }
