@@ -467,8 +467,67 @@ object DedupTextQueries {
       |  FROM scored) WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q47 — C4/Gopher-style document quality filter: per-rule verdicts
+    * (length band, mean word length band, alphabetic-character ratio)
+    * plus the conjunction `keep`. Pure codegen'd projection — the classic
+    * first pass of a training-data pipeline, linear, no shuffle (the
+    * orderBy is only for the deterministic dump).
+    */
+  val q47QualityFilter: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        (expr("aggregate(w, 0L, (a, x) -> a + length(x))") / size(col("w")))
+          .as("mean_word_len"),
+        (regexp_count(col("text"), lit("[A-Za-z]")) / col("n_chars"))
+          .as("alpha_ratio"))
+      .withColumn("ok_length", col("n_words").between(20, 1000))
+      .withColumn("ok_word_len", col("mean_word_len").between(3.0, 8.0))
+      .withColumn("ok_alpha", col("alpha_ratio") >= 0.81)
+      .withColumn("keep",
+        col("ok_length") && col("ok_word_len") && col("ok_alpha"))
+      .orderBy("doc_id")
+
+  val q47Sql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars, text, $tokensSql AS w FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(w) AS n_words,
+       |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / len(w) AS mean_word_len,
+       |  len(regexp_extract_all(text, '[A-Za-z]')) / n_chars AS alpha_ratio
+       | FROM d)
+       |SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+       | n_words BETWEEN 20 AND 1000 AS ok_length,
+       | mean_word_len BETWEEN 3.0 AND 8.0 AS ok_word_len,
+       | alpha_ratio >= 0.81 AS ok_alpha,
+       | (n_words BETWEEN 20 AND 1000) AND (mean_word_len BETWEEN 3.0 AND 8.0)
+       |   AND alpha_ratio >= 0.81 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q48 — corpus vocabulary head: global top-20 tokens by frequency
+    * (the vocab-building / stopword-discovery primitive). Explode →
+    * partial-agg count → `TakeOrderedAndProject` over (count desc,
+    * token): only 20 rows cross the final stage regardless of corpus
+    * size.
+    */
+  val q48VocabTopk: Q = (s, d) =>
+    parallelDocs(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  val q48Sql: String =
+    s"""WITH d AS (SELECT $tokensSql AS w FROM documents),
+       |t AS (SELECT unnest(w) AS token FROM d)
+       |SELECT token, COUNT(*) AS cnt FROM t
+       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
+    "q47_quality_filter" -> q47QualityFilter,
+    "q48_vocab_topk" -> q48VocabTopk,
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
@@ -482,6 +541,8 @@ object DedupTextQueries {
 
   val oracle: Map[String, String] = Map(
     "q39_lang_ngram" -> q39Sql,
+    "q47_quality_filter" -> q47Sql,
+    "q48_vocab_topk" -> q48Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
