@@ -95,25 +95,32 @@ object DedupTextQueries {
   private def parallelDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
-  /** Shingles via posexplode + windowed lead instead of nested array
-    * lambdas: higher-order functions are codegen *fallbacks* in Spark, and
-    * projection collapse re-inlines the tokenizer into every `w[i]`
-    * access — the lambda formulation (kept above as [[shinglesExpr]] for
-    * documentation) measured ~40× slower. This shape tokenizes each doc
-    * exactly once and keeps the whole stage in generated code; the window
-    * shuffle is on (doc_id, pos), which at 100 TB is the same partitioning
-    * the downstream groupBy(doc_id) wants.
+  /** Shingles via `explode(arrays_zip(slice×3))` — a pure MAP-SIDE
+    * projection: no shuffle anywhere before the downstream aggregation.
+    *
+    * Three shapes were measured (sf0.1, warm):
+    *  - nested array lambdas (kept above as [[shinglesExpr]] for
+    *    documentation): higher-order functions are codegen *fallbacks*
+    *    and projection collapse re-inlines the tokenizer into every
+    *    `w[i]` access — ~40× slower;
+    *  - round 1's posexplode + windowed `lead`: tokenizes once, but the
+    *    window SHUFFLES AND SORTS the entire token stream on
+    *    (doc_id, pos) — ~1.0s and, at 100 TB, a full-corpus exchange;
+    *  - this zip-of-slices: collapse inlines the tokenizer into the three
+    *    `slice` calls (3× tokenize, all in one generated stage), ~0.4s
+    *    and shuffle-free — three cheap re-tokenizes beat one full-stream
+    *    shuffle at any scale.
     */
   private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val w = tokens(col("text"))
+    val n = greatest(size(w) - 2, lit(0))
     parallelDocs(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("tok1", lead("tok", 1).over(w))
-      .withColumn("tok2", lead("tok", 2).over(w))
-      .filter(col("tok2").isNotNull)
+        explode(arrays_zip(slice(w, lit(1), n).as("t0"),
+          slice(w, lit(2), n).as("t1"),
+          slice(w, lit(3), n).as("t2"))).as("z"))
       .select(col("doc_id"), col("lang"), col("source"),
-        concat_ws(" ", col("tok"), col("tok1"), col("tok2")).as("s"))
+        concat_ws(" ", col("z.t0"), col("z.t1"), col("z.t2")).as("s"))
   }
 
   private val shingleRowsSql =
@@ -524,10 +531,47 @@ object DedupTextQueries {
        |SELECT token, COUNT(*) AS cnt FROM t
        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
 
+  /** q49 — deterministic train/val/test split + per-stratum audit: each
+    * document lands in a split by a uniform hash of its STABLE id (md5 →
+    * 60-bit int → [0,1)), so the split is reproducible across runs,
+    * cluster layouts and engine versions — never `rand()`, which
+    * re-deals on every retry. 90/5/5; the output is the audit table
+    * (lang × split counts + observed fraction) a pipeline would publish.
+    * One explode-free scan + one tiny shuffle on (lang, split).
+    */
+  val q49HashSplit: Q = (s, d) => {
+    val u = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0) // 16^15
+    documents(s, d)
+      .withColumn("split",
+        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac",
+        col("n") / sum(col("n")).over(Window.partitionBy("lang")))
+      .orderBy("lang", "split")
+  }
+
+  val q49Sql: String =
+    """WITH s AS (
+      |  SELECT lang,
+      |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |     ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |       / 1152921504606846976.0 AS u
+      |    FROM documents)),
+      |c AS (SELECT lang, split, COUNT(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT lang, split, n,
+      |  n / SUM(n) OVER (PARTITION BY lang) AS frac
+      |FROM c ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
     "q47_quality_filter" -> q47QualityFilter,
     "q48_vocab_topk" -> q48VocabTopk,
+    "q49_hash_split" -> q49HashSplit,
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
@@ -543,6 +587,7 @@ object DedupTextQueries {
     "q39_lang_ngram" -> q39Sql,
     "q47_quality_filter" -> q47Sql,
     "q48_vocab_topk" -> q48Sql,
+    "q49_hash_split" -> q49Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
