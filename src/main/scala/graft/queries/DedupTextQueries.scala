@@ -246,13 +246,28 @@ object DedupTextQueries {
     * unblocked scale path is q32's LSH.
     */
   val q34NgramJaccard: Q = (s, d) => {
-    // Single pass over the shingle pipeline: per-doc set sizes are
-    // attached by a window BEFORE bucketing, so each pair emerges from
-    // its bucket already carrying |A| and |B| — no count-join, and the
-    // tokenize/shingle stage evaluates exactly once.
-    val wDoc = Window.partitionBy("doc_id")
-    val shd = shingleRows(s, d).distinct()
-      .withColumn("n", count(lit(1)).over(wDoc))
+    // ONE shuffle total. The per-doc distinct shingle set and its size
+    // |A| are computed MAP-SIDE as an array (`array_distinct` over the
+    // zipped slices — no distinct shuffle, no count window, no
+    // count-join); the only exchange is the bucket groupBy below. The
+    // round-1 formulation (explode → global distinct → count window →
+    // bucket groupBy) moved the full shingle stream through THREE
+    // exchanges. The per-element `transform` lambda is interpreted, but
+    // its input is the pre-zipped array (evaluated once per row — the
+    // re-inlined-tokenizer trap doesn't apply) and linear CPU beats two
+    // full-stream shuffles at any scale.
+    val w = tokens(col("text"))
+    val n3 = greatest(size(w) - 2, lit(0))
+    val zipped = arrays_zip(slice(w, lit(1), n3).as("t0"),
+      slice(w, lit(2), n3).as("t1"), slice(w, lit(3), n3).as("t2"))
+    val shd = parallelDocs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), zipped.as("z"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(expr(
+          "transform(z, t -> concat(t.t0, ' ', t.t1, ' ', t.t2))")).as("ss"))
+      .withColumn("n", size(col("ss")))
+      .select(col("doc_id"), col("lang"), col("source"), col("n"),
+        explode(col("ss")).as("s"))
     // |A∩B| via bucket-local pair generation (one shuffle on the shingle,
     // pairs enumerated per bucket) — same shape as q32, no self-join.
     // Stop-shingle buckets beyond the cap are dropped (skew guard): a

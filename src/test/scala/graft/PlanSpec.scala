@@ -75,6 +75,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("q34 moves the shingle stream through ONE exchange: no distinct " +
+    "shuffle, no count window (round-2 rewrite)") {
+    val p = physical(DedupTextQueries.q34NgramJaccard(spark, TestSpark.Sf0001))
+    assert(!p.contains("Window"), p.take(4000))
+    // bucket groupBy + (tiny) pair groupBy + final sort — nothing else
+    assert(p.split("Exchange").length - 1 <= 4, p.take(4000))
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
