@@ -144,8 +144,9 @@ object QuakeQueries {
 
   /** q51 — the same pipeline fed by the `geonet` DataSource V2 connector
     * with the MMI≥5 predicate pushed into the source scan (F1 semantics,
-    * task.ts:176). Rows-only check; the source itself is covered by
-    * GeoNetSourceSpec.
+    * task.ts:176); hash-checked against the same generated-VALUES oracle
+    * with the MMI predicate applied relationally. The connector internals
+    * are additionally covered by GeoNetSourceSpec/HttpTransportSpec.
     */
   val q51GeonetSource: Q = (s, _) => {
     val flat = s.read.format("geonet").option("body", FixtureJson).load()
@@ -157,9 +158,30 @@ object QuakeQueries {
       .orderBy("id")
   }
 
+  val q51Sql: String = {
+    val values = Fixture.map { q =>
+      s"(${sqlStr(q.publicID)}, ${sqlStr(q.time)}, " +
+        s"CAST(${q.magnitude} AS DOUBLE), ${q.mmi}, ${sqlStr(q.locality)}, " +
+        s"${sqlStr(q.quality)})"
+    }.mkString(",\n  ")
+    val intensityCase = caseSql(QuakeModel.MmiIntensity, QuakeModel.DefaultIntensity)
+    val maxAge = QuakeConfig().maxAgeMinutes
+    s"""WITH features(publicID, time, magnitude, mmi, locality, quality) AS (VALUES
+       |  $values)
+       |SELECT 'earthquake-' || publicID AS id,
+       |       'M' || printf('%.1f', magnitude) || ' ' || locality AS callsign,
+       |       $intensityCase AS intensity
+       |FROM features
+       |WHERE mmi >= 5
+       |  AND ($FixtureNowMs - epoch_ms(CAST(time AS TIMESTAMPTZ))) / 60000.0 <= $maxAge
+       |  AND quality <> 'deleted'
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_quake_pipeline" -> q50QuakePipeline,
     "q51_geonet_source" -> q51GeonetSource)
   val oracle: Map[String, String] = Map(
-    "q50_quake_pipeline" -> q50Sql)
+    "q50_quake_pipeline" -> q50Sql,
+    "q51_geonet_source" -> q51Sql)
 }

@@ -21,6 +21,22 @@ import org.apache.spark.sql.types.DecimalType
   *  - Every query ends in a total ORDER BY on a unique key.
   *  - `now` is a fixed literal (task.ts:184 semantics: one clock read per
   *    run), pinned just after the events table's max timestamp.
+  *  - Hashing is md5-derived on both engines (`conv(substr(md5 ...)` ⟷
+  *    `('0x'||substr(md5 ...))::BIGINT`); uniform [0,1) values divide the
+  *    60-bit slice by 16^15 (q49).
+  *  - Floating-point CONSTANTS shared by both engines (q46's hyperplanes)
+  *    are generated once in Scala and embedded verbatim in the SQL —
+  *    shortest-repr Double.toString round-trips exactly through DuckDB's
+  *    parser, and double dot-products accumulate in index order on both
+  *    sides, so even sign-threshold comparisons agree bit-for-bit.
+  *  - Non-parquet inputs (q50's GeoJSON fixture) are held as structured
+  *    Scala data that GENERATES both the JSON body and the oracle's
+  *    VALUES rows. NZ local time renders via DuckDB's ICU `timezone`
+  *    (instant → naive local); the NZST/NZDT name falls out of the
+  *    offset (`epoch_ms(local) - epoch_ms(instant)`) on both engines.
+  *  - Skew caps (BucketPairs) appear in the oracle as a windowed
+  *    `COUNT(*) OVER (PARTITION BY bucket) <= cap` filter, keeping capped
+  *    semantics bit-identical.
   */
 package object queries {
   /** A named engine query: (session, sf-dir) => result. */
