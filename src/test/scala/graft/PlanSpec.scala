@@ -83,6 +83,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 4, p.take(4000))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the engine-level " +
+    "complement to the manual salting in core/Skew)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one hot key carrying ~90% of rows, joined against a small dim
+      val fact = (0 until 60000)
+        .map(i => (if (i % 10 == 0) i.toLong % 97 else 7L, s"payload-$i"))
+        .toDF("k", "v")
+      val dim = (0L until 97L).map(k => (k, s"dim-$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      joined.collect() // AQE re-plans at runtime
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString

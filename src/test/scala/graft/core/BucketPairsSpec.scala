@@ -42,6 +42,32 @@ class BucketPairsSpec extends AnyFunSuite {
     assert(n === cap.toLong * (cap - 1) / 2)
   }
 
+  test("property: on seeded random corpora, pairs are exactly the " +
+    "per-bucket combinations of sub-cap buckets (a < b, once each)") {
+    val gen = org.scalacheck.Gen.listOfN(400,
+      org.scalacheck.Gen.zip(org.scalacheck.Gen.choose(0, 30),
+        org.scalacheck.Gen.choose(0L, 120L)))
+    (1 to 5).foreach { i =>
+      val rows = gen(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(1000L + i)).get
+        .map { case (k, id) => (s"k$k", id) }.distinct
+      val df = rows.toDF("k", "id")
+      val cap = 8
+      val got = BucketPairs.boundedPairs(df, Seq(col("k")), col("id"), cap)
+        .as[(Long, Long)].collect()
+      // reference model computed in plain Scala
+      val expected = rows.groupBy(_._1).values
+        .map(_.map(_._2).sorted)
+        .filter(ids => ids.size > 1 && ids.size <= cap)
+        .flatMap(ids => ids.combinations(2).map(p => (p(0), p(1))))
+        .toSeq
+      // multiset compare: the SAME pair may arise from several buckets
+      // (that repetition is exactly what q32's n_shared_bands counts)
+      assert(got.sorted.toSeq === expected.toSeq.sorted, s"seed ${1000 + i}")
+      assert(got.forall { case (a, b) => a < b })
+    }
+  }
+
   test("capped result equals uncapped enumeration when no bucket is hot") {
     val df = (0 until 300).map(i => (s"k${i % 50}", i.toLong)).toDF("k", "id")
     val capped = BucketPairs.boundedPairs(df, Seq(col("k")), col("id"))
