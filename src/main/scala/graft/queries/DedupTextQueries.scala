@@ -582,11 +582,72 @@ object DedupTextQueries {
       |  n / SUM(n) OVER (PARTITION BY lang) AS frac
       |FROM c ORDER BY lang, split""".stripMargin
 
+  /** q53 — the composed per-document dedup VERDICT a pipeline actually
+    * ships: a doc is dropped when it is an exact duplicate (q30's
+    * fingerprint, non-canonical copy) or an LSH near-duplicate (q32's
+    * candidate pairs agreeing on ≥2 of 4 bands, higher doc_id loses).
+    * One extra semi-join over the q30/q32 machinery — exact-dup keys and
+    * near-dup pair lists are both tiny relative to the corpus, so the
+    * verdict join broadcasts at any scale.
+    */
+  val q53DedupVerdict: Q = (s, d) => {
+    val exactDup = documents(s, d)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    val nearDup = q32MinhashPairs(s, d)
+      .filter(col("n_shared_bands") >= 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    documents(s, d).select(col("doc_id"))
+      .join(broadcast(exactDup.withColumn("is_exact_dup", lit(true))),
+        Seq("doc_id"), "left")
+      .join(broadcast(nearDup.withColumn("is_near_dup", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+      .withColumn("keep", !col("is_exact_dup") && !col("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
+      s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH $shingleRowsSql,
+       |$sigSelectSql,
+       |bands AS (
+       | $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+       |pairs AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       | FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
+       | GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_shared_bands >= 2),
+       |exact AS (
+       | SELECT doc_id FROM (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
+       |  FROM documents) WHERE doc_id <> canonical_id)
+       |SELECT d.doc_id,
+       | e.doc_id IS NOT NULL AS is_exact_dup,
+       | n.doc_id IS NOT NULL AS is_near_dup,
+       | e.doc_id IS NULL AND n.doc_id IS NULL AS keep
+       |FROM documents d
+       | LEFT JOIN exact e ON d.doc_id = e.doc_id
+       | LEFT JOIN near n ON d.doc_id = n.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
     "q47_quality_filter" -> q47QualityFilter,
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_hash_split" -> q49HashSplit,
+    "q53_dedup_verdict" -> q53DedupVerdict,
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
@@ -603,6 +664,7 @@ object DedupTextQueries {
     "q47_quality_filter" -> q47Sql,
     "q48_vocab_topk" -> q48Sql,
     "q49_hash_split" -> q49Sql,
+    "q53_dedup_verdict" -> q53Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
