@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("l2_dist",
         "l2_dist(a, b) - Euclidean distance of two float/double arrays"),
       (es: Seq[Expression]) => L2Distance(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text) - whitespace-tokenized 3-word shingle array " +
+          "in one pass (the dedup-suite primitive)"),
+      (es: Seq[Expression]) => graft.functions.WordShingles(es.head)))
   }
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `word_shingles(text)` — whitespace-tokenize and emit the 3-word
+  * shingle array in ONE pass, as a native expression.
+  *
+  * This is the hot leading edge of every dedup query (q31/q32/q34/q53).
+  * The built-in compositions all pay something extra:
+  *  - nested array lambdas: interpreted, tokenizer re-inlined per element
+  *    (~40× — see shingleRows history);
+  *  - posexplode + window lead: shuffles the whole token stream;
+  *  - zip-of-slices: shuffle-free but projection collapse re-inlines the
+  *    tokenizer into each of the three `slice` children (3× tokenize +
+  *    three array copies + a zip).
+  * Here the split runs once and shingles assemble directly; `doGenCode`
+  * emits a single static call, so the expression stays inside the
+  * whole-stage-codegen pipeline (no eval fallback).
+  *
+  * Token semantics match the oracle convention exactly: Java regex
+  * `\s+` split with empties dropped (= `list_filter(string_split_regex
+  * (text,'\s+'), x -> length(x)>0)` in DuckDB).
+  */
+case class WordShingles(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string column, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  private val Whitespace = Pattern.compile("\\s+")
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    val raw = Whitespace.split(text.toString)
+    // leading whitespace yields one leading empty token; drop it (Java
+    // split already drops trailing empties at limit 0)
+    val toks = if (raw.nonEmpty && raw(0).isEmpty) raw.drop(1) else raw
+    val n = toks.length - 2
+    if (n <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(
+          toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+          .append(' ').append(toks(i + 2))
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def wordShingles(c: Column): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c)))
+}

@@ -95,33 +95,21 @@ object DedupTextQueries {
   private def parallelDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
-  /** Shingles via `explode(arrays_zip(slice×3))` — a pure MAP-SIDE
-    * projection: no shuffle anywhere before the downstream aggregation.
+  /** Shingles via the native [[graft.functions.WordShingles]] expression
+    * — ONE tokenize+assemble pass per document, map-side, shuffle-free.
     *
-    * Three shapes were measured (sf0.1, warm):
-    *  - nested array lambdas (kept above as [[shinglesExpr]] for
-    *    documentation): higher-order functions are codegen *fallbacks*
-    *    and projection collapse re-inlines the tokenizer into every
-    *    `w[i]` access — ~40× slower;
-    *  - round 1's posexplode + windowed `lead`: tokenizes once, but the
-    *    window SHUFFLES AND SORTS the entire token stream on
-    *    (doc_id, pos) — ~1.0s and, at 100 TB, a full-corpus exchange;
-    *  - this zip-of-slices: collapse inlines the tokenizer into the three
-    *    `slice` calls (3× tokenize, all in one generated stage), ~0.4s
-    *    and shuffle-free — three cheap re-tokenizes beat one full-stream
-    *    shuffle at any scale.
+    * Four shapes were measured at sf0.1 (see WordShingles doc):
+    * nested array lambdas (~40× — interpreted + tokenizer re-inlined per
+    * element), round 1's posexplode + windowed `lead` (tokenizes once
+    * but shuffles/sorts the whole token stream), zip-of-slices
+    * (shuffle-free but 3× tokenize + array copies), and this expression
+    * (single pass, single static call inside whole-stage codegen —
+    * fastest cold and warm).
     */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val w = tokens(col("text"))
-    val n = greatest(size(w) - 2, lit(0))
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     parallelDocs(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(arrays_zip(slice(w, lit(1), n).as("t0"),
-          slice(w, lit(2), n).as("t1"),
-          slice(w, lit(3), n).as("t2"))).as("z"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        concat_ws(" ", col("z.t0"), col("z.t1"), col("z.t2")).as("s"))
-  }
+        explode(graft.functions.WordShingles.wordShingles(col("text"))).as("s"))
 
   private val shingleRowsSql =
     s"""docs AS (SELECT doc_id, lang, source, $tokensSql AS w FROM documents),
@@ -248,23 +236,15 @@ object DedupTextQueries {
   val q34NgramJaccard: Q = (s, d) => {
     // ONE shuffle total. The per-doc distinct shingle set and its size
     // |A| are computed MAP-SIDE as an array (`array_distinct` over the
-    // zipped slices — no distinct shuffle, no count window, no
-    // count-join); the only exchange is the bucket groupBy below. The
+    // native shingle expression — no distinct shuffle, no count window,
+    // no count-join); the only exchange is the bucket groupBy below. The
     // round-1 formulation (explode → global distinct → count window →
     // bucket groupBy) moved the full shingle stream through THREE
-    // exchanges. The per-element `transform` lambda is interpreted, but
-    // its input is the pre-zipped array (evaluated once per row — the
-    // re-inlined-tokenizer trap doesn't apply) and linear CPU beats two
-    // full-stream shuffles at any scale.
-    val w = tokens(col("text"))
-    val n3 = greatest(size(w) - 2, lit(0))
-    val zipped = arrays_zip(slice(w, lit(1), n3).as("t0"),
-      slice(w, lit(2), n3).as("t1"), slice(w, lit(3), n3).as("t2"))
+    // exchanges.
     val shd = parallelDocs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), zipped.as("z"))
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(expr(
-          "transform(z, t -> concat(t.t0, ' ', t.t1, ' ', t.t2))")).as("ss"))
+        array_distinct(
+          graft.functions.WordShingles.wordShingles(col("text"))).as("ss"))
       .withColumn("n", size(col("ss")))
       .select(col("doc_id"), col("lang"), col("source"), col("n"),
         explode(col("ss")).as("s"))

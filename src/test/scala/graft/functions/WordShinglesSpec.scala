@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.WordShingles.wordShingles
+
+class WordShinglesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(texts: String*): Seq[Seq[String]] =
+    texts.toDF("text").select(wordShingles(col("text")).as("s"))
+      .as[Seq[String]].collect().toSeq
+
+  test("basic shingling, whitespace runs, leading/trailing space") {
+    assert(run("a b c d") === Seq(Seq("a b c", "b c d")))
+    assert(run("  a\t\tb \n c  ") === Seq(Seq("a b c")))
+    assert(run("one two") === Seq(Seq.empty))
+    assert(run("") === Seq(Seq.empty))
+    assert(run("   ") === Seq(Seq.empty))
+  }
+
+  test("matches the built-in split+filter composition on the real corpus") {
+    def tokens(c: org.apache.spark.sql.Column) =
+      filter(split(c, "\\s+"), x => length(x) > 0)
+    val docs = spark.read
+      .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val w = tokens(col("text"))
+    val n = greatest(size(w) - 2, lit(0))
+    val viaBuiltins = docs.select(col("doc_id"),
+        arrays_zip(slice(w, lit(1), n).as("t0"), slice(w, lit(2), n).as("t1"),
+          slice(w, lit(3), n).as("t2")).as("z"))
+      .select(col("doc_id"),
+        expr("transform(z, t -> concat(t.t0, ' ', t.t1, ' ', t.t2))").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaExprMap = docs.select(col("doc_id"), wordShingles(col("text")).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaExprMap === viaBuiltins)
+  }
+
+  test("stays inside whole-stage codegen (no eval fallback)") {
+    val df = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(explode(wordShingles(col("text"))).as("s"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p.take(2000)) // codegen span marker
+  }
+}
