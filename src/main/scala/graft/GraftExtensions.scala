@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingles(text) - whitespace-tokenized 3-word shingle array " +
           "in one pass (the dedup-suite primitive)"),
       (es: Seq[Expression]) => graft.functions.WordShingles(es.head)))
+    ext.injectFunction((FunctionIdentifier("char_trigrams"),
+      info("char_trigrams",
+        "char_trigrams(text) - overlapping 3-character windows (code " +
+          "points) in one pass (the language-ID primitive)"),
+      (es: Seq[Expression]) => graft.functions.CharTrigrams(es.head)))
   }
 }

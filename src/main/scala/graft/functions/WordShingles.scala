@@ -51,6 +51,68 @@ case class WordShingles(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_trigrams(text)` — all overlapping 3-character windows (code
+  * points, matching SQL `substring` semantics on both engines) in one
+  * pass. q39's round-1 formulation, `explode(sequence(1, length-2))` +
+  * `substring(txt, i, 3)`, forces the Generate operator to copy the FULL
+  * document text onto every exploded row — ~n_chars× row-width
+  * amplification between Generate and the projection. Emitting the
+  * trigram array directly keeps the per-row payload at 3 characters.
+  */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_trigrams expects a string column, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    CharTrigrams.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharTrigrams.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+
+  /** Code-point-aware sliding window (a surrogate pair is ONE character,
+    * as in `substring`).
+    */
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // char offsets of each code-point boundary
+    val bounds = new java.util.ArrayList[Integer](s.length + 1)
+    var off = 0
+    while (off < s.length) {
+      bounds.add(off)
+      off += Character.charCount(s.codePointAt(off))
+    }
+    bounds.add(s.length)
+    val nCp = bounds.size - 1
+    if (nCp < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](nCp - 2)
+      var i = 0
+      while (i < nCp - 2) {
+        out(i) = UTF8String.fromString(s.substring(bounds.get(i), bounds.get(i + 3)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def charTrigrams(c: Column): Column =
+    ExpressionUtils.column(CharTrigrams(ExpressionUtils.expression(c)))
+}
+
 object WordShingles {
 
   private val Whitespace = Pattern.compile("\\s+")

@@ -387,15 +387,12 @@ object DedupTextQueries {
     * lambdas (see shingleRows note).
     */
   val q39LangNgram: Q = (s, d) => {
-    val docs = parallelDocs(s, d)
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("txt"))
-      .filter(length(col("txt")) >= 3)
-    val tri = docs
+    // native one-pass trigram array: the sequence-explode form copied the
+    // full document text onto every generated row (see CharTrigrams doc)
+    val tri = parallelDocs(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(1), length(col("txt")) - 2)).as("i"),
-        col("txt"))
-      .select(col("doc_id"), col("lang"),
-        expr("substring(txt, i, 3)").as("tri"))
+        explode(graft.functions.CharTrigrams
+          .charTrigrams(lower(col("text")))).as("tri"))
     // One aggregation over the exploded trigrams feeds BOTH consumers:
     // the per-language profile (sum of per-doc counts) and the per-doc
     // distinct trigram set (the group keys). ReuseExchange does NOT fire

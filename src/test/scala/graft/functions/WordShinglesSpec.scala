@@ -40,6 +40,37 @@ class WordShinglesSpec extends AnyFunSuite {
     assert(viaExprMap === viaBuiltins)
   }
 
+  test("char_trigrams: code-point windows, unicode and short-input edges") {
+    import graft.functions.CharTrigrams.charTrigrams
+    def runT(texts: String*): Seq[Seq[String]] =
+      texts.toDF("text").select(charTrigrams(col("text")).as("s"))
+        .as[Seq[String]].collect().toSeq
+    assert(runT("abcd") === Seq(Seq("abc", "bcd")))
+    assert(runT("ab") === Seq(Seq.empty))
+    assert(runT("") === Seq(Seq.empty))
+    // é is one code point; the emoji is a surrogate pair but ONE character
+    assert(runT("héllo") === Seq(Seq("hél", "éll", "llo")))
+    assert(runT("a😀bc") === Seq(Seq("a😀b", "😀bc")))
+  }
+
+  test("char_trigrams matches the sequence+substring composition on the corpus") {
+    import graft.functions.CharTrigrams.charTrigrams
+    val docs = spark.read
+      .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("txt"))
+    val viaBuiltins = docs.filter(length(col("txt")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("txt")) - 2)).as("i"), col("txt"))
+      .select(col("doc_id"), expr("substring(txt, i, 3)").as("tri"))
+      .groupBy("doc_id").agg(sort_array(collect_list("tri")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaExprT = docs
+      .select(col("doc_id"), explode(charTrigrams(col("txt"))).as("tri"))
+      .groupBy("doc_id").agg(sort_array(collect_list("tri")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaExprT === viaBuiltins)
+  }
+
   test("stays inside whole-stage codegen (no eval fallback)") {
     val df = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
       .select(explode(wordShingles(col("text"))).as("s"))
