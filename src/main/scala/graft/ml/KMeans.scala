@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.VectorFunctions.l2Distance
-
 /** Deterministic distributed Lloyd's k-means over an embedding column —
   * the coarse-quantizer trainer for IVF similarity search (q45).
   *
@@ -37,16 +35,16 @@ object KMeans {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** Nearest-centroid index for `vec` (L2, ties → smaller index), as a
-    * codegen-friendly column: an `array_min` over (dist, idx) structs of
-    * broadcast-literal centroids.
+  /** Nearest-centroid index for `vec` (squared L2, ties → smaller
+    * index) via the native [[graft.functions.NearestCentroid]]
+    * expression: the centroid matrix rides along as a codegen reference
+    * object, so the plan is ONE node however large k is. (The previous
+    * `array_min` over k (dist, idx) literal structs made the plan tree
+    * O(k·dim) — re-optimized on every Lloyd iteration and unusable at
+    * production cell counts.)
     */
-  def assign(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, j) =>
-      struct(l2Distance(vec, typedlit(c.toSeq)).as("d"), lit(j).as("j"))
-    }
-    array_min(array(scored.toIndexedSeq: _*)).getField("j")
-  }
+  def assign(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.nearestCentroid(vec, centroids)
 
   /** `iters` Lloyd iterations from the hash-sample init. Cells that lose
     * all members keep their previous centroid.
