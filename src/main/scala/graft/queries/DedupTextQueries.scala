@@ -619,12 +619,53 @@ object DedupTextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Per-language sampling rates for q54 — the data-mixture weighting a
+    * training pipeline applies (downsample the dominant language, keep
+    * the rest).
+    */
+  private val SampleRates: Map[String, Double] =
+    Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.5)
+
+  /** q54 — deterministic stratified sampling: each document is kept iff
+    * its md5-uniform (same construction as q49, different salt → the two
+    * decisions are independent) clears its language's rate. This is the
+    * mixture-weighting primitive (e.g. downsample English); hash-based,
+    * so the sample is reproducible across runs, retries and engines —
+    * `sample()`/`rand()` re-deal on every task retry. Map-side filter,
+    * no shuffle (the orderBy is only for the dump).
+    */
+  val q54StratifiedSample: Q = (s, d) => {
+    val u = conv(substring(md5(concat(lit("sample:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0)
+    val rate = coalesce(
+      element_at(typedlit(SampleRates), col("lang")), lit(1.0))
+    documents(s, d)
+      .filter(u < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String = {
+    val rateCase = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 1.0 END")
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS u
+       |  FROM documents)
+       |WHERE u < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
     "q47_quality_filter" -> q47QualityFilter,
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_hash_split" -> q49HashSplit,
     "q53_dedup_verdict" -> q53DedupVerdict,
+    "q54_stratified_sample" -> q54StratifiedSample,
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
@@ -642,6 +683,7 @@ object DedupTextQueries {
     "q48_vocab_topk" -> q48Sql,
     "q49_hash_split" -> q49Sql,
     "q53_dedup_verdict" -> q53Sql,
+    "q54_stratified_sample" -> q54Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,

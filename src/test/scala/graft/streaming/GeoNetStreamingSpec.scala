@@ -63,6 +63,28 @@ class GeoNetStreamingSpec extends AnyFunSuite {
     } finally GeoNetHttp.defaultTransport = saved
   }
 
+  test("a failing live fetch fails the streaming query with the " +
+    "reference's message (task.ts:179-181)") {
+    val t = new FakeTransport(_ => HttpResponse(502, "Bad Gateway", ""))
+    val saved = GeoNetHttp.defaultTransport
+    GeoNetHttp.defaultTransport = t
+    try {
+      val flat = QuakeStream.geonetStream(spark, Map.empty)
+      val q = flat.writeStream.format("memory").queryName("geonet_fail")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", newCheckpoint())
+        .start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("Failed to fetch data: 502 Bad Gateway")),
+        messages(e).mkString(" | "))
+    } finally GeoNetHttp.defaultTransport = saved
+  }
+
   test("streaming scan still honors body option and the source schema") {
     val flat = QuakeStream.geonetStream(spark, Map("body" -> FixtureJson))
     assert(flat.isStreaming)
