@@ -381,10 +381,11 @@ object DedupTextQueries {
   /** q39 — character-trigram language ID: build a top-20 trigram profile
     * per language FROM the corpus itself (one pass + window rank), then
     * score every document by profile-hit count and predict the argmax
-    * language. Two shuffles ((lang,tri) counts; per-doc scoring join on
-    * the trigram) — the profile is tiny and broadcast. Positions are
-    * exploded and sliced with `substring` (codegen) rather than array
-    * lambdas (see shingleRows note).
+    * language. Trigrams come from the native [[graft.functions.CharTrigrams]]
+    * expression (one pass, 3-char rows out of the Generate); the shared
+    * per-(doc, trigram) aggregate is persisted and feeds both the profile
+    * and the scoring branch; the profile is tiny and broadcast; the final
+    * argmax is a single `min(struct(-hits, plang))` aggregate.
     */
   val q39LangNgram: Q = (s, d) => {
     // native one-pass trigram array: the sequence-explode form copied the
