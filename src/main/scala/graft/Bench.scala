@@ -19,7 +19,11 @@ object Bench {
     // at sf0.001 exercises the parquet reader, broadcast join, hash agg
     // and whole-stage codegen paths once, so the first timed query no
     // longer absorbs multi-second JIT/janino warmup that isn't its own.
-    SparkEntry.entry(spark).count()
+    // A warmup failure must not kill the whole bench — queries still run
+    // (and report their own errors) without it.
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -39,6 +43,9 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // queries that persist internal frames (q39, q45) never see an
+      // unpersist — drop their caches so later timings run unpressured
+      spark.sharedState.cacheManager.clearCache()
       (name, if (err.isEmpty) sec else -1.0, err, sec)
     }
     val qs = results.map { case (k, v, _, _) => s"\"${esc(k)}\":$v" }

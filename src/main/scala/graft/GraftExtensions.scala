@@ -27,25 +27,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Fail wrong-arity calls with a readable analysis-time message rather
+    * than an IndexOutOfBounds from the builder lambda.
+    */
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = es => {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name expects exactly $n argument(s), got ${es.length}")
+    build(es)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float/double arrays " +
           "(index-ordered double accumulation)"),
-      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+      arity("cosine_sim", 2)(es => CosineSimilarity(es.head, es(1)))))
     ext.injectFunction((FunctionIdentifier("l2_dist"),
       info("l2_dist",
         "l2_dist(a, b) - Euclidean distance of two float/double arrays"),
-      (es: Seq[Expression]) => L2Distance(es.head, es(1))))
+      arity("l2_dist", 2)(es => L2Distance(es.head, es(1)))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two float/double arrays " +
+          "(index-ordered double accumulation)"),
+      arity("dot_product", 2)(es => graft.functions.DotProduct(es.head, es(1)))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text) - whitespace-tokenized 3-word shingle array " +
           "in one pass (the dedup-suite primitive)"),
-      (es: Seq[Expression]) => graft.functions.WordShingles(es.head)))
+      arity("word_shingles", 1)(es => graft.functions.WordShingles(es.head))))
     ext.injectFunction((FunctionIdentifier("char_trigrams"),
       info("char_trigrams",
         "char_trigrams(text) - overlapping 3-character windows (code " +
           "points) in one pass (the language-ID primitive)"),
-      (es: Seq[Expression]) => graft.functions.CharTrigrams(es.head)))
+      arity("char_trigrams", 1)(es => graft.functions.CharTrigrams(es.head))))
   }
 }

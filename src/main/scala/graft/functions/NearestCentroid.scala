@@ -19,9 +19,18 @@ import org.apache.spark.sql.types._
   * iteration, and at a production k (thousands of cells) planning simply
   * explodes. Here the plan holds ONE node regardless of k, and the
   * generated loop reads the matrix array directly.
+  *
+  * Contract: the matrix is non-empty with uniform dimensionality
+  * (enforced at construction); a shorter input vector is scored over the
+  * shared prefix (the caller owns the data contract that vectors match
+  * the training dimensionality).
   */
 case class NearestCentroid(child: Expression,
     centroids: Array[Array[Double]]) extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
+  require(centroids.forall(_.length == centroids.head.length),
+    "nearest_centroid centroids must share one dimensionality")
 
   override def dataType: DataType = IntegerType
 

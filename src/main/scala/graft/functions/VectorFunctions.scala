@@ -139,8 +139,74 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product, index-ordered double accumulation — the primitive behind
+  * the LSH sign test (q46): `sign(dot(v,h)) == sign(cos(v,h))` but
+  * without the two norm accumulators and two sqrts per evaluation that
+  * [[CosineSimilarity]] would waste in a 36-hyperplane banding stage.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float|double>, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val lt = elemType(left); val rt = elemType(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var xy = 0.0; var i = 0
+    while (i < n) {
+      val x = lt match { case FloatType => a.getFloat(i).toDouble; case _ => a.getDouble(i) }
+      val y = rt match { case FloatType => b.getFloat(i).toDouble; case _ => b.getDouble(i) }
+      xy += x * y; i += 1
+    }
+    java.lang.Double.valueOf(xy)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(v: String, t: DataType) = t match {
+      case FloatType => s"(double) $v.getFloat(i)"
+      case _ => s"$v.getDouble(i)"
+    }
+    val lt = elemType(left); val rt = elemType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double xy = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  xy += ${getter(a, lt)} * ${getter(b, rt)};
+         |}
+         |${ev.value} = xy;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points + SQL registration. */
 object VectorFunctions {
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(

@@ -46,5 +46,10 @@ object BucketPairs {
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->
           |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      // contract guard: duplicate payloads within a bucket would pair
+      // with themselves under the sorted-slice enumeration — a self-pair
+      // is never valid candidate evidence, so drop it here rather than
+      // trusting every caller to dedupe upstream
+      .filter(not(col("p.a") <=> col("p.b")))
       .select(col("p.a").as("a"), col("p.b").as("b"))
 }

@@ -564,9 +564,12 @@ object DedupTextQueries {
     * ships: a doc is dropped when it is an exact duplicate (q30's
     * fingerprint, non-canonical copy) or an LSH near-duplicate (q32's
     * candidate pairs agreeing on ≥2 of 4 bands, higher doc_id loses).
-    * One extra semi-join over the q30/q32 machinery — exact-dup keys and
-    * near-dup pair lists are both tiny relative to the corpus, so the
-    * verdict join broadcasts at any scale.
+    * One extra join over the q30/q32 machinery. The drop-lists are left
+    * WITHOUT a broadcast hint deliberately: their size is proportional to
+    * the duplicate count, which on a high-duplication corpus is a large
+    * fraction of the corpus itself — the exact unbounded-broadcast trap
+    * q42 fixed this round. AQE still broadcasts them at runtime when they
+    * really are small; when they aren't, the join shuffles safely.
     */
   val q53DedupVerdict: Q = (s, d) => {
     val exactDup = documents(s, d)
@@ -579,9 +582,9 @@ object DedupTextQueries {
       .filter(col("n_shared_bands") >= 2)
       .select(col("doc_b").as("doc_id")).distinct()
     documents(s, d).select(col("doc_id"))
-      .join(broadcast(exactDup.withColumn("is_exact_dup", lit(true))),
+      .join(exactDup.withColumn("is_exact_dup", lit(true)),
         Seq("doc_id"), "left")
-      .join(broadcast(nearDup.withColumn("is_near_dup", lit(true))),
+      .join(nearDup.withColumn("is_near_dup", lit(true)),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),

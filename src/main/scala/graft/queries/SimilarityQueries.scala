@@ -255,6 +255,10 @@ object SimilarityQueries {
       .select(col("label"),
         col("vec_id"),
         cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      // cosine is NULL for a zero-norm vector (undefined similarity);
+      // exclude it on BOTH engines — the typed (Int, Long, Double)
+      // decode below would otherwise NPE on the null
+      .filter(col("sim").isNotNull)
       .as[(Int, Long, Double)]
     scored.groupByKey(_._1)
       .mapValues { case (_, id, sim) => (id, sim) }
@@ -272,11 +276,12 @@ object SimilarityQueries {
     s"""WITH $qVecSql,
        |scored AS (
        |  SELECT label, vec_id, ${cosSql("CAST(embedding AS DOUBLE[])", "qe")} AS sim
-       |  FROM embeddings, q WHERE vec_id <> 0)
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |nn AS (SELECT * FROM scored WHERE sim IS NOT NULL)
        |SELECT label, rank, vec_id, sim FROM (
        |  SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rank
-       |  FROM scored) WHERE rank <= 3
+       |  FROM nn) WHERE rank <= 3
        |ORDER BY label, rank""".stripMargin
 
   private val NumBands = 6
@@ -312,8 +317,13 @@ object SimilarityQueries {
     */
   def lshNearDup(emb: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
+    // sign(dot) == sign(cos) (norms are positive) — the dot-only
+    // expression skips 2 of 3 accumulators and both sqrts per plane in
+    // the hottest map stage, and matches the oracle's bare
+    // list_dot_product even more directly
     def bit(h: Int): Column =
-      cosineSimilarity(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
+      graft.functions.VectorFunctions
+        .dotProduct(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
     val bandKeys = (0 until NumBands).map { b =>
       val key = (0 until BandBits)
         .map(j => when(bit(b * BandBits + j), lit(1 << j)).otherwise(lit(0)))

@@ -97,7 +97,14 @@ final class GeoNetScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def build(): Scan =
-    new GeoNetScan(options.asCaseSensitiveMap.asScala.toMap, mmiMin, required)
+    // lower-case the keys: DSv2 options are case-insensitive by contract,
+    // and a `.option("Body", ...)` that silently missed the lookup would
+    // fall through to a LIVE network fetch instead of the intended inline
+    // fixture
+    new GeoNetScan(
+      options.asCaseSensitiveMap.asScala.toMap
+        .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
+      mmiMin, required)
 }
 
 final class GeoNetScan(options: Map[String, String], mmiMin: Option[Int],

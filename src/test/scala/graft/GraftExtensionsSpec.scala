@@ -36,6 +36,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // catalog-visible, unlike a temp-function registration
       assert(s.sql("DESCRIBE FUNCTION cosine_sim").collect()
         .map(_.getString(0)).mkString("\n").contains("cosine_sim"))
+      assert(s.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .head.getDouble(0) === 11.0)
+      assert(s.sql("SELECT word_shingles('a b c d')").head.getSeq[String](0)
+        === Seq("a b c", "b c d"))
+      // wrong arity fails with a readable message, not an index error
+      val err = intercept[Exception](s.sql("SELECT cosine_sim(array(1.0D))"))
+      assert(err.getMessage.contains("cosine_sim expects exactly 2"),
+        err.getMessage)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

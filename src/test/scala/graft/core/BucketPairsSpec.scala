@@ -33,6 +33,14 @@ class BucketPairsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("duplicate payloads inside a bucket never produce self-pairs") {
+    val df = Seq(("k", 5L), ("k", 5L), ("k", 7L)).toDF("k", "id")
+    val pairs = BucketPairs.boundedPairs(df, Seq(col("k")), col("id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(!pairs.contains((5L, 5L)))
+    assert(pairs.sorted === Seq((5L, 7L), (5L, 7L))) // cross-pairs remain
+  }
+
   test("cap boundary: bucket of exactly cap enumerates, cap+1 drops") {
     val cap = BucketPairs.DefaultCap
     val atCap = (0 until cap).map(i => ("at", i.toLong))
