@@ -29,7 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `\s+` split with empties dropped (= `list_filter(string_split_regex
   * (text,'\s+'), x -> length(x)>0)` in DuckDB).
   */
-case class WordShingles(child: Expression) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+
+  require(n >= 1, "word_shingles needs n >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -41,11 +44,11 @@ case class WordShingles(child: Expression) extends UnaryExpression {
       s"word_shingles expects a string column, got ${child.dataType.sql}")
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String])
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.compute($c);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -118,21 +121,24 @@ object WordShingles {
   private val Whitespace = Pattern.compile("\\s+")
 
   /** Static entry point shared by eval and generated code. */
-  def compute(text: UTF8String): ArrayData = {
+  def compute(text: UTF8String, n: Int): ArrayData = {
     val raw = Whitespace.split(text.toString)
     // leading whitespace yields one leading empty token; drop it (Java
     // split already drops trailing empties at limit 0)
     val toks = if (raw.nonEmpty && raw(0).isEmpty) raw.drop(1) else raw
-    val n = toks.length - 2
-    if (n <= 0) new GenericArrayData(Array.empty[Any])
+    val count = toks.length - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
     else {
-      val out = new Array[Any](n)
+      val out = new Array[Any](count)
       var i = 0
-      while (i < n) {
-        val sb = new java.lang.StringBuilder(
-          toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
-        sb.append(toks(i)).append(' ').append(toks(i + 1))
-          .append(' ').append(toks(i + 2))
+      while (i < count) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
         out(i) = UTF8String.fromString(sb.toString)
         i += 1
       }
@@ -140,6 +146,6 @@ object WordShingles {
     }
   }
 
-  def wordShingles(c: Column): Column =
-    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c)))
+  def wordShingles(c: Column, n: Int = 3): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c), n))
 }

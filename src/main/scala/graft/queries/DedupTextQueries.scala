@@ -663,6 +663,50 @@ object DedupTextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q55 — repetition-based quality metrics (the Gopher-style filters
+    * that catch degenerate/generated text): the most-common-token mass
+    * fraction and the duplicate-bigram fraction, with keep verdicts.
+    * Bigram stats are MAP-SIDE (native bigram array + array_distinct —
+    * no shuffle); the token mode needs one (doc, token) aggregation and
+    * one per-doc rollup, both partial-agg friendly.
+    */
+  val q55Repetition: Q = (s, d) => {
+    val mode = parallelDocs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")) / sum(col("c"))).as("top_token_ratio"))
+    val bi = parallelDocs(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(col("text"), 2).as("b"))
+      .filter(size(col("b")) > 0)
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("b"))) / size(col("b")))
+          .as("dup_bigram_frac"))
+    mode.join(bi, Seq("doc_id"))
+      .withColumn("ok_top_token", col("top_token_ratio") <= 0.125)
+      .withColumn("ok_bigrams", col("dup_bigram_frac") <= 0.06)
+      .withColumn("keep", col("ok_top_token") && col("ok_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+       |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, MAX(c) / SUM(c) AS top_token_ratio FROM tc GROUP BY 1),
+       |bi AS (SELECT doc_id,
+       |         list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS b
+       |       FROM d WHERE len(w) > 1),
+       |bf AS (SELECT doc_id,
+       |         1.0 - len(list_distinct(b)) / len(b) AS dup_bigram_frac FROM bi)
+       |SELECT doc_id, top_token_ratio, dup_bigram_frac,
+       |  top_token_ratio <= 0.125 AS ok_top_token,
+       |  dup_bigram_frac <= 0.06 AS ok_bigrams,
+       |  top_token_ratio <= 0.125 AND dup_bigram_frac <= 0.06 AS keep
+       |FROM m JOIN bf USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
     "q47_quality_filter" -> q47QualityFilter,
@@ -670,6 +714,7 @@ object DedupTextQueries {
     "q49_hash_split" -> q49HashSplit,
     "q53_dedup_verdict" -> q53DedupVerdict,
     "q54_stratified_sample" -> q54StratifiedSample,
+    "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
@@ -688,6 +733,7 @@ object DedupTextQueries {
     "q49_hash_split" -> q49Sql,
     "q53_dedup_verdict" -> q53Sql,
     "q54_stratified_sample" -> q54Sql,
+    "q55_repetition" -> q55Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
