@@ -707,8 +707,52 @@ object DedupTextQueries {
        |FROM m JOIN bf USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q56 — test-set decontamination: flag training documents that share
+    * ≥3 distinct 3-word shingles with a benchmark/eval set (stand-in
+    * here: every 97th document). The benchmark's shingle set is small BY
+    * DEFINITION (eval sets are thousands of docs, not billions), so it
+    * broadcasts and the contamination check is a map-side semi-join over
+    * the corpus shingles — the one shuffle is the per-doc overlap count.
+    * This is the standard eval-leakage guard a training pipeline runs
+    * before every data release.
+    */
+  val q56Decontamination: Q = (s, d) => {
+    val shingled = parallelDocs(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(col("text")).as("ss"))
+    val benchShingles = shingled.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("ss")).as("s")).distinct()
+    val hits = shingled
+      .select(col("doc_id"), explode(col("ss")).as("s")).distinct()
+      .join(broadcast(benchShingles), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    documents(s, d).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (col("doc_id") % 97 === 0).as("is_benchmark"))
+      .withColumn("contaminated",
+        col("n_overlap") >= 3 && !col("is_benchmark"))
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    s"""WITH docs AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
+       |       FROM docs WHERE len(w) >= 3),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+       |         FROM sh JOIN bench USING (s) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(h.n_overlap, 0) AS n_overlap,
+       |  d.doc_id % 97 = 0 AS is_benchmark,
+       |  COALESCE(h.n_overlap, 0) >= 3 AND NOT d.doc_id % 97 = 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
+    "q56_decontamination" -> q56Decontamination,
     "q47_quality_filter" -> q47QualityFilter,
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_hash_split" -> q49HashSplit,
@@ -734,6 +778,7 @@ object DedupTextQueries {
     "q53_dedup_verdict" -> q53Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_repetition" -> q55Sql,
+    "q56_decontamination" -> q56Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
