@@ -593,13 +593,16 @@ object DedupTextQueries {
       .orderBy("doc_id")
   }
 
-  val q53Sql: String = {
+  /** Shared CTE chain for the composed queries (q53, q57): LSH pipeline →
+    * `near` (near-dup losers) and `exact` (non-canonical exact copies).
+    * Expects `sh` (from [[shingleRowsSql]]) to be in scope.
+    */
+  private val dedupVerdictCtes: String = {
     val bandSelects = (0 until Bands).map { b =>
       val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
       s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
     }.mkString("\n UNION ALL\n ")
-    s"""WITH $shingleRowsSql,
-       |$sigSelectSql,
+    s"""$sigSelectSql,
        |bands AS (
        | $bandSelects),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
@@ -612,7 +615,12 @@ object DedupTextQueries {
        |exact AS (
        | SELECT doc_id FROM (
        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
-       |  FROM documents) WHERE doc_id <> canonical_id)
+       |  FROM documents) WHERE doc_id <> canonical_id)""".stripMargin
+  }
+
+  val q53Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$dedupVerdictCtes
        |SELECT d.doc_id,
        | e.doc_id IS NOT NULL AS is_exact_dup,
        | n.doc_id IS NOT NULL AS is_near_dup,
@@ -621,7 +629,6 @@ object DedupTextQueries {
        | LEFT JOIN exact e ON d.doc_id = e.doc_id
        | LEFT JOIN near n ON d.doc_id = n.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** Per-language sampling rates for q54 — the data-mixture weighting a
     * training pipeline applies (downsample the dominant language, keep
@@ -650,10 +657,12 @@ object DedupTextQueries {
       .orderBy("doc_id")
   }
 
+  private val sampleRateCaseSql: String = SampleRates.toSeq.sortBy(_._1)
+    .map { case (l, r) => s"WHEN '$l' THEN $r" }
+    .mkString("CASE lang ", " ", " ELSE 1.0 END")
+
   val q54Sql: String = {
-    val rateCase = SampleRates.toSeq.sortBy(_._1)
-      .map { case (l, r) => s"WHEN '$l' THEN $r" }
-      .mkString("CASE lang ", " ", " ELSE 1.0 END")
+    val rateCase = sampleRateCaseSql
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang,
        |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -750,9 +759,91 @@ object DedupTextQueries {
        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q57 — the composed DATA-RELEASE verdict, the artifact the whole
+    * suite exists to produce: one row per document carrying every gate a
+    * training-data release applies — rule-based quality (q47),
+    * repetition (q55), exact+near dedup (q53), decontamination (q56),
+    * and mixture sampling (q54) — plus the final `release` conjunction.
+    * Each component reuses its query's exact definition, so the
+    * composition is consistent with the per-gate outputs by
+    * construction; the verdict frames are per-doc booleans joined on the
+    * id (sorts under the joins are eliminated by Catalyst).
+    */
+  val q57ReleaseVerdict: Q = (s, d) => {
+    val quality = q47QualityFilter(s, d)
+      .select(col("doc_id"), col("keep").as("ok_quality"))
+    val rep = q55Repetition(s, d)
+      .select(col("doc_id"), col("keep").as("ok_repetition"))
+    val dedup = q53DedupVerdict(s, d)
+      .select(col("doc_id"), col("keep").as("ok_dedup"))
+    val decon = q56Decontamination(s, d)
+      .select(col("doc_id"), (!col("contaminated")).as("ok_decontaminated"))
+    val sampled = q54StratifiedSample(s, d)
+      .select(col("doc_id")).withColumn("in_sample", lit(true))
+    documents(s, d).select(col("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(dedup, Seq("doc_id"))
+      .join(decon, Seq("doc_id"))
+      .join(sampled, Seq("doc_id"), "left")
+      .withColumn("in_sample", coalesce(col("in_sample"), lit(false)))
+      .withColumn("release",
+        col("ok_quality") && col("ok_repetition") && col("ok_dedup") &&
+          col("ok_decontaminated") && col("in_sample"))
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$dedupVerdictCtes,
+       |qd AS (SELECT doc_id, n_chars, text, $tokensSql AS w FROM documents),
+       |quality AS (SELECT doc_id,
+       |  (len(w) BETWEEN 20 AND 1000)
+       |  AND (CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / len(w) BETWEEN 3.0 AND 8.0)
+       |  AND (len(regexp_extract_all(text, '[A-Za-z]')) / n_chars >= 0.81) AS ok_quality
+       | FROM qd),
+       |tok AS (SELECT doc_id, unnest(w) AS t FROM qd),
+       |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |tm AS (SELECT doc_id, MAX(c) / SUM(c) AS r FROM tc GROUP BY 1),
+       |bi AS (SELECT doc_id,
+       |         list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS b
+       |       FROM qd WHERE len(w) > 1),
+       |bf AS (SELECT doc_id, 1.0 - len(list_distinct(b)) / len(b) AS f FROM bi),
+       |rep AS (SELECT tm.doc_id, tm.r <= 0.125 AND bf.f <= 0.06 AS ok_repetition
+       |        FROM tm JOIN bf USING (doc_id)),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |chit AS (SELECT doc_id, COUNT(*) AS n_overlap
+       |         FROM (SELECT DISTINCT doc_id, s FROM sh) ds
+       |         JOIN bench USING (s) GROUP BY 1),
+       |samp AS (SELECT doc_id FROM (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS u
+       |  FROM documents)
+       | WHERE u < $sampleRateCaseSql)
+       |SELECT d.doc_id,
+       | q.ok_quality,
+       | r.ok_repetition,
+       | (e.doc_id IS NULL AND n.doc_id IS NULL) AS ok_dedup,
+       | NOT (COALESCE(c.n_overlap, 0) >= 3 AND NOT d.doc_id % 97 = 0) AS ok_decontaminated,
+       | sm.doc_id IS NOT NULL AS in_sample,
+       | q.ok_quality AND r.ok_repetition
+       |   AND (e.doc_id IS NULL AND n.doc_id IS NULL)
+       |   AND NOT (COALESCE(c.n_overlap, 0) >= 3 AND NOT d.doc_id % 97 = 0)
+       |   AND sm.doc_id IS NOT NULL AS release
+       |FROM documents d
+       | JOIN quality q ON d.doc_id = q.doc_id
+       | JOIN rep r ON d.doc_id = r.doc_id
+       | LEFT JOIN exact e ON d.doc_id = e.doc_id
+       | LEFT JOIN near n ON d.doc_id = n.doc_id
+       | LEFT JOIN chit c ON d.doc_id = c.doc_id
+       | LEFT JOIN samp sm ON d.doc_id = sm.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_lang_ngram" -> q39LangNgram,
     "q56_decontamination" -> q56Decontamination,
+    "q57_release_verdict" -> q57ReleaseVerdict,
     "q47_quality_filter" -> q47QualityFilter,
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_hash_split" -> q49HashSplit,
@@ -779,6 +870,7 @@ object DedupTextQueries {
     "q54_stratified_sample" -> q54Sql,
     "q55_repetition" -> q55Sql,
     "q56_decontamination" -> q56Sql,
+    "q57_release_verdict" -> q57Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
