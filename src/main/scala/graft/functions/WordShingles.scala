@@ -10,8 +10,9 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `word_shingles(text)` — whitespace-tokenize and emit the 3-word
-  * shingle array in ONE pass, as a native expression.
+/** `word_shingles(text[, n])` — whitespace-tokenize and emit the n-word
+  * shingle array (default 3; q55 uses n=2 for bigrams) in ONE pass, as a
+  * native expression. The SQL registration exposes the 1-arg n=3 form.
   *
   * This is the hot leading edge of every dedup query (q31/q32/q34/q53).
   * The built-in compositions all pay something extra:
@@ -132,8 +133,14 @@ object WordShingles {
       val out = new Array[Any](count)
       var i = 0
       while (i < count) {
-        val sb = new java.lang.StringBuilder()
+        // exact presize: token lengths + (n-1) separators — this loop
+        // runs once per shingle per document corpus-wide, so a default
+        // 16-char buffer would reallocate on nearly every shingle
+        var cap = n - 1
         var j = 0
+        while (j < n) { cap += toks(i + j).length; j += 1 }
+        val sb = new java.lang.StringBuilder(cap)
+        j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
           sb.append(toks(i + j))

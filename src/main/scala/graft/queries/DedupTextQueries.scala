@@ -692,7 +692,15 @@ object DedupTextQueries {
       .select(col("doc_id"),
         (lit(1.0) - size(array_distinct(col("b"))) / size(col("b")))
           .as("dup_bigram_frac"))
-    mode.join(bi, Seq("doc_id"))
+    // LEFT joins from documents: a doc with <2 tokens has no bigrams (and
+    // an empty doc no token mode) — it must still get a verdict row, with
+    // 0.0 ratios (no repetition evidence; emptiness is q47's length
+    // gate's job), not silently vanish from the output
+    documents(s, d).select(col("doc_id"))
+      .join(mode, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .withColumn("top_token_ratio", coalesce(col("top_token_ratio"), lit(0.0)))
+      .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
       .withColumn("ok_top_token", col("top_token_ratio") <= 0.125)
       .withColumn("ok_bigrams", col("dup_bigram_frac") <= 0.06)
       .withColumn("keep", col("ok_top_token") && col("ok_bigrams"))
@@ -709,11 +717,14 @@ object DedupTextQueries {
        |       FROM d WHERE len(w) > 1),
        |bf AS (SELECT doc_id,
        |         1.0 - len(list_distinct(b)) / len(b) AS dup_bigram_frac FROM bi)
-       |SELECT doc_id, top_token_ratio, dup_bigram_frac,
-       |  top_token_ratio <= 0.125 AS ok_top_token,
-       |  dup_bigram_frac <= 0.06 AS ok_bigrams,
-       |  top_token_ratio <= 0.125 AND dup_bigram_frac <= 0.06 AS keep
-       |FROM m JOIN bf USING (doc_id)
+       |SELECT doc_id,
+       |  COALESCE(top_token_ratio, 0.0) AS top_token_ratio,
+       |  COALESCE(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+       |  COALESCE(top_token_ratio, 0.0) <= 0.125 AS ok_top_token,
+       |  COALESCE(dup_bigram_frac, 0.0) <= 0.06 AS ok_bigrams,
+       |  COALESCE(top_token_ratio, 0.0) <= 0.125
+       |    AND COALESCE(dup_bigram_frac, 0.0) <= 0.06 AS keep
+       |FROM documents LEFT JOIN m USING (doc_id) LEFT JOIN bf USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** q56 — test-set decontamination: flag training documents that share
@@ -726,14 +737,19 @@ object DedupTextQueries {
     * before every data release.
     */
   val q56Decontamination: Q = (s, d) => {
+    // per-doc shingle dedup happens MAP-SIDE (array_distinct before the
+    // explode — shingles are doc-local, no exchange needed); the bench
+    // set carries no broadcast hint because the stand-in grows with the
+    // corpus (a real eval set is fixed-size and AQE will broadcast it on
+    // its own when it is small)
     val shingled = parallelDocs(s, d)
-      .select(col("doc_id"),
-        graft.functions.WordShingles.wordShingles(col("text")).as("ss"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"))).as("ss"))
     val benchShingles = shingled.filter(col("doc_id") % 97 === 0)
       .select(explode(col("ss")).as("s")).distinct()
     val hits = shingled
-      .select(col("doc_id"), explode(col("ss")).as("s")).distinct()
-      .join(broadcast(benchShingles), Seq("s"))
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .join(benchShingles, Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     documents(s, d).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
@@ -809,8 +825,9 @@ object DedupTextQueries {
        |         list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS b
        |       FROM qd WHERE len(w) > 1),
        |bf AS (SELECT doc_id, 1.0 - len(list_distinct(b)) / len(b) AS f FROM bi),
-       |rep AS (SELECT tm.doc_id, tm.r <= 0.125 AND bf.f <= 0.06 AS ok_repetition
-       |        FROM tm JOIN bf USING (doc_id)),
+       |rep AS (SELECT rd.doc_id,
+       |          COALESCE(tm.r, 0.0) <= 0.125 AND COALESCE(bf.f, 0.0) <= 0.06 AS ok_repetition
+       |        FROM documents rd LEFT JOIN tm USING (doc_id) LEFT JOIN bf USING (doc_id)),
        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
        |chit AS (SELECT doc_id, COUNT(*) AS n_overlap
        |         FROM (SELECT DISTINCT doc_id, s FROM sh) ds

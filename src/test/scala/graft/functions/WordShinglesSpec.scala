@@ -22,6 +22,17 @@ class WordShinglesSpec extends AnyFunSuite {
     assert(run("   ") === Seq(Seq.empty))
   }
 
+  test("n parameter: bigrams (q55's path), unigrams, count boundary") {
+    def runN(n: Int, texts: String*): Seq[Seq[String]] =
+      texts.toDF("text").select(wordShingles(col("text"), n).as("s"))
+        .as[Seq[String]].collect().toSeq
+    assert(runN(2, "a b c") === Seq(Seq("a b", "b c")))
+    assert(runN(2, "one two") === Seq(Seq("one two"))) // count = len-n+1 = 1
+    assert(runN(2, "solo") === Seq(Seq.empty))
+    assert(runN(1, "x y z") === Seq(Seq("x", "y", "z")))
+    assert(runN(4, "a b c d e") === Seq(Seq("a b c d", "b c d e")))
+  }
+
   test("matches the built-in split+filter composition on the real corpus") {
     def tokens(c: org.apache.spark.sql.Column) =
       filter(split(c, "\\s+"), x => length(x) > 0)
