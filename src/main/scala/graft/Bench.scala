@@ -33,19 +33,44 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=q39_lang_ngram,q42_embed_neardup
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd ONLY filter would otherwise print total 0 / n_failed 0 —
+    // a suspiciously perfect benchmark instead of an operator error
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      if (o.intersect(SparkEntry.queries.keySet).isEmpty)
+        sys.error(s"SPARK_GRAFT_ONLY matched zero registered queries: $o")
+    }
+    // dev-only: SPARK_GRAFT_REPEAT=3 times each query N times (warm-vs-
+    // cold / wobble diagnosis, stderr); the JSON still reports run 1 so
+    // numbers stay comparable with driver rounds
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      // the scope unpersists exactly the frames the query tracked (q39,
+      // q45, q56, q57) so later timings run unpressured — targeted, not
+      // the former clearCache which would evict caller-owned caches too
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try {
+          graft.core.CacheScope.withScope { fn(spark, sfDir).count() }
+          None
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // queries that persist internal frames (q39, q45) never see an
-      // unpersist — drop their caches so later timings run unpressured
-      spark.sharedState.cacheManager.clearCache()
+      val runs = (0 until repeat).map(_ => once())
+      if (repeat > 1)
+        System.err.println(s"[bench] $name reps: " +
+          runs.map { case (t, e) => if (e.isEmpty) f"$t%.2f" else "ERR" }
+            .mkString(" "))
+      val (sec, err) = runs.head
       (name, if (err.isEmpty) sec else -1.0, err, sec)
     }
     val qs = results.map { case (k, v, _, _) => s"\"${esc(k)}\":$v" }

@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.util.{Arrays => JArrays}
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -11,6 +13,14 @@ import org.apache.spark.sql.types._
   * ties to the smaller index. The coarse-quantizer assignment of IVF
   * (q45) and each Lloyd iteration of [[graft.ml.KMeans]].
   *
+  * With `normalizeInput = true` the input vector is L2-normalized on the
+  * fly (one extra pass over the elements, no allocation) before the
+  * centroid scan — so spherical-k-means assignment over RAW stored
+  * vectors needs neither a materialized unit-vector column nor a
+  * corpus-sized cache: the normalization lives inside this one codegen'd
+  * call. A zero-norm vector yields NaN distances and falls through to
+  * cell 0, matching the materialized `x / l2norm` formulation.
+  *
   * The centroid matrix travels as a CONSTRUCTOR value surfaced to
   * generated code through `ctx.addReferenceObj`, NOT as literal child
   * expressions: the k-literals formulation (`array_min(array(struct(
@@ -20,13 +30,19 @@ import org.apache.spark.sql.types._
   * explodes. Here the plan holds ONE node regardless of k, and the
   * generated loop reads the matrix array directly.
   *
+  * Equality is STRUCTURAL over the matrix contents (`equals`/`hashCode`
+  * overridden): `Array[Array[Double]]`'s identity equality would make two
+  * semantically identical expressions compare unequal, silently defeating
+  * Catalyst canonicalization and common-subexpression reuse.
+  *
   * Contract: the matrix is non-empty with uniform dimensionality
   * (enforced at construction); a shorter input vector is scored over the
   * shared prefix (the caller owns the data contract that vectors match
   * the training dimensionality).
   */
 case class NearestCentroid(child: Expression,
-    centroids: Array[Array[Double]]) extends UnaryExpression {
+    centroids: Array[Array[Double]],
+    normalizeInput: Boolean = false) extends UnaryExpression {
 
   require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
   require(centroids.forall(_.length == centroids.head.length),
@@ -44,6 +60,23 @@ case class NearestCentroid(child: Expression,
           s"nearest_centroid expects array<float|double>, got ${other.sql}")
     }
 
+  // Array[Array[Double]] compares by identity; compare contents so equal
+  // expressions canonicalize equal (Catalyst CSE / plan comparison).
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroid =>
+      child == that.child && normalizeInput == that.normalizeInput &&
+        centroids.length == that.centroids.length &&
+        centroids.indices.forall(i =>
+          JArrays.equals(centroids(i), that.centroids(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode() * 31 + normalizeInput.hashCode()
+    centroids.foreach(c => h = h * 31 + JArrays.hashCode(c))
+    h
+  }
+
   private def isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -52,6 +85,18 @@ case class NearestCentroid(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val float = isFloat
+    val n0 = v.numElements()
+    var den = 1.0
+    if (normalizeInput) {
+      var nrm = 0.0
+      var i = 0
+      while (i < n0) {
+        val x = if (float) v.getFloat(i).toDouble else v.getDouble(i)
+        nrm += x * x
+        i += 1
+      }
+      den = math.sqrt(nrm)
+    }
     var best = 0
     var bestD = Double.MaxValue
     var j = 0
@@ -59,10 +104,10 @@ case class NearestCentroid(child: Expression,
       val c = centroids(j)
       var dist = 0.0
       var i = 0
-      val n = math.min(v.numElements(), c.length)
+      val n = math.min(n0, c.length)
       while (i < n) {
         val x = if (float) v.getFloat(i).toDouble else v.getDouble(i)
-        val diff = x - c(i)
+        val diff = x / den - c(i)
         dist += diff * diff
         i += 1
       }
@@ -76,15 +121,27 @@ case class NearestCentroid(child: Expression,
     val matRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     val getter = if (isFloat) "(double) %s.getFloat(i)" else "%s.getDouble(i)"
     nullSafeCodeGen(ctx, ev, v => {
+      val normCode = if (normalizeInput)
+        s"""
+           |double nrm = 0.0;
+           |for (int i = 0; i < $v.numElements(); i++) {
+           |  double x = ${getter.format(v)};
+           |  nrm += x * x;
+           |}
+           |den = java.lang.Math.sqrt(nrm);
+         """.stripMargin
+      else ""
       s"""
          |int best = 0;
          |double bestD = Double.MAX_VALUE;
+         |double den = 1.0;
+         |$normCode
          |for (int j = 0; j < $matRef.length; j++) {
          |  double[] c = $matRef[j];
          |  double dist = 0.0;
          |  int n = java.lang.Math.min($v.numElements(), c.length);
          |  for (int i = 0; i < n; i++) {
-         |    double diff = ${getter.format(v)} - c[i];
+         |    double diff = ${getter.format(v)} / den - c[i];
          |    dist += diff * diff;
          |  }
          |  if (dist < bestD) { bestD = dist; best = j; }
@@ -102,4 +159,12 @@ object NearestCentroid {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(
       NearestCentroid(ExpressionUtils.expression(vec), centroids))
+
+  /** Assignment over RAW vectors for a spherical (unit-vector-trained)
+    * quantizer: normalizes the input inside the expression.
+    */
+  def nearestCentroidUnit(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      NearestCentroid(ExpressionUtils.expression(vec), centroids,
+        normalizeInput = true))
 }

@@ -404,10 +404,13 @@ object DedupTextQueries {
     // aggregate materializes it once; both consumers then read the
     // InMemoryRelation. At 100 TB this cache is one (doc, lang, trigram,
     // count) row per distinct per-doc trigram — orders of magnitude
-    // smaller than the exploded stream it replaces.
-    val docTriCnt = tri.groupBy("doc_id", "lang", "tri")
-      .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // smaller than the exploded stream it replaces. Tracked with
+    // CacheScope so the session owner's scope unpersists it after the
+    // caller's action (the result is lazy — the query can't).
+    val docTriCnt = graft.core.CacheScope.track(
+      tri.groupBy("doc_id", "lang", "tri")
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val profile = docTriCnt.groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("cnt")).as("n"))
       .withColumn("rn", row_number().over(

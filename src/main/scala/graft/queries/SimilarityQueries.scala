@@ -183,31 +183,60 @@ object SimilarityQueries {
 
   /** The q45 engine over any (vec_id, embedding) frame — the recall spec
     * feeds it a clustered corpus, q45 feeds it the embeddings table.
+    *
+    * The quantizer trains on a DETERMINISTIC HASH-SAMPLE — the
+    * `sampleFactor`·kCells vectors with the smallest `md5(vec_id)` (the
+    * [[graft.ml.KMeans.initCentroids]] trick applied to the training set
+    * itself: unbiased, order-independent, retry-stable). Lloyd's then
+    * iterates over ~4k rows instead of the corpus, and the ONLY cached
+    * frame is that sample (k·sampleFactor rows — trivially bounded), not
+    * a corpus-sized unit-vector copy. A k-means quantizer estimates k·dim
+    * cell means; a bounded sample pins each mean to sampling error
+    * O(1/√(n/k)) — at 256·k that is ~6% of within-cell spread, far below
+    * the cell-boundary noise Lloyd's itself carries. The corpus is then
+    * touched exactly twice: once by the sample's distributed top-N scan,
+    * once by the final probe pass, whose assignment normalizes inline
+    * ([[graft.functions.NearestCentroid.nearestCentroidUnit]]) so no
+    * normalized column is ever materialized.
+    *
+    * Spherical k-means: cluster on L2-NORMALIZED vectors so Euclidean
+    * cells align with the cosine ranking the search uses (|x−y|² =
+    * 2−2·cos for unit vectors); clustering raw magnitudes against a
+    * cosine objective probes the wrong cells.
     */
   def ivfSearch(emb: org.apache.spark.sql.DataFrame,
       queryId: Long, k: Int = 10, kCells: Int = 16, iters: Int = 3,
-      nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
-    // Spherical k-means: cluster on L2-NORMALIZED vectors so Euclidean
-    // cells align with the cosine ranking the search uses (|x−y|² =
-    // 2−2·cos for unit vectors); clustering raw magnitudes against a
-    // cosine objective probes the wrong cells. The norm falls out of
-    // l2Distance(v, 0⃗).
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val zero = typedlit(Seq.fill(dim)(0.0))
-    // persisted: every Lloyd iteration (assign + means + collect) and the
-    // final probe scan re-read this frame — recomputing the normalize
-    // projection 2·iters+2 times is pure waste. At 100 TB caching the
-    // unit vectors is the standard IVF-build tradeoff (or materialize to
-    // a table between train and serve).
-    val unit = emb
-      .withColumn("l2n", graft.functions.VectorFunctions
-        .l2Distance(col("embedding"), zero))
-      .select(col("vec_id"), col("embedding"),
-        expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = graft.ml.KMeans.fit(unit, "nemb", "vec_id", kCells, iters)
-    val q = unit.filter(col("vec_id") === queryId)
-      .select(col("nemb")).head.getSeq[Double](0).toArray
+      nprobe: Int = 4, sampleFactor: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    // Training sample: md5-uniform threshold at rate n_sample/n — a pure
+    // MAP-SIDE filter (the q49/q54 construction, salt "ivf:"). A
+    // TakeOrdered of the n_sample smallest hashes would be equivalent
+    // statistically but funnels n_sample·partitions rows through a
+    // driver merge — at 1000 executors that's millions of vectors on the
+    // driver; the threshold form ships nothing and stays retry-stable.
+    // Normalization (array HOFs, fine at sample size) happens on sample
+    // rows only. Persisted because init + every Lloyd iteration re-reads
+    // it; tracked with CacheScope so the caller's scope frees it.
+    val nSample = kCells.toLong * sampleFactor
+    val frac = math.min(1.0, nSample.toDouble / math.max(emb.count(), 1L))
+    val u = conv(substring(md5(concat(lit("ivf:"),
+      col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0) // / 16^15: uniform [0,1)
+    val sample = graft.core.CacheScope.track(
+      emb.filter(u < frac)
+        .withColumn("l2n", sqrt(expr(
+          "aggregate(embedding, 0d, (a, x) -> a + cast(x as double) * cast(x as double))")))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = graft.ml.KMeans.fit(sample, "nemb", "vec_id", kCells, iters)
+    // Query vector: a parquet-pushdown point lookup (NOT a pass over a
+    // cached corpus), normalized driver-side with the same arithmetic.
+    val qRaw = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / qNorm)
     def l2(a: Array[Double], b: Array[Double]): Double = {
       var sum = 0.0; var i = 0
       while (i < a.length) { val dd = a(i) - b(i); sum += dd * dd; i += 1 }
@@ -218,7 +247,11 @@ object SimilarityQueries {
       .sorted.take(nprobe).map(_._2)
     val qv = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    unit.withColumn("cell", graft.ml.KMeans.assign(col("nemb"), cents))
+    // ONE corpus pass: inline-normalized assignment against the broadcast
+    // centroid matrix, cell pruning, exact cosine on survivors, top-k.
+    emb
+      .withColumn("cell", graft.functions.NearestCentroid
+        .nearestCentroidUnit(col("embedding"), cents))
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),

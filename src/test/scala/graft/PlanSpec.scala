@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q45 IVF probe pass reads the source directly: no corpus-sized " +
+    "cached relation (round-2 audit: corpus-wide unit-vector persist)") {
+    graft.core.CacheScope.withScope {
+      val df = SimilarityQueries.ivfKmeansTopK(spark, sf, queryId = 0L)
+      val p = physical(df)
+      // the only persisted frame is the bounded TRAINING SAMPLE, consumed
+      // during fit; the search itself scans parquet + broadcasts the
+      // 1-row query vector — cache-free
+      assert(!p.contains("InMemoryTableScan"), p.take(4000))
+      assert(p.contains("Scan parquet"), p.take(4000))
+    }
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))
