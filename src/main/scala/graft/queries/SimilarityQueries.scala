@@ -269,39 +269,38 @@ object SimilarityQueries {
     */
   val q45KnnIvfKmeans: Q = (s, d) => ivfKmeansTopK(s, d, queryId = 0L)
 
-  /** q44 — top-3 most-similar vectors to vector 0 PER LABEL, via the typed
-    * [[graft.functions.TopKAggregator]]. A global top-k plans as
+  /** q44 — top-3 most-similar vectors to vector 0 PER LABEL, via the
+    * native [[graft.functions.TopKAggregate]]. A global top-k plans as
     * `TakeOrderedAndProject` (q40), but the per-group case needs either a
     * row_number window — which sorts EVERY group's full candidate list —
-    * or this bounded-buffer Aggregator: each map-side partial keeps only
+    * or this bounded-buffer aggregate: each map-side partial keeps only
     * k candidates, so the shuffle carries ≤ k·partitions rows per label
     * instead of the whole scored table. That's the shape that wins at
     * 100 TB (k=3 vs millions of rows per label through the exchange).
+    * As a `TypedImperativeAggregate` it runs inside ObjectHashAggregate
+    * directly over InternalRow — the round-2 typed `groupByKey`/
+    * `Aggregator` skin paid a Deserialize/SerializeFromObject boundary
+    * around every scored row (the encoder tax was ~4s of the 4.5s).
     * TopKAggregatorSpec proves it row-identical to the window form.
     */
   val q44TopkPerLabel: Q = (s, d) => {
-    import s.implicits._
     val emb = embeddings(s, d)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val scored = emb.filter(col("vec_id") =!= 0)
+    emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
       .select(col("label"),
         col("vec_id"),
         cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
       // cosine is NULL for a zero-norm vector (undefined similarity);
-      // exclude it on BOTH engines — the typed (Int, Long, Double)
-      // decode below would otherwise NPE on the null
+      // the aggregate skips NULL scores, as does the oracle's rank CTE —
+      // the explicit filter keeps the parity visible on both sides
       .filter(col("sim").isNotNull)
-      .as[(Int, Long, Double)]
-    scored.groupByKey(_._1)
-      .mapValues { case (_, id, sim) => (id, sim) }
-      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
-      .flatMap { case (label, topk) =>
-        topk.zipWithIndex.map { case ((id, sim), i) =>
-          (label, (i + 1).toLong, id, sim)
-        }
-      }
-      .toDF("label", "rank", "vec_id", "sim")
+      .groupBy("label")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("vec_id"), col("sim"), 3).as("topk"))
+      .select(col("label"), posexplode(col("topk")).as(Seq("i", "e")))
+      .select(col("label"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("sim"))
       .orderBy("label", "rank")
   }
 

@@ -68,6 +68,14 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q44 per-label top-k aggregates over InternalRow: no typed " +
+    "Deserialize/Serialize boundary (round-2 audit: encoder tax)") {
+    val p = physical(SimilarityQueries.q44TopkPerLabel(spark, sf))
+    assert(!p.contains("DeserializeToObject"), p.take(4000))
+    assert(!p.contains("SerializeFromObject"), p.take(4000))
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+  }
+
   test("q45 IVF probe pass reads the source directly: no corpus-sized " +
     "cached relation (round-2 audit: corpus-wide unit-vector persist)") {
     graft.core.CacheScope.withScope {

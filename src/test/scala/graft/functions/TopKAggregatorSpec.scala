@@ -73,4 +73,31 @@ class TopKAggregatorSpec extends AnyFunSuite {
       .map(t => t.getLong(0))
     assert(got == Seq(3L, 5L))
   }
+
+  test("native TopKAggregate matches the typed Aggregator on every group " +
+    "(ties, nulls, sub-k groups, many partitions exercising merge)") {
+    import spark.implicits._
+    // deterministic synthetic corpus: heavy tie mass, some null scores,
+    // one group smaller than k
+    val rows = (0 until 4000).map { i =>
+      val g = s"g${i % 7}"
+      val score: java.lang.Double =
+        if (i % 29 == 0) null else (i % 13) / 10.0
+      (g, i.toLong, score)
+    } :+ (("tiny", 999999L, java.lang.Double.valueOf(0.5)))
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val typed = udaf(new TopKAggregator(5))
+    val viaTyped = df.filter(col("score").isNotNull)
+      .groupBy("g").agg(typed(col("id"), col("score")).as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(t => (t.getLong(0), t.getDouble(1)))).toMap
+    val viaNative = df
+      .groupBy("g").agg(TopKAggregate.topK(col("id"), col("score"), 5).as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(t => (t.getLong(0), t.getDouble(1)))).toMap
+    assert(viaNative == viaTyped)
+    assert(viaNative("tiny") == Seq((999999L, 0.5)))
+  }
 }
