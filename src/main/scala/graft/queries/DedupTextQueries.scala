@@ -116,20 +116,41 @@ object DedupTextQueries {
        |sh AS (SELECT doc_id, lang, source, unnest($shinglesSql) AS s
        |       FROM docs WHERE len(w) >= 3)""".stripMargin
 
+  /** Per-document DISTINCT shingle sets, map-side (`array_distinct` over
+    * the native shingle expression — doc-local, no exchange). The shared
+    * leading edge of the LSH chain (q32/q53), decontamination (q56) and
+    * the composed release verdict (q57): min-hash is duplicate-
+    * insensitive (min over a multiset equals min over its set), so the
+    * signature pipeline can consume this frame unchanged, and the
+    * composed queries persist it ONCE instead of re-shingling the corpus
+    * per branch.
+    */
+  private def distinctShingles(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    parallelDocs(s, d)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"))).as("ss"))
+
+  /** MinHash signature over exploded `(doc_id, s)` shingle rows: one md5
+    * per shingle, one groupBy(doc_id) with P min() partial aggregates —
+    * map-side combine reduces each doc to one row before the shuffle.
+    */
+  private def minhashSignature(rows: DataFrame): DataFrame = {
+    val aggs = (0 until P).map(i =>
+      min(permuted(i, col("hb"))).as(f"mh$i%02d"))
+    rows
+      .withColumn("hb", baseHash(col("s")))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** q31 — MinHash signature: P=16 permutation min-hashes over the 3-word
     * shingle set. One explode, one md5 per shingle, one groupBy(doc_id)
     * with 16 min() partial aggregates — map-side combine reduces each doc
     * to one row before the shuffle.
     */
-  val q31MinhashSignature: Q = (s, d) => {
-    val aggs = (0 until P).map(i =>
-      min(permuted(i, col("hb"))).as(f"mh$i%02d"))
-    shingleRows(s, d)
-      .withColumn("hb", baseHash(col("s")))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy("doc_id")
-  }
+  val q31MinhashSignature: Q = (s, d) =>
+    minhashSignature(shingleRows(s, d)).orderBy("doc_id")
 
   private val sigSelectSql: String = {
     val mins = (0 until P).map(i =>
@@ -151,8 +172,17 @@ object DedupTextQueries {
     * and at scale band keys are near-unique except for true near-dups, so
     * join fan-out stays tiny.
     */
-  val q32MinhashPairs: Q = (s, d) => {
-    val sig = q31MinhashSignature(s, d)
+  /** Band keys + bucket-local pair generation over a minhash-signature
+    * frame (the q32 tail, shared with the composed q53/q57 chains).
+    * Bucket-local pair generation instead of a self-join: one shuffle on
+    * the band key, pairs enumerated inside each bucket. This computes the
+    * signature pipeline ONCE (a self-join would evaluate it per side) and
+    * is the standard LSH shape at scale — bucket sizes are near-1 except
+    * for true near-dups, so the quadratic step is bounded. Hot-band
+    * buckets beyond BucketPairs.DefaultCap are dropped (skew guard; see
+    * BucketPairs + BucketPairsSpec's adversarial corpus).
+    */
+  private def lshPairs(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val keyCols = (0 until P / Bands).map(j =>
         col(f"mh${b * (P / Bands) + j}%02d").cast("string"))
@@ -161,20 +191,16 @@ object DedupTextQueries {
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    // Bucket-local pair generation instead of a self-join: one shuffle on
-    // the band key, pairs enumerated inside each bucket. This computes the
-    // signature pipeline ONCE (a self-join would evaluate it per side) and
-    // is the standard LSH shape at scale — bucket sizes are near-1 except
-    // for true near-dups, so the quadratic step is bounded. Hot-band
-    // buckets beyond BucketPairs.DefaultCap are dropped (skew guard; see
-    // BucketPairs + BucketPairsSpec's adversarial corpus).
     graft.operators.BucketPairs
       .boundedPairs(bands, Seq(col("band"), col("bkey")), col("doc_id"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  val q32MinhashPairs: Q = (s, d) =>
+    lshPairs(minhashSignature(shingleRows(s, d)))
+      .orderBy("doc_a", "doc_b")
 
   val q32Sql: String = {
     val bandSelects = (0 until Bands).map { b =>
@@ -574,14 +600,22 @@ object DedupTextQueries {
     * q42 fixed this round. AQE still broadcasts them at runtime when they
     * really are small; when they aren't, the join shuffles safely.
     */
-  val q53DedupVerdict: Q = (s, d) => {
+  val q53DedupVerdict: Q = (s, d) =>
+    dedupVerdict(s, d, lshPairs(minhashSignature(shingleRows(s, d))))
+
+  /** The q53 body over a caller-supplied LSH candidate-pair frame — q53
+    * computes its own pairs; q57 feeds pairs derived from the SHARED
+    * persisted shingle frame so the corpus is shingled once per run.
+    */
+  private def dedupVerdict(s: org.apache.spark.sql.SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
     val exactDup = documents(s, d)
       .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
-    val nearDup = q32MinhashPairs(s, d)
+    val nearDup = pairs
       .filter(col("n_shared_bands") >= 2)
       .select(col("doc_b").as("doc_id")).distinct()
     documents(s, d).select(col("doc_id"))
@@ -740,14 +774,23 @@ object DedupTextQueries {
     * before every data release.
     */
   val q56Decontamination: Q = (s, d) => {
-    // per-doc shingle dedup happens MAP-SIDE (array_distinct before the
-    // explode — shingles are doc-local, no exchange needed); the bench
-    // set carries no broadcast hint because the stand-in grows with the
-    // corpus (a real eval set is fixed-size and AQE will broadcast it on
-    // its own when it is small)
-    val shingled = parallelDocs(s, d)
-      .select(col("doc_id"), array_distinct(
-        graft.functions.WordShingles.wordShingles(col("text"))).as("ss"))
+    // the shingle frame feeds BOTH the benchmark branch and the corpus
+    // side of the overlap join — persist it (tracked, scope-released) so
+    // the word-shingle pipeline runs once, not once per consumer (the
+    // round-2 plan evaluated it twice, three scans counting join sides)
+    val shingled = graft.core.CacheScope.track(distinctShingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    decontamination(s, d, shingled)
+  }
+
+  /** The q56 body over a caller-supplied (and persisted) distinct-shingle
+    * frame; q57 shares one frame across this and the dedup chain.
+    * The bench set carries no broadcast hint because the stand-in grows
+    * with the corpus (a real eval set is fixed-size and AQE will
+    * broadcast it on its own when it is small).
+    */
+  private def decontamination(s: org.apache.spark.sql.SparkSession,
+      d: String, shingled: DataFrame): DataFrame = {
     val benchShingles = shingled.filter(col("doc_id") % 97 === 0)
       .select(explode(col("ss")).as("s")).distinct()
     val hits = shingled
@@ -789,13 +832,20 @@ object DedupTextQueries {
     * id (sorts under the joins are eliminated by Catalyst).
     */
   val q57ReleaseVerdict: Q = (s, d) => {
+    // ONE persisted distinct-shingle frame feeds both shingle consumers
+    // — the LSH dedup chain and the decontamination overlap — so the
+    // corpus is tokenized+shingled once per run instead of three times
+    // (round-2 plan audit); tracked, so the caller's scope releases it
+    val shingled = graft.core.CacheScope.track(distinctShingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val quality = q47QualityFilter(s, d)
       .select(col("doc_id"), col("keep").as("ok_quality"))
     val rep = q55Repetition(s, d)
       .select(col("doc_id"), col("keep").as("ok_repetition"))
-    val dedup = q53DedupVerdict(s, d)
+    val dedup = dedupVerdict(s, d, lshPairs(minhashSignature(
+        shingled.select(col("doc_id"), explode(col("ss")).as("s")))))
       .select(col("doc_id"), col("keep").as("ok_dedup"))
-    val decon = q56Decontamination(s, d)
+    val decon = decontamination(s, d, shingled)
       .select(col("doc_id"), (!col("contaminated")).as("ok_decontaminated"))
     val sampled = q54StratifiedSample(s, d)
       .select(col("doc_id")).withColumn("in_sample", lit(true))

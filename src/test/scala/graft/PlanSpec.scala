@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 4, p.take(4000))
   }
 
+  test("q57 shingles the corpus once: the dedup chain and the " +
+    "decontamination branch both read one cached shingle relation") {
+    graft.core.CacheScope.withScope {
+      val p = physical(DedupTextQueries.q57ReleaseVerdict(spark, TestSpark.Sf0001))
+      assert(p.split("InMemoryTableScan").length - 1 >= 2, p.take(4000))
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the engine-level " +
     "complement to the manual salting in core/Skew)") {
     import spark.implicits._
