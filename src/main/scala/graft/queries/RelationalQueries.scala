@@ -308,7 +308,32 @@ object RelationalQueries {
         countDistinct(col("o_custkey")).as("exact_cust"))
       .orderBy("o_orderstatus")
 
+  /** q58 — two-phase SALTED aggregation over a heavy-hitter key
+    * ([[graft.core.Skew.saltedSum]], registered so the skew helpers get
+    * an oracle-checked row, not just SkewSpec's equality proof).
+    * `l_returnflag` has 3 values — the textbook hot-key aggregation where
+    * one reducer owns a third of a 100 TB fact table. The salted form
+    * spreads each key over 16 deterministic sub-buckets (salt =
+    * hash(l_orderkey) % 16, retry-stable — never rand()), partial-sums
+    * per (key, salt), then merges ≤16 partials per key; decimal sums make
+    * the two-phase total bit-equal to the direct GROUP BY the oracle
+    * runs. The second phase moves 3·16 rows — noise at any scale.
+    */
+  val q58SaltedHotkey: Q = (s, d) =>
+    graft.core.Skew.saltedSum(lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), buckets = 16)
+      .select(col("k").as("l_returnflag"),
+        col("total").as("revenue"), col("n").as("n_items"))
+      .orderBy("l_returnflag")
+
+  val q58Sql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q58_salted_hotkey" -> q58SaltedHotkey,
     "q25_grouping_sets" -> q25GroupingSets,
     "q26_approx_distinct" -> q26ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
@@ -327,6 +352,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q58_salted_hotkey" -> q58Sql,
     "q25_grouping_sets" -> q25Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_star_revenue" -> q02Sql,
