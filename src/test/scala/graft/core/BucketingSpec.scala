@@ -55,4 +55,37 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS orders_bucketed")
     }
   }
+
+  test("exact dedup over a fingerprint-bucketed layout runs with ZERO " +
+    "exchange (the 100 TB q30 story, executable)") {
+    // the ingest-time layout: fingerprint materialized once, documents
+    // bucketed+sorted by it — the one shuffle exact dedup needs is paid
+    // at write time, and every subsequent dedup pass is shuffle-free
+    try {
+      Tables.documents(spark, sf)
+        .withColumn("fp", md5(lower(col("text"))))
+        .write.bucketBy(8, "fp").sortBy("fp")
+        .mode("overwrite").saveAsTable("docs_bucketed")
+
+      // q30's shape (canonical = min doc_id per fingerprint window) on
+      // the bucketed table: the bucket layout satisfies the window's
+      // hash-distribution requirement, the sortBy its ordering
+      import org.apache.spark.sql.expressions.Window
+      val dedup = spark.table("docs_bucketed")
+        .select(col("doc_id"),
+          min(col("doc_id")).over(Window.partitionBy("fp")).as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+
+      val plan = dedup.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(3000))
+
+      // and it matches the unbucketed q30 rows exactly
+      val expected = graft.queries.DedupTextQueries
+        .q30DedupExact(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val got = dedup.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == expected)
+    } finally spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+  }
 }
