@@ -36,7 +36,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - neither: live mode — GET `api.geonet.org.nz/quake?MMI=` once at
   *    planning via [[GeoNetHttp]], the MMI taken from the pushed filter
   *    (else the `mmi` option, else the reference default). Non-2xx throws
-  *    `Failed to fetch data: ...` (task.ts:179-181).
+  *    `Failed to fetch data: ...` (task.ts:179-181). The `transport`
+  *    option names a [[GeoNetHttp.registerTransport]]-registered client
+  *    (race-free injection for concurrent queries; unknown ids fail
+  *    loudly rather than silently going live).
   *
   * Rows come out FLAT (publicID, time, depth, magnitude, mmi, locality,
   * quality, lon, lat) — the relational view of the feed; [[GeoNetSource.nest]]
@@ -292,7 +295,8 @@ object GeoNetSource {
         val mmi = mmiMin
           .orElse(options.get("mmi").map(_.toInt))
           .getOrElse(graft.quakes.QuakeModel.QuakeConfig().mmi)
-        GeoNetHttp.fetchBody(GeoNetHttp.defaultTransport, mmi)
+        GeoNetHttp.fetchBody(
+          GeoNetHttp.transportFor(options.get("transport")), mmi)
       }
 
   /** The flat relational view of one GeoNet feature (task.ts:64-79). */

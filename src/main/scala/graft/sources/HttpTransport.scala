@@ -58,11 +58,36 @@ object GeoNetHttp {
   /** `?MMI={mmi}` — the server-side intensity filter (task.ts:176). */
   def quakeUrl(mmi: Int): String = s"$ApiBase?MMI=$mmi"
 
-  /** Process-wide default transport. The DSv2 scan is instantiated
-    * reflectively from string options, so the transport is injected here
-    * rather than per-call; tests swap in a fake.
+  /** Process-wide default transport for deployments. The DSv2 scan is
+    * instantiated reflectively from string options, so a transport can't
+    * ride the call chain; prefer [[registerTransport]] + the `transport`
+    * source option for anything concurrent — two streaming queries (or
+    * parallel test suites) that each swap this var race each other.
     */
   @volatile var defaultTransport: HttpTransport = new JdkHttpTransport()
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpTransport]()
+
+  /** Register a transport under an id addressable from the DSv2
+    * `transport` option — race-free injection for concurrent readers.
+    */
+  def registerTransport(id: String, t: HttpTransport): Unit =
+    registry.put(id, t)
+
+  def unregisterTransport(id: String): Unit = registry.remove(id)
+
+  /** Resolve the `transport` option: a registered id, or the process
+    * default when absent. An UNKNOWN id fails loudly — falling back to
+    * the live JDK transport on a typo would silently hit the network.
+    */
+  def transportFor(id: Option[String]): HttpTransport = id match {
+    case None => defaultTransport
+    case Some(i) => Option(registry.get(i)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown transport id '$i' — register it with " +
+          "GeoNetHttp.registerTransport before use"))
+  }
 
   /** GET the feed; non-2xx fails the run with the reference's message
     * (task.ts:179-181).

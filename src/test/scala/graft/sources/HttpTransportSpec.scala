@@ -67,6 +67,32 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally GeoNetHttp.defaultTransport = saved
   }
 
+  test("live scan via a REGISTERED transport id: no shared-var swap, so " +
+    "concurrent queries can each carry their own client") {
+    val t = new FakeTransport(ok(FixtureJson))
+    GeoNetHttp.registerTransport("spec-fake", t)
+    try {
+      val n = spark.read.format("graft.sources.GeoNetTableProvider")
+        .option("transport", "spec-fake")
+        .option("mmi", "4").load().count()
+      assert(n > 0)
+      assert(t.gets.toSeq === Seq("https://api.geonet.org.nz/quake?MMI=4"))
+    } finally GeoNetHttp.unregisterTransport("spec-fake")
+  }
+
+  test("an unknown transport id fails loudly instead of silently going " +
+    "live (typo guard)") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.GeoNetTableProvider")
+        .option("transport", "no-such-id").load().count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("unknown transport id 'no-such-id'"))), e.toString)
+  }
+
   test("runner: full control() loop — logs, fetch, transform, submit") {
     val t = new FakeTransport(ok(FixtureJson))
     val logs = scala.collection.mutable.ArrayBuffer[String]()
