@@ -25,6 +25,7 @@ object SparkEntry {
     RelationalQueries.queries ++
       EventQueries.queries ++
       DedupTextQueries.queries ++
+      CorpusStatsQueries.queries ++
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
       QuakeQueries.queries
@@ -37,6 +38,7 @@ object SparkEntry {
     RelationalQueries.oracle ++
       EventQueries.oracle ++
       DedupTextQueries.oracle ++
+      CorpusStatsQueries.oracle ++
       SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++
       QuakeQueries.oracle

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.core.Tables._
+
+/** Corpus profiling + batch-shaping operators a training pipeline runs
+  * between filtering and writing shards: exact distribution quantiles
+  * (data profiling / cutoff calibration) and token-budget sequence
+  * packing (pretraining batch shaping).
+  *
+  * Both are written in the shape that survives 100 TB:
+  *  - q61 computes EXACT quantiles WITHOUT sorting the corpus: a
+  *    (lang, n_chars) histogram first (one partial-agg shuffle, output
+  *    bounded by the value domain, not the row count), then the
+  *    cumulative walk + quantile pick runs over the tiny histogram. The
+  *    naive window (`row_number` over each language's full stream) sorts
+  *    a whole language in ONE task — the classic quantile scale trap.
+  *  - q62 packs per (lang, shard): the cumulative token walk is
+  *    inherently sequential, so it shards first (deterministic doc_id
+  *    mod) and packs within shards — each task owns corpus/(langs·shards)
+  *    rows instead of a whole language.
+  *
+  * All arithmetic is integer (counts, ceil-division thresholds, floor
+  * bin division) — bit-identical on any engine, no float quantile
+  * interpolation to drift.
+  */
+object CorpusStatsQueries {
+
+  /** Integer ceil(total · pct / 100) — the rank a discrete quantile must
+    * reach; `div`/`//` integer arithmetic, identical on both engines.
+    */
+  private def rankAt(pct: Int): Column =
+    expr(s"(total * $pct + 99) div 100")
+
+  /** q61 — exact per-language length quantiles (p50/p90/p99) via the
+    * two-phase histogram: smallest value whose cumulative count reaches
+    * ceil(p·n). `quantile_disc` semantics, engine-neutral.
+    */
+  val q61LengthQuantiles: Q = (s, d) => {
+    val hist = documents(s, d)
+      .groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy("lang")))
+    def pick(pct: Int): Column =
+      min(when(col("cum") >= rankAt(pct), col("n_chars"))).as(s"p$pct")
+    cum.groupBy("lang")
+      .agg(pick(50), pick(90), pick(99),
+        max(col("total")).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val q61Sql: String =
+    """WITH hist AS (
+      |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, n_chars,
+      |    SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY lang) AS total
+      |  FROM hist)
+      |SELECT lang,
+      |  MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN n_chars END) AS p50,
+      |  MIN(CASE WHEN cum >= (total * 90 + 99) // 100 THEN n_chars END) AS p90,
+      |  MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN n_chars END) AS p99,
+      |  MAX(total) AS n_docs
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val PackBudget = 4096L
+  private val PackShards = 8
+
+  /** q62 — token-budget sequence packing (GPT-style pretraining batch
+    * shaping): documents are concatenated in deterministic (doc_id)
+    * order within each (lang, shard) stream and split into bins of
+    * `PackBudget` tokens; a doc's bin is its stream's token offset DIV
+    * budget. One window cumsum per shard — no global sort, no driver
+    * loop; retries land in the same bin (pure function of doc_id order).
+    */
+  val q62TokenPacking: Q = (s, d) => {
+    val toks = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"offset div $PackBudget"))
+      .select("doc_id", "lang", "shard", "n_tokens", "bin")
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |        x -> length(x) > 0)) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS bin
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q61_length_quantiles" -> q61LengthQuantiles,
+    "q62_token_packing" -> q62TokenPacking
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q61_length_quantiles" -> q61Sql,
+    "q62_token_packing" -> q62Sql
+  )
+}

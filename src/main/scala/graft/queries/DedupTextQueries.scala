@@ -667,6 +667,90 @@ object DedupTextQueries {
        | LEFT JOIN near n ON d.doc_id = n.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q59 — duplicate CLUSTERS: connected components over the union of
+    * exact-duplicate edges (doc → its fingerprint canonical) and LSH
+    * near-dup edges (≥2 shared bands, q53's threshold). Pairwise verdicts
+    * (q53) under-merge: if A≈B and B≈C but A̸≈C, dropping "the b of each
+    * pair" can keep two of three docs. The cluster view — what production
+    * dedup actually ships — keeps exactly one representative (the min
+    * doc_id) per component.
+    *
+    * Components via iterative min-label propagation to a FIXPOINT: each
+    * round every doc takes the min of its own label and its neighbors'
+    * labels (one join + one groupBy per round — the standard Spark CC
+    * shape); rounds until no label changes, checked with a cheap
+    * aggregate. Near-dup components have tiny diameter (dups of one
+    * source collide pairwise), so rounds ≈ 2-3; at extreme diameters the
+    * large-star/small-star variant halves round count, trading code for
+    * an adversarial case dedup graphs don't hit. Deterministic: labels
+    * are ids, min is order-free. The oracle walks the same edges with a
+    * recursive CTE (min reachable id = same fixpoint).
+    */
+  val q59DupClusters: Q = (s, d) => {
+    val exactEdges = documents(s, d)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("src"), col("canonical_id").as("dst"))
+    val nearEdges = lshPairs(minhashSignature(shingleRows(s, d)))
+      .filter(col("n_shared_bands") >= 2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = graft.core.CacheScope.track(
+      exactEdges.union(nearEdges)
+        .select(col("src"), col("dst"))
+        .union(exactEdges.union(nearEdges)
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    var labels = graft.core.CacheScope.track(
+      documents(s, d).select(col("doc_id"), col("doc_id").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels,
+          edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), col("cluster"))
+      val next = graft.core.CacheScope.track(
+        labels.union(prop)
+          .groupBy("doc_id")
+          .agg(min(col("cluster")).as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    s"""WITH RECURSIVE $shingleRowsSql,
+       |$dedupVerdictCtes,
+       |near_edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE n_shared_bands >= 2),
+       |exact_edges AS (
+       | SELECT doc_id AS src, canonical_id AS dst FROM (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
+       |  FROM documents) WHERE doc_id <> canonical_id),
+       |edges AS (
+       | SELECT src, dst FROM near_edges UNION SELECT src, dst FROM exact_edges
+       | UNION SELECT dst, src FROM near_edges UNION SELECT dst, src FROM exact_edges),
+       |walk AS (
+       | SELECT doc_id, doc_id AS reach FROM documents
+       | UNION
+       | SELECT w.doc_id, e.dst AS reach FROM walk w JOIN edges e ON w.reach = e.src),
+       |comp AS (SELECT doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc_id)
+       |SELECT doc_id, cluster,
+       | COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+       | doc_id = cluster AS is_canonical
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** Per-language sampling rates for q54 — the data-mixture weighting a
     * training pipeline applies (downsample the dominant language, keep
     * the rest).
@@ -918,6 +1002,7 @@ object DedupTextQueries {
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_hash_split" -> q49HashSplit,
     "q53_dedup_verdict" -> q53DedupVerdict,
+    "q59_dup_clusters" -> q59DupClusters,
     "q54_stratified_sample" -> q54StratifiedSample,
     "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
@@ -937,6 +1022,7 @@ object DedupTextQueries {
     "q48_vocab_topk" -> q48Sql,
     "q49_hash_split" -> q49Sql,
     "q53_dedup_verdict" -> q53Sql,
+    "q59_dup_clusters" -> q59Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_repetition" -> q55Sql,
     "q56_decontamination" -> q56Sql,
