@@ -46,7 +46,8 @@ object Bench {
     // dev-only: SPARK_GRAFT_REPEAT=3 times each query N times (warm-vs-
     // cold / wobble diagnosis, stderr); the JSON still reports run 1 so
     // numbers stay comparable with driver rounds
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

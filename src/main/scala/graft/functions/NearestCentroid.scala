@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * centroid scan — so spherical-k-means assignment over RAW stored
   * vectors needs neither a materialized unit-vector column nor a
   * corpus-sized cache: the normalization lives inside this one codegen'd
-  * call. A zero-norm vector yields NaN distances and falls through to
-  * cell 0, matching the materialized `x / l2norm` formulation.
+  * call, as a single reciprocal per row and one multiply per element
+  * (semantically `x / l2norm`, up to one ulp — assignment is a
+  * tolerance-bounded argmin, not an oracle-hashed value). A zero-norm
+  * vector yields NaN distances and falls through to cell 0.
   *
   * The centroid matrix travels as a CONSTRUCTOR value surfaced to
   * generated code through `ctx.addReferenceObj`, NOT as literal child
@@ -86,7 +88,10 @@ case class NearestCentroid(child: Expression,
     val v = input.asInstanceOf[ArrayData]
     val float = isFloat
     val n0 = v.numElements()
-    var den = 1.0
+    // reciprocal-multiply: one division per ROW, one multiply per element
+    // — not a division inside the k·dim hot loop (and the non-normalized
+    // path pays no arithmetic at all: inv stays exactly 1.0, x * 1.0 == x)
+    var inv = 1.0
     if (normalizeInput) {
       var nrm = 0.0
       var i = 0
@@ -95,7 +100,7 @@ case class NearestCentroid(child: Expression,
         nrm += x * x
         i += 1
       }
-      den = math.sqrt(nrm)
+      inv = 1.0 / math.sqrt(nrm)
     }
     var best = 0
     var bestD = Double.MaxValue
@@ -107,7 +112,7 @@ case class NearestCentroid(child: Expression,
       val n = math.min(n0, c.length)
       while (i < n) {
         val x = if (float) v.getFloat(i).toDouble else v.getDouble(i)
-        val diff = x / den - c(i)
+        val diff = x * inv - c(i)
         dist += diff * diff
         i += 1
       }
@@ -121,27 +126,30 @@ case class NearestCentroid(child: Expression,
     val matRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     val getter = if (isFloat) "(double) %s.getFloat(i)" else "%s.getDouble(i)"
     nullSafeCodeGen(ctx, ev, v => {
-      val normCode = if (normalizeInput)
+      // normalizeInput is static per expression: the two paths emit
+      // different source, so the non-normalized loop carries no
+      // normalization arithmetic at all
+      val (normCode, xExpr) = if (normalizeInput) (
         s"""
            |double nrm = 0.0;
            |for (int i = 0; i < $v.numElements(); i++) {
            |  double x = ${getter.format(v)};
            |  nrm += x * x;
            |}
-           |den = java.lang.Math.sqrt(nrm);
-         """.stripMargin
-      else ""
+           |double inv = 1.0 / java.lang.Math.sqrt(nrm);
+         """.stripMargin,
+        s"${getter.format(v)} * inv")
+      else ("", getter.format(v))
       s"""
          |int best = 0;
          |double bestD = Double.MAX_VALUE;
-         |double den = 1.0;
          |$normCode
          |for (int j = 0; j < $matRef.length; j++) {
          |  double[] c = $matRef[j];
          |  double dist = 0.0;
          |  int n = java.lang.Math.min($v.numElements(), c.length);
          |  for (int i = 0; i < n; i++) {
-         |    double diff = ${getter.format(v)} / den - c[i];
+         |    double diff = $xExpr - c[i];
          |    dist += diff * diff;
          |  }
          |  if (dist < bestD) { bestD = dist; best = j; }

@@ -13,14 +13,24 @@ import org.apache.spark.sql.types._
 /** Bounded top-k buffer: at most k (id, score) entries, kept sorted by
   * (score desc, id asc) — insertion is a short shift in a primitive
   * array, no boxing, no re-sort.
+  *
+  * Score comparison follows SPARK's total order for doubles — NaN
+  * greatest, -0.0 == 0.0 — so the buffer agrees with the
+  * `row_number() OVER (ORDER BY score DESC)` window form even on NaN
+  * scores (a bare `>` would let one NaN break the sorted invariant: it
+  * never "beats" anything, so later entries pile up unsorted behind it).
   */
 final class TopKBuffer(val k: Int) {
   var n: Int = 0
   val ids: Array[Long] = new Array[Long](k)
   val scores: Array[Double] = new Array[Double](k)
 
-  @inline private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  @inline private def beats(s: Double, id: Long, i: Int): Boolean = {
+    // + 0.0 collapses -0.0 to 0.0; Double.compare then matches Spark's
+    // ordering (NaN > every non-NaN) instead of IEEE's NaN-incomparable
+    val c = java.lang.Double.compare(s + 0.0, scores(i) + 0.0)
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(id: Long, score: Double): Unit = {
     if (n == k && !beats(score, id, n - 1)) return
@@ -61,6 +71,18 @@ case class TopKAggregate(
   require(k > 0, "top_k needs k > 0")
 
   override def children: Seq[Expression] = Seq(id, score)
+
+  // fail at analysis, not with a ClassCastException mid-job: update()
+  // decodes exactly (Long, Double)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (id.dataType, score.dataType) match {
+      case (LongType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (i, sc) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k expects (bigint id, double score), got (${i.sql}, ${sc.sql})")
+    }
 
   override def nullable: Boolean = false
 

@@ -16,14 +16,21 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
 
+  // Spark's double total order (NaN greatest, -0.0 == 0.0) so the typed
+  // and native ([[TopKAggregate]]) variants rank identically, NaN included
+  private def ranksBefore(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._2 + 0.0, b._2 + 0.0)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
+
   private def trim(b: List[(Long, Double)]): List[(Long, Double)] =
-    b.sortBy { case (id, score) => (-score, id) }.take(k)
+    b.sortWith(ranksBefore).take(k)
 
   override def zero: List[(Long, Double)] = Nil
 
   override def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] =
     // avoid resorting when the candidate can't enter a full buffer
-    if (b.sizeIs >= k && a._2 < b.last._2) b else trim(a :: b)
+    if (b.sizeIs >= k && ranksBefore(b.last, a)) b else trim(a :: b)
 
   override def merge(b1: List[(Long, Double)], b2: List[(Long, Double)]): List[(Long, Double)] =
     trim(b1 ::: b2)

@@ -66,16 +66,21 @@ object KMeans {
 
   /** `iters` Lloyd iterations from the hash-sample init. Cells that lose
     * all members keep their previous centroid. Inputs of at most
-    * [[LocalFitThreshold]] rows run [[fitLocal]] (one collect, no
-    * per-iteration jobs); larger inputs run the distributed loop.
+    * `localThreshold` rows run [[fitLocal]] (one collect, no
+    * per-iteration jobs); larger inputs run the distributed loop. The
+    * threshold is a parameter so the distributed path stays directly
+    * testable (KMeansSpec pins its layout-independence with
+    * `localThreshold = 0`) — it is the production path at real cell
+    * counts, not dead code behind the small-input shortcut.
     */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, localThreshold: Long = LocalFitThreshold)
+      : Array[Array[Double]] = {
     val counted = df.select(col(idCol).cast("string").as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     // one cheap job either way: the caller persists training frames
     val n = counted.count()
-    if (n <= LocalFitThreshold) {
+    if (n <= localThreshold) {
       val rows = counted.collect()
         .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
       fitLocal(rows, k, iters)

@@ -83,12 +83,11 @@ object CorpusStatsQueries {
     * loop; retries land in the same bin (pure function of doc_id order).
     */
   val q62TokenPacking: Q = (s, d) => {
-    val toks = filter(split(col("text"), "\\s+"), x => length(x) > 0)
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     documents(s, d)
       .select(col("doc_id"), col("lang"),
         (col("doc_id") % PackShards).as("shard"),
-        size(toks).cast("long").as("n_tokens"))
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("offset",
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -100,8 +99,7 @@ object CorpusStatsQueries {
   val q62Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
-       |    len(list_filter(string_split_regex(text, '\\s+'),
-       |        x -> length(x) > 0)) AS n_tokens
+       |    len($tokensSql) AS n_tokens
        |  FROM documents)
        |SELECT doc_id, lang, shard, n_tokens,
        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id

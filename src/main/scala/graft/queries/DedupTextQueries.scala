@@ -28,14 +28,7 @@ object DedupTextQueries {
   private val P = 16 // minhash permutations
   private val Bands = 4 // LSH bands (rows per band = P / Bands = 4)
 
-  /** Whitespace tokens with empties dropped — Spark `split` keeps trailing
-    * empty strings while DuckDB's `string_split_regex` may not; filtering
-    * makes both sides identical.
-    */
-  private def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), x => length(x) > 0)
-
-  private val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+  // tokenization: the shared contract in graft.queries.{tokens, tokensSql}
 
   /** 3-word shingles (0-based in Spark, 1-based in DuckDB — same output). */
   private val shinglesExpr =

@@ -49,4 +49,20 @@ package object queries {
 
   /** Exact money arithmetic: see package doc. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** THE tokenization contract, shared by every token-consuming query
+    * (dedup, quality, packing): whitespace split with empties dropped.
+    * Spark `split` keeps trailing empty strings while DuckDB's
+    * `string_split_regex` may not; the filter makes both sides identical.
+    * One definition — a tweak here changes every consumer in lockstep,
+    * never one module silently drifting from another.
+    */
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.split(c, "\\s+"),
+      x => org.apache.spark.sql.functions.length(x) > org.apache.spark.sql.functions.lit(0))
+
+  /** DuckDB mirror of [[tokens]] over the `text` column. */
+  val tokensSql: String =
+    "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
 }

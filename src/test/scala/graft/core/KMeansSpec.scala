@@ -20,6 +20,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("DISTRIBUTED fit (forced past the local shortcut) is also " +
+    "bit-deterministic across layouts, and within an ulp of local fit") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = KMeans.fit(emb.repartition(3), "embedding", "vec_id", 8, 3,
+      localThreshold = 0)
+    val b = KMeans.fit(emb.repartition(13), "embedding", "vec_id", 8, 3,
+      localThreshold = 0)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // the local path sums doubles in fixed order vs the distributed
+    // path's exact decimals: same algorithm, ulp-level agreement
+    val local = KMeans.fit(emb, "embedding", "vec_id", 8, 3)
+    a.zip(local).foreach { case (da, dl) =>
+      da.zip(dl).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+          s"distributed $x vs local $y")
+      }
+    }
+  }
+
   test("Lloyd iterations do not increase within-cluster SSE") {
     val emb = Tables.embeddings(spark, sf)
     def sse(cents: Array[Array[Double]]): Double = {

@@ -74,6 +74,30 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(got == Seq(3L, 5L))
   }
 
+  test("NaN and -0.0 scores rank exactly like the row_number window " +
+    "(Spark total order: NaN greatest, -0.0 == 0.0)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val data = Seq(
+      ("g", 1L, 0.9), ("g", 2L, Double.NaN), ("g", 3L, 1.5),
+      ("g", 4L, Double.NaN), ("g", 5L, -0.0), ("g", 6L, 0.0),
+      ("g", 7L, 0.2)).toDF("g", "id", "score").repartition(5)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = data.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4).orderBy("rank")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val viaNative = data.groupBy("g")
+      .agg(TopKAggregate.topK(col("id"), col("score"), 4).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    val viaTyped = {
+      val topk = udaf(new TopKAggregator(4))
+      data.groupBy("g").agg(topk(col("id"), col("score")).as("top"))
+        .head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    }
+    assert(viaNative == viaWindow)
+    assert(viaTyped == viaWindow)
+  }
+
   test("native TopKAggregate matches the typed Aggregator on every group " +
     "(ties, nulls, sub-k groups, many partitions exercising merge)") {
     import spark.implicits._
