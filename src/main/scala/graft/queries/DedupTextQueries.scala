@@ -668,16 +668,11 @@ object DedupTextQueries {
     * dedup actually ships — keeps exactly one representative (the min
     * doc_id) per component.
     *
-    * Components via iterative min-label propagation to a FIXPOINT: each
-    * round every doc takes the min of its own label and its neighbors'
-    * labels (one join + one groupBy per round — the standard Spark CC
-    * shape); rounds until no label changes, checked with a cheap
-    * aggregate. Near-dup components have tiny diameter (dups of one
-    * source collide pairwise), so rounds ≈ 2-3; at extreme diameters the
-    * large-star/small-star variant halves round count, trading code for
-    * an adversarial case dedup graphs don't hit. Deterministic: labels
-    * are ids, min is order-free. The oracle walks the same edges with a
-    * recursive CTE (min reachable id = same fixpoint).
+    * Components via [[graft.operators.ConnectedComponents]]: driver-side
+    * union-find while the (bounded, dup-proportional) edge set fits,
+    * iterative min-label propagation past the threshold — both reach the
+    * same min-reachable-id fixpoint, deterministically. The oracle walks
+    * the same edges with a recursive CTE (identical fixpoint).
     */
   val q59DupClusters: Q = (s, d) => {
     val exactEdges = documents(s, d)
@@ -689,33 +684,16 @@ object DedupTextQueries {
     val nearEdges = lshPairs(minhashSignature(shingleRows(s, d)))
       .filter(col("n_shared_bands") >= 2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = graft.core.CacheScope.track(
-      exactEdges.union(nearEdges)
-        .select(col("src"), col("dst"))
-        .union(exactEdges.union(nearEdges)
-          .select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-    var labels = graft.core.CacheScope.track(
-      documents(s, d).select(col("doc_id"), col("doc_id").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels,
-          edges("src") === labels("doc_id"))
-        .select(edges("dst").as("doc_id"), col("cluster"))
-      val next = graft.core.CacheScope.track(
-        labels.union(prop)
-          .groupBy("doc_id")
-          .agg(min(col("cluster")).as("cluster"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels.unpersist(blocking = false)
-      labels = next
-    }
-    labels
+    // Components via graft.operators.ConnectedComponents over the
+    // EDGE-TOUCHED subgraph only: duplicates are a small fraction of any
+    // real corpus, so the component computation touches |dup docs| rows,
+    // never the corpus — untouched docs are trivially their own
+    // singleton cluster and join back ONCE at the end.
+    val labels = graft.operators.ConnectedComponents.labels(s,
+      exactEdges.union(nearEdges))
+    documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster")))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
