@@ -62,5 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_trigrams(text) - overlapping 3-character windows (code " +
           "points) in one pass (the language-ID primitive)"),
       arity("char_trigrams", 1)(es => graft.functions.CharTrigrams(es.head))))
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      info("top_k",
+        "top_k(id, score, k) - aggregate: the k (id, score) structs with " +
+          "the highest scores (ties to the smaller id), as a rank-ordered " +
+          "array; bounded buffer, k rows per group through the shuffle"),
+      arity("top_k", 3)(es => {
+        val k = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k's k must be an integer literal, got $other")
+        }
+        graft.functions.TopKAggregate(es.head, es(1), k).toAggregateExpression()
+      })))
   }
 }

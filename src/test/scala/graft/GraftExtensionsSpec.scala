@@ -40,6 +40,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head.getDouble(0) === 11.0)
       assert(s.sql("SELECT word_shingles('a b c d')").head.getSeq[String](0)
         === Seq("a b c", "b c d"))
+      // the top_k AGGREGATE works from bare SQL, GROUP BY included
+      val topk = s.sql(
+        """SELECT g, top_k(id, score, 2) AS top FROM VALUES
+          |  ('a', 1L, 0.5D), ('a', 2L, 0.9D), ('a', 3L, 0.7D),
+          |  ('b', 4L, 0.1D) AS t(g, id, score)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(topk.map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toSeq
+        === Seq("a" -> Seq(2L, 3L), "b" -> Seq(4L)))
       // wrong arity fails with a readable message, not an index error
       val err = intercept[Exception](s.sql("SELECT cosine_sim(array(1.0D))"))
       assert(err.getMessage.contains("cosine_sim expects exactly 2"),
