@@ -106,13 +106,71 @@ object CorpusStatsQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS bin
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q63 — token-rarity scoring: join CORPUS-LEVEL vocabulary statistics
+    * (per-token document frequency) back onto every document and score
+    * it by the mean document frequency of its token occurrences — the
+    * IDF-flavored commonness signal quality pipelines use to flag
+    * gibberish/foreign/boilerplate docs whose vocabulary doesn't match
+    * the corpus. Docs below `RareDocMeanDf` (or token-less) are flagged.
+    *
+    * Shape: one distinct + one groupBy build the (token, doc_freq)
+    * vocabulary — output bounded by vocabulary size, not corpus size —
+    * then one join sends df values back to token occurrences (AQE
+    * broadcasts the vocab side when it fits; at web scale it shuffles on
+    * the token, which is exactly the vocabulary skew the BucketPairs-
+    * style cap does NOT need: df rows are unique per token) and one
+    * per-doc aggregate. The mean is an exact integer sum divided once —
+    * bit-identical across engines (the only-one-division rule).
+    */
+  private val RareDocFrac = 0.777
+
+  val q63TokenRarity: Q = (s, d) => {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val docFreq = tok.distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tok.join(docFreq, Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("df")).as("mean_df"))
+    val total = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("mean_df"), lit(0.0)).as("mean_df"),
+        (coalesce(col("mean_df"), lit(0.0)) <
+          lit(RareDocFrac) * col("n_docs")).as("is_rare"))
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+       |df AS (
+       |  SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok)
+       |  GROUP BY t),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, AVG(df) AS mean_df
+       |  FROM tok JOIN df USING (t) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_tokens, 0) AS n_tokens,
+       |  COALESCE(s.mean_df, 0.0) AS mean_df,
+       |  COALESCE(s.mean_df, 0.0) <
+       |    $RareDocFrac * (SELECT COUNT(*) FROM documents) AS is_rare
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_length_quantiles" -> q61LengthQuantiles,
-    "q62_token_packing" -> q62TokenPacking
+    "q62_token_packing" -> q62TokenPacking,
+    "q63_token_rarity" -> q63TokenRarity
   )
 
   val oracle: Map[String, String] = Map(
     "q61_length_quantiles" -> q61Sql,
-    "q62_token_packing" -> q62Sql
+    "q62_token_packing" -> q62Sql,
+    "q63_token_rarity" -> q63Sql
   )
 }
