@@ -37,21 +37,41 @@ object CacheScope {
     ds
   }
 
+  private val cleanups = new ThreadLocal[ArrayBuffer[() => Unit]]
+
+  /** Register an arbitrary cleanup with the innermost scope — for
+    * resources `Dataset.unpersist` can't reach (e.g. the RDD blocks
+    * behind a `localCheckpoint`, see ConnectedComponents). No-op without
+    * an active scope.
+    */
+  def defer(cleanup: () => Unit): Unit = {
+    val buf = cleanups.get()
+    if (buf != null) buf += cleanup
+  }
+
   /** Run `body` (construct a query AND run its action), then unpersist
-    * every frame tracked inside — targeted cleanup, non-blocking, other
-    * session caches untouched. Scopes nest; each unpersists only its own.
+    * every frame tracked inside and run every deferred cleanup —
+    * targeted, non-blocking, other session caches untouched. Scopes
+    * nest; each releases only its own.
     */
   def withScope[A](body: => A): A = {
-    val prev = scopes.get()
-    val buf = new ArrayBuffer[Dataset[_]]
-    scopes.set(buf)
+    val prevT = scopes.get()
+    val prevC = cleanups.get()
+    val bufT = new ArrayBuffer[Dataset[_]]
+    val bufC = new ArrayBuffer[() => Unit]
+    scopes.set(bufT)
+    cleanups.set(bufC)
     try body
     finally {
-      buf.foreach { ds =>
+      bufT.foreach { ds =>
         try ds.unpersist(blocking = false)
         catch { case _: Throwable => () }
       }
-      scopes.set(prev)
+      bufC.foreach { c =>
+        try c() catch { case _: Throwable => () }
+      }
+      scopes.set(prevT)
+      cleanups.set(prevC)
     }
   }
 }

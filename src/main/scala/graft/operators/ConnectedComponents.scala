@@ -30,16 +30,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** Symmetric edge rows at or below this collect to the driver: 2²⁰
-    * (Long, Long) pairs ≈ 16 MB — bounded, far below any sane driver
-    * heap, far above any duplicate graph a 100 TB corpus should produce
-    * relative to its size. Above it, the distributed loop engages.
+  /** Symmetric edge rows at or below this collect to the driver. The
+    * honest transient footprint at the cap is Row objects + a
+    * boxed-Long union-find map + the collected array — ~100-200 bytes
+    * per edge, so 2¹⁸ edges ≈ 30-50 MB transient (NOT the 4 MB the raw
+    * longs suggest); kept an order of magnitude under typical driver
+    * headroom. Duplicate graphs are edge-proportional to duplicates,
+    * so this covers any test-scale corpus; past it, the distributed
+    * loop engages.
     */
-  val LocalEdgeThreshold: Long = 1L << 20
+  val LocalEdgeThreshold: Long = 1L << 18
 
   /** Min-reachable-id label for every node appearing in `edges`
     * (columns `src`, `dst`; direction irrelevant — symmetrized here).
-    * Returns (doc_id, cluster), persisted and CacheScope-tracked.
+    * Returns (doc_id, cluster). The local path returns a small driver-
+    * built frame (nothing to release); the iterative path returns a
+    * `localCheckpoint`-backed frame whose RDD blocks are released by
+    * the enclosing [[graft.core.CacheScope]] scope (or by the
+    * ContextCleaner on dereference outside one).
     */
   def labels(spark: SparkSession, edges: DataFrame,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
@@ -80,6 +88,20 @@ object ConnectedComponents {
     rows.toDF("doc_id", "cluster")
   }
 
+  /** Eager localCheckpoint + a handle to release its RDD blocks (which
+    * `Dataset.unpersist` cannot reach — the cache lives on the RDD, not
+    * in the plan-keyed CacheManager).
+    */
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+    val c = df.localCheckpoint(true)
+    val release: () => Unit = c.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        () => { l.rdd.unpersist(blocking = false); () }
+      case _ => () => ()
+    }
+    (c, release)
+  }
+
   private def iterativeLabels(sym: DataFrame): DataFrame = {
     // Each round MUST truncate lineage (eager localCheckpoint): `next`
     // references `labels` twice (union + propagation join), so a
@@ -87,24 +109,27 @@ object ConnectedComponents {
     // exponential tree growth that OOMs the driver near round ~30 (the
     // classic iterative-lineage trap; a production deployment would use
     // reliable checkpointing to survive executor loss, same idea).
-    // Checkpointed RDD blocks are dereferenced on rotation and reclaimed
-    // by the ContextCleaner.
-    var labels = sym.select(col("src").as("doc_id"))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint(true)
+    // Rotated rounds release their RDD blocks immediately; the FINAL
+    // frame's release is deferred to the caller's CacheScope.
+    var (labels, release) = checkpointed(
+      sym.select(col("src").as("doc_id"))
+        .distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster")))
     var changed = 1L
     while (changed > 0) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
         .select(sym("dst").as("doc_id"), col("cluster"))
-      val next = labels.union(prop)
-        .groupBy("doc_id")
-        .agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+      val (next, nextRelease) = checkpointed(
+        labels.union(prop)
+          .groupBy("doc_id")
+          .agg(min(col("cluster")).as("cluster")))
       changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster") =!= col("o.cluster")).count()
+      release()
       labels = next
+      release = nextRelease
     }
+    graft.core.CacheScope.defer(release)
     labels
   }
 }

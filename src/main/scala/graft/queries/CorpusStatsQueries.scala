@@ -111,9 +111,20 @@ object CorpusStatsQueries {
     * it by the mean document frequency of its token occurrences — the
     * IDF-flavored commonness signal quality pipelines use to flag
     * gibberish/foreign/boilerplate docs whose vocabulary doesn't match
-    * the corpus. Docs below `RareDocMeanDf` (or token-less) are flagged.
+    * the corpus. Docs whose mean df falls below `RareDocPerMille`/1000
+    * of the corpus document count (or token-less docs) are flagged — a
+    * fraction, so the knob is corpus-size independent (set near this
+    * corpus's median so BOTH flag branches stay exercised by the
+    * oracle). The comparison is `mean_df * 1000 < perMille * n_docs`:
+    * integer-literal arithmetic only, because a fractional literal
+    * types as exact DECIMAL in DuckDB but as a rounded double in Spark,
+    * and the two thresholds then differ by an ulp for many corpus
+    * sizes — a latent hash FAIL on boundary-valued docs.
     *
-    * Shape: one distinct + one groupBy build the (token, doc_freq)
+    * Shape: the per-doc token ARRAY frame is computed once, persisted
+    * (tracked) and exploded by both consumers — tokenizing is the
+    * dominant cost and must not run per consumer (the q56/q57 shared-
+    * frame convention). One distinct + one groupBy build the (token, doc_freq)
     * vocabulary — output bounded by vocabulary size, not corpus size —
     * then one join sends df values back to token occurrences (AQE
     * broadcasts the vocab side when it fits; at web scale it shuffles on
@@ -122,11 +133,17 @@ object CorpusStatsQueries {
     * per-doc aggregate. The mean is an exact integer sum divided once —
     * bit-identical across engines (the only-one-division rule).
     */
-  private val RareDocFrac = 0.777
+  private val RareDocPerMille = 777L
 
   val q63TokenRarity: Q = (s, d) => {
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    // single-file parquet -> one input partition; fan out before the
+    // regex-heavy tokenize (same rationale as DedupTextQueries)
+    val docToks = graft.core.CacheScope.track(
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tok = docToks.select(col("doc_id"), explode(col("w")).as("t"))
     val docFreq = tok.distinct()
       .groupBy("t").agg(count(lit(1)).as("df"))
     val scored = tok.join(docFreq, Seq("t"))
@@ -140,8 +157,8 @@ object CorpusStatsQueries {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("mean_df"), lit(0.0)).as("mean_df"),
-        (coalesce(col("mean_df"), lit(0.0)) <
-          lit(RareDocFrac) * col("n_docs")).as("is_rare"))
+        (coalesce(col("mean_df"), lit(0.0)) * lit(1000L) <
+          lit(RareDocPerMille) * col("n_docs")).as("is_rare"))
       .orderBy("doc_id")
   }
 
@@ -157,8 +174,8 @@ object CorpusStatsQueries {
        |SELECT d.doc_id,
        |  COALESCE(s.n_tokens, 0) AS n_tokens,
        |  COALESCE(s.mean_df, 0.0) AS mean_df,
-       |  COALESCE(s.mean_df, 0.0) <
-       |    $RareDocFrac * (SELECT COUNT(*) FROM documents) AS is_rare
+       |  COALESCE(s.mean_df, 0.0) * 1000 <
+       |    $RareDocPerMille * (SELECT COUNT(*) FROM documents) AS is_rare
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 

@@ -142,22 +142,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q61 quantiles aggregate the histogram BEFORE any window: the " +
-    "corpus is never sorted, only (lang, n_chars) groups") {
+  test("q61 quantiles aggregate the histogram BEFORE any window: " +
+    "exactly the window sort + final ORDER BY, no corpus-wide sort") {
     val p = physical(CorpusStatsQueries.q61LengthQuantiles(spark, sf))
     assert(p.contains("partial_count"), p.take(4000))
-    // the window's sort runs over the aggregated histogram, downstream
-    // of the hash aggregate — assert the aggregate exists at all and the
-    // plan has no corpus-wide global sort besides the final ORDER BY
-    assert(p.contains("HashAggregate"), p.take(4000))
+    // a regression that sorts the corpus pre-aggregation (the classic
+    // quantile trap) adds a third Sort / fourth Exchange
+    assert(p.split("Sort ").length - 1 <= 2, p.take(4000))
+    assert(p.split("Exchange").length - 1 <= 3, p.take(4000))
   }
 
-  test("q63 vocabulary join: doc-frequency side broadcasts at runtime " +
-    "(bounded by vocab, not corpus)") {
-    val df = CorpusStatsQueries.q63TokenRarity(spark, sf)
-    df.collect() // let AQE pick the strategy from real sizes
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  test("q63 joins are all broadcast at this scale — a vocabulary join " +
+    "regressing to sort-merge would be the corpus-sized-shuffle trap") {
+    graft.core.CacheScope.withScope {
+      val df = CorpusStatsQueries.q63TokenRarity(spark, sf)
+      df.collect() // let AQE pick strategies from real sizes
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(4000))
+      assert(!p.contains("SortMergeJoin"), p.take(4000))
+    }
   }
 
   test("column pruning: q16 scans only the columns it projects") {

@@ -60,6 +60,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(run(edges, threshold = 0) == truth)
   }
 
+  test("iterative path releases its checkpointed label RDDs with the " +
+    "enclosing scope (no orphaned storage across runs)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.core.CacheScope.withScope {
+      val df = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      ConnectedComponents.labels(spark, df, localThreshold = 0).collect()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("self-contained pairs and isolated stars keep distinct components") {
     val edges = Seq((10L, 11L), (20L, 21L), (21L, 22L), (30L, 31L))
     val got = run(edges, threshold = Long.MaxValue)
