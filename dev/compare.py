@@ -20,12 +20,22 @@ def norm(v):
         return v
     return v
 
+# The driver's hash round-trips both sides through arrow/pandas, where
+# int32/int64 unify (CORRECTNESS_r03: q03/q35/q36/q37/q43/q47 hash-pass
+# with Spark INTEGER vs DuckDB BIGINT) but HUGEINT becomes decimal128 and
+# FAILS (q61/q62). Normalize integer widths; keep everything else strict.
+INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+def norm_type(t):
+    return "BIGINT" if t in INT_WIDTHS else t
+
 def rows_of(rel):
     cols = rel.columns
+    types = [norm_type(str(t)) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = rel.fetchall()
     rows = [tuple(r[i] for i in order) for r in data]
-    return [cols[i] for i in order], rows
+    return [cols[i] for i in order], [types[i] for i in order], rows
 
 def cmp_val(a, b):
     if a is None or b is None:
@@ -54,20 +64,29 @@ def main():
         if only and name not in only:
             continue
         try:
-            scols, srows = rows_of(con.sql(
+            scols, stypes, srows = rows_of(con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         except Exception as e:
             print(f"FAIL {name}: spark dump unreadable: {e}")
             n_fail += 1
             continue
         try:
-            ocols, orows = rows_of(con.sql(sql))
+            ocols, otypes, orows = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-sensitive (e.g. DuckDB widens SUM to
+        # HUGEINT, which hashes differently from Spark's BIGINT even when
+        # every value is equal) — so the dev gate must diff types too.
+        if stypes != otypes:
+            diffs = [f"{c}: spark={s} oracle={o}"
+                     for c, s, o in zip(scols, stypes, otypes) if s != o]
+            print(f"FAIL {name}: result types differ — {'; '.join(diffs)}")
             n_fail += 1
             continue
         if len(srows) != len(orows):

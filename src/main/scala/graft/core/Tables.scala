@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, lower, md5}
 
 /** Loaders for the driver-provided test tables (TESTDATA.md).
   *
@@ -36,4 +36,38 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Ingest-time bucketed layout: write `df` into the session catalog
+    * bucketed AND sorted by `keys`. Any later join, window or aggregation
+    * keyed on `keys` then plans WITHOUT its exchange (bucket layout
+    * satisfies the required hash distribution; `sortBy` the required
+    * ordering) — the one shuffle is paid once at write time instead of
+    * once per query. At 100 TB that is the difference between an ingest
+    * cost and a per-run corpus shuffle: q02's fact-fact join and q30's
+    * fingerprint dedup both run exchange-free over tables written here
+    * (proved executable in BucketingSpec; plan in PLANS.md §"bucketed
+    * layout"). Choose `numBuckets` so corpus/numBuckets rows fit one
+    * task's memory — buckets are the parallelism floor for bucket-local
+    * stages.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
+      keys: String*): Unit = {
+    require(keys.nonEmpty, "bucketed layout needs at least one key")
+    df.write
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
+  /** The q30 ingest layout: documents with the exact-dedup fingerprint
+    * (md5 of lowercased text — q30's definition) materialized once and
+    * bucketed on it, so every subsequent exact-dedup pass
+    * ([[graft.queries.DedupTextQueries.dedupBucketed]]) is shuffle-free.
+    */
+  def writeFingerprintedDocuments(s: SparkSession, d: String,
+      tableName: String, numBuckets: Int = 8): Unit =
+    writeBucketed(
+      documents(s, d).withColumn("fp", md5(lower(col("text")))),
+      tableName, numBuckets, "fp")
 }

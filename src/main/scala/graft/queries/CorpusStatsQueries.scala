@@ -69,7 +69,7 @@ object CorpusStatsQueries {
       |  MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN n_chars END) AS p50,
       |  MIN(CASE WHEN cum >= (total * 90 + 99) // 100 THEN n_chars END) AS p90,
       |  MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN n_chars END) AS p99,
-      |  MAX(total) AS n_docs
+      |  CAST(MAX(total) AS BIGINT) AS n_docs
       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
 
   private val PackBudget = 4096L
@@ -102,8 +102,9 @@ object CorpusStatsQueries {
        |    len($tokensSql) AS n_tokens
        |  FROM documents)
        |SELECT doc_id, lang, shard, n_tokens,
-       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS bin
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget
+       |    AS BIGINT) AS bin
        |FROM t ORDER BY doc_id""".stripMargin
 
   /** q63 — token-rarity scoring: join CORPUS-LEVEL vocabulary statistics
@@ -124,7 +125,25 @@ object CorpusStatsQueries {
     * Shape: the per-doc token ARRAY frame is computed once, persisted
     * (tracked) and exploded by both consumers — tokenizing is the
     * dominant cost and must not run per consumer (the q56/q57 shared-
-    * frame convention). One distinct + one groupBy build the (token, doc_freq)
+    * frame convention).
+    *
+    * THE CACHE IS CORPUS-SIZED — a deliberate space-time trade, stated
+    * explicitly (the q45 rewrite's standard): MEMORY_AND_DISK spills
+    * rather than OOMs, but at 100 TB it is a second on-disk copy of the
+    * corpus (~1× input bytes; token arrays ≈ the text they came from).
+    * It wins while (cache write + 2 reads) < 2× tokenize+scan — true
+    * here and for any regex-heavy tokenizer (tokenize dominates the scan
+    * several-fold). Recompute-per-consumer wins instead when executor
+    * storage is the scarce resource — i.e. when local disk cannot hold a
+    * second corpus copy alongside shuffle space — or when the tokenizer
+    * is cheap enough (a plain split) to approach scan cost. Callers at
+    * that scale pass `cacheTokens = false` below: both consumers then
+    * re-tokenize from the columnar scan, trading ~1 extra tokenize pass
+    * for zero storage footprint. The default stays `true` — correct for
+    * every SF this library is benched at and for clusters provisioned
+    * with disk ≥ 2× corpus.
+    *
+    * One distinct + one groupBy build the (token, doc_freq)
     * vocabulary — output bounded by vocabulary size, not corpus size —
     * then one join sends df values back to token occurrences (AQE
     * broadcasts the vocab side when it fits; at web scale it shuffles on
@@ -135,14 +154,23 @@ object CorpusStatsQueries {
     */
   private val RareDocPerMille = 777L
 
-  val q63TokenRarity: Q = (s, d) => {
+  val q63TokenRarity: Q = (s, d) => tokenRarity(s, d)
+
+  /** q63 engine; `cacheTokens = false` is the storage-scarce 100 TB mode
+    * (see the trade-off note above): both consumers re-tokenize from the
+    * scan instead of reading a corpus-sized cache.
+    */
+  def tokenRarity(s: org.apache.spark.sql.SparkSession, d: String,
+      cacheTokens: Boolean = true): org.apache.spark.sql.DataFrame = {
     // single-file parquet -> one input partition; fan out before the
     // regex-heavy tokenize (same rationale as DedupTextQueries)
-    val docToks = graft.core.CacheScope.track(
-      documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val base = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val docToks =
+      if (cacheTokens) graft.core.CacheScope.track(
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else base
     val tok = docToks.select(col("doc_id"), explode(col("w")).as("t"))
     val docFreq = tok.distinct()
       .groupBy("t").agg(count(lit(1)).as("df"))

@@ -79,6 +79,20 @@ object DedupTextQueries {
       | doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q30's dedup over a fingerprint-bucketed layout
+    * ([[graft.core.Tables.writeFingerprintedDocuments]]): identical rows,
+    * ZERO exchanges — the bucket layout satisfies the window's hash
+    * distribution and the write-time `sortBy` its ordering, so the 100 TB
+    * dedup pass is a pure map-side scan. BucketingSpec proves both the
+    * plan shape and row-equality with [[q30DedupExact]].
+    */
+  def dedupBucketed(s: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame =
+    s.table(tableName)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy("fp")).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+
   /** The documents table arrives as one small parquet file → one input
     * partition, which would serialize all per-row CPU (tokenize + shingle
     * lambdas) on a single core. Repartition to the session's parallelism
@@ -175,21 +189,27 @@ object DedupTextQueries {
     * buckets beyond BucketPairs.DefaultCap are dropped (skew guard; see
     * BucketPairs + BucketPairsSpec's adversarial corpus).
     */
-  private def lshPairs(sig: DataFrame): DataFrame = {
+  /** `(doc_id, band, bkey)` LSH band keys from a signature frame — the
+    * "signature store" schema an ingest pipeline persists (4 small rows
+    * per doc, ~100× smaller than the corpus text).
+    */
+  private def bandFrame(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val keyCols = (0 until P / Bands).map(j =>
         col(f"mh${b * (P / Bands) + j}%02d").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", keyCols: _*)).as("bkey"))
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+  }
+
+  private def lshPairs(sig: DataFrame): DataFrame =
     graft.operators.BucketPairs
-      .boundedPairs(bands, Seq(col("band"), col("bkey")), col("doc_id"))
+      .boundedPairs(bandFrame(sig), Seq(col("band"), col("bkey")), col("doc_id"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
 
   val q32MinhashPairs: Q = (s, d) =>
     lshPairs(minhashSignature(shingleRows(s, d)))
@@ -210,6 +230,76 @@ object DedupTextQueries {
        |FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q64 — INCREMENTAL near-dup admission: dedupe an incoming delta shard
+    * (here `doc_id % 10 = 0` — in production, today's crawl) against the
+    * existing corpus without ever shuffling the corpus text. This is the
+    * op an ingest pipeline actually runs daily; the batch all-pairs pass
+    * (q32) is the backfill shape.
+    *
+    * Scale contract: the corpus's LSH band keys are a precomputed
+    * SIGNATURE STORE (4 rows/doc of (band, 16-byte key) — ~100× smaller
+    * than the text, written once at ingest; modeled here by persisting
+    * the band frame, computed in ONE signature pass over the table). Per
+    * delta: the delta's band keys are BROADCAST into a map-side join
+    * against the signature store — the corpus side never shuffles; only
+    * matching (delta, corpus-doc) hits — duplicate-proportional, not
+    * corpus-proportional — reach the one tiny aggregation shuffle. The
+    * bucket-size cap is the same skew guard as q32 (a degenerate band
+    * key would otherwise fan out |corpus bucket|·|delta bucket|),
+    * windowed over the signature store, and the oracle mirrors it.
+    *
+    * Output per delta doc: is it (near-)admissible, how many corpus
+    * candidates collided, and the smallest colliding corpus doc id.
+    */
+  val q64IncrementalNeardup: Q = (s, d) => {
+    val isDelta = col("doc_id") % 10 === 0
+    val sized = graft.core.CacheScope.track(
+      bandFrame(minhashSignature(shingleRows(s, d)))
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("bsz") <= graft.operators.BucketPairs.DefaultCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hits = sized.filter(!isDelta)
+      .join(broadcast(sized.filter(isDelta)
+          .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))),
+        Seq("band", "bkey"))
+      .groupBy("delta_id")
+      .agg(countDistinct(col("doc_id")).as("n_candidates"),
+        min(col("doc_id")).as("dup_of"))
+    documents(s, d).filter(isDelta).select(col("doc_id"))
+      .join(hits.withColumnRenamed("delta_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val q64Sql: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
+      s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH $shingleRowsSql,
+       |$sigSelectSql,
+       |bands AS (
+       | $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+       |ok AS (SELECT * FROM sized WHERE bsz <= ${graft.operators.BucketPairs.DefaultCap}),
+       |hits AS (
+       | SELECT dl.doc_id AS delta_id,
+       |   COUNT(DISTINCT c.doc_id) AS n_candidates, MIN(c.doc_id) AS dup_of
+       | FROM ok dl JOIN ok c ON dl.band = c.band AND dl.bkey = c.bkey
+       | WHERE dl.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       | GROUP BY 1)
+       |SELECT d.doc_id, h.dup_of IS NOT NULL AS is_dup,
+       |  COALESCE(h.n_candidates, 0) AS n_candidates, h.dup_of
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.delta_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private val SimhashBits = 32
@@ -979,6 +1069,7 @@ object DedupTextQueries {
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
+    "q64_incremental_neardup" -> q64IncrementalNeardup,
     "q33_simhash" -> q33Simhash,
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_text_stats" -> q35TextStats,
@@ -1001,6 +1092,7 @@ object DedupTextQueries {
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
+    "q64_incremental_neardup" -> q64Sql,
     "q33_simhash" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_text_stats" -> q35Sql,

@@ -208,27 +208,63 @@ object SimilarityQueries {
       queryId: Long, k: Int = 10, kCells: Int = 16, iters: Int = 3,
       nprobe: Int = 4, sampleFactor: Int = 256)
       : org.apache.spark.sql.DataFrame = {
-    // Training sample: md5-uniform threshold at rate n_sample/n — a pure
-    // MAP-SIDE filter (the q49/q54 construction, salt "ivf:"). A
-    // TakeOrdered of the n_sample smallest hashes would be equivalent
-    // statistically but funnels n_sample·partitions rows through a
-    // driver merge — at 1000 executors that's millions of vectors on the
-    // driver; the threshold form ships nothing and stays retry-stable.
-    // Normalization (array HOFs, fine at sample size) happens on sample
-    // rows only. Persisted because init + every Lloyd iteration re-reads
-    // it; tracked with CacheScope so the caller's scope frees it.
+    // Training sample: md5-uniform threshold — a pure MAP-SIDE filter
+    // (the q49/q54 construction, salt "ivf:"). A TakeOrdered of the
+    // n_sample smallest hashes would be equivalent statistically but
+    // funnels n_sample·partitions rows through a driver merge — at 1000
+    // executors that's millions of vectors on the driver; the threshold
+    // form ships nothing and stays retry-stable.
+    //
+    // The threshold rate needs the corpus row count, but a dedicated
+    // `emb.count()` would be a THIRD corpus pass next to the sample scan
+    // and the probe pass. Instead: (a) lower-bound the row count from the
+    // optimizer's sizeInBytes statistic with a deliberately generous
+    // bytes-per-row UPPER bound (4 KiB vs the ~300 B an embedding row
+    // actually takes), giving an oversample rate a small constant factor
+    // above the ideal; (b) run the sample scan ONCE with the exact
+    // count(*) riding along as an `observe` metric (zero extra pass);
+    // (c) trim the cached oversample — bounded by ~(4096/300)·n_sample
+    // rows — to the n_sample smallest hashes, a deterministic,
+    // partition-independent set. If the byte estimate ever UNDERsamples
+    // (rows wider than 4 KiB, or missing stats), the observed exact
+    // count rebuilds the sample at the exact rate — one extra pass paid
+    // only in that rare case, never at steady state.
     val nSample = kCells.toLong * sampleFactor
-    val frac = math.min(1.0, nSample.toDouble / math.max(emb.count(), 1L))
     val u = conv(substring(md5(concat(lit("ivf:"),
       col("vec_id").cast("string"))), 1, 15), 16, 10)
       .cast("long") / lit(1152921504606846976.0) // / 16^15: uniform [0,1)
-    val sample = graft.core.CacheScope.track(
-      emb.filter(u < frac)
-        .withColumn("l2n", sqrt(expr(
-          "aggregate(embedding, 0d, (a, x) -> a + cast(x as double) * cast(x as double))")))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
+    val nLowerBound =
+      (emb.queryExecution.optimizedPlan.stats.sizeInBytes / 4096)
+        .max(BigInt(1))
+    val fracUpper =
+      if (nLowerBound.isValidLong)
+        math.min(1.0, nSample.toDouble / nLowerBound.toLong)
+      else nSample.toDouble / nLowerBound.toDouble
+    val obs = new org.apache.spark.sql.Observation
+    val oversample = graft.core.CacheScope.track(
+      emb.observe(obs, count(lit(1)).as("n"))
+        .filter(u < fracUpper)
+        .select(col("vec_id"), col("embedding"), u.as("u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nOversample = oversample.count() // the ONE sampling pass
+    val nExact = obs.get("n").asInstanceOf[Long]
+    val candidates =
+      if (nOversample >= math.min(nSample, nExact)) oversample
+      else graft.core.CacheScope.track( // rare: estimate was too coarse
+        emb.filter(u < math.min(1.0,
+            nSample.toDouble / math.max(nExact, 1L)))
+          .select(col("vec_id"), col("embedding"), u.as("u"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Normalization (array HOFs, fine at sample size) happens on sample
+    // rows only; re-deriving sort+normalize from the small cached frame
+    // per Lloyd iteration costs ms and avoids a second tracked cache.
+    val sample = candidates
+      .orderBy(col("u"), col("vec_id"))
+      .limit(if (nSample < Int.MaxValue) nSample.toInt else Int.MaxValue)
+      .withColumn("l2n", sqrt(expr(
+        "aggregate(embedding, 0d, (a, x) -> a + cast(x as double) * cast(x as double))")))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
     val cents = graft.ml.KMeans.fit(sample, "nemb", "vec_id", kCells, iters)
     // Query vector: a parquet-pushdown point lookup (NOT a pass over a
     // cached corpus), normalized driver-side with the same arithmetic.

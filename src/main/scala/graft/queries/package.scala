@@ -37,6 +37,12 @@ import org.apache.spark.sql.types.DecimalType
   *  - Skew caps (BucketPairs) appear in the oracle as a windowed
   *    `COUNT(*) OVER (PARTITION BY bucket) <= cap` filter, keeping capped
   *    semantics bit-identical.
+  *  - DuckDB widens `SUM(BIGINT)` — including window SUM — to HUGEINT,
+  *    which Spark has no counterpart for; the driver's hash is
+  *    TYPE-sensitive even when every value fits in 64 bits (r3: q61
+  *    `n_docs`, q62 `bin`). Any oracle output column derived from a SUM
+  *    must be wrapped in `CAST(... AS BIGINT)`. dev/compare.py enforces
+  *    this by diffing DuckDB result types against the Spark dump's types.
   */
 package object queries {
   /** A named engine query: (session, sf-dir) => result. */

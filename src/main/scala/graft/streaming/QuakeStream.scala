@@ -68,4 +68,81 @@ object QuakeStream {
       }
       .trigger(trigger)
       .start()
+
+  /** [[submitEachSnapshot]] plus the sink's CUMULATIVE expiry contract
+    * (J2, task.ts:195-203 comment): a long-running CloudTAK consumer
+    * holds the set of currently-live feature ids across every snapshot it
+    * has seen; when a snapshot arrives, ids live-but-absent are expired —
+    * once, in exactly the batch where they first go missing. The batch
+    * API ([[QuakePipeline.expiredIds]]) compares two frames the caller
+    * holds; a streaming query must carry that "previous snapshot" itself,
+    * ACROSS micro-batches and across restarts — an in-memory `var` would
+    * silently forget the live set on every restart and never expire ids
+    * dropped while the query was down.
+    *
+    * State: the live-id set is written under
+    * `checkpointDir/expiry-state/<batchId>.ids` after each batch; a batch
+    * reads the newest state OLDER than itself, so a replayed batch (crash
+    * after state write, before checkpoint commit) recomputes the same
+    * expired set against the same baseline and overwrites its own state —
+    * idempotent. Set size is snapshot-sized (one API response, ~100
+    * features — task.ts:176), so driver-side text files are the honest
+    * scale match; an unbounded id universe would move this to the
+    * `flatMapGroupsWithState` machinery in [[EventStreaming.expireStale]].
+    *
+    * @param onExpired invoked once per batch with the ids this snapshot
+    *                  expired (empty on batch 0 and on no-change batches)
+    */
+  def submitWithExpiry(cot: DataFrame, url: String,
+      transport: graft.sources.HttpTransport, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      onExpired: (Long, Seq[String]) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stateDir = new java.io.File(checkpointDir, "expiry-state")
+    cot.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (fcJson, _) = QuakePipeline.snapshot(batch.toDF())
+        val current = batch.toDF().select("id")
+          .collect().map(_.getString(0)).toSet
+        val live = readLiveIds(stateDir, batchId)
+        val expired = (live -- current).toSeq.sorted
+        graft.sources.GeoNetHttp.submit(transport, url, fcJson)
+        onExpired(batchId, expired)
+        writeLiveIds(stateDir, batchId, current)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Live ids as of the newest committed batch strictly before `batchId`
+    * (empty on the very first batch).
+    */
+  private def readLiveIds(stateDir: java.io.File,
+      batchId: Long): Set[String] = {
+    val prior = Option(stateDir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.endsWith(".ids"))
+          n.stripSuffix(".ids").toLongOption.filter(_ < batchId).map(_ -> f)
+        else None
+      }
+    if (prior.isEmpty) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(prior.maxBy(_._1)._2, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+  }
+
+  private def writeLiveIds(stateDir: java.io.File, batchId: Long,
+      ids: Set[String]): Unit = {
+    stateDir.mkdirs()
+    val tmp = new java.io.File(stateDir, s"$batchId.tmp")
+    java.nio.file.Files.writeString(tmp.toPath,
+      ids.toSeq.sorted.mkString("\n"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(stateDir, s"$batchId.ids").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }

@@ -20,12 +20,10 @@ class BucketingSpec extends AnyFunSuite {
     // force the sort-merge path so the exchange (or its absence) is visible
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.lineitem(spark, sf).write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_bucketed")
-      Tables.orders(spark, sf).write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("orders_bucketed")
+      Tables.writeBucketed(Tables.lineitem(spark, sf),
+        "li_bucketed", 8, "l_orderkey")
+      Tables.writeBucketed(Tables.orders(spark, sf),
+        "orders_bucketed", 8, "o_orderkey")
 
       val joined = spark.table("li_bucketed")
         .join(spark.table("orders_bucketed"),
@@ -58,23 +56,14 @@ class BucketingSpec extends AnyFunSuite {
 
   test("exact dedup over a fingerprint-bucketed layout runs with ZERO " +
     "exchange (the 100 TB q30 story, executable)") {
-    // the ingest-time layout: fingerprint materialized once, documents
-    // bucketed+sorted by it — the one shuffle exact dedup needs is paid
-    // at write time, and every subsequent dedup pass is shuffle-free
+    // the ingest-time layout API: fingerprint materialized once,
+    // documents bucketed+sorted by it — the one shuffle exact dedup
+    // needs is paid at write time, and every subsequent dedup pass
+    // (DedupTextQueries.dedupBucketed) is shuffle-free
     try {
-      Tables.documents(spark, sf)
-        .withColumn("fp", md5(lower(col("text"))))
-        .write.bucketBy(8, "fp").sortBy("fp")
-        .mode("overwrite").saveAsTable("docs_bucketed")
-
-      // q30's shape (canonical = min doc_id per fingerprint window) on
-      // the bucketed table: the bucket layout satisfies the window's
-      // hash-distribution requirement, the sortBy its ordering
-      import org.apache.spark.sql.expressions.Window
-      val dedup = spark.table("docs_bucketed")
-        .select(col("doc_id"),
-          min(col("doc_id")).over(Window.partitionBy("fp")).as("canonical_id"))
-        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      Tables.writeFingerprintedDocuments(spark, sf, "docs_bucketed")
+      val dedup = graft.queries.DedupTextQueries
+        .dedupBucketed(spark, "docs_bucketed")
 
       val plan = dedup.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan.take(3000))

@@ -55,4 +55,58 @@ class QuakeStreamSpec extends AnyFunSuite {
     assert(seen.flatten.sorted == Seq("earthquake-2026p000002",
       "earthquake-2026p000005", "earthquake-2026p000099"))
   }
+
+  test("snapshot expiry is cumulative across micro-batches AND restarts: " +
+    "an id expires in the batch where it first goes missing (J2 streaming)") {
+    val dir = Files.createTempDirectory("quakes-exp").toFile
+    val checkpoint = Files.createTempDirectory("quakes-exp-ckpt").toFile
+    val transport = new graft.sources.FakeTransport(
+      _ => graft.sources.HttpResponse(200, "OK", ""))
+    val expiredByBatch = mutable.ListBuffer.empty[(Long, Seq[String])]
+
+    // every run is a FRESH AvailableNow invocation — the reference's cron
+    // schedule — so any in-memory "previous snapshot" is lost between
+    // snapshots and only the persisted expiry state can carry the live set
+    def runOnce(): Unit = {
+      val out = QuakeStream.cotStream(spark, dir.getAbsolutePath,
+        QuakeConfig(), FixtureNowMs)
+      val q = QuakeStream.submitWithExpiry(out, "https://sink.example/cot",
+        transport, checkpoint.getAbsolutePath,
+        onExpired = (b, ids) => expiredByBatch.synchronized {
+          expiredByBatch += ((b, ids))
+        })
+      q.awaitTermination(60000)
+    }
+
+    // batch 0: live {1,2,5} (post-filter), nothing to expire
+    Files.writeString(new java.io.File(dir, "s1.json").toPath, FixtureJson)
+    runOnce()
+    // batch 1 (restart): 1 replaced by 99 -> 1 expires HERE, despite the
+    // previous snapshot living only in persisted state
+    Files.writeString(new java.io.File(dir, "s2.json").toPath,
+      FixtureJson.replace("2026p000001", "2026p000099"))
+    runOnce()
+    // batch 2 (restart): 2 replaced by 98 -> exactly {2} expires (99 and 5
+    // still live; 1 does NOT re-expire)
+    Files.writeString(new java.io.File(dir, "s3.json").toPath,
+      FixtureJson.replace("2026p000001", "2026p000099")
+        .replace("2026p000002", "2026p000098"))
+    runOnce()
+    // batch 3 (restart): 5 — live since batch 0, never the "previous
+    // batch's delta" — goes missing and expires in THIS batch
+    Files.writeString(new java.io.File(dir, "s4.json").toPath,
+      FixtureJson.replace("2026p000001", "2026p000099")
+        .replace("2026p000002", "2026p000098")
+        .replace("2026p000005", "2026p000097"))
+    runOnce()
+
+    assert(expiredByBatch.toList == List(
+      0L -> Seq.empty,
+      1L -> Seq("earthquake-2026p000001"),
+      2L -> Seq("earthquake-2026p000002"),
+      3L -> Seq("earthquake-2026p000005")))
+    // the snapshot POST leg still fired once per batch
+    assert(transport.posts.size == 4)
+    assert(transport.posts.forall(_._1 == "https://sink.example/cot"))
+  }
 }
