@@ -26,6 +26,7 @@ object SparkEntry {
       EventQueries.queries ++
       DedupTextQueries.queries ++
       CorpusStatsQueries.queries ++
+      IngestQueries.queries ++
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
       QuakeQueries.queries
@@ -39,6 +40,7 @@ object SparkEntry {
       EventQueries.oracle ++
       DedupTextQueries.oracle ++
       CorpusStatsQueries.oracle ++
+      IngestQueries.oracle ++
       SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++
       QuakeQueries.oracle

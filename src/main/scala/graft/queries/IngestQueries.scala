@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+
+/** Corpus-release operators: the steps between a filtered corpus and a
+  * training run — mixture balancing across languages and the final
+  * cross-modal manifest a trainer consumes. (The incremental-ingest
+  * dedup leg is q64 in [[DedupTextQueries]], next to its LSH machinery.)
+  */
+object IngestQueries {
+
+  /** Largest language's keep rate; smaller languages keep proportionally
+    * more (up to everything), flattening the mixture toward α = 0.5.
+    */
+  private val BaseRate = 0.5
+
+  /** q65 — temperature-balanced language mixture (the XLM-R/mT5 α-style
+    * rebalancing): sampled counts target n_lang^α with α = 0.5, i.e.
+    * keep-rate(lang) = BaseRate · sqrt(n_max / n_lang), so low-resource
+    * languages are up-weighted relative to the head language. Selection
+    * is the md5-uniform threshold (q49/q54 construction, salt "mix:") —
+    * deterministic, retry-stable, and engine-portable.
+    *
+    * Scale shape: per-language counts are a tiny partial-agg'd aggregate
+    * (|langs| rows) broadcast back onto the corpus; the corpus itself is
+    * ONE scan with a map-side filter — no shuffle of any corpus-sized
+    * frame. Float parity: `BaseRate · sqrt(n_max / n_lang)` is one
+    * division, one sqrt (IEEE correctly-rounded on both engines), one
+    * multiply by an exactly-representable constant — bit-identical in
+    * DuckDB, so even boundary-valued documents hash-match.
+    */
+  val q65BalancedMixture: Q = (s, d) => {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nMax = counts.agg(max(col("n_lang")).as("n_max"))
+    val u = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0) // / 16^15: uniform [0,1)
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(nMax))
+      .filter(u < lit(BaseRate) *
+        sqrt(col("n_max").cast("double") / col("n_lang")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+       |mx AS (SELECT MAX(n_lang) AS n_max FROM n)
+       |SELECT doc_id, lang FROM (
+       | SELECT d.doc_id, d.lang,
+       |  ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |    / 1152921504606846976.0 AS u,
+       |  $BaseRate * sqrt(CAST(n_max AS DOUBLE) / n_lang) AS p
+       | FROM documents d JOIN n USING (lang) CROSS JOIN mx)
+       |WHERE u < p ORDER BY doc_id""".stripMargin
+
+  /** Minimum token count for a manifest row (exercises both branches on
+    * the test corpus: median ≈ 56 tokens, p10 ≈ 20).
+    */
+  private val MinTokens = 40L
+
+  /** q66 — training-example manifest assembly: the CROSS-MODAL equi-join
+    * that pairs each document with its embedding row (doc_id = vec_id)
+    * and emits the record a trainer consumes — language, embedding
+    * label, token budget, and the deterministic split (same "split:"
+    * hash as q49, so the manifest's split agrees with the split audit).
+    * Short documents are dropped at the manifest gate.
+    *
+    * Scale shape: a 1:1 equi-join of two corpus-sized tables — the one
+    * join class where ingest-time layout is the whole story. Written
+    * naively both sides shuffle; bucketed by id at ingest
+    * ([[graft.core.Tables.writeBucketed]] on `doc_id`/`vec_id`, same
+    * bucket count) it plans exchange-free exactly like BucketingSpec's
+    * fact-fact join. The tokenize+filter runs BEFORE the join, so the
+    * join's probe side is already manifest-sized.
+    */
+  val q66TrainingManifest: Q = (s, d) => {
+    val u = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0)
+    documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= MinTokens)
+      .withColumn("split",
+        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test"))
+      .join(embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("label")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        col("n_tokens"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, lang, len($tokensSql) AS n_tokens,
+       |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |    / 1152921504606846976.0 AS u
+       | FROM documents)
+       |SELECT t.doc_id, t.lang, e.label, t.n_tokens,
+       | CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM t JOIN embeddings e ON t.doc_id = e.vec_id
+       |WHERE t.n_tokens >= $MinTokens
+       |ORDER BY t.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q65_balanced_mixture" -> q65BalancedMixture,
+    "q66_training_manifest" -> q66TrainingManifest
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q65_balanced_mixture" -> q65Sql,
+    "q66_training_manifest" -> q66Sql
+  )
+}

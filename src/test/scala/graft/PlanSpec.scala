@@ -89,6 +89,63 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 construction runs no bare corpus pass: every un-cached " +
+    "parquet execution is cache population or the pushed-down point " +
+    "lookup (round-3 audit: dedicated count() was a third corpus scan)") {
+    val plans =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try graft.core.CacheScope.withScope {
+      SimilarityQueries.ivfKmeansTopK(spark, sf, queryId = 0L)
+      org.apache.spark.grafttest.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext)
+      // every construction-time action over the corpus must go through
+      // the cached sampling frame (InMemoryTableScan — the ONE sampling
+      // pass populates it) or be the query-vector point lookup
+      // (CollectLimit with the vec_id filter pushed to parquet). A bare
+      // `Scan parquet` aggregate — the removed dedicated count() — is a
+      // full extra corpus pass and fails here.
+      import scala.jdk.CollectionConverters._
+      val offenders = plans.asScala.filter(p =>
+        p.contains("Scan parquet") && !p.contains("InMemoryTableScan") &&
+          !p.contains("CollectLimit"))
+      assert(plans.size() > 0)
+      assert(offenders.isEmpty, offenders.headOption.getOrElse("").take(3000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("q64 incremental near-dup: ONE signature pass feeds both join " +
+    "sides (cached signature store) and the delta side is broadcast — " +
+    "the corpus text is never shuffled") {
+    graft.core.CacheScope.withScope {
+      val p = physical(DedupTextQueries.q64IncrementalNeardup(spark, sf))
+      // both the corpus side and the delta side of the hits join read the
+      // persisted band frame — the signature pipeline runs exactly once
+      assert(p.split("InMemoryTableScan").length - 1 >= 2, p.take(4000))
+      assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    }
+  }
+
+  test("q65 balanced mixture: corpus is one scan with broadcast-joined " +
+    "rates — every hash exchange is on the tiny per-lang count key, " +
+    "never a corpus-grain key") {
+    val p = physical(IngestQueries.q65BalancedMixture(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // the lang-count subtree is evaluated for the rate join and again for
+    // n_max — two exchanges, both carrying |langs| map-side partial rows
+    val hashExchanges = p.split("Exchange hashpartitioning").length - 1
+    val langExchanges = p.split("Exchange hashpartitioning\\(lang").length - 1
+    assert(hashExchanges == langExchanges, p.take(4000))
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))
