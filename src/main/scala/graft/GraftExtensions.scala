@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_trigrams(text) - overlapping 3-character windows (code " +
           "points) in one pass (the language-ID primitive)"),
       arity("char_trigrams", 1)(es => graft.functions.CharTrigrams(es.head))))
+    ext.injectFunction((FunctionIdentifier("minhash_band_keys"),
+      info("minhash_band_keys",
+        "minhash_band_keys(text) - the full MinHash+LSH banding of one " +
+          "document as an array of band-key hex strings (array position " +
+          "= band); bit-identical to the batch q31/q32 signature pipeline"),
+      arity("minhash_band_keys", 1)(es =>
+        graft.functions.MinHashBandKeys(es.head))))
     ext.injectFunction((FunctionIdentifier("top_k"),
       info("top_k",
         "top_k(id, score, k) - aggregate: the k (id, score) structs with " +

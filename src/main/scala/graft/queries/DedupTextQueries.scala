@@ -25,8 +25,11 @@ import graft.core.Tables._
   */
 object DedupTextQueries {
 
-  private val P = 16 // minhash permutations
-  private val Bands = 4 // LSH bands (rows per band = P / Bands = 4)
+  // MinHash/LSH constants: graft.functions.MinHashBandKeys is the
+  // definition (shared with the per-row streaming path; the
+  // MinHashBandKeysSpec parity test pins the two paths row-equal)
+  private val P = graft.functions.MinHashBandKeys.P
+  private val Bands = graft.functions.MinHashBandKeys.Bands
 
   // tokenization: the shared contract in graft.queries.{tokens, tokensSql}
 
@@ -42,9 +45,9 @@ object DedupTextQueries {
     * computations than seeded-md5-per-permutation, identical arithmetic
     * on both engines. p = 1e9+7 keeps aᵢ·h < 2⁶³ overflow-free.
     */
-  private val Mod = 1000000007L
-  private def hashA(i: Int): Long = (1103515245L * (i + 1)) % Mod
-  private def hashB(i: Int): Long = 12345L * (i + 1) + 1
+  private val Mod = graft.functions.MinHashBandKeys.Mod
+  private def hashA(i: Int): Long = graft.functions.MinHashBandKeys.hashA(i)
+  private def hashB(i: Int): Long = graft.functions.MinHashBandKeys.hashB(i)
 
   /** 60-bit base hash reduced mod p: first 15 hex digits of md5. */
   private def baseHash(c: Column): Column =
@@ -113,7 +116,7 @@ object DedupTextQueries {
     * (single pass, single static call inside whole-stage codegen —
     * fastest cold and warm).
     */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[graft] def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     parallelDocs(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(graft.functions.WordShingles.wordShingles(col("text"))).as("s"))
@@ -142,7 +145,7 @@ object DedupTextQueries {
     * per shingle, one groupBy(doc_id) with P min() partial aggregates —
     * map-side combine reduces each doc to one row before the shuffle.
     */
-  private def minhashSignature(rows: DataFrame): DataFrame = {
+  private[graft] def minhashSignature(rows: DataFrame): DataFrame = {
     val aggs = (0 until P).map(i =>
       min(permuted(i, col("hb"))).as(f"mh$i%02d"))
     rows
@@ -193,7 +196,7 @@ object DedupTextQueries {
     * "signature store" schema an ingest pipeline persists (4 small rows
     * per doc, ~100× smaller than the corpus text).
     */
-  private def bandFrame(sig: DataFrame): DataFrame = {
+  private[graft] def bandFrame(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val keyCols = (0 until P / Bands).map(j =>
         col(f"mh${b * (P / Bands) + j}%02d").cast("string"))
@@ -255,8 +258,24 @@ object DedupTextQueries {
     */
   val q64IncrementalNeardup: Q = (s, d) => {
     val isDelta = col("doc_id") % 10 === 0
+    incrementalNeardup(
+      bandFrame(minhashSignature(shingleRows(s, d))),
+      documents(s, d).filter(isDelta).select(col("doc_id")),
+      isDelta)
+  }
+
+  /** The q64 engine over ANY `(doc_id, band, bkey)` band frame. In q64
+    * the frame is computed in one signature pass; in production it is
+    * the persisted signature store ([[writeSignatureStore]]) unioned
+    * with the delta's per-row keys
+    * ([[graft.functions.MinHashBandKeys]] — spec-pinned bit-equal to
+    * the batch pipeline), which BucketingSpec proves gives identical
+    * verdicts. `isDelta` must be a predicate over `doc_id`.
+    */
+  def incrementalNeardup(allBands: DataFrame, deltaDocs: DataFrame,
+      isDelta: Column): DataFrame = {
     val sized = graft.core.CacheScope.track(
-      bandFrame(minhashSignature(shingleRows(s, d)))
+      allBands
         .withColumn("bsz",
           count(lit(1)).over(Window.partitionBy("band", "bkey")))
         .filter(col("bsz") <= graft.operators.BucketPairs.DefaultCap)
@@ -268,7 +287,7 @@ object DedupTextQueries {
       .groupBy("delta_id")
       .agg(countDistinct(col("doc_id")).as("n_candidates"),
         min(col("doc_id")).as("dup_of"))
-    documents(s, d).filter(isDelta).select(col("doc_id"))
+    deltaDocs.select(col("doc_id"))
       .join(hits.withColumnRenamed("delta_id", "doc_id"),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -277,6 +296,20 @@ object DedupTextQueries {
         col("dup_of"))
       .orderBy("doc_id")
   }
+
+  /** Ingest-time LSH signature store: the corpus's `(doc_id, band,
+    * bkey)` band frame written bucketed+sorted on `(band, bkey)`
+    * ([[graft.core.Tables.writeBucketed]]). The nightly admission pass
+    * then reads 4 tiny rows/doc instead of re-signing the corpus, and
+    * store-side band-key operations start from the bucket layout. The
+    * `keep` predicate selects which docs belong to the store (the
+    * admitted corpus).
+    */
+  def writeSignatureStore(s: org.apache.spark.sql.SparkSession, d: String,
+      tableName: String, keep: Column, numBuckets: Int = 8): Unit =
+    graft.core.Tables.writeBucketed(
+      bandFrame(minhashSignature(shingleRows(s, d))).filter(keep),
+      tableName, numBuckets, "band", "bkey")
 
   val q64Sql: String = {
     val bandSelects = (0 until Bands).map { b =>

@@ -77,4 +77,36 @@ class BucketingSpec extends AnyFunSuite {
       assert(got == expected)
     } finally spark.sql("DROP TABLE IF EXISTS docs_bucketed")
   }
+
+  test("incremental near-dup from a bucketed SIGNATURE STORE plus " +
+    "per-row delta band keys gives q64's exact verdicts (the production " +
+    "ingest shape: corpus signed once at admission, never re-signed)") {
+    val isDelta = col("doc_id") % 10 === 0
+    try {
+      graft.queries.DedupTextQueries
+        .writeSignatureStore(spark, sf, "sig_store", !isDelta)
+      // the delta arrives fresh: per-row native band keys, no aggregation
+      val deltaBands = Tables.documents(spark, sf).filter(isDelta)
+        .select(col("doc_id"),
+          posexplode(graft.functions.MinHashBandKeys.bandKeys(col("text")))
+            .as(Seq("band", "bkey")))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      val fromStore = graft.core.CacheScope.withScope {
+        rows(graft.queries.DedupTextQueries.incrementalNeardup(
+          spark.table("sig_store").unionByName(deltaBands),
+          Tables.documents(spark, sf).filter(isDelta).select(col("doc_id")),
+          isDelta))
+      }
+      val onePass = graft.core.CacheScope.withScope {
+        rows(graft.queries.DedupTextQueries
+          .q64IncrementalNeardup(spark, sf))
+      }
+      assert(fromStore.nonEmpty)
+      assert(fromStore == onePass)
+      assert(fromStore.exists(_._2), "dup branch unexercised")
+      assert(fromStore.exists(!_._2), "admit branch unexercised")
+    } finally spark.sql("DROP TABLE IF EXISTS sig_store")
+  }
 }
