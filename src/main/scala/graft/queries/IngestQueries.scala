@@ -107,13 +107,64 @@ object IngestQueries {
        |WHERE t.n_tokens >= $MinTokens
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Context window: tokens per chunk / stride between chunk starts
+    * (overlap = ChunkTokens − ChunkStride).
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** q67 — context-window chunking: split every document into
+    * `ChunkTokens`-token windows starting every `ChunkStride` tokens
+    * (the standard overlapping-window slicer that feeds a fixed-context
+    * trainer; q62 PACKS short docs into budgets, this SPLITS long ones —
+    * between them every document reaches the batch shaper). Each chunk
+    * carries its md5 content fingerprint so chunk-level dedup (shift-
+    * tolerant, the q38 motivation) composes directly.
+    *
+    * Scale shape: tokenize once, explode the start offsets, slice —
+    * all map-side, NO shuffle anywhere but the final presentation sort;
+    * the chunk index is `start div stride` (pure arithmetic, not a
+    * window ordinal), so output is deterministic under any partitioning
+    * and retry.
+    */
+  val q67TokenChunks: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start DIV $ChunkStride AS BIGINT)").as("chunk_ix"),
+        col("start").cast("long").as("start"),
+        least(lit(ChunkTokens), col("n") - col("start"))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("start") + 1, lit(ChunkTokens)))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
+  val q67Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS w FROM documents),
+       |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+       |c AS (SELECT doc_id, w, n, unnest(range(0, n, $ChunkStride)) AS start FROM s)
+       |SELECT doc_id,
+       |  start // $ChunkStride AS chunk_ix,
+       |  start,
+       |  least($ChunkTokens, n - start) AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(w, start + 1, start + $ChunkTokens), ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q65_balanced_mixture" -> q65BalancedMixture,
-    "q66_training_manifest" -> q66TrainingManifest
+    "q66_training_manifest" -> q66TrainingManifest,
+    "q67_token_chunks" -> q67TokenChunks
   )
 
   val oracle: Map[String, String] = Map(
     "q65_balanced_mixture" -> q65Sql,
-    "q66_training_manifest" -> q66Sql
+    "q66_training_manifest" -> q66Sql,
+    "q67_token_chunks" -> q67Sql
   )
 }

@@ -146,6 +146,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == langExchanges, p.take(4000))
   }
 
+  test("q67 chunking is pure map-side: tokenize + explode + slice with " +
+    "no hash exchange anywhere (only the presentation sort)") {
+    val p = physical(IngestQueries.q67TokenChunks(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+    assert(p.contains("Generate"), p.take(4000))
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))
