@@ -150,13 +150,24 @@ object QuakePipeline {
     * reference's `ok - fetched N earthquakes` log line, task.ts:255).
     */
   def snapshot(cot: DataFrame): (String, Long) = {
+    val (json, n, _) = snapshotWithIds(cot)
+    (json, n)
+  }
+
+  /** [[snapshot]] plus the snapshot's feature ids, still ONE action: the
+    * streaming expiry sink needs the id set, and a `foreachBatch` frame
+    * is recomputed per action — a separate ids collect would run the
+    * whole micro-batch twice.
+    */
+  def snapshotWithIds(cot: DataFrame): (String, Long, Seq[String]) = {
     val row = cot.agg(collect_list(struct(col("id"), col("type"),
       col("properties"), col("geometry"))).as("features"))
       .select(
         to_json(struct(lit("FeatureCollection").as("type"), col("features"))),
-        size(col("features")).cast("long"))
+        size(col("features")).cast("long"),
+        expr("transform(features, f -> f.id)"))
       .head
-    (row.getString(0), row.getLong(1))
+    (row.getString(0), row.getLong(1), row.getSeq[String](2))
   }
 
   /** J2 (task.ts:195-203 comment): the snapshot sink's expiry semantics —

@@ -248,11 +248,17 @@ object SimilarityQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nOversample = oversample.count() // the ONE sampling pass
     val nExact = obs.get("n").asInstanceOf[Long]
+    // A rebuild can only find rows the oversample missed when the exact
+    // rate EXCEEDS fracUpper (true undersampling from a too-coarse byte
+    // estimate). A shortfall with exactRate <= fracUpper is just hash
+    // realization noise — {u < exactRate} is a SUBSET of the cached
+    // oversample, so a second corpus pass would buy a smaller sample.
+    val exactRate = math.min(1.0, nSample.toDouble / math.max(nExact, 1L))
     val candidates =
-      if (nOversample >= math.min(nSample, nExact)) oversample
+      if (nOversample >= math.min(nSample, nExact) || exactRate <= fracUpper)
+        oversample
       else graft.core.CacheScope.track( // rare: estimate was too coarse
-        emb.filter(u < math.min(1.0,
-            nSample.toDouble / math.max(nExact, 1L)))
+        emb.filter(u < exactRate)
           .select(col("vec_id"), col("embedding"), u.as("u"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Normalization (array HOFs, fine at sample size) happens on sample

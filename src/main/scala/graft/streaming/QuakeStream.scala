@@ -24,11 +24,21 @@ object QuakeStream {
 
   /** One row per GeoNet feature from every FeatureCollection file that
     * lands in `dir` (each file = one API response snapshot).
+    *
+    * `maxFilesPerTrigger = 1` is load-bearing for the snapshot sinks:
+    * one landed file IS one snapshot, and the expiry contract compares
+    * consecutive snapshots. Without it, `Trigger.AvailableNow` after
+    * downtime would merge every pending file into ONE micro-batch whose
+    * id set is the union of several snapshots — ids dropped between the
+    * merged snapshots would be treated as still live (and resubmitted).
+    * AvailableNow honors the cap by draining the backlog one file per
+    * batch.
     */
   def featureStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(FeatureCollectionSchema)
       .option("multiLine", "true")
+      .option("maxFilesPerTrigger", "1")
       .json(dir)
       .select(explode(col("features")).as("feature"))
       .select(col("feature.*"))
@@ -103,9 +113,10 @@ object QuakeStream {
     cot.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val (fcJson, _) = QuakePipeline.snapshot(batch.toDF())
-        val current = batch.toDF().select("id")
-          .collect().map(_.getString(0)).toSet
+        // one action: a foreachBatch frame is recomputed per action, so
+        // collecting ids separately would run the whole batch twice
+        val (fcJson, _, ids) = QuakePipeline.snapshotWithIds(batch.toDF())
+        val current = ids.toSet
         val live = readLiveIds(stateDir, batchId)
         val expired = (live -- current).toSeq.sorted
         graft.sources.GeoNetHttp.submit(transport, url, fcJson)
@@ -144,5 +155,14 @@ object QuakeStream {
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(stateDir, s"$batchId.ids").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // prune: batch N+1 reads the newest file < N+1 (= N) and a REPLAY of
+    // batch N reads the newest < N (= N-1); anything older is dead and
+    // would otherwise accumulate one file per micro-batch forever
+    Option(stateDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.endsWith(".ids") &&
+          n.stripSuffix(".ids").toLongOption.exists(_ < batchId - 1))
+        f.delete()
+    }
   }
 }

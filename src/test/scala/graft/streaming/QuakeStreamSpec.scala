@@ -108,5 +108,44 @@ class QuakeStreamSpec extends AnyFunSuite {
     // the snapshot POST leg still fired once per batch
     assert(transport.posts.size == 4)
     assert(transport.posts.forall(_._1 == "https://sink.example/cot"))
+    // state pruning: one micro-batch per run -> at most the current and
+    // previous batch's .ids files survive (unbounded growth guard)
+    val stateFiles = new java.io.File(checkpoint, "expiry-state")
+      .listFiles().map(_.getName).filter(_.endsWith(".ids")).sorted
+    assert(stateFiles.toSeq == Seq("2.ids", "3.ids"))
+  }
+
+  test("a multi-snapshot BACKLOG drains one file per batch, so ids " +
+    "dropped between pending snapshots still expire (a downtime gap " +
+    "must not merge snapshots into one union id-set)") {
+    val dir = Files.createTempDirectory("quakes-bl").toFile
+    val checkpoint = Files.createTempDirectory("quakes-bl-ckpt").toFile
+    val transport = new graft.sources.FakeTransport(
+      _ => graft.sources.HttpResponse(200, "OK", ""))
+    val expiredByBatch = mutable.ListBuffer.empty[(Long, Seq[String])]
+
+    // BOTH snapshots land before the consumer comes back up; modTimes
+    // pin the file source's processing order
+    val f1 = new java.io.File(dir, "s1.json")
+    val f2 = new java.io.File(dir, "s2.json")
+    Files.writeString(f1.toPath, FixtureJson)
+    Files.writeString(f2.toPath,
+      FixtureJson.replace("2026p000001", "2026p000099"))
+    f1.setLastModified(System.currentTimeMillis() - 60000)
+    f2.setLastModified(System.currentTimeMillis() - 30000)
+
+    val out = QuakeStream.cotStream(spark, dir.getAbsolutePath,
+      QuakeConfig(), FixtureNowMs)
+    val q = QuakeStream.submitWithExpiry(out, "https://sink.example/cot",
+      transport, checkpoint.getAbsolutePath,
+      onExpired = (b, ids) => expiredByBatch.synchronized {
+        expiredByBatch += ((b, ids))
+      })
+    q.awaitTermination(60000)
+
+    assert(expiredByBatch.toList == List(
+      0L -> Seq.empty,
+      1L -> Seq("earthquake-2026p000001")))
+    assert(transport.posts.size == 2)
   }
 }
