@@ -127,8 +127,18 @@ object IngestQueries {
     * window ordinal), so output is deterministic under any partitioning
     * and retry.
     */
-  val q67TokenChunks: Q = (s, d) => {
-    documents(s, d)
+  val q67TokenChunks: Q = (s, d) =>
+    chunkTokens(documents(s, d)).orderBy("doc_id", "chunk_ix")
+
+  /** The q67 transform over any `(doc_id, text)` frame — pure map-side
+    * (tokenize → explode starts → slice, no aggregation, no sort), so it
+    * is STREAM-READY as-is: apply it to a `readStream` of documents and
+    * chunks flow out per micro-batch (StreamReadyTransformsSpec pins
+    * batch==stream row equality).
+    */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") > 0)
@@ -141,8 +151,6 @@ object IngestQueries {
           .cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ",
           slice(col("w"), col("start") + 1, lit(ChunkTokens)))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_ix")
-  }
 
   val q67Sql: String =
     s"""WITH t AS (

@@ -49,6 +49,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(topk.map(r => r.getString(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toSeq
         === Seq("a" -> Seq(2L, 3L), "b" -> Seq(4L)))
+      // minhash_band_keys from bare SQL matches the Column-API expression
+      val sqlKeys = s.sql(
+        "SELECT minhash_band_keys('a b c d e f') AS k").head.getSeq[String](0)
+      val colKeys = {
+        val arr = graft.functions.MinHashBandKeys
+          .compute(org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f"))
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      }
+      assert(sqlKeys === colKeys)
+      assert(sqlKeys.length === graft.functions.MinHashBandKeys.Bands)
       // wrong arity fails with a readable message, not an index error
       val err = intercept[Exception](s.sql("SELECT cosine_sim(array(1.0D))"))
       assert(err.getMessage.contains("cosine_sim expects exactly 2"),
