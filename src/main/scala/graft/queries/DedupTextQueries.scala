@@ -171,6 +171,17 @@ object DedupTextQueries {
        | FROM hashed GROUP BY doc_id)""".stripMargin
   }
 
+  /** The band-key CTE body shared by every LSH oracle (q32, q53/q57's
+    * verdict CTEs, q64): band key = md5 of the band's comma-joined
+    * minhash columns. ONE copy — this rendering is the parity contract
+    * with the Spark-side [[bandFrame]] AND the per-row
+    * [[graft.functions.MinHashBandKeys]] expression.
+    */
+  private val bandsSelectSql: String = (0 until Bands).map { b =>
+    val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
+    s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
+  }.mkString("\n UNION ALL\n ")
+
   val q31Sql: String =
     s"""WITH $shingleRowsSql,
        |$sigSelectSql
@@ -219,15 +230,11 @@ object DedupTextQueries {
       .orderBy("doc_a", "doc_b")
 
   val q32Sql: String = {
-    val bandSelects = (0 until Bands).map { b =>
-      val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
-      s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
-    }.mkString("\n UNION ALL\n ")
     // sized/bsz mirrors the Spark-side skew cap (BucketPairs.DefaultCap)
     s"""WITH $shingleRowsSql,
        |$sigSelectSql,
        |bands AS (
-       | $bandSelects),
+       | $bandsSelectSql),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
        |FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -312,14 +319,10 @@ object DedupTextQueries {
       tableName, numBuckets, "band", "bkey")
 
   val q64Sql: String = {
-    val bandSelects = (0 until Bands).map { b =>
-      val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
-      s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
-    }.mkString("\n UNION ALL\n ")
     s"""WITH $shingleRowsSql,
        |$sigSelectSql,
        |bands AS (
-       | $bandSelects),
+       | $bandsSelectSql),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
        |ok AS (SELECT * FROM sized WHERE bsz <= ${graft.operators.BucketPairs.DefaultCap}),
        |hits AS (
@@ -678,9 +681,7 @@ object DedupTextQueries {
     * One explode-free scan + one tiny shuffle on (lang, split).
     */
   val q49HashSplit: Q = (s, d) => {
-    val u = conv(substring(md5(concat(lit("split:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") / lit(1152921504606846976.0) // 16^15
+    val u = mdUniform("split:", col("doc_id"))
     documents(s, d)
       .withColumn("split",
         when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test"))
@@ -692,13 +693,12 @@ object DedupTextQueries {
   }
 
   val q49Sql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT lang,
       |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM (SELECT lang,
-      |     ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |       / 1152921504606846976.0 AS u
+      |     ${mdUniformSql("split:", "doc_id")} AS u
       |    FROM documents)),
       |c AS (SELECT lang, split, COUNT(*) AS n FROM s GROUP BY 1, 2)
       |SELECT lang, split, n,
@@ -751,13 +751,9 @@ object DedupTextQueries {
     * Expects `sh` (from [[shingleRowsSql]]) to be in scope.
     */
   private val dedupVerdictCtes: String = {
-    val bandSelects = (0 until Bands).map { b =>
-      val ks = (0 until P / Bands).map(j => s"mh${"%02d".format(b * (P / Bands) + j)}")
-      s"SELECT doc_id, $b AS band, md5(${ks.mkString(" || ',' || ")}) AS bkey FROM sig"
-    }.mkString("\n UNION ALL\n ")
     s"""$sigSelectSql,
        |bands AS (
-       | $bandSelects),
+       | $bandsSelectSql),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
        |pairs AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
@@ -861,9 +857,7 @@ object DedupTextQueries {
     * no shuffle (the orderBy is only for the dump).
     */
   val q54StratifiedSample: Q = (s, d) => {
-    val u = conv(substring(md5(concat(lit("sample:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") / lit(1152921504606846976.0)
+    val u = mdUniform("sample:", col("doc_id"))
     val rate = coalesce(
       element_at(typedlit(SampleRates), col("lang")), lit(1.0))
     documents(s, d)
@@ -880,8 +874,7 @@ object DedupTextQueries {
     val rateCase = sampleRateCaseSql
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang,
-       |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |      / 1152921504606846976.0 AS u
+       |    ${mdUniformSql("sample:", "doc_id")} AS u
        |  FROM documents)
        |WHERE u < $rateCase
        |ORDER BY doc_id""".stripMargin
@@ -1065,8 +1058,7 @@ object DedupTextQueries {
        |         JOIN bench USING (s) GROUP BY 1),
        |samp AS (SELECT doc_id FROM (
        |  SELECT doc_id, lang,
-       |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |      / 1152921504606846976.0 AS u
+       |    ${mdUniformSql("sample:", "doc_id")} AS u
        |  FROM documents)
        | WHERE u < $sampleRateCaseSql)
        |SELECT d.doc_id,

@@ -23,21 +23,23 @@ object IngestQueries {
     * is the md5-uniform threshold (q49/q54 construction, salt "mix:") —
     * deterministic, retry-stable, and engine-portable.
     *
-    * Scale shape: per-language counts are a tiny partial-agg'd aggregate
-    * (|langs| rows) broadcast back onto the corpus; the corpus itself is
-    * ONE scan with a map-side filter — no shuffle of any corpus-sized
-    * frame. Float parity: `BaseRate · sqrt(n_max / n_lang)` is one
-    * division, one sqrt (IEEE correctly-rounded on both engines), one
-    * multiply by an exactly-representable constant — bit-identical in
-    * DuckDB, so even boundary-valued documents hash-match.
+    * Scale shape: TWO corpus passes — the per-language count aggregate
+    * (partial-agg'd to |langs| rows, persisted so the n_max derivation
+    * reads the cache instead of re-scanning the corpus) and the main
+    * scan with the map-side threshold filter, rates broadcast-joined on.
+    * No shuffle of any corpus-sized frame. Float parity: `BaseRate ·
+    * sqrt(n_max / n_lang)` is one division, one sqrt (IEEE
+    * correctly-rounded on both engines), one multiply by an
+    * exactly-representable constant — bit-identical in DuckDB, so even
+    * boundary-valued documents hash-match.
     */
   val q65BalancedMixture: Q = (s, d) => {
     val docs = documents(s, d)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val counts = graft.core.CacheScope.track(
+      docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nMax = counts.agg(max(col("n_lang")).as("n_max"))
-    val u = conv(substring(md5(concat(lit("mix:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") / lit(1152921504606846976.0) // / 16^15: uniform [0,1)
+    val u = mdUniform("mix:", col("doc_id"))
     docs.join(broadcast(counts), Seq("lang"))
       .crossJoin(broadcast(nMax))
       .filter(u < lit(BaseRate) *
@@ -51,8 +53,7 @@ object IngestQueries {
        |mx AS (SELECT MAX(n_lang) AS n_max FROM n)
        |SELECT doc_id, lang FROM (
        | SELECT d.doc_id, d.lang,
-       |  ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |    / 1152921504606846976.0 AS u,
+       |  ${mdUniformSql("mix:", "doc_id")} AS u,
        |  $BaseRate * sqrt(CAST(n_max AS DOUBLE) / n_lang) AS p
        | FROM documents d JOIN n USING (lang) CROSS JOIN mx)
        |WHERE u < p ORDER BY doc_id""".stripMargin
@@ -78,9 +79,7 @@ object IngestQueries {
     * join's probe side is already manifest-sized.
     */
   val q66TrainingManifest: Q = (s, d) => {
-    val u = conv(substring(md5(concat(lit("split:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") / lit(1152921504606846976.0)
+    val u = mdUniform("split:", col("doc_id"))
     documents(s, d)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= MinTokens)
@@ -97,8 +96,7 @@ object IngestQueries {
   val q66Sql: String =
     s"""WITH t AS (
        | SELECT doc_id, lang, len($tokensSql) AS n_tokens,
-       |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |    / 1152921504606846976.0 AS u
+       |  ${mdUniformSql("split:", "doc_id")} AS u
        | FROM documents)
        |SELECT t.doc_id, t.lang, e.label, t.n_tokens,
        | CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'

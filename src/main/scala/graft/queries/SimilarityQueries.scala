@@ -230,9 +230,7 @@ object SimilarityQueries {
     // count rebuilds the sample at the exact rate — one extra pass paid
     // only in that rare case, never at steady state.
     val nSample = kCells.toLong * sampleFactor
-    val u = conv(substring(md5(concat(lit("ivf:"),
-      col("vec_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") / lit(1152921504606846976.0) // / 16^15: uniform [0,1)
+    val u = mdUniform("ivf:", col("vec_id"))
     val nLowerBound =
       (emb.queryExecution.optimizedPlan.stats.sizeInBytes / 4096)
         .max(BigInt(1))
@@ -257,10 +255,13 @@ object SimilarityQueries {
     val candidates =
       if (nOversample >= math.min(nSample, nExact) || exactRate <= fracUpper)
         oversample
-      else graft.core.CacheScope.track( // rare: estimate was too coarse
-        emb.filter(u < exactRate)
-          .select(col("vec_id"), col("embedding"), u.as("u"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else { // rare: estimate was too coarse — drop the dead cache first
+        oversample.unpersist(blocking = false)
+        graft.core.CacheScope.track(
+          emb.filter(u < exactRate)
+            .select(col("vec_id"), col("embedding"), u.as("u"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
     // Normalization (array HOFs, fine at sample size) happens on sample
     // rows only; re-deriving sort+normalize from the small cached frame
     // per Lloyd iteration costs ms and avoids a second tracked cache.

@@ -71,4 +71,23 @@ package object queries {
   /** DuckDB mirror of [[tokens]] over the `text` column. */
   val tokensSql: String =
     "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+
+  /** THE md5-uniform construction: a deterministic, retry-stable uniform
+    * [0,1) draw per row — the first 60 bits of `md5(salt || id)` divided
+    * by 16¹⁵. Different salts give independent decisions for the same
+    * id (split vs sample vs mixture). The constant and substring bounds
+    * are a cross-engine parity contract shared by every sampling/split
+    * query — single-sourced here with [[mdUniformSql]] so no copy can
+    * drift.
+    */
+  def mdUniform(salt: String, id: Column): Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0) // / 16^15
+  }
+
+  /** DuckDB mirror of [[mdUniform]]; `idExpr` is a SQL expression. */
+  def mdUniformSql(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT" +
+      " / 1152921504606846976.0"
 }

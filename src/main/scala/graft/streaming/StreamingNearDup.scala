@@ -27,10 +27,12 @@ case class NearDupHit(doc_id: Long, band: Int, dup_of: Long)
   * keys in the map stage (one native-expression call, no mid-stream
   * aggregation — the reason that expression exists), `posexplode` fans
   * each doc to `Bands` rows, and `flatMapGroupsWithState` keyed by
-  * `(band, bkey)` holds ONE long per bucket: the first document id that
-  * claimed it. Later arrivals in the same bucket emit a [[NearDupHit]]
-  * against that owner. State is therefore O(distinct band keys in the
-  * horizon) × 8 bytes — duplicate-INsensitive (copies share buckets),
+  * `(band, bkey)` holds one (owner id, newest-claim-ms) pair per bucket:
+  * the first document id that claimed it plus the latest claim time (so
+  * late arrivals can never shorten the expiry). Later arrivals in the
+  * same bucket emit a [[NearDupHit]] against that owner. State is
+  * therefore O(distinct band keys in the horizon) × 16 bytes —
+  * duplicate-INsensitive (copies share buckets),
   * and an event-time timeout drops buckets `stateTtlMs` after the last
   * claim, so unbounded streams hold bounded state. Watermark-late rows
   * are dropped by the engine like every stateful op here.
@@ -59,28 +61,33 @@ object StreamingNearDup {
         posexplode(MinHashBandKeys.bandKeys(col("text"))).as(Seq("band", "bkey")))
       .as[BandObs]
       .groupByKey(o => (o.band, o.bkey))
-      .flatMapGroupsWithState[Long, NearDupHit](
+      // state = (owner doc id, newest claim time seen): the claim time
+      // must persist across batches or a LATE-but-admissible arrival
+      // (older ts than the stored claim) would shorten an already-later
+      // expiry when the timeout is recomputed from its batch alone
+      .flatMapGroupsWithState[(Long, Long), NearDupHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: (Int, String), obs: Iterator[BandObs], state: GroupState[Long]) =>
+        (key: (Int, String), obs: Iterator[BandObs],
+            state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             // deterministic arrival order within the batch
             val arrivals = obs.toArray.sortBy(o => (o.ts.getTime, o.doc_id))
-            var owner = state.getOption.getOrElse(-1L)
+            var (owner, lastClaim) = state.getOption.getOrElse((-1L, 0L))
             val hits = Array.newBuilder[NearDupHit]
             arrivals.foreach { o =>
               if (owner < 0) owner = o.doc_id
               else if (owner != o.doc_id)
                 hits += NearDupHit(o.doc_id, key._1, owner)
             }
-            state.update(owner)
+            lastClaim = math.max(lastClaim, arrivals.map(_.ts.getTime).max)
+            state.update((owner, lastClaim))
             // a timeout at or below the watermark is rejected by the
             // engine; clamp for buckets claimed only by near-late rows
             state.setTimeoutTimestamp(math.max(
-              arrivals.map(_.ts.getTime).max + stateTtlMs,
-              state.getCurrentWatermarkMs() + 1))
+              lastClaim + stateTtlMs, state.getCurrentWatermarkMs() + 1))
             hits.result().iterator
           }
       }
