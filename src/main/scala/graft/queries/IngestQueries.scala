@@ -162,15 +162,61 @@ object IngestQueries {
        |  md5(array_to_string(list_slice(w, start + 1, start + $ChunkTokens), ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** Docs kept per language by q68. */
+  private val FixedPerLang = 50
+
+  /** q68 — FIXED-SIZE stratified sampling: exactly `FixedPerLang` docs
+    * per language (fewer iff the language is smaller), chosen as the k
+    * smallest md5-uniform draws — deterministic, retry-stable, and
+    * independent of the rate-based q54/q65 decisions (different salt).
+    * The eval-set builder's op: "give me exactly 50 per language".
+    *
+    * Scale shape: this is the second production consumer of the native
+    * [[graft.functions.TopKAggregate]] (q44 is the first): each map-side
+    * partial keeps only k candidates per language, so the shuffle
+    * carries ≤ k·partitions rows per language instead of the whole
+    * corpus — the window form (`row_number` over each language, which
+    * the oracle uses) would sort every language's full stream in one
+    * task. Scoring by −u turns "k smallest draws" into the aggregate's
+    * "k highest scores" (ties resolve to the smaller doc_id on both
+    * paths).
+    */
+  val q68FixedStratified: Q = (s, d) => {
+    val u = mdUniform("fix:", col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), (-u).as("score"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("doc_id"), col("score"), FixedPerLang).as("topk"))
+      .select(col("lang"), posexplode(col("topk")).as(Seq("i", "e")))
+      .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  val q68Sql: String =
+    s"""WITH u AS (
+       |  SELECT lang, doc_id,
+       |    ${mdUniformSql("fix:", "doc_id")} AS u
+       |  FROM documents)
+       |SELECT lang,
+       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank,
+       |  doc_id
+       |FROM u
+       |QUALIFY rank <= $FixedPerLang
+       |ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q65_balanced_mixture" -> q65BalancedMixture,
     "q66_training_manifest" -> q66TrainingManifest,
-    "q67_token_chunks" -> q67TokenChunks
+    "q67_token_chunks" -> q67TokenChunks,
+    "q68_fixed_stratified" -> q68FixedStratified
   )
 
   val oracle: Map[String, String] = Map(
     "q65_balanced_mixture" -> q65Sql,
     "q66_training_manifest" -> q66Sql,
-    "q67_token_chunks" -> q67Sql
+    "q67_token_chunks" -> q67Sql,
+    "q68_fixed_stratified" -> q68Sql
   )
 }

@@ -78,6 +78,33 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS docs_bucketed")
   }
 
+  test("q66's cross-modal manifest join runs exchange-free over " +
+    "id-bucketed tables (the claim in its doc, executable)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang")), "docs_by_id", 8, "doc_id")
+      Tables.writeBucketed(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("doc_id"), col("label")),
+        "emb_by_id", 8, "doc_id")
+      val joined = spark.table("docs_by_id")
+        .join(spark.table("emb_by_id"), Seq("doc_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        plan.take(2000))
+      val expected = Tables.documents(spark, sf)
+        .join(Tables.embeddings(spark, sf),
+          col("doc_id") === col("vec_id")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS docs_by_id")
+      spark.sql("DROP TABLE IF EXISTS emb_by_id")
+    }
+  }
+
   test("incremental near-dup from a bucketed SIGNATURE STORE plus " +
     "per-row delta band keys gives q64's exact verdicts (the production " +
     "ingest shape: corpus signed once at admission, never re-signed)") {
