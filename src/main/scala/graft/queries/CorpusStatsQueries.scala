@@ -39,7 +39,15 @@ object CorpusStatsQueries {
     * two-phase histogram: smallest value whose cumulative count reaches
     * ceil(p·n). `quantile_disc` semantics, engine-neutral.
     */
-  val q61LengthQuantiles: Q = (s, d) => {
+  val q61LengthQuantiles: Q = (s, d) =>
+    lengthQuantiles(s, d).orderBy("lang")
+
+  /** The q61 engine: per-language (p50, p90, p99, n_docs) via the
+    * two-phase histogram — output bounded by |langs|, so downstream
+    * consumers (q69's outlier clip) can broadcast it.
+    */
+  def lengthQuantiles(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val hist = documents(s, d)
       .groupBy("lang", "n_chars")
       .agg(count(lit(1)).as("cnt"))
@@ -53,24 +61,29 @@ object CorpusStatsQueries {
     cum.groupBy("lang")
       .agg(pick(50), pick(90), pick(99),
         max(col("total")).as("n_docs"))
-      .orderBy("lang")
   }
 
-  val q61Sql: String =
-    """WITH hist AS (
+  /** The q61 histogram-quantile CTE chain, shared with q69's oracle. */
+  private val quantilesCtesSql: String =
+    """hist AS (
       |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
       |cum AS (
       |  SELECT lang, n_chars,
       |    SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
       |                   ROWS UNBOUNDED PRECEDING) AS cum,
       |    SUM(cnt) OVER (PARTITION BY lang) AS total
-      |  FROM hist)
-      |SELECT lang,
-      |  MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN n_chars END) AS p50,
-      |  MIN(CASE WHEN cum >= (total * 90 + 99) // 100 THEN n_chars END) AS p90,
-      |  MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN n_chars END) AS p99,
-      |  CAST(MAX(total) AS BIGINT) AS n_docs
-      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+      |  FROM hist),
+      |quant AS (
+      |  SELECT lang,
+      |    MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN n_chars END) AS p50,
+      |    MIN(CASE WHEN cum >= (total * 90 + 99) // 100 THEN n_chars END) AS p90,
+      |    MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN n_chars END) AS p99,
+      |    CAST(MAX(total) AS BIGINT) AS n_docs
+      |  FROM cum GROUP BY lang)""".stripMargin
+
+  val q61Sql: String =
+    s"""WITH $quantilesCtesSql
+       |SELECT lang, p50, p90, p99, n_docs FROM quant ORDER BY lang""".stripMargin
 
   private val PackBudget = 4096L
   private val PackShards = 8
@@ -207,15 +220,40 @@ object CorpusStatsQueries {
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q69 — length-outlier clipping: drop documents whose character count
+    * exceeds their language's exact p99 (the standard "clip the tail
+    * before tokenizer budgeting" hygiene pass). Second consumer of the
+    * q61 histogram engine: the quantile table is bounded by |langs|, so
+    * it broadcasts back onto the corpus and the clip itself is a
+    * map-side comparison — two corpus passes total (histogram aggregate
+    * + filter scan), no corpus-sized shuffle, no per-language sort.
+    */
+  val q69OutlierClip: Q = (s, d) =>
+    documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(lengthQuantiles(s, d).select(col("lang"), col("p99"))),
+        Seq("lang"))
+      .filter(col("n_chars") <= col("p99"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val q69Sql: String =
+    s"""WITH $quantilesCtesSql
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d JOIN quant q USING (lang)
+       |WHERE d.n_chars <= q.p99
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_length_quantiles" -> q61LengthQuantiles,
     "q62_token_packing" -> q62TokenPacking,
-    "q63_token_rarity" -> q63TokenRarity
+    "q63_token_rarity" -> q63TokenRarity,
+    "q69_outlier_clip" -> q69OutlierClip
   )
 
   val oracle: Map[String, String] = Map(
     "q61_length_quantiles" -> q61Sql,
     "q62_token_packing" -> q62Sql,
-    "q63_token_rarity" -> q63Sql
+    "q63_token_rarity" -> q63Sql,
+    "q69_outlier_clip" -> q69Sql
   )
 }

@@ -146,6 +146,24 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == langExchanges, p.take(4000))
   }
 
+  test("q68 fixed stratified sample aggregates over InternalRow " +
+    "(ObjectHashAggregate, no typed boundary) like q44") {
+    val p = physical(IngestQueries.q68FixedStratified(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    assert(!p.contains("DeserializeToObject"), p.take(4000))
+  }
+
+  test("q69 outlier clip broadcasts the |langs|-row quantile table back " +
+    "onto the corpus — no corpus-sized shuffle, no per-language sort " +
+    "of the raw stream") {
+    val p = physical(CorpusStatsQueries.q69OutlierClip(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // the only Sort below the join feeds the histogram window (|values|
+    // rows per lang), never the raw corpus: assert the window input is
+    // the aggregated histogram
+    assert(p.contains("partial_count"), p.take(4000))
+  }
+
   test("q67 chunking is pure map-side: tokenize + explode + slice with " +
     "no hash exchange anywhere (only the presentation sort)") {
     val p = physical(IngestQueries.q67TokenChunks(spark, sf))
