@@ -148,4 +148,18 @@ object TopKAggregate {
     ExpressionUtils.column(
       TopKAggregate(ExpressionUtils.expression(id),
         ExpressionUtils.expression(score), k).toAggregateExpression())
+
+  /** Unpack a [[topK]] result into one row per entry with its 1-based
+    * `rank` — THE output convention shared by every consumer (q44, q68),
+    * single-sourced so the rank base and struct field names cannot drift
+    * between call sites. Emits (group, rank, id, score); callers alias.
+    */
+  def explodeTopK(df: org.apache.spark.sql.DataFrame, group: Column,
+      topk: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    df.select(group.as("g"), posexplode(topk).as(Seq("i", "e")))
+      .select(col("g").as("group"),
+        (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.score").as("score"))
+  }
 }

@@ -188,9 +188,10 @@ object IngestQueries {
       .groupBy("lang")
       .agg(graft.functions.TopKAggregate
         .topK(col("doc_id"), col("score"), FixedPerLang).as("topk"))
-      .select(col("lang"), posexplode(col("topk")).as(Seq("i", "e")))
-      .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
-        col("e.id").as("doc_id"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("lang"), col("topk")))
+      .select(col("group").as("lang"), col("rank"),
+        col("id").as("doc_id"))
       .orderBy("lang", "rank")
   }
 

@@ -341,9 +341,10 @@ object SimilarityQueries {
       .groupBy("label")
       .agg(graft.functions.TopKAggregate
         .topK(col("vec_id"), col("sim"), 3).as("topk"))
-      .select(col("label"), posexplode(col("topk")).as(Seq("i", "e")))
-      .select(col("label"), (col("i") + 1).cast("long").as("rank"),
-        col("e.id").as("vec_id"), col("e.score").as("sim"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("label"), col("topk")))
+      .select(col("group").as("label"), col("rank"),
+        col("id").as("vec_id"), col("score").as("sim"))
       .orderBy("label", "rank")
   }
 

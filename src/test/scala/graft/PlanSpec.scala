@@ -153,14 +153,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("DeserializeToObject"), p.take(4000))
   }
 
-  test("q69 outlier clip broadcasts the |langs|-row quantile table back " +
-    "onto the corpus — no corpus-sized shuffle, no per-language sort " +
-    "of the raw stream") {
+  test("q69 outlier clip broadcasts the per-language quantile table " +
+    "back onto the corpus — no corpus-sized shuffle") {
     val p = physical(CorpusStatsQueries.q69OutlierClip(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
-    // the only Sort below the join feeds the histogram window (|values|
-    // rows per lang), never the raw corpus: assert the window input is
-    // the aggregated histogram
+    assert(p.contains("BroadcastExchange"), p.take(4000))
+    // budget: the histogram aggregate + the quantile window repartition
+    // are the ONLY hash exchanges (both over histogram-grain rows); a
+    // corpus-side shuffle sneaking in ahead of the broadcast join would
+    // add a third and fail here
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      p.take(4000))
+    // histogram window sorts aggregated rows, so every Sort sits above a
+    // partial_count aggregate, never directly over the corpus scan
     assert(p.contains("partial_count"), p.take(4000))
   }
 
