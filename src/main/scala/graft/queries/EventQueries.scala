@@ -272,6 +272,41 @@ object EventQueries {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events ORDER BY event_id""".stripMargin
 
+
+  /** q70 — the ranking window family (`ntile`, `dense_rank`,
+    * `percent_rank`, `cume_dist`) over each event type's time-ordered
+    * stream: quartile bucketing and rank fractions, the remaining §2.7
+    * window shapes q23/q24 don't touch. The (ts, event_id) ordering is
+    * unique, so ranks are deterministic; percent_rank/cume_dist are one
+    * exact integer-ratio division each — bit-equal across engines.
+    *
+    * Scale note: ranking over `PARTITION BY event_type` means ONE task
+    * sorts each type's full stream — fine per-type at event-log sizes,
+    * but for corpus-scale rank FRACTIONS the two-phase histogram (q61)
+    * is the shape that scales: cum/total over a value-domain-bounded
+    * aggregate instead of a per-partition total sort.
+    */
+  val q70WindowRanks: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("event_id")
+  }
+
+  val q70Sql: String =
+    """SELECT event_id, event_type,
+      | NTILE(4) OVER w AS quartile,
+      | DENSE_RANK() OVER w AS drank,
+      | PERCENT_RANK() OVER w AS prank,
+      | CUME_DIST() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q14_filter_age" -> q14FilterAge,
     "q15_filter_quality" -> q15FilterQuality,
@@ -283,7 +318,8 @@ object EventQueries {
     "q21_session" -> q21Session,
     "q22_asof_join" -> q22AsofJoin,
     "q23_lag_lead" -> q23LagLead,
-    "q24_running" -> q24Running
+    "q24_running" -> q24Running,
+    "q70_window_ranks" -> q70WindowRanks
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +333,7 @@ object EventQueries {
     "q21_session" -> q21Sql,
     "q22_asof_join" -> q22Sql,
     "q23_lag_lead" -> q23Sql,
-    "q24_running" -> q24Sql
+    "q24_running" -> q24Sql,
+    "q70_window_ranks" -> q70Sql
   )
 }
