@@ -307,6 +307,48 @@ object EventQueries {
       |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+
+  /** q71 — per-type value profiling: count, mean, sample variance and
+    * stddev. Spark's `stddev`/`var_samp` accumulate doubles in partial-
+    * aggregation order, so their last ulp varies by partitioning AND
+    * differs from DuckDB's serial pass — unusable under a hash oracle.
+    * Instead: the two moments are EXACT decimal sums (order-independent,
+    * the money-sum rule applied to x and x²), and the variance is one
+    * fixed sequence of double ops over those exact sums —
+    * `(s2 − s1·s1/n) / (n−1)` — identical on both engines bit for bit.
+    * Partial-agg'd like any sum; no second pass, no window.
+    */
+  val q71ValueStats: Q = (s, d) => {
+    val v = money(col("value"))
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        ((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - 1)).as("variance"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - 1)).as("stddev"))
+      .orderBy("event_type")
+  }
+
+  val q71Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(s1 AS DOUBLE) / n AS mean,
+      |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |    / (n - 1) AS variance,
+      |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |    / (n - 1)) AS stddev
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q14_filter_age" -> q14FilterAge,
     "q15_filter_quality" -> q15FilterQuality,
@@ -319,7 +361,8 @@ object EventQueries {
     "q22_asof_join" -> q22AsofJoin,
     "q23_lag_lead" -> q23LagLead,
     "q24_running" -> q24Running,
-    "q70_window_ranks" -> q70WindowRanks
+    "q70_window_ranks" -> q70WindowRanks,
+    "q71_value_stats" -> q71ValueStats
   )
 
   val oracle: Map[String, String] = Map(
@@ -334,6 +377,7 @@ object EventQueries {
     "q22_asof_join" -> q22Sql,
     "q23_lag_lead" -> q23Sql,
     "q24_running" -> q24Sql,
-    "q70_window_ranks" -> q70Sql
+    "q70_window_ranks" -> q70Sql,
+    "q71_value_stats" -> q71Sql
   )
 }
