@@ -328,10 +328,17 @@ object EventQueries {
         (col("s1").cast("double") / col("n")).as("mean"),
         ((col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") / col("n")) /
-          (col("n") - 1)).as("variance"),
-        sqrt((col("s2").cast("double") -
-          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
-          (col("n") - 1)).as("stddev"))
+          (col("n") - 1)).as("raw_var"))
+      // the naive formula can round to a tiny NEGATIVE for near-constant
+      // groups (exact moments, inexact double subtraction) — clamp, or
+      // Spark emits NaN stddev while DuckDB ABORTS on sqrt(<0). The
+      // CASE form (not greatest) keeps NULL→NULL identically on both
+      // engines for the n=1 edge. Variance is computed ONCE and stddev
+      // reads it, so the formula has a single site per engine.
+      .select(col("event_type"), col("n"), col("mean"),
+        when(col("raw_var") < 0, lit(0.0)).otherwise(col("raw_var"))
+          .as("variance"))
+      .withColumn("stddev", sqrt(col("variance")))
       .orderBy("event_type")
   }
 
@@ -340,14 +347,18 @@ object EventQueries {
       |  SELECT event_type, COUNT(*) AS n,
       |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
       |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
-      |  FROM events GROUP BY 1)
-      |SELECT event_type, n,
-      |  CAST(s1 AS DOUBLE) / n AS mean,
-      |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-      |    / (n - 1) AS variance,
-      |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-      |    / (n - 1)) AS stddev
-      |FROM m ORDER BY event_type""".stripMargin
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |      / (n - 1) AS raw_var
+      |  FROM m),
+      |c AS (
+      |  SELECT event_type, n, mean,
+      |    CASE WHEN raw_var < 0 THEN 0.0 ELSE raw_var END AS variance
+      |  FROM v)
+      |SELECT event_type, n, mean, variance, sqrt(variance) AS stddev
+      |FROM c ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q14_filter_age" -> q14FilterAge,
