@@ -243,17 +243,118 @@ object CorpusStatsQueries {
        |WHERE d.n_chars <= q.p99
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q73 — vocabulary coverage curve: the number of DISTINCT token types
+    * (most-frequent-first) needed to cover 50/90/99% of all token
+    * occurrences — the tokenizer-design profile (vocab-size vs OOV-rate
+    * trade) and the Zipf-shape sanity check run before committing a BPE
+    * vocab budget. Same two-phase discipline as q61: the corpus pass is
+    * ONE partial-agg shuffle producing the (token, count) table — output
+    * bounded by |vocabulary|, not corpus rows — and only that bounded
+    * table flows through the rank/cumulative window. The window is
+    * deliberately single-partition: a vocabulary (even web-scale, ~10⁸
+    * types) fits one task, and the alternative — partitioned ranking —
+    * cannot express a global frequency order. Ties break on the token
+    * string so rank order is total and engine-identical. All arithmetic
+    * is integer (counts, ceil-division ranks); the coverage targets use
+    * q61's `rankAt` contract.
+    */
+  val q73VocabCoverage: Q = (s, d) => {
+    val counts = documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("t"))
+    val cum = counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("n_occ")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_occ")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    def cov(pct: Int): Column =
+      min(when(col("cum") >= rankAt(pct), col("rank"))).as(s"c$pct")
+    cum.agg(count(lit(1)).as("n_types"),
+        max(col("total")).as("n_occurrences"),
+        cov(50), cov(90), cov(99))
+      .orderBy("n_types")
+  }
+
+  val q73Sql: String =
+    s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+       |counts AS (SELECT t, COUNT(*) AS n_occ FROM tok GROUP BY t),
+       |cum AS (SELECT t, n_occ,
+       |  ROW_NUMBER() OVER (ORDER BY n_occ DESC, t) AS rank,
+       |  SUM(n_occ) OVER (ORDER BY n_occ DESC, t
+       |                   ROWS UNBOUNDED PRECEDING) AS cum,
+       |  SUM(n_occ) OVER () AS total
+       |  FROM counts)
+       |SELECT COUNT(*) AS n_types,
+       |  CAST(MAX(total) AS BIGINT) AS n_occurrences,
+       |  MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN rank END) AS c50,
+       |  MIN(CASE WHEN cum >= (total * 90 + 99) // 100 THEN rank END) AS c90,
+       |  MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN rank END) AS c99
+       |FROM cum ORDER BY n_types""".stripMargin
+
+  private val ShuffleShards = 16
+
+  /** q74 — deterministic corpus shuffle + shard manifest: the training-
+    * export step that breaks crawl/source ordering before shards are
+    * written (adjacent-doc correlation is a real pretraining pathology).
+    * Shard = 60-bit md5 slice mod `ShuffleShards` (integer arithmetic,
+    * never float·S-and-floor — a float product can straddle an ulp
+    * between engines); position = rank of the md5 hex key within the
+    * shard, ties (impossible for md5, but contractually) broken by
+    * doc_id. Retry-stable and seedless like every sampling op here
+    * ([[graft.queries.mdUniform]] family, salt `shuffle:`).
+    *
+    * Scale shape: ONE hash-partition exchange on `shard` and a
+    * per-shard sort — each task sorts corpus/S rows. This window IS the
+    * production write: `repartition($"shard").sortWithinPartitions` +
+    * `partitionBy(shard)` emits the same (shard, pos) order with the
+    * same single exchange; at 100 TB, S scales to thousands so a shard
+    * stays executor-sized. No global sort anywhere — the final
+    * `ORDER BY doc_id` is the oracle-comparison convention, not part of
+    * the operator.
+    */
+  val q74ShardManifest: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 15), 16, 10).cast("long")
+          % ShuffleShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id")))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  val q74Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, skey,
+       |    ('0x' || substr(skey, 1, 15))::BIGINT % $ShuffleShards AS shard
+       |  FROM keyed)
+       |SELECT doc_id, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+       |FROM sharded ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_length_quantiles" -> q61LengthQuantiles,
     "q62_token_packing" -> q62TokenPacking,
     "q63_token_rarity" -> q63TokenRarity,
-    "q69_outlier_clip" -> q69OutlierClip
+    "q69_outlier_clip" -> q69OutlierClip,
+    "q73_vocab_coverage" -> q73VocabCoverage,
+    "q74_shard_manifest" -> q74ShardManifest
   )
 
   val oracle: Map[String, String] = Map(
     "q61_length_quantiles" -> q61Sql,
     "q62_token_packing" -> q62Sql,
     "q63_token_rarity" -> q63Sql,
-    "q69_outlier_clip" -> q69Sql
+    "q69_outlier_clip" -> q69Sql,
+    "q73_vocab_coverage" -> q73Sql,
+    "q74_shard_manifest" -> q74Sql
   )
 }

@@ -229,17 +229,83 @@ object DedupTextQueries {
     lshPairs(minhashSignature(shingleRows(s, d)))
       .orderBy("doc_a", "doc_b")
 
-  val q32Sql: String = {
-    // sized/bsz mirrors the Spark-side skew cap (BucketPairs.DefaultCap)
-    s"""WITH $shingleRowsSql,
-       |$sigSelectSql,
+  /** sig → bands → sized → pairs CTE chain (expects `sh` in scope) — ONE
+    * rendering of the LSH candidate-pair oracle, shared by q32, q72 and
+    * the composed q53/q57/q59 chains. `sized`/`bsz` mirrors the
+    * Spark-side skew cap (BucketPairs.DefaultCap).
+    */
+  private val pairsCtesSql: String =
+    s"""$sigSelectSql,
        |bands AS (
        | $bandsSelectSql),
-       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-       |FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
-       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+       |pairs AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       | FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
+       | GROUP BY 1, 2)""".stripMargin
+
+  val q32Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$pairsCtesSql
+       |SELECT doc_a, doc_b, n_shared_bands FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q72 — signature-estimated Jaccard for every LSH candidate pair: the
+    * fraction of the P=16 minhash components on which the two signatures
+    * agree — an unbiased estimator of the true shingle-set Jaccard
+    * (Broder). This is the step a production dedup pipeline runs BETWEEN
+    * candidate generation (q32) and the drop decision: the estimate is
+    * computed from the 16-long signatures alone — no document text, no
+    * shingle re-derivation — so at 100 TB it reads only the signature
+    * store (the q64 artifact, ~100× smaller than the corpus). q34's
+    * exact-Jaccard join is the verification shape when text IS consulted.
+    *
+    * The signature frame is computed once and persisted (narrow: 17
+    * longs/doc — the in-session stand-in for the on-disk signature
+    * store); it feeds band-key pair generation AND both join sides.
+    * The pair frame is duplicate-proportional, so AQE broadcasts it onto
+    * the signature store at any realistic duplication rate; no hint, per
+    * the q53 drop-list rule. est_jaccard = matches/16 is a dyadic
+    * rational — exact in double on both engines.
+    */
+  val q72MinhashJaccard: Q = (s, d) => {
+    val sig = graft.core.CacheScope.track(
+      minhashSignature(shingleRows(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    minhashJaccard(sig).orderBy("doc_a", "doc_b")
+  }
+
+  /** The q72 body over a (persisted) signature frame. */
+  private[graft] def minhashJaccard(sig: DataFrame): DataFrame = {
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until P).map(i => col(f"mh$i%02d").as(f"a$i%02d")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until P).map(i => col(f"mh$i%02d").as(f"b$i%02d")): _*)
+    val nMatches = (0 until P)
+      .map(i => when(col(f"a$i%02d") === col(f"b$i%02d"), 1).otherwise(0))
+      .reduce(_ + _)
+    lshPairs(sig)
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b"))
+      .withColumn("n_matches", nMatches)
+      .withColumn("est_jaccard", col("n_matches") / lit(P.toDouble))
+      .select("doc_a", "doc_b", "n_shared_bands", "n_matches", "est_jaccard")
+  }
+
+  val q72Sql: String = {
+    val matchSum = (0 until P).map { i =>
+      val c = f"mh$i%02d"
+      s"CASE WHEN a.$c = b.$c THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $shingleRowsSql,
+       |$pairsCtesSql
+       |SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+       | $matchSum AS n_matches,
+       | ($matchSum) / $P.0 AS est_jaccard
+       |FROM pairs p
+       | JOIN sig a ON p.doc_a = a.doc_id
+       | JOIN sig b ON p.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** q64 — INCREMENTAL near-dup admission: dedupe an incoming delta shard
@@ -751,15 +817,7 @@ object DedupTextQueries {
     * Expects `sh` (from [[shingleRowsSql]]) to be in scope.
     */
   private val dedupVerdictCtes: String = {
-    s"""$sigSelectSql,
-       |bands AS (
-       | $bandsSelectSql),
-       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
-       |pairs AS (
-       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-       | FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
-       | GROUP BY 1, 2),
+    s"""$pairsCtesSql,
        |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_shared_bands >= 2),
        |exact AS (
        | SELECT doc_id FROM (
@@ -992,6 +1050,73 @@ object DedupTextQueries {
        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q75 — GRADED contamination: q56's binary flag, refined to the
+    * fraction of a document's distinct shingles that appear in the
+    * benchmark set — the signal release pipelines actually threshold
+    * (n-gram-overlap decontamination à la GPT-3/PaLM appendix
+    * methodology), because a 3-shingle absolute floor over- flags long
+    * documents and under-flags short ones. Same machinery as q56 (one
+    * persisted distinct-shingle frame feeds the benchmark branch and the
+    * corpus side; the overlap count is the one shuffle); the only
+    * additions are the per-doc denominator — `size(ss)`, computed
+    * map-side from the persisted frame, NO extra aggregate — and one
+    * exact integer-ratio test. `overlap_frac` is one division of two
+    * exact integers (the only-one-division rule) and the ≥5% flag is
+    * integer cross-multiplication (`20·overlap ≥ n`), so no float
+    * threshold can straddle an ulp between engines.
+    */
+  val q75ContaminationFrac: Q = (s, d) => {
+    val shingled = graft.core.CacheScope.track(distinctShingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val benchShingles = shingled.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("ss")).as("s")).distinct()
+    val hits = shingled
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .join(benchShingles, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    documents(s, d).select(col("doc_id"))
+      .join(shingled.select(col("doc_id"),
+        size(col("ss")).cast("long").as("n_shingles")), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (col("doc_id") % 97 === 0).as("is_benchmark"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated",
+        col("n_overlap") * 20 >= col("n_shingles") && col("n_shingles") > 0 &&
+          !col("is_benchmark"))
+      .select("doc_id", "n_shingles", "n_overlap", "is_benchmark",
+        "overlap_frac", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    s"""WITH docs AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
+       |       FROM docs WHERE len(w) >= 3),
+       |n_sh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+       |         FROM sh JOIN bench USING (s) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  d.doc_id % 97 = 0 AS is_benchmark,
+       |  CASE WHEN COALESCE(n.n_shingles, 0) > 0
+       |    THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / n.n_shingles
+       |    ELSE 0.0 END AS overlap_frac,
+       |  COALESCE(h.n_overlap, 0) * 20 >= COALESCE(n.n_shingles, 0)
+       |    AND COALESCE(n.n_shingles, 0) > 0
+       |    AND NOT d.doc_id % 97 = 0 AS contaminated
+       |FROM documents d
+       | LEFT JOIN n_sh n ON d.doc_id = n.doc_id
+       | LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q57 — the composed DATA-RELEASE verdict, the artifact the whole
     * suite exists to produce: one row per document carrying every gate a
     * training-data release applies — rule-based quality (q47),
@@ -1095,6 +1220,8 @@ object DedupTextQueries {
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
     "q64_incremental_neardup" -> q64IncrementalNeardup,
+    "q72_minhash_jaccard" -> q72MinhashJaccard,
+    "q75_contamination_frac" -> q75ContaminationFrac,
     "q33_simhash" -> q33Simhash,
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_text_stats" -> q35TextStats,
@@ -1118,6 +1245,8 @@ object DedupTextQueries {
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
     "q64_incremental_neardup" -> q64Sql,
+    "q72_minhash_jaccard" -> q72Sql,
+    "q75_contamination_frac" -> q75Sql,
     "q33_simhash" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_text_stats" -> q35Sql,

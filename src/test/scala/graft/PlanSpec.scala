@@ -239,6 +239,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 3, p.take(4000))
   }
 
+  test("q72 signature store materializes once: band keys and both pair-" +
+    "join sides read the persisted frame, no shingle re-derivation") {
+    graft.core.CacheScope.withScope {
+      val p = physical(DedupTextQueries.queries("q72_minhash_jaccard")(spark, sf))
+      // persisted minhash frame: 3 consumers (bandFrame, sig-a, sig-b)
+      assert(p.split("InMemoryTableScan").length - 1 >= 3, p.take(4000))
+      // the shingle expression must appear ZERO times above the cache
+      assert(!p.contains("word_shingles"), p.take(4000))
+    }
+  }
+
+  test("q73 coverage curve aggregates the vocabulary BEFORE the single-" +
+    "partition rank window (the q61 two-phase discipline)") {
+    val p = physical(CorpusStatsQueries.q73VocabCoverage(spark, sf))
+    assert(p.contains("partial_count"), p.take(4000))
+    // windows rank the vocab-bounded count table, never corpus rows: the
+    // plan prints root-first, so nothing BELOW the corpus explode (after
+    // it in the string) may sort — a pre-aggregation sort is the trap
+    val exploded = p.indexOf("Generate explode")
+    assert(exploded >= 0, p.take(4000))
+    assert(!p.substring(exploded).contains("Sort "),
+      s"no sort may appear below the corpus explode\n${p.take(4000)}")
+  }
+
+  test("q74 shard manifest: one hash exchange on shard + per-shard sort, " +
+    "no global sort below the window") {
+    val p = physical(CorpusStatsQueries.q74ShardManifest(spark, sf))
+    // exchanges: hashpartitioning(shard) for the window + the final
+    // ORDER BY's range exchange — nothing else
+    assert(p.split("Exchange").length - 1 <= 2, p.take(4000))
+    assert(p.contains("hashpartitioning"), p.take(4000))
+  }
+
   test("q63 joins are all broadcast at this scale — a vocabulary join " +
     "regressing to sort-merge would be the corpus-sized-shuffle trap") {
     graft.core.CacheScope.withScope {
