@@ -688,7 +688,15 @@ object DedupTextQueries {
     * orderBy is only for the deterministic dump).
     */
   val q47QualityFilter: Q = (s, d) =>
-    documents(s, d)
+    qualityGate(documents(s, d)).orderBy("doc_id")
+
+  /** The q47 projection over any `(doc_id, n_chars, text)` frame — pure
+    * map-side (no aggregate, no sort, no state), hence usable unchanged
+    * on a streaming ingest leg; StreamReadyTransformsSpec pins batch ==
+    * stream row equality.
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"),
         size(col("w")).as("n_words"),
@@ -701,7 +709,6 @@ object DedupTextQueries {
       .withColumn("ok_alpha", col("alpha_ratio") >= 0.81)
       .withColumn("keep",
         col("ok_length") && col("ok_word_len") && col("ok_alpha"))
-      .orderBy("doc_id")
 
   val q47Sql: String =
     s"""WITH d AS (SELECT doc_id, n_chars, text, $tokensSql AS w FROM documents),

@@ -39,14 +39,26 @@ object IngestQueries {
       docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nMax = counts.agg(max(col("n_lang")).as("n_max"))
-    val u = mdUniform("mix:", col("doc_id"))
-    docs.join(broadcast(counts), Seq("lang"))
-      .crossJoin(broadcast(nMax))
-      .filter(u < lit(BaseRate) *
-        sqrt(col("n_max").cast("double") / col("n_lang")))
-      .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
+    val rates = counts.crossJoin(broadcast(nMax))
+      .select(col("lang"), (lit(BaseRate) *
+        sqrt(col("n_max").cast("double") / col("n_lang"))).as("rate"))
+    mixtureFilter(docs, rates).orderBy("doc_id")
   }
+
+  /** The q65 selection leg over a precomputed per-language `(lang,
+    * rate)` table: broadcast the rates, keep a doc when its md5-uniform
+    * draw (salt `mix:`) falls under its language's rate. Pure map-side
+    * once the rates are known — so the SAME code path serves the batch
+    * rebalance (rates derived in-query, above) and a streaming ingest
+    * leg where rates come from an out-of-band corpus profile
+    * (yesterday's aggregate); StreamReadyTransformsSpec pins batch ==
+    * stream row equality.
+    */
+  def mixtureFilter(docs: org.apache.spark.sql.DataFrame,
+      rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(mdUniform("mix:", col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("lang"))
 
   val q65Sql: String =
     s"""WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),

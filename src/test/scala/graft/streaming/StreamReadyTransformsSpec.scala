@@ -45,4 +45,62 @@ class StreamReadyTransformsSpec extends AnyFunSuite {
       assert(batch.count(_._1 == 1L) == 3)
     } finally q.stop()
   }
+
+  test("qualityGate emits identical verdicts on a batch frame and on a " +
+    "micro-batched stream of the same documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // all-alphabetic words: 300 letters / 349 chars = 0.86 ≥ the 0.81 bar
+    val good = Array.tabulate(50)(i => s"word${('a' + i % 7).toChar}x").mkString(" ")
+    val docs = Seq(
+      (1L, good.length.toLong, good),         // passes every rule
+      (2L, 9L, "too short"),                  // fails ok_length
+      (3L, 21L, "a b c d e f g h i j k")      // fails word-len + alpha
+    )
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(7))).toSet
+
+    val batch = rows(graft.queries.DedupTextQueries
+      .qualityGate(docs.toDF("doc_id", "n_chars", "text")))
+    assert(batch.map(t => t._1 -> t._3) == Set(1L -> true, 2L -> false, 3L -> false))
+
+    val source = MemoryStream[(Long, Long, String)]
+    val q = graft.queries.DedupTextQueries
+      .qualityGate(source.toDS().toDF("doc_id", "n_chars", "text"))
+      .writeStream.format("memory").queryName("quality")
+      .outputMode("append").start()
+    try {
+      source.addData(docs(0))
+      q.processAllAvailable()
+      source.addData(docs(1), docs(2))
+      q.processAllAvailable()
+      assert(rows(spark.table("quality")) == batch)
+    } finally q.stop()
+  }
+
+  test("mixtureFilter over a static rates table admits identical rows on " +
+    "batch and stream (stream-static broadcast join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "mi"))
+    val rates = Seq(("en", 0.25), ("mi", 0.9)).toDF("lang", "rate")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val batch = rows(graft.queries.IngestQueries
+      .mixtureFilter(docs.toDF("doc_id", "lang"), rates))
+    // md5-threshold selection really thins both languages
+    assert(batch.nonEmpty && batch.size < docs.size)
+    assert(batch.exists(_._2 == "en") && batch.exists(_._2 == "mi"))
+
+    val source = MemoryStream[(Long, String)]
+    val q = graft.queries.IngestQueries
+      .mixtureFilter(source.toDS().toDF("doc_id", "lang"), rates)
+      .writeStream.format("memory").queryName("mixture")
+      .outputMode("append").start()
+    try {
+      docs.grouped(75).foreach { g => source.addData(g: _*); q.processAllAvailable() }
+      assert(rows(spark.table("mixture")) == batch)
+    } finally q.stop()
+  }
 }
