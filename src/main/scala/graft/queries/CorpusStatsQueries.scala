@@ -316,16 +316,46 @@ object CorpusStatsQueries {
     * the operator.
     */
   val q74ShardManifest: Q = (s, d) =>
-    documents(s, d)
-      .select(col("doc_id"),
-        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("skey"))
-      .withColumn("shard",
-        conv(substring(col("skey"), 1, 15), 16, 10).cast("long")
-          % ShuffleShards)
+    withShard(documents(s, d))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy("skey", "doc_id")))
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
+
+  /** The q74 shard/sort-key derivation over any frame with a `doc_id` —
+    * shared by the manifest query and [[writeShardedCorpus]] so the
+    * logical manifest and the physical layout cannot drift.
+    */
+  private def withShard(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("skey",
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 15), 16, 10).cast("long")
+          % ShuffleShards)
+
+  /** q74's manifest as a PHYSICAL layout — the production form of the
+    * shuffle (`Tables.writeBucketed` convention: the API, not just a
+    * spec fixture): hash-repartition on `shard` (all rows of a shard in
+    * exactly one task), sort within partitions by the md5 key, write
+    * `partitionBy(shard)`. Each shard directory then holds its documents
+    * in manifest `pos` order — the trainer streams shard files as-is, no
+    * read-time sort. Same single exchange as the q74 window;
+    * ShardedLayoutSpec proves file order == manifest order, one file per
+    * shard.
+    */
+  def writeShardedCorpus(s: org.apache.spark.sql.SparkSession, d: String,
+      path: String): Unit =
+    withShard(documents(s, d))
+      .repartition(ShuffleShards, col("shard"))
+      // the sort LEADS with the partition column: the dynamic-partition
+      // writer requires child ordering on it and would otherwise insert
+      // its own (unstable) shard-only sort, destroying the skey order;
+      // skey stays in the file (the writer must SEE the full ordering)
+      // and doubles as the row's manifest key — 32 bytes next to text
+      .sortWithinPartitions("shard", "skey", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   val q74Sql: String =
     s"""WITH keyed AS (

@@ -174,6 +174,57 @@ object IngestQueries {
        |  md5(array_to_string(list_slice(w, start + 1, start + $ChunkTokens), ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** q76 — substring-level dedup at chunk granularity: the 64-token
+    * windows q67 cuts, fingerprint-grouped across the corpus to find
+    * text REUSED BETWEEN documents (boilerplate, quotations, mirrored
+    * passages) that document-level dedup (q30/q53) cannot see — two
+    * long documents sharing one paragraph are not near-duplicates, but
+    * a trainer still memorizes the repeated span (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * failure mode, at window rather than suffix granularity). Composes
+    * directly on [[chunkTokens]] — same windows, same fingerprints — so
+    * a chunk flagged here maps 1:1 onto a q67 training chunk. Tail
+    * windows (< ChunkTokens tokens) are excluded: a 3-token tail
+    * matching another doc's tail is not a 64-token repeat.
+    *
+    * Scale shape: two stacked partial-agg'd groupBys on the 16-byte
+    * fingerprint — (fp, doc) occurrence counts, then per-fp totals with
+    * the `HAVING n_docs > 1` filter. Output is bounded by the number of
+    * REPEATED windows (duplication-proportional, like q59's edge set);
+    * no window function, no join, no corpus-sized anything past the
+    * first combine.
+    */
+  val q76RepeatedWindows: Q = (s, d) => {
+    val perDoc = chunkTokens(documents(s, d))
+      .filter(col("n_chunk_tokens") === ChunkTokens)
+      .groupBy("chunk_fp", "doc_id")
+      .agg(count(lit(1)).as("n_in_doc"))
+    perDoc.groupBy("chunk_fp")
+      .agg(sum(col("n_in_doc")).as("n_copies"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_fp")
+  }
+
+  val q76Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS w FROM documents),
+       |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+       |c AS (SELECT doc_id, w, n, unnest(range(0, n, $ChunkStride)) AS start FROM s),
+       |occ AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(w, start + 1, start + $ChunkTokens), ' ')) AS chunk_fp
+       |  FROM c WHERE least($ChunkTokens, n - start) = $ChunkTokens),
+       |per_doc AS (
+       |  SELECT chunk_fp, doc_id, COUNT(*) AS n_in_doc FROM occ GROUP BY 1, 2)
+       |SELECT chunk_fp,
+       |  CAST(SUM(n_in_doc) AS BIGINT) AS n_copies,
+       |  COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS canonical_doc
+       |FROM per_doc GROUP BY chunk_fp HAVING COUNT(*) > 1
+       |ORDER BY chunk_fp""".stripMargin
+
   /** Docs kept per language by q68. */
   private val FixedPerLang = 50
 
@@ -223,13 +274,15 @@ object IngestQueries {
     "q65_balanced_mixture" -> q65BalancedMixture,
     "q66_training_manifest" -> q66TrainingManifest,
     "q67_token_chunks" -> q67TokenChunks,
-    "q68_fixed_stratified" -> q68FixedStratified
+    "q68_fixed_stratified" -> q68FixedStratified,
+    "q76_repeated_windows" -> q76RepeatedWindows
   )
 
   val oracle: Map[String, String] = Map(
     "q65_balanced_mixture" -> q65Sql,
     "q66_training_manifest" -> q66Sql,
     "q67_token_chunks" -> q67Sql,
-    "q68_fixed_stratified" -> q68Sql
+    "q68_fixed_stratified" -> q68Sql,
+    "q76_repeated_windows" -> q76Sql
   )
 }
