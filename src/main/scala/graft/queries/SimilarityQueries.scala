@@ -169,6 +169,54 @@ object SimilarityQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q77 — contrastive PAIR MINING: for every vector, its most similar
+    * other vector within the same label block (the positive-candidate /
+    * hard-negative primitive a contrastive-training data pipeline runs
+    * over its embedding store). Same replicate-one-side salted join as
+    * q42 — label is the low-cardinality blocking key, so the salt keeps
+    * any single task from owning a whole label's pair matrix — but the
+    * pair stream is DIRECTED (a needs to see every b) and reduces
+    * per-vector instead of filtering: the per-(label,salt) partial
+    * `min(struct(-sim, pair_id))` argmax collapses each task's block to
+    * one candidate row per vector BEFORE the final shuffle, so the
+    * exchange carries |vectors|·salts rows, never the pair matrix. Ties
+    * on sim resolve to the smaller pair_id on both engines (struct
+    * ordering ⟷ `ORDER BY sim DESC, pair_id ASC`); sim doubles are
+    * bit-identical (index-ordered fused loop ⟷ list_dot_product).
+    */
+  val q77PairMining: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val a = emb
+      .select(col("label"), col("vec_id"), col("embedding").as("emb_a"))
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(PairSalts)))
+    val b = emb.select(col("label"), col("vec_id").as("pair_id"),
+        col("embedding").as("emb_b"))
+      .withColumn("salt",
+        explode(array((0 until PairSalts).map(lit): _*)))
+    a.join(b.hint("shuffle_hash"), Seq("label", "salt"))
+      .filter(col("vec_id") =!= col("pair_id"))
+      .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
+      .groupBy("label", "vec_id")
+      .agg(min(struct((-col("sim")).as("ns"), col("pair_id").as("pid")))
+        .as("best"))
+      .select(col("label"), col("vec_id"),
+        col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  val q77Sql: String = {
+    val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    s"""WITH scored AS (
+       |  SELECT a.label, a.vec_id, b.vec_id AS pair_id, $cosAB AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |SELECT label, vec_id, pair_id, sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, pair_id ASC) AS rn
+       |  FROM scored) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** IVF search with a Lloyd-trained coarse quantizer (the q45 engine,
     * parameterized for the recall spec). Train → pick the `nprobe` cells
     * nearest the query (driver-side over k·dim doubles) → score only
@@ -452,7 +500,8 @@ object SimilarityQueries {
     "q42_embed_neardup" -> q42EmbedNearDup,
     "q44_topk_per_label" -> q44TopkPerLabel,
     "q45_knn_ivf_kmeans" -> q45KnnIvfKmeans,
-    "q46_embed_lsh" -> q46EmbedLsh
+    "q46_embed_lsh" -> q46EmbedLsh,
+    "q77_pair_mining" -> q77PairMining
   )
 
   val oracle: Map[String, String] = Map(
@@ -460,6 +509,7 @@ object SimilarityQueries {
     "q41_knn_ivf" -> q41Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_topk_per_label" -> q44Sql,
-    "q46_embed_lsh" -> q46Sql
+    "q46_embed_lsh" -> q46Sql,
+    "q77_pair_mining" -> q77Sql
   )
 }

@@ -183,6 +183,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("q77 pair mining: salted shuffle join (no broadcast) and the " +
+    "argmax reduces map-side — the pair matrix never crosses an exchange") {
+    val p = physical(SimilarityQueries.queries("q77_pair_mining")(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(4000))
+    // partial min(struct) collapses each task's block to one candidate
+    // row per vector before the final (label, vec_id) shuffle
+    assert(p.contains("partial_min"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
   test("q34 moves the shingle stream through ONE exchange: no distinct " +
     "shuffle, no count window (round-2 rewrite)") {
     val p = physical(DedupTextQueries.q34NgramJaccard(spark, TestSpark.Sf0001))
