@@ -229,6 +229,22 @@ object DedupTextQueries {
     lshPairs(minhashSignature(shingleRows(s, d)))
       .orderBy("doc_a", "doc_b")
 
+  /** The ≥2-shared-bands near-dup edge set (q53's drop threshold) —
+    * exposed for cross-modal composition (q78's text leg).
+    */
+  private[queries] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    lshPairs(minhashSignature(shingleRows(s, d)))
+      .filter(col("n_shared_bands") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** CTE chain (docs → sh → sig → bands → sized → pairs) for oracles
+    * composed OUTSIDE this object (q78); callers prepend `WITH `.
+    * (lazy: `pairsCtesSql` initializes further down this object.)
+    */
+  private[queries] lazy val lshPairsCtesForComposition: String =
+    s"$shingleRowsSql,\n$pairsCtesSql"
+
   /** sig → bands → sized → pairs CTE chain (expects `sh` in scope) — ONE
     * rendering of the LSH candidate-pair oracle, shared by q32, q72 and
     * the composed q53/q57/q59 chains. `sized`/`bsz` mirrors the

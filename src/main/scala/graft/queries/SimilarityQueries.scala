@@ -204,6 +204,42 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** q78 — SEMANTIC-ONLY near-dups (paraphrase mining): embedding pairs
+    * that clear q42's cosine bar but are NOT text near-duplicates by
+    * q53's LSH threshold — same meaning, different words. A release
+    * pipeline treats the two classes differently (literal copies are
+    * dropped outright; paraphrases are either kept for diversity or
+    * dropped for eval-leakage, but must first be told apart), and the
+    * doc_id⟷vec_id alignment of the cross-modal manifest (q66) is what
+    * makes the subtraction well-defined. Both legs are duplication-
+    * proportional — q42's thresholded pairs and the ≥2-band edge set —
+    * so the anti-join is tiny⋈tiny regardless of corpus size; each leg
+    * keeps its own documented scale shape (salted replicate join; one
+    * bucket-local LSH shuffle).
+    */
+  val q78SemanticOnlyDups: Q = (s, d) =>
+    q42EmbedNearDup(s, d)
+      .join(DedupTextQueries.nearDupPairs(s, d),
+        col("vec_a") === col("doc_a") && col("vec_b") === col("doc_b"),
+        "left_anti")
+      .orderBy("vec_a", "vec_b")
+
+  val q78Sql: String = {
+    val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    s"""WITH ${DedupTextQueries.lshPairsCtesForComposition},
+       |text_pairs AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_bands >= 2),
+       |emb_pairs AS (
+       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE $cosAB >= 0.35)
+       |SELECT e.label, e.vec_a, e.vec_b, e.sim
+       |FROM emb_pairs e
+       | LEFT JOIN text_pairs t ON e.vec_a = t.doc_a AND e.vec_b = t.doc_b
+       |WHERE t.doc_a IS NULL
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val q77Sql: String = {
     val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
     s"""WITH scored AS (
@@ -501,7 +537,8 @@ object SimilarityQueries {
     "q44_topk_per_label" -> q44TopkPerLabel,
     "q45_knn_ivf_kmeans" -> q45KnnIvfKmeans,
     "q46_embed_lsh" -> q46EmbedLsh,
-    "q77_pair_mining" -> q77PairMining
+    "q77_pair_mining" -> q77PairMining,
+    "q78_semantic_only_dups" -> q78SemanticOnlyDups
   )
 
   val oracle: Map[String, String] = Map(
@@ -510,6 +547,7 @@ object SimilarityQueries {
     "q42_embed_neardup" -> q42Sql,
     "q44_topk_per_label" -> q44Sql,
     "q46_embed_lsh" -> q46Sql,
-    "q77_pair_mining" -> q77Sql
+    "q77_pair_mining" -> q77Sql,
+    "q78_semantic_only_dups" -> q78Sql
   )
 }
