@@ -370,13 +370,68 @@ object CorpusStatsQueries {
        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
        |FROM sharded ORDER BY doc_id""".stripMargin
 
+  /** Per-(lang, shard) token quota for q79: BudgetTokens/lang spread
+    * across q62's shard count.
+    */
+  private val BudgetTokens = 3200L
+
+  /** q79 — token-BUDGET-capped sampling: fill each language's token
+    * quota (the mixture spec a pretraining run actually states: "this
+    * many tokens of each language", not "this fraction of documents")
+    * by admitting documents in deterministic md5 order until the budget
+    * is hit. A doc is kept while the RUNNING token total BEFORE it is
+    * under its stream's quota — so every stream slightly overshoots by
+    * at most one document, deterministically, rather than undershooting
+    * or cutting a document in half.
+    *
+    * Scale shape = q62's: the cumulative walk is inherently sequential,
+    * so it runs per (lang, shard) — `PackShards` deterministic doc_id
+    * streams per language, each task owning corpus/(langs·shards) rows,
+    * each stream owning budget/shards tokens. The admission ORDER is the
+    * md5-uniform draw (salt `budget:`) so the kept set is an unbiased,
+    * retry-stable sample of the language, not a doc_id-prefix artifact.
+    */
+  val q79BudgetSample: Q = (s, d) => {
+    val w = Window.partitionBy("lang", "shard").orderBy("u", "doc_id")
+    val shardBudget = BudgetTokens / PackShards
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        mdUniform("budget:", col("doc_id")).as("u"))
+      .withColumn("prior_tokens",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior_tokens") < shardBudget)
+      .select("doc_id", "lang", "shard", "n_tokens", "prior_tokens")
+      .orderBy("doc_id")
+  }
+
+  val q79Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+       |    len($tokensSql) AS n_tokens,
+       |    ${mdUniformSql("budget:", "doc_id")} AS u
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY lang, shard ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prior_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, shard, n_tokens, prior_tokens
+       |FROM c WHERE prior_tokens < ${BudgetTokens / PackShards}
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_length_quantiles" -> q61LengthQuantiles,
     "q62_token_packing" -> q62TokenPacking,
     "q63_token_rarity" -> q63TokenRarity,
     "q69_outlier_clip" -> q69OutlierClip,
     "q73_vocab_coverage" -> q73VocabCoverage,
-    "q74_shard_manifest" -> q74ShardManifest
+    "q74_shard_manifest" -> q74ShardManifest,
+    "q79_budget_sample" -> q79BudgetSample
   )
 
   val oracle: Map[String, String] = Map(
@@ -385,6 +440,7 @@ object CorpusStatsQueries {
     "q63_token_rarity" -> q63Sql,
     "q69_outlier_clip" -> q69Sql,
     "q73_vocab_coverage" -> q73Sql,
-    "q74_shard_manifest" -> q74Sql
+    "q74_shard_manifest" -> q74Sql,
+    "q79_budget_sample" -> q79Sql
   )
 }

@@ -1140,6 +1140,68 @@ object DedupTextQueries {
        | LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q80 — SPLIT-LEAKAGE check: a val/test document that near-duplicates
+    * a TRAIN document leaks the holdout (the model has effectively seen
+    * it), which q56/q75's external-benchmark decontamination cannot
+    * catch — the leak is between the corpus's own splits. Composes two
+    * existing artifacts: q49's deterministic md5 split and q53's ≥2-band
+    * LSH edge set; a holdout doc is flagged when ANY edge (in either
+    * direction — the edge set stores doc_a < doc_b) connects it to a
+    * train doc. The release gate every train/val/test cut runs before
+    * shipping an eval number.
+    *
+    * Scale shape: the edge set is duplication-proportional and carries
+    * only ids; flag derivation is two semi-join-shaped aggregations over
+    * it (exists-an-edge-to-train per holdout endpoint, union'd), then
+    * one id-only left join back onto the holdout rows. The corpus text
+    * is scanned once for the split projection and once inside the LSH
+    * chain — nothing corpus-sized shuffles beyond the LSH chain's own
+    * documented exchange.
+    */
+  val q80SplitLeakage: Q = (s, d) => {
+    val splits = documents(s, d)
+      .select(col("doc_id"),
+        when(mdUniform("split:", col("doc_id")) < 0.9, "train")
+          .when(mdUniform("split:", col("doc_id")) < 0.95, "val")
+          .otherwise("test").as("split"))
+    val edges = nearDupPairs(s, d)
+    val trainIds = splits.filter(col("split") === "train")
+      .select(col("doc_id"))
+    // holdout endpoints with an edge into train, from either edge side
+    val leakedA = edges
+      .join(trainIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .select(col("doc_a").as("doc_id"))
+    val leakedB = edges
+      .join(trainIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_b").as("doc_id"))
+    splits.filter(col("split") =!= "train")
+      .join(leakedA.union(leakedB).distinct()
+        .withColumn("leaks_train", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("leaks_train"), lit(false)).as("leaks_train"))
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$pairsCtesSql,
+       |splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${mdUniformSql("split:", "doc_id")} < 0.9 THEN 'train'
+       |         WHEN ${mdUniformSql("split:", "doc_id")} < 0.95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |edges AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_bands >= 2),
+       |train AS (SELECT doc_id FROM splits WHERE split = 'train'),
+       |leaked AS (
+       |  SELECT e.doc_a AS doc_id FROM edges e JOIN train t ON e.doc_b = t.doc_id
+       |  UNION
+       |  SELECT e.doc_b AS doc_id FROM edges e JOIN train t ON e.doc_a = t.doc_id)
+       |SELECT s.doc_id, s.split, l.doc_id IS NOT NULL AS leaks_train
+       |FROM splits s LEFT JOIN leaked l ON s.doc_id = l.doc_id
+       |WHERE s.split <> 'train'
+       |ORDER BY s.doc_id""".stripMargin
+
   /** q57 — the composed DATA-RELEASE verdict, the artifact the whole
     * suite exists to produce: one row per document carrying every gate a
     * training-data release applies — rule-based quality (q47),
@@ -1245,6 +1307,7 @@ object DedupTextQueries {
     "q64_incremental_neardup" -> q64IncrementalNeardup,
     "q72_minhash_jaccard" -> q72MinhashJaccard,
     "q75_contamination_frac" -> q75ContaminationFrac,
+    "q80_split_leakage" -> q80SplitLeakage,
     "q33_simhash" -> q33Simhash,
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_text_stats" -> q35TextStats,
@@ -1270,6 +1333,7 @@ object DedupTextQueries {
     "q64_incremental_neardup" -> q64Sql,
     "q72_minhash_jaccard" -> q72Sql,
     "q75_contamination_frac" -> q75Sql,
+    "q80_split_leakage" -> q80Sql,
     "q33_simhash" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_text_stats" -> q35Sql,
