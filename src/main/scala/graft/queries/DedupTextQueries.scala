@@ -769,26 +769,18 @@ object DedupTextQueries {
     * (lang × split counts + observed fraction) a pipeline would publish.
     * One explode-free scan + one tiny shuffle on (lang, split).
     */
-  val q49HashSplit: Q = (s, d) => {
-    val u = mdUniform("split:", col("doc_id"))
+  val q49HashSplit: Q = (s, d) =>
     documents(s, d)
-      .withColumn("split",
-        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test"))
+      .withColumn("split", splitAssign(col("doc_id")))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
       .withColumn("frac",
         col("n") / sum(col("n")).over(Window.partitionBy("lang")))
       .orderBy("lang", "split")
-  }
 
   val q49Sql: String =
     s"""WITH s AS (
-      |  SELECT lang,
-      |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
-      |         ELSE 'test' END AS split
-      |  FROM (SELECT lang,
-      |     ${mdUniformSql("split:", "doc_id")} AS u
-      |    FROM documents)),
+      |  SELECT lang, ${splitAssignSql("doc_id")} AS split FROM documents),
       |c AS (SELECT lang, split, COUNT(*) AS n FROM s GROUP BY 1, 2)
       |SELECT lang, split, n,
       |  n / SUM(n) OVER (PARTITION BY lang) AS frac
@@ -1041,35 +1033,59 @@ object DedupTextQueries {
     * with the corpus (a real eval set is fixed-size and AQE will
     * broadcast it on its own when it is small).
     */
-  private def decontamination(s: org.apache.spark.sql.SparkSession,
-      d: String, shingled: DataFrame): DataFrame = {
-    val benchShingles = shingled.filter(col("doc_id") % 97 === 0)
+  /** Benchmark-set membership (stand-in eval set: every 97th doc) — ONE
+    * rule shared by the binary flag (q56), the graded fraction (q75)
+    * and their oracles, so the two gates cannot disagree about which
+    * docs are benchmark members.
+    */
+  private def isBenchmark(id: Column): Column = id % 97 === 0
+  private def isBenchmarkSql(idExpr: String): String = s"$idExpr % 97 = 0"
+
+  /** Per-doc benchmark-overlap counts over a (persisted) distinct-
+    * shingle frame — the shared q56/q75 machinery: benchmark shingle
+    * set from [[isBenchmark]] members, one join + per-doc count.
+    */
+  private def benchmarkHits(shingled: DataFrame): DataFrame = {
+    val benchShingles = shingled.filter(isBenchmark(col("doc_id")))
       .select(explode(col("ss")).as("s")).distinct()
-    val hits = shingled
+    shingled
       .select(col("doc_id"), explode(col("ss")).as("s"))
       .join(benchShingles, Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** DuckDB mirror of [[benchmarkHits]]; expects `sh` in scope. */
+  private val benchHitsCtesSql: String =
+    s"""bench AS (SELECT DISTINCT s FROM sh WHERE ${isBenchmarkSql("doc_id")}),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+       |         FROM sh JOIN bench USING (s) GROUP BY 1)""".stripMargin
+
+  private def decontamination(s: org.apache.spark.sql.SparkSession,
+      d: String, shingled: DataFrame): DataFrame =
     documents(s, d).select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(benchmarkHits(shingled), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (col("doc_id") % 97 === 0).as("is_benchmark"))
+        isBenchmark(col("doc_id")).as("is_benchmark"))
       .withColumn("contaminated",
         col("n_overlap") >= 3 && !col("is_benchmark"))
       .orderBy("doc_id")
-  }
+
+  /** DuckDB mirror of [[distinctShingles]] (docs → distinct `sh`),
+    * shared by the q56/q75 oracle pair.
+    */
+  private val distinctShinglesCtesSql: String =
+    s"""docs AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
+       |       FROM docs WHERE len(w) >= 3)""".stripMargin
 
   val q56Sql: String =
-    s"""WITH docs AS (SELECT doc_id, $tokensSql AS w FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
-       |       FROM docs WHERE len(w) >= 3),
-       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
-       |         FROM sh JOIN bench USING (s) GROUP BY 1)
+    s"""WITH $distinctShinglesCtesSql,
+       |$benchHitsCtesSql
        |SELECT d.doc_id,
        |  COALESCE(h.n_overlap, 0) AS n_overlap,
-       |  d.doc_id % 97 = 0 AS is_benchmark,
-       |  COALESCE(h.n_overlap, 0) >= 3 AND NOT d.doc_id % 97 = 0 AS contaminated
+       |  ${isBenchmarkSql("d.doc_id")} AS is_benchmark,
+       |  COALESCE(h.n_overlap, 0) >= 3 AND NOT ${isBenchmarkSql("d.doc_id")} AS contaminated
        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
@@ -1091,20 +1107,14 @@ object DedupTextQueries {
   val q75ContaminationFrac: Q = (s, d) => {
     val shingled = graft.core.CacheScope.track(distinctShingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val benchShingles = shingled.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("ss")).as("s")).distinct()
-    val hits = shingled
-      .select(col("doc_id"), explode(col("ss")).as("s"))
-      .join(benchShingles, Seq("s"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     documents(s, d).select(col("doc_id"))
       .join(shingled.select(col("doc_id"),
         size(col("ss")).cast("long").as("n_shingles")), Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(benchmarkHits(shingled), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (col("doc_id") % 97 === 0).as("is_benchmark"))
+        isBenchmark(col("doc_id")).as("is_benchmark"))
       .withColumn("overlap_frac",
         when(col("n_shingles") > 0,
           col("n_overlap").cast("double") / col("n_shingles"))
@@ -1118,23 +1128,19 @@ object DedupTextQueries {
   }
 
   val q75Sql: String =
-    s"""WITH docs AS (SELECT doc_id, $tokensSql AS w FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
-       |       FROM docs WHERE len(w) >= 3),
+    s"""WITH $distinctShinglesCtesSql,
        |n_sh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
-       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
-       |         FROM sh JOIN bench USING (s) GROUP BY 1)
+       |$benchHitsCtesSql
        |SELECT d.doc_id,
        |  CAST(COALESCE(n.n_shingles, 0) AS BIGINT) AS n_shingles,
        |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-       |  d.doc_id % 97 = 0 AS is_benchmark,
+       |  ${isBenchmarkSql("d.doc_id")} AS is_benchmark,
        |  CASE WHEN COALESCE(n.n_shingles, 0) > 0
        |    THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / n.n_shingles
        |    ELSE 0.0 END AS overlap_frac,
        |  COALESCE(h.n_overlap, 0) * 20 >= COALESCE(n.n_shingles, 0)
        |    AND COALESCE(n.n_shingles, 0) > 0
-       |    AND NOT d.doc_id % 97 = 0 AS contaminated
+       |    AND NOT ${isBenchmarkSql("d.doc_id")} AS contaminated
        |FROM documents d
        | LEFT JOIN n_sh n ON d.doc_id = n.doc_id
        | LEFT JOIN hits h ON d.doc_id = h.doc_id
@@ -1160,10 +1166,7 @@ object DedupTextQueries {
     */
   val q80SplitLeakage: Q = (s, d) => {
     val splits = documents(s, d)
-      .select(col("doc_id"),
-        when(mdUniform("split:", col("doc_id")) < 0.9, "train")
-          .when(mdUniform("split:", col("doc_id")) < 0.95, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
     val edges = nearDupPairs(s, d)
     val trainIds = splits.filter(col("split") === "train")
       .select(col("doc_id"))
@@ -1186,11 +1189,7 @@ object DedupTextQueries {
     s"""WITH $shingleRowsSql,
        |$pairsCtesSql,
        |splits AS (
-       |  SELECT doc_id,
-       |    CASE WHEN ${mdUniformSql("split:", "doc_id")} < 0.9 THEN 'train'
-       |         WHEN ${mdUniformSql("split:", "doc_id")} < 0.95 THEN 'val'
-       |         ELSE 'test' END AS split
-       |  FROM documents),
+       |  SELECT doc_id, ${splitAssignSql("doc_id")} AS split FROM documents),
        |edges AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_bands >= 2),
        |train AS (SELECT doc_id FROM splits WHERE split = 'train'),
        |leaked AS (
@@ -1262,7 +1261,7 @@ object DedupTextQueries {
        |rep AS (SELECT rd.doc_id,
        |          COALESCE(tm.r, 0.0) <= 0.125 AND COALESCE(bf.f, 0.0) <= 0.06 AS ok_repetition
        |        FROM documents rd LEFT JOIN tm USING (doc_id) LEFT JOIN bf USING (doc_id)),
-       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE ${isBenchmarkSql("doc_id")}),
        |chit AS (SELECT doc_id, COUNT(*) AS n_overlap
        |         FROM (SELECT DISTINCT doc_id, s FROM sh) ds
        |         JOIN bench USING (s) GROUP BY 1),
@@ -1275,11 +1274,11 @@ object DedupTextQueries {
        | q.ok_quality,
        | r.ok_repetition,
        | (e.doc_id IS NULL AND n.doc_id IS NULL) AS ok_dedup,
-       | NOT (COALESCE(c.n_overlap, 0) >= 3 AND NOT d.doc_id % 97 = 0) AS ok_decontaminated,
+       | NOT (COALESCE(c.n_overlap, 0) >= 3 AND NOT ${isBenchmarkSql("d.doc_id")}) AS ok_decontaminated,
        | sm.doc_id IS NOT NULL AS in_sample,
        | q.ok_quality AND r.ok_repetition
        |   AND (e.doc_id IS NULL AND n.doc_id IS NULL)
-       |   AND NOT (COALESCE(c.n_overlap, 0) >= 3 AND NOT d.doc_id % 97 = 0)
+       |   AND NOT (COALESCE(c.n_overlap, 0) >= 3 AND NOT ${isBenchmarkSql("d.doc_id")})
        |   AND sm.doc_id IS NOT NULL AS release
        |FROM documents d
        | JOIN quality q ON d.doc_id = q.doc_id

@@ -53,11 +53,22 @@ object IngestQueries {
     * leg where rates come from an out-of-band corpus profile
     * (yesterday's aggregate); StreamReadyTransformsSpec pins batch ==
     * stream row equality.
+    *
+    * A language ABSENT from the rates table — possible only on the
+    * streaming leg, where a new language can appear before the profile
+    * refreshes — is governed by `unknownLangRate` (LEFT join +
+    * coalesce), an explicit knob rather than an inner join's silent
+    * total drop: 1.0 admits everything until the profile catches up
+    * (the safe ingest default — dropping is unrecoverable), 0.0
+    * quarantines. The batch path derives rates from the same frame, so
+    * every language is covered and the default never engages.
     */
   def mixtureFilter(docs: org.apache.spark.sql.DataFrame,
-      rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.join(broadcast(rates), Seq("lang"))
-      .filter(mdUniform("mix:", col("doc_id")) < col("rate"))
+      rates: org.apache.spark.sql.DataFrame,
+      unknownLangRate: Double = 1.0): org.apache.spark.sql.DataFrame =
+    docs.join(broadcast(rates), Seq("lang"), "left")
+      .filter(mdUniform("mix:", col("doc_id")) <
+        coalesce(col("rate"), lit(unknownLangRate)))
       .select(col("doc_id"), col("lang"))
 
   val q65Sql: String =
@@ -91,12 +102,10 @@ object IngestQueries {
     * join's probe side is already manifest-sized.
     */
   val q66TrainingManifest: Q = (s, d) => {
-    val u = mdUniform("split:", col("doc_id"))
     documents(s, d)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= MinTokens)
-      .withColumn("split",
-        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test"))
+      .withColumn("split", splitAssign(col("doc_id")))
       .join(embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("label")),
         Seq("doc_id"))
@@ -108,11 +117,9 @@ object IngestQueries {
   val q66Sql: String =
     s"""WITH t AS (
        | SELECT doc_id, lang, len($tokensSql) AS n_tokens,
-       |  ${mdUniformSql("split:", "doc_id")} AS u
+       |  ${splitAssignSql("doc_id")} AS split
        | FROM documents)
-       |SELECT t.doc_id, t.lang, e.label, t.n_tokens,
-       | CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
-       |      ELSE 'test' END AS split
+       |SELECT t.doc_id, t.lang, e.label, t.n_tokens, t.split
        |FROM t JOIN embeddings e ON t.doc_id = e.vec_id
        |WHERE t.n_tokens >= $MinTokens
        |ORDER BY t.doc_id""".stripMargin

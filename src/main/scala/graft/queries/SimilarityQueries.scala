@@ -142,6 +142,11 @@ object SimilarityQueries {
     * Catalyst's size estimate (post-explode stats are unknown) can't fall
     * back to a broadcast.
     */
+  /** The q42/q78 near-dup cosine bar — single constant shared by both
+    * Spark paths and (via [[embPairsCteSql]]) both oracles.
+    */
+  private val NearDupSimThreshold = 0.35
+
   val q42EmbedNearDup: Q = (s, d) => {
     val emb = embeddings(s, d)
     val a = emb
@@ -155,19 +160,29 @@ object SimilarityQueries {
     a.join(b.hint("shuffle_hash"), Seq("label", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
-      .filter(col("sim") >= 0.35)
+      .filter(col("sim") >= NearDupSimThreshold)
       .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
       .orderBy("vec_a", "vec_b")
   }
 
-  val q42Sql: String = {
+  /** ONE rendering of the thresholded in-label embedding pair set —
+    * the q42 oracle body, reused verbatim by the q78 composition so the
+    * engine-side reuse (q78 calls [[q42EmbedNearDup]]) has a matching
+    * oracle-side single source.
+    */
+  private val embPairsCteSql: String = {
     val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
-    s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE $cosAB >= 0.35
-       |ORDER BY vec_a, vec_b""".stripMargin
+    s"""emb_pairs AS (
+       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE $cosAB >= $NearDupSimThreshold)""".stripMargin
   }
+
+  val q42Sql: String =
+    s"""WITH $embPairsCteSql
+       |SELECT label, vec_a, vec_b, sim FROM emb_pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** q77 — contrastive PAIR MINING: for every vector, its most similar
     * other vector within the same label block (the positive-candidate /
@@ -224,21 +239,15 @@ object SimilarityQueries {
         "left_anti")
       .orderBy("vec_a", "vec_b")
 
-  val q78Sql: String = {
-    val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+  val q78Sql: String =
     s"""WITH ${DedupTextQueries.lshPairsCtesForComposition},
        |text_pairs AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_bands >= 2),
-       |emb_pairs AS (
-       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id
-       |  WHERE $cosAB >= 0.35)
+       |$embPairsCteSql
        |SELECT e.label, e.vec_a, e.vec_b, e.sim
        |FROM emb_pairs e
        | LEFT JOIN text_pairs t ON e.vec_a = t.doc_a AND e.vec_b = t.doc_b
        |WHERE t.doc_a IS NULL
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   val q77Sql: String = {
     val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")

@@ -90,4 +90,25 @@ package object queries {
   def mdUniformSql(salt: String, idExpr: String): String =
     s"('0x' || substr(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT" +
       " / 1152921504606846976.0"
+
+  /** THE train/val/test split contract — salt `split:`, 90/5/5 — shared
+    * by the split profile (q49), the training manifest (q66) and the
+    * split-leakage gate (q80), single-sourced with [[splitAssignSql]] so
+    * retuning the holdout fraction cannot leave one consumer checking a
+    * different split than the one shipped.
+    */
+  def splitAssign(id: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val u = mdUniform("split:", id)
+    when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test")
+  }
+
+  /** DuckDB mirror of [[splitAssign]]. The md5-uniform draw renders once
+    * per comparison (it is deterministic, so single-vs-double evaluation
+    * cannot diverge).
+    */
+  def splitAssignSql(idExpr: String): String = {
+    val u = mdUniformSql("split:", idExpr)
+    s"CASE WHEN $u < 0.9 THEN 'train' WHEN $u < 0.95 THEN 'val' ELSE 'test' END"
+  }
 }

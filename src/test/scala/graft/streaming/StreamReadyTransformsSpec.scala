@@ -103,4 +103,22 @@ class StreamReadyTransformsSpec extends AnyFunSuite {
       assert(rows(spark.table("mixture")) == batch)
     } finally q.stop()
   }
+
+  test("mixtureFilter governs a language missing from the rates table " +
+    "via unknownLangRate instead of silently dropping it") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val enOnly = Seq(("en", 0.5)).toDF("lang", "rate")
+    val admitAll = graft.queries.IngestQueries.mixtureFilter(docs, enOnly)
+      .collect().map(r => r.getString(1))
+    // default 1.0: every unknown-lang doc survives until the profile
+    // catches up; the known lang is still thinned
+    assert(admitAll.count(_ == "xx") == 30)
+    assert(admitAll.count(_ == "en") < 30)
+    val quarantined = graft.queries.IngestQueries
+      .mixtureFilter(docs, enOnly, unknownLangRate = 0.0)
+      .collect().map(r => r.getString(1))
+    assert(!quarantined.contains("xx") && quarantined.nonEmpty)
+  }
 }
