@@ -162,6 +162,37 @@ object EventQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
 
+  /** q81 — SLIDING windows (10-minute span every 5 minutes): the
+    * overlapping-window aggregate between q20's tumbling and q21's
+    * session forms — the moving-rate shape monitoring/alerting actually
+    * reads. Spark's native `window(ts, span, slide)` replicates each
+    * event into its span/slide = 2 covering windows and partial-aggs
+    * them like any groupBy — replication factor is the constant
+    * span/slide, not data-dependent, so the scale story is q20's with a
+    * 2× input constant. The oracle mirrors the replication explicitly:
+    * an event at t belongs to windows starting at floor(t/slide)·slide
+    * and that minus one slide (epoch-aligned, exactly like Spark).
+    * Money sums go through DECIMAL per the parity rules.
+    */
+  val q81Sliding: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start_ms", "event_type")
+
+  val q81Sql: String =
+    """WITH ex AS (
+      | SELECT unnest([(epoch_ms(ts) // 300000) * 300000,
+      |                (epoch_ms(ts) // 300000) * 300000 - 300000]) AS window_start_ms,
+      |        event_type, value
+      | FROM events)
+      |SELECT window_start_ms, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM ex GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin
+
   /** Session windows, 30-minute gap, per user: Spark `session_window`
     * (which merges events whose gap to the previous event is < 30 min;
     * a gap of exactly 30 min starts a new session). Oracle reproduces the
@@ -369,6 +400,7 @@ object EventQueries {
     "q19_time_ago" -> q19TimeAgo,
     "q20_tumbling" -> q20Tumbling,
     "q21_session" -> q21Session,
+    "q81_sliding" -> q81Sliding,
     "q22_asof_join" -> q22AsofJoin,
     "q23_lag_lead" -> q23LagLead,
     "q24_running" -> q24Running,
@@ -385,6 +417,7 @@ object EventQueries {
     "q19_time_ago" -> q19Sql,
     "q20_tumbling" -> q20Sql,
     "q21_session" -> q21Sql,
+    "q81_sliding" -> q81Sql,
     "q22_asof_join" -> q22Sql,
     "q23_lag_lead" -> q23Sql,
     "q24_running" -> q24Sql,
