@@ -40,6 +40,21 @@ object EventStreaming {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding 10-minute windows every 5 minutes (the q81 shape) with the
+    * same 30-minute watermark: each event updates its span/slide = 2
+    * covering windows; state is bounded by (watermark + span)/slide
+    * open windows per event_type.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Session windows (30-minute gap) per user — state merges sessions as
     * events arrive; watermark closes and emits them.
     */

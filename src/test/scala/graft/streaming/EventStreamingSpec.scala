@@ -44,6 +44,21 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(streamed.count() == 3) // windows 00:00, 00:10, 00:20
   }
 
+  test("slidingCounts: incremental overlapping windows match batch, " +
+    "each event lands in exactly two") {
+    val evs = Seq(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(7), 1, "click", 2.0),
+      Ev(3, ts(12), 2, "view", 3.0))
+    val streamed = runStream(EventStreaming.slidingCounts, "slc", "complete")(
+      evs.take(2), evs.drop(2))
+    import spark.implicits._
+    val batch = EventStreaming.slidingCounts(evs.toDF())
+    assert(streamed.collect().toSet == batch.collect().toSet)
+    // span/slide = 2 covering windows per event
+    assert(streamed.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect().head.getLong(0) == evs.size * 2)
+  }
+
   test("dedupeByKey drops re-delivered events across micro-batches") {
     val b1 = Seq(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0))
     val b2 = Seq(Ev(1, ts(1), 1, "click", 1.0), Ev(3, ts(3), 2, "click", 3.0))
