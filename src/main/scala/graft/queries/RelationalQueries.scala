@@ -332,7 +332,39 @@ object RelationalQueries {
       | COUNT(*) AS n_items
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q82 — PIVOT: per-language document counts cross-tabbed by the
+    * train/val/test split (the §2.5 wide-aggregation form rollup/cube/
+    * grouping-sets don't cover). The pivot values are DECLARED
+    * (`Seq("train","val","test")`) — never the two-pass value-discovery
+    * overload, which at 100 TB adds a full distinct scan before the
+    * real aggregate and makes the output schema data-dependent. Planned
+    * as one partial-agg'd groupBy with three conditional counts —
+    * exactly the oracle's `SUM(CASE ...)` shape — and the split comes
+    * from the shared [[graft.queries.splitAssign]] contract. Empty
+    * cells coalesce to 0 on both engines.
+    */
+  val q82SplitPivot: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("split", splitAssign(col("doc_id")))
+      .groupBy("lang").pivot("split", Seq("train", "val", "test"))
+      .agg(count(lit(1)))
+      .select(col("lang"),
+        coalesce(col("train"), lit(0L)).as("train"),
+        coalesce(col("val"), lit(0L)).as("val"),
+        coalesce(col("test"), lit(0L)).as("test"))
+      .orderBy("lang")
+
+  val q82Sql: String =
+    s"""WITH s AS (
+       |  SELECT lang, ${splitAssignSql("doc_id")} AS split FROM documents)
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train,
+       |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS val,
+       |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_split_pivot" -> q82SplitPivot,
     "q58_salted_hotkey" -> q58SaltedHotkey,
     "q25_grouping_sets" -> q25GroupingSets,
     "q26_approx_distinct" -> q26ApproxDistinct,
@@ -352,6 +384,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q82_split_pivot" -> q82Sql,
     "q58_salted_hotkey" -> q58Sql,
     "q25_grouping_sets" -> q25Sql,
     "q01_pricing_summary" -> q01Sql,
