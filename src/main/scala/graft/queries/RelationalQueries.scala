@@ -338,10 +338,14 @@ object RelationalQueries {
     * (`Seq("train","val","test")`) — never the two-pass value-discovery
     * overload, which at 100 TB adds a full distinct scan before the
     * real aggregate and makes the output schema data-dependent. Planned
-    * as one partial-agg'd groupBy with three conditional counts —
-    * exactly the oracle's `SUM(CASE ...)` shape — and the split comes
-    * from the shared [[graft.queries.splitAssign]] contract. Empty
-    * cells coalesce to 0 on both engines.
+    * as two stacked partial-agg'd aggregates (Catalyst lowers pivot to
+    * a (lang, split) pre-aggregate — the corpus-sized reduction, map-
+    * side combined — then the pivot aggregate over that groups×values-
+    * bounded frame; see PLANS.md), equivalent in data movement to the
+    * oracle's single `SUM(CASE ...)` pass since everything past the
+    * first partial combine is group-grain. The split comes from the
+    * shared [[graft.queries.splitAssign]] contract. Empty cells
+    * coalesce to 0 on both engines.
     */
   val q82SplitPivot: Q = (s, d) =>
     documents(s, d)
