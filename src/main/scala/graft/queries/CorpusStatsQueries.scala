@@ -370,6 +370,51 @@ object CorpusStatsQueries {
        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
        |FROM sharded ORDER BY doc_id""".stripMargin
 
+  /** q83 — per-language MAD (median absolute deviation of n_chars):
+    * the robust dispersion figure profiling uses where q71's stddev is
+    * outlier-dominated (a handful of giant documents can double a
+    * stddev while MAD barely moves — exactly the corpora these
+    * pipelines see). Third consumer of the histogram-quantile
+    * discipline: q61's engine yields the per-language median, the
+    * |x − median| histogram yields the deviation median — TWO corpus
+    * scans total (both collapse map-side to value-domain-bounded
+    * histograms), the quantile table broadcast back like q69, and every
+    * value is an integer so both engines agree bit-for-bit with no
+    * float quantile interpolation.
+    */
+  val q83LengthMad: Q = (s, d) => {
+    val med = lengthQuantiles(s, d).select(col("lang"), col("p50"))
+    val devHist = documents(s, d)
+      .join(broadcast(med), Seq("lang"))
+      .select(col("lang"), col("p50"),
+        abs(col("n_chars") - col("p50")).as("dev"))
+      .groupBy("lang", "p50", "dev").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("dev")
+    devHist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(max(col("p50")).as("median"),
+        min(when(col("cum") >= rankAt(50), col("dev"))).as("mad"))
+      .orderBy("lang")
+  }
+
+  val q83Sql: String =
+    s"""WITH $quantilesCtesSql,
+       |dev AS (
+       |  SELECT d.lang, q.p50, abs(d.n_chars - q.p50) AS dev
+       |  FROM documents d JOIN quant q USING (lang)),
+       |dh AS (SELECT lang, p50, dev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2, 3),
+       |dc AS (SELECT lang, p50, dev,
+       |  SUM(cnt) OVER (PARTITION BY lang ORDER BY dev
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |  SUM(cnt) OVER (PARTITION BY lang) AS total
+       |  FROM dh)
+       |SELECT lang, MAX(p50) AS median,
+       |  MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN dev END) AS mad
+       |FROM dc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-(lang, shard) token quota for q79: BudgetTokens/lang spread
     * across q62's shard count.
     */
@@ -431,7 +476,8 @@ object CorpusStatsQueries {
     "q69_outlier_clip" -> q69OutlierClip,
     "q73_vocab_coverage" -> q73VocabCoverage,
     "q74_shard_manifest" -> q74ShardManifest,
-    "q79_budget_sample" -> q79BudgetSample
+    "q79_budget_sample" -> q79BudgetSample,
+    "q83_length_mad" -> q83LengthMad
   )
 
   val oracle: Map[String, String] = Map(
@@ -441,6 +487,7 @@ object CorpusStatsQueries {
     "q69_outlier_clip" -> q69Sql,
     "q73_vocab_coverage" -> q73Sql,
     "q74_shard_manifest" -> q74Sql,
-    "q79_budget_sample" -> q79Sql
+    "q79_budget_sample" -> q79Sql,
+    "q83_length_mad" -> q83Sql
   )
 }
