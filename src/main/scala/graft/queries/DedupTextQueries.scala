@@ -1008,6 +1008,50 @@ object DedupTextQueries {
        |FROM documents LEFT JOIN m USING (doc_id) LEFT JOIN bf USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q84 — bigram continuation table: for every head token, its top-3
+    * next tokens with count and conditional frequency — the n-gram LM
+    * table (autocomplete priors, boilerplate-phrase discovery, the
+    * KenLM-style statistic corpus tooling ships). Scale shape is the
+    * q61 two-phase discipline applied to text: the corpus pass is ONE
+    * partial-agg'd groupBy producing the (head, next, cnt) table —
+    * bounded by vocabulary², not corpus size — and only that bounded
+    * table flows through the per-head rank window (head partitions are
+    * at most |vocab| rows). Bigrams come from the native
+    * [[graft.functions.WordShingles]] expression (n = 2, one tokenize
+    * pass, map-side); tokens cannot contain spaces, so splitting the
+    * shingle on its separator is exact. `frac` is one division of two
+    * exact integers.
+    */
+  val q84BigramTopNext: Q = (s, d) => {
+    val counts = parallelDocs(s, d)
+      .select(explode(
+        graft.functions.WordShingles.wordShingles(col("text"), 2)).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("head"),
+        substring_index(col("b"), " ", -1).as("next"))
+      .groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+    val byHead = Window.partitionBy("head")
+    counts
+      .withColumn("rank", row_number().over(
+        byHead.orderBy(col("cnt").desc, col("next"))))
+      .withColumn("frac",
+        col("cnt").cast("double") / sum(col("cnt")).over(byHead))
+      .filter(col("rank") <= 3)
+      .select("head", "rank", "next", "cnt", "frac")
+      .orderBy("head", "rank")
+  }
+
+  val q84Sql: String =
+    s"""WITH d AS (SELECT $tokensSql AS w FROM documents),
+       |bi AS (SELECT w[i+1] AS head, w[i+2] AS next
+       |       FROM d, unnest(range(len(w) - 1)) AS t(i) WHERE len(w) > 1),
+       |c AS (SELECT head, next, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+       |r AS (SELECT head, next, cnt,
+       |  ROW_NUMBER() OVER (PARTITION BY head ORDER BY cnt DESC, next) AS rank,
+       |  CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY head) AS frac
+       |  FROM c)
+       |SELECT head, rank, next, cnt, frac FROM r WHERE rank <= 3
+       |ORDER BY head, rank""".stripMargin
+
   /** q56 — test-set decontamination: flag training documents that share
     * ≥3 distinct 3-word shingles with a benchmark/eval set (stand-in
     * here: every 97th document). The benchmark's shingle set is small BY
@@ -1307,6 +1351,7 @@ object DedupTextQueries {
     "q72_minhash_jaccard" -> q72MinhashJaccard,
     "q75_contamination_frac" -> q75ContaminationFrac,
     "q80_split_leakage" -> q80SplitLeakage,
+    "q84_bigram_topnext" -> q84BigramTopNext,
     "q33_simhash" -> q33Simhash,
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_text_stats" -> q35TextStats,
@@ -1333,6 +1378,7 @@ object DedupTextQueries {
     "q72_minhash_jaccard" -> q72Sql,
     "q75_contamination_frac" -> q75Sql,
     "q80_split_leakage" -> q80Sql,
+    "q84_bigram_topnext" -> q84Sql,
     "q33_simhash" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_text_stats" -> q35Sql,
