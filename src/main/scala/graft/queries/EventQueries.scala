@@ -304,6 +304,38 @@ object EventQueries {
       |FROM events ORDER BY event_id""".stripMargin
 
 
+  /** q85 — RANGE-framed trailing window: each event's value sum over
+    * its user's previous 10 minutes — the time-interval frame (`RANGE
+    * BETWEEN x PRECEDING`) that q24's ROWS frame doesn't cover, and the
+    * shape rate-limiting / anomaly features are computed with. The
+    * ordering key is epoch millis (the parity convention), so the frame
+    * bound is a plain numeric offset on both engines, and RANGE
+    * includes ALL ties on the ordering key — the result is
+    * deterministic even when a user has simultaneous events (a ROWS
+    * frame would depend on tie order). Money sums through DECIMAL.
+    * Scale: one hash exchange on user_id + per-user sort; partitions
+    * are user-grain (bounded), never corpus-grain.
+    */
+  val q85TrailingRange: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-600000L, 0L)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("trailing_value",
+        sum(money(col("value"))).over(w).cast("double"))
+      .select("event_id", "user_id", "ts_ms", "trailing_value")
+      .orderBy("event_id")
+  }
+
+  val q85Sql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS trailing_value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** q70 — the ranking window family (`ntile`, `dense_rank`,
     * `percent_rank`, `cume_dist`) over each event type's time-ordered
     * stream: quartile bucketing and rank fractions, the remaining §2.7
@@ -401,6 +433,7 @@ object EventQueries {
     "q20_tumbling" -> q20Tumbling,
     "q21_session" -> q21Session,
     "q81_sliding" -> q81Sliding,
+    "q85_trailing_range" -> q85TrailingRange,
     "q22_asof_join" -> q22AsofJoin,
     "q23_lag_lead" -> q23LagLead,
     "q24_running" -> q24Running,
@@ -418,6 +451,7 @@ object EventQueries {
     "q20_tumbling" -> q20Sql,
     "q21_session" -> q21Sql,
     "q81_sliding" -> q81Sql,
+    "q85_trailing_range" -> q85Sql,
     "q22_asof_join" -> q22Sql,
     "q23_lag_lead" -> q23Sql,
     "q24_running" -> q24Sql,
