@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// surface deprecation sites in CI output (4 known, all benign JDK/Scala
+// stdlib deprecations — kept visible so new ones stand out)
+scalacOptions += "-deprecation"

@@ -25,7 +25,10 @@ import graft.functions.{CosineSimilarity, L2Distance}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the full constructor is the only non-deprecated usage-bearing one;
+    // last arg is `source` and must be a recognized registry kind
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Fail wrong-arity calls with a readable analysis-time message rather
     * than an IndexOutOfBounds from the builder lambda.

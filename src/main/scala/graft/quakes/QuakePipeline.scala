@@ -166,7 +166,7 @@ object QuakePipeline {
         to_json(struct(lit("FeatureCollection").as("type"), col("features"))),
         size(col("features")).cast("long"),
         expr("transform(features, f -> f.id)"))
-      .head
+      .head()
     (row.getString(0), row.getLong(1), row.getSeq[String](2))
   }
 

@@ -370,7 +370,7 @@ object SimilarityQueries {
     // cached corpus), normalized driver-side with the same arithmetic.
     val qRaw = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").cast("array<double>"))
-      .head.getSeq[Double](0).toArray
+      .head().getSeq[Double](0).toArray
     val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
     val q = qRaw.map(_ / qNorm)
     def l2(a: Array[Double], b: Array[Double]): Double = {
@@ -388,7 +388,7 @@ object SimilarityQueries {
     emb
       .withColumn("cell", graft.functions.NearestCentroid
         .nearestCentroidUnit(col("embedding"), cents))
-      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .filter(col("cell").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probes): _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),
         cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
