@@ -250,13 +250,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 3, p.take(4000))
   }
 
-  test("q72 signature store materializes once: band keys and both pair-" +
-    "join sides read the persisted frame, no shingle re-derivation") {
+  test("q72 reads the ON-DISK signature store: band keys and both pair-" +
+    "join sides scan the bucketed table, no shingle re-derivation") {
     graft.core.CacheScope.withScope {
       val p = physical(DedupTextQueries.queries("q72_minhash_jaccard")(spark, sf))
-      // persisted minhash frame: 3 consumers (bandFrame, sig-a, sig-b)
-      assert(p.split("InMemoryTableScan").length - 1 >= 3, p.take(4000))
-      // the shingle expression must appear ZERO times above the cache
+      // the bucketed store table: 3 consumers (bandFrame, sig-a, sig-b)
+      assert(p.split("graft_sigstore").length - 1 >= 3, p.take(4000))
+      // the shingle expression must appear ZERO times — no text touched
+      assert(!p.contains("word_shingles"), p.take(4000))
+    }
+  }
+
+  test("the LSH family reads the signature store — q32/q53/q64 plans " +
+    "are WordShingles-free and scan the bucketed table (round-5 " +
+    "headline: the chain was rebuilt cold per query)") {
+    for (q <- Seq("q32_minhash_pairs", "q53_dedup_verdict",
+        "q64_incremental_neardup")) {
+      graft.core.CacheScope.withScope {
+        val p = physical(DedupTextQueries.queries(q)(spark, sf))
+        assert(!p.contains("word_shingles"), s"$q rebuilds shingles\n" + p.take(3000))
+        // q64 persists the store-derived band frame, so the store scan
+        // hides under its InMemoryRelation; the others scan it directly
+        assert(p.contains("graft_sigstore") || p.contains("InMemoryTableScan"),
+          s"$q does not read the store\n" + p.take(3000))
+      }
+    }
+  }
+
+  test("q80 persists the near-dup edge frame: both leakage legs read " +
+    "one cached relation instead of re-running the store→pairs shuffle " +
+    "(round-5 advisory)") {
+    graft.core.CacheScope.withScope {
+      val p = physical(DedupTextQueries.queries("q80_split_leakage")(spark, sf))
+      assert(p.split("InMemoryTableScan").length - 1 >= 2, p.take(4000))
       assert(!p.contains("word_shingles"), p.take(4000))
     }
   }
