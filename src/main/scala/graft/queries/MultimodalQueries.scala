@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -64,10 +65,121 @@ object MultimodalQueries {
       |SELECT doc_id, frame_no, frame_bytes FROM frames
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** The shared DuckDB rendering of [[graft.multimodal.MediaPipeline
+    * .toMediaRows]] — mime from `doc_id % 3` (1-based list index), the
+    * payload's byte length, and the payload content hash. DuckDB's
+    * `md5(VARCHAR)` digests the string's UTF-8 bytes — exactly the
+    * bytes Spark's `md5(payload)` sees, since the payload IS
+    * `encode(text, 'UTF-8')` — so the two engines hash identical input
+    * without DuckDB needing blob-md5 support.
+    */
+  private val mediaCteSql: String =
+    """media AS (
+      |  SELECT doc_id,
+      |    ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+      |    octet_length(encode(text)) AS byte_len,
+      |    md5(text) AS content_fp
+      |  FROM documents)""".stripMargin
+
+  /** q86 — exact MEDIA dedup by content hash: the binary-column analog
+    * of q30. Each payload is fingerprinted (md5 over the raw bytes —
+    * never decoded), dedup is per (mime, fingerprint) — identical bytes
+    * under different media types are different assets — and the verdict
+    * joins back to `documents` for the language dimension, the
+    * cross-modal verdict join the q66 manifest aligns.
+    *
+    * Scale shape: identical to q30's — the only corpus-wide exchange is
+    * the 16-byte (mime, fp) window key; payload bytes stay columnar in
+    * parquet and are digested map-side (at 100 TB the digest would be
+    * materialized at ingest next to the payload, the q64 store
+    * discipline). The lang join is id-keyed — exchange-free over the
+    * id-bucketed layout (BucketingSpec's q66 proof).
+    */
+  val q86MediaDedup: Q = (s, d) =>
+    mediaDedupVerdict(
+      graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF(),
+      documents(s, d))
+      .orderBy("doc_id")
+
+  /** The q86 engine over any `(doc_id, mime, payload)` media frame +
+    * sidecar docs table. The driver corpus has no byte-identical
+    * payloads (its near-dups differ textually), so the dup branch and
+    * the per-mime isolation rule are exercised by MediaDedupSpec's
+    * synthetic corpus instead.
+    */
+  private[graft] def mediaDedupVerdict(mediaRows: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val media = mediaRows.select(col("doc_id"), col("mime"),
+      octet_length(col("payload")).as("byte_len"),
+      md5(col("payload")).as("content_fp"))
+    val w = Window.partitionBy("mime", "content_fp")
+    media
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("mime"), col("lang"), col("byte_len"),
+        col("content_fp"), col("canonical_id"), col("is_dup"))
+  }
+
+  val q86Sql: String =
+    s"""WITH $mediaCteSql,
+       |verdict AS (
+       |  SELECT doc_id, mime, byte_len, content_fp,
+       |    MIN(doc_id) OVER (PARTITION BY mime, content_fp) AS canonical_id
+       |  FROM media)
+       |SELECT v.doc_id, v.mime, d.lang, v.byte_len, v.content_fp,
+       |  v.canonical_id, v.doc_id <> v.canonical_id AS is_dup
+       |FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+       |ORDER BY v.doc_id""".stripMargin
+
+  /** q87 — per-media-type corpus statistics over the binary column:
+    * asset/distinct-content counts, byte totals and extremes, and the
+    * duplication ratio — the profile a multimodal ingest job publishes
+    * per batch (and the denominator q86's dedup verdicts are judged
+    * against). One partial-agg'd pass, |mime types| result rows; byte
+    * sums stay in BIGINT on both engines (the q61 HUGEINT lesson —
+    * DuckDB SUM(INTEGER) widens to HUGEINT, which the driver's hash
+    * compare rejects, hence the explicit CAST).
+    */
+  val q87MediaStats: Q = (s, d) =>
+    graft.multimodal.MediaPipeline
+      .toMediaRows(documents(s, d)).toDF()
+      .select(col("doc_id"), col("mime"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_fp"))
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        countDistinct(col("content_fp")).as("n_distinct"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(col("byte_len")).as("min_bytes"),
+        max(col("byte_len")).as("max_bytes"))
+      .withColumn("avg_bytes",
+        col("total_bytes").cast("double") / col("n_assets"))
+      .withColumn("dup_ratio",
+        (col("n_assets") - col("n_distinct")).cast("double") / col("n_assets"))
+      .orderBy("mime")
+
+  val q87Sql: String =
+    s"""WITH $mediaCteSql
+       |SELECT mime,
+       |  COUNT(*) AS n_assets,
+       |  COUNT(DISTINCT content_fp) AS n_distinct,
+       |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       |  CAST(MIN(byte_len) AS BIGINT) AS min_bytes,
+       |  CAST(MAX(byte_len) AS BIGINT) AS max_bytes,
+       |  CAST(SUM(byte_len) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_bytes,
+       |  (COUNT(*) - COUNT(DISTINCT content_fp)) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+       |FROM media GROUP BY mime ORDER BY mime""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
-    "q52_frame_sample" -> q52FrameSample)
+    "q52_frame_sample" -> q52FrameSample,
+    "q86_media_dedup" -> q86MediaDedup,
+    "q87_media_stats" -> q87MediaStats)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
-    "q52_frame_sample" -> q52Sql)
+    "q52_frame_sample" -> q52Sql,
+    "q86_media_dedup" -> q86Sql,
+    "q87_media_stats" -> q87Sql)
 }
