@@ -365,15 +365,26 @@ object DedupTextQueries {
     * verdicts. `isDelta` must be a predicate over `doc_id`.
     */
   def incrementalNeardup(allBands: DataFrame, deltaDocs: DataFrame,
-      isDelta: Column): DataFrame = {
+      isDelta: Column): DataFrame =
+    incrementalNeardupFlagged(
+      allBands.withColumn("is_delta", isDelta), deltaDocs)
+
+  /** The q64 engine over a band frame that CARRIES its delta flag —
+    * the form the streaming admission tier needs, where the delta is
+    * "this micro-batch" and no doc_id predicate can express it
+    * ([[graft.streaming.StreamingAdmission]] unions the store's bands,
+    * flagged false, with the batch's per-row keys, flagged true).
+    */
+  def incrementalNeardupFlagged(allBands: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
     val sized = graft.core.CacheScope.track(
       allBands
         .withColumn("bsz",
           count(lit(1)).over(Window.partitionBy("band", "bkey")))
         .filter(col("bsz") <= graft.operators.BucketPairs.DefaultCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hits = sized.filter(!isDelta)
-      .join(broadcast(sized.filter(isDelta)
+    val hits = sized.filter(!col("is_delta"))
+      .join(broadcast(sized.filter(col("is_delta"))
           .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))),
         Seq("band", "bkey"))
       .groupBy("delta_id")

@@ -201,7 +201,19 @@ object SimilarityQueries {
     */
   val q77PairMining: Q = (s, d) => {
     val emb = embeddings(s, d)
-    val a = emb
+    pairMiningExact(emb, emb).orderBy("vec_id")
+  }
+
+  /** The q77 engine, parameterized on the probe side: for every vector
+    * in `probe`, its most similar other vector within the same label
+    * block of `emb`. q77 probes the whole table; [[prunedPairMining]]
+    * probes only the (rare) vectors its LSH candidate pass left
+    * uncovered — the shuffled side shrinks to the fallback set while
+    * the replicated side stays the label block.
+    */
+  private[graft] def pairMiningExact(probe: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = probe
       .select(col("label"), col("vec_id"), col("embedding").as("emb_a"))
       .withColumn("salt", pmod(hash(col("vec_id")), lit(PairSalts)))
     val b = emb.select(col("label"), col("vec_id").as("pair_id"),
@@ -216,7 +228,70 @@ object SimilarityQueries {
         .as("best"))
       .select(col("label"), col("vec_id"),
         col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
-      .orderBy("vec_id")
+  }
+
+  /** The 100 TB ESCAPE HATCH for pair mining (round-5 verdict #3):
+    * q77's exact in-label argmax is O(n²/label) COMPUTE — the salted
+    * join bounds per-task memory and shuffle, not FLOPs — so when a
+    * label block is huge, a production pipeline prunes candidates with
+    * the engine's own ANN first. This variant scores only pairs that
+    * collide in a random-hyperplane band (q46's machinery, label-
+    * blocked), argmaxes per vector over that candidate-proportional
+    * stream, and falls back to the exact salted join ONLY for vectors
+    * with no same-label collision — so every vector still gets an
+    * answer (same schema and cardinality as q77), but the pair matrix
+    * is never enumerated for covered vectors. Recall vs q77's exact
+    * argmax is pinned by PrunedPairMiningSpec; the uncovered-fallback
+    * rows are exact by construction.
+    */
+  def prunedPairMining(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    prunedPairMiningOver(embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** [[prunedPairMining]] over any `(vec_id, label, embedding)` frame. */
+  private[graft] def prunedPairMiningOver(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def bit(h: Int): Column =
+      graft.functions.VectorFunctions
+        .dotProduct(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
+    val bandKeys = (0 until NumBands).map { b =>
+      val key = (0 until BandBits)
+        .map(j => when(bit(b * BandBits + j), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(array(bandKeys: _*)).as("bd"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    // candidate pairs: same band key AND same label; both directions
+    // (argmax needs a → every colliding b). A pair colliding in k bands
+    // is scored k times — harmless under min(struct), cheaper than a
+    // distinct shuffle on the candidate stream.
+    val cand = graft.operators.BucketPairs.boundedPairs(bands,
+        Seq(col("band"), col("bkey")),
+        struct(col("vec_id"), col("label"), col("embedding")))
+      .filter(col("a.label") === col("b.label"))
+    val directed = cand.select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_id"), col("b.vec_id").as("pair_id"),
+        cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      .unionByName(cand.select(col("b.label").as("label"),
+        col("b.vec_id").as("vec_id"), col("a.vec_id").as("pair_id"),
+        cosineSimilarity(col("b.embedding"), col("a.embedding")).as("sim")))
+    val covered = directed
+      .groupBy("label", "vec_id")
+      .agg(min(struct((-col("sim")).as("ns"), col("pair_id").as("pid")))
+        .as("best"))
+      .select(col("label"), col("vec_id"),
+        col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
+    // exact fallback ONLY for vectors no band covered — at scale this
+    // is the cold tail (isolated vectors score few/no collisions), so
+    // the quadratic leg runs over a sliver of the corpus
+    val uncovered = emb.join(covered.select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    covered.unionByName(pairMiningExact(uncovered, emb))
   }
 
   /** q78 — SEMANTIC-ONLY near-dups (paraphrase mining): embedding pairs
@@ -251,15 +326,18 @@ object SimilarityQueries {
 
   val q77Sql: String = {
     val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    // window partitioned by (label, vec_id) — the Spark side groups by
+    // both, and the oracle must not silently lean on vec_id being
+    // globally unique across labels (round-5 advisory)
     s"""WITH scored AS (
        |  SELECT a.label, a.vec_id, b.vec_id AS pair_id, $cosAB AS sim
        |  FROM embeddings a JOIN embeddings b
        |    ON a.label = b.label AND a.vec_id <> b.vec_id)
        |SELECT label, vec_id, pair_id, sim FROM (
        |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY vec_id ORDER BY sim DESC, pair_id ASC) AS rn
+       |    PARTITION BY label, vec_id ORDER BY sim DESC, pair_id ASC) AS rn
        |  FROM scored) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       |ORDER BY label, vec_id""".stripMargin
   }
 
   /** IVF search with a Lloyd-trained coarse quantizer (the q45 engine,

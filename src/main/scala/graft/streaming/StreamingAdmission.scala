@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.functions.MinHashBandKeys
+
+/** Streaming ADMISSION against the durable signature store — the
+  * second tier of the two-tier streaming dedup design
+  * ([[StreamingNearDup]] is tier one: online collisions *within* the
+  * state horizon; this is tier two: each arriving document checked
+  * against the whole admitted CORPUS via its on-disk `(band, bkey)`
+  * store, the artifact [[graft.queries.DedupTextQueries
+  * .writeSignatureStore]] writes and q64 models in one pass).
+  *
+  * Per micro-batch this runs EXACTLY the batch admission engine
+  * ([[graft.queries.DedupTextQueries.incrementalNeardupFlagged]]): the
+  * batch's per-row native band keys ([[MinHashBandKeys]], spec-pinned
+  * bit-equal to the batch signature pipeline) union the store's bands,
+  * the same skew cap applies, and the store side never shuffles — the
+  * delta keys broadcast onto it. StreamingAdmissionSpec proves the
+  * verdicts equal `q64IncrementalNeardup` on the identical delta.
+  *
+  * Batch-boundary semantics are deliberate: a batch is admitted
+  * against the STORE, not against earlier un-persisted batches —
+  * cross-batch collisions inside the horizon are tier one's job, and
+  * the nightly store rewrite folds admitted docs in for the next day.
+  * That split keeps this tier stateless (no streaming state at all:
+  * stream-static join + per-batch aggregation inside foreachBatch), so
+  * it scales with the store's bucketed layout, not with stream length.
+  */
+object StreamingAdmission {
+
+  /** One micro-batch's admission verdicts: `(doc_id, is_dup,
+    * n_candidates, dup_of)` — q64's exact output schema — for a static
+    * `delta` frame of `(doc_id, text)` rows against `storeBands`
+    * (`doc_id, band, bkey`, e.g. `spark.table("sig_store")`).
+    */
+  def admitBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame = {
+    val deltaBands = delta.select(col("doc_id"),
+      posexplode(MinHashBandKeys.bandKeys(col("text")))
+        .as(Seq("band", "bkey")))
+    graft.queries.DedupTextQueries.incrementalNeardupFlagged(
+      storeBands.select(col("doc_id"), col("band"), col("bkey"))
+        .withColumn("is_delta", lit(false))
+        .unionByName(deltaBands.withColumn("is_delta", lit(true))),
+      delta.select(col("doc_id")))
+  }
+
+  /** Wire a STREAMING `(doc_id, text)` frame to the admission engine:
+    * every trigger runs [[admitBatch]] on that micro-batch and hands
+    * the verdict frame to `onVerdicts` (inside a CacheScope, so the
+    * engine's internal persist is released per batch). Start with
+    * `.start()` / stop via the returned writer's query, as usual.
+    */
+  def admissionQuery(docs: DataFrame, storeBands: DataFrame,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())(
+      onVerdicts: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.CacheScope.withScope {
+          onVerdicts(admitBatch(storeBands)(batch))
+        }
+      }
+}

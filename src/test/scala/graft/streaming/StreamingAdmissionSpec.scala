@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** The streaming admission tier reads the SAME on-disk signature store
+  * as the batch path and must produce the SAME verdicts: a delta
+  * arriving as micro-batches through [[StreamingAdmission]] admits /
+  * rejects exactly like `q64IncrementalNeardup` over the identical
+  * delta — the batch==stream pinning discipline
+  * (StreamReadyTransformsSpec) applied to the q64 contract.
+  */
+class StreamingAdmissionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def verdictRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+
+  test("streaming admission against the on-disk store equals the batch " +
+    "q64 verdicts on the identical delta (one batch, then split batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val isDelta = col("doc_id") % 10 === 0
+    val deltaDocs = Tables.documents(spark, sf).filter(isDelta)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val expected = graft.core.CacheScope.withScope {
+      verdictRows(graft.queries.DedupTextQueries
+        .q64IncrementalNeardup(spark, sf))
+    }
+    assert(expected.nonEmpty && expected.exists(_._2) && expected.exists(!_._2),
+      "both admit and reject branches must be exercised")
+
+    try {
+      graft.queries.DedupTextQueries
+        .writeSignatureStore(spark, sf, "adm_store", !isDelta)
+      val store = spark.table("adm_store")
+
+      def run(batches: Seq[Seq[(Long, String)]]): Seq[(Long, Boolean, Long, Long)] = {
+        val source = MemoryStream[(Long, String)]
+        val got = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Boolean, Long, Long)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("adm_ckpt").toString
+        // ProcessingTime instead of AvailableNow: the AvailableNow
+        // latch happens at start(), BEFORE addData below (the prod
+        // default is right for "drain what exists", wrong for a test
+        // that feeds data after starting)
+        val q = StreamingAdmission.admissionQuery(
+            source.toDS().toDF("doc_id", "text"), store, ckpt,
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { verdicts =>
+          got.synchronized { got ++= verdictRows(verdicts) }; ()
+        }.start()
+        try batches.foreach { b =>
+          source.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        got.sortBy(_._1).toSeq
+      }
+
+      // whole delta in ONE micro-batch: exactly q64
+      assert(run(Seq(deltaDocs)) == expected)
+      // delta split across batches: each batch is admitted against the
+      // durable store (cross-batch collisions are tier one's job); on
+      // this corpus the store side alone decides every verdict, so the
+      // union still equals q64
+      val (h1, h2) = deltaDocs.splitAt(deltaDocs.size / 2)
+      assert(run(Seq(h1, h2)) == expected)
+    } finally spark.sql("DROP TABLE IF EXISTS adm_store")
+  }
+}
