@@ -58,8 +58,18 @@ object Bench {
     // code never changed (r5 verdict #5); this pins the timed numbers
     // to steady-state execution, not first-touch compilation. Disable
     // with SPARK_GRAFT_WARMUP=0 to measure cold-start behavior.
-    val warmDir = "/root/testdata/sf0.001"
-    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")) {
+    //
+    // The warmup dir is the SIBLING sf0.001 of the bench data root
+    // (round-6 advisory: a hardcoded path broke on any other layout,
+    // and benching sf0.001 itself ran the full workload twice);
+    // overridable via SPARK_GRAFT_WARMUP_DIR, skipped when it equals
+    // sfDir or does not exist.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
+        && new java.io.File(warmDir).getCanonicalFile !=
+          new java.io.File(sfDir).getCanonicalFile
+        && new java.io.File(warmDir).isDirectory) {
       val t0 = System.nanoTime()
       selected.foreach { case (name, fn) =>
         try graft.core.CacheScope.withScope { fn(spark, warmDir).count() }

@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop only (the driver never sets it): dump a subset, e.g.
+    // SPARK_GRAFT_ONLY=q64_incremental_neardup — same contract as Bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // the scope releases exactly the frames the query persisted (q39,
       // q45, q56, q57) between dumps — see graft.core.CacheScope
       try graft.core.CacheScope.withScope {

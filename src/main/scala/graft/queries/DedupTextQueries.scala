@@ -335,15 +335,18 @@ object DedupTextQueries {
     *
     * Scale contract: the corpus's LSH band keys are a precomputed
     * SIGNATURE STORE (4 rows/doc of (band, 16-byte key) — ~100× smaller
-    * than the text, written once at ingest; modeled here by persisting
-    * the band frame, computed in ONE signature pass over the table). Per
+    * than the text; here both the store leg and the delta leg derive
+    * from the on-disk [[SignatureStore]] — two scans of a corpus/100
+    * artifact, no in-session persist, no signature recompute). Per
     * delta: the delta's band keys are BROADCAST into a map-side join
     * against the signature store — the corpus side never shuffles; only
     * matching (delta, corpus-doc) hits — duplicate-proportional, not
     * corpus-proportional — reach the one tiny aggregation shuffle. The
     * bucket-size cap is the same skew guard as q32 (a degenerate band
     * key would otherwise fan out |corpus bucket|·|delta bucket|),
-    * windowed over the signature store, and the oracle mirrors it.
+    * windowed over the signature store ONLY — never the delta — so a
+    * document's verdict is invariant to how its delta was batched
+    * (round-6 advisory; the oracle mirrors the store-side count).
     *
     * Output per delta doc: is it (near-)admissible, how many corpus
     * candidates collided, and the smallest colliding corpus doc id.
@@ -377,14 +380,23 @@ object DedupTextQueries {
     */
   def incrementalNeardupFlagged(allBands: DataFrame,
       deltaDocs: DataFrame): DataFrame = {
-    val sized = graft.core.CacheScope.track(
-      allBands
-        .withColumn("bsz",
-          count(lit(1)).over(Window.partitionBy("band", "bkey")))
-        .filter(col("bsz") <= graft.operators.BucketPairs.DefaultCap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hits = sized.filter(!col("is_delta"))
-      .join(broadcast(sized.filter(col("is_delta"))
+    // The skew cap is a property of the DURABLE STORE alone (round-6
+    // advisory): counting the delta's bands into `bsz` let a band near
+    // the cap fall on either side depending on how the delta was
+    // micro-batched — the same document could flip verdicts under
+    // re-batching. Store-side-only sizing makes verdicts invariant to
+    // batch composition (and is the right semantics anyway: a store
+    // bucket over the cap carries no discriminating signal no matter
+    // what the delta adds to it). Over the `(band, bkey)`-bucketed
+    // store layout the size window is exchange- and sort-free; delta
+    // rows skip the cap entirely — they only ever meet surviving store
+    // buckets through the broadcast below.
+    val sized = allBands.filter(!col("is_delta"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsz") <= graft.operators.BucketPairs.DefaultCap)
+    val hits = sized
+      .join(broadcast(allBands.filter(col("is_delta"))
           .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))),
         Seq("band", "bkey"))
       .groupBy("delta_id")
@@ -419,13 +431,14 @@ object DedupTextQueries {
        |$sigSelectSql,
        |bands AS (
        | $bandsSelectSql),
-       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+       |store AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM store),
        |ok AS (SELECT * FROM sized WHERE bsz <= ${graft.operators.BucketPairs.DefaultCap}),
        |hits AS (
        | SELECT dl.doc_id AS delta_id,
        |   COUNT(DISTINCT c.doc_id) AS n_candidates, MIN(c.doc_id) AS dup_of
-       | FROM ok dl JOIN ok c ON dl.band = c.band AND dl.bkey = c.bkey
-       | WHERE dl.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       | FROM bands dl JOIN ok c ON dl.band = c.band AND dl.bkey = c.bkey
+       | WHERE dl.doc_id % 10 = 0
        | GROUP BY 1)
        |SELECT d.doc_id, h.dup_of IS NOT NULL AS is_dup,
        |  COALESCE(h.n_candidates, 0) AS n_candidates, h.dup_of

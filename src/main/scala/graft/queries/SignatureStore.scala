@@ -39,8 +39,17 @@ object SignatureStore {
     */
   private val built = new ConcurrentHashMap[String, String]()
 
-  private[graft] def tableName(d: String): String =
-    "graft_sigstore_" + d.replaceAll("[^A-Za-z0-9]+", "_")
+  /** Sanitizing alone collapses distinct dirs ("sf0.001" vs "sf0_001")
+    * to one table name while the memo stays keyed by the raw dir — the
+    * second build would silently overwrite the first's table under the
+    * first's live memo entry. A short hash of the RAW path keeps
+    * distinct dirs collision-free (round-6 advisory).
+    */
+  private[graft] def tableName(d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_sigstore_${d.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
+  }
 
   /** The corpus signature table for `d`, reading the bucketed on-disk
     * store (built on first access in this JVM). Schema: `doc_id,

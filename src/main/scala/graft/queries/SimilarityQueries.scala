@@ -201,7 +201,9 @@ object SimilarityQueries {
     */
   val q77PairMining: Q = (s, d) => {
     val emb = embeddings(s, d)
-    pairMiningExact(emb, emb).orderBy("vec_id")
+    // (label, vec_id) — the oracle's ORDER BY exactly (round-6 advisory:
+    // vec_id alone matched only because the compare re-sorts rows)
+    pairMiningExact(emb, emb).orderBy("label", "vec_id")
   }
 
   /** The q77 engine, parameterized on the probe side: for every vector

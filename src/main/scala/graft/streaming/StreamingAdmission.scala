@@ -18,9 +18,12 @@ import graft.functions.MinHashBandKeys
   * ([[graft.queries.DedupTextQueries.incrementalNeardupFlagged]]): the
   * batch's per-row native band keys ([[MinHashBandKeys]], spec-pinned
   * bit-equal to the batch signature pipeline) union the store's bands,
-  * the same skew cap applies, and the store side never shuffles — the
-  * delta keys broadcast onto it. StreamingAdmissionSpec proves the
-  * verdicts equal `q64IncrementalNeardup` on the identical delta.
+  * and the store side never shuffles — the delta keys broadcast onto
+  * it. The skew cap is sized from the STORE's bands alone (round-6
+  * advisory), so a document's verdict is invariant to how the delta
+  * was cut into micro-batches; StreamingAdmissionSpec pins both that
+  * invariance (a store bucket at the cap boundary) and verdict
+  * equality with `q64IncrementalNeardup` on the identical delta.
   *
   * Batch-boundary semantics are deliberate: a batch is admitted
   * against the STORE, not against earlier un-persisted batches —

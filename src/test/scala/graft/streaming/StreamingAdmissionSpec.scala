@@ -74,4 +74,33 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       assert(run(Seq(h1, h2)) == expected)
     } finally spark.sql("DROP TABLE IF EXISTS adm_store")
   }
+
+  test("the skew cap is sized from the STORE alone: verdicts at a cap-" +
+    "boundary bucket are invariant to micro-batch composition " +
+    "(round-6 advisory)") {
+    import spark.implicits._
+    val cap = graft.operators.BucketPairs.DefaultCap
+    // one band bucket populated by EXACTLY cap−1 store docs. Under the
+    // old union-sized bsz, admitting two delta docs in ONE batch tipped
+    // the bucket to cap+1 and silently dropped it (verdict: admit),
+    // while the same docs in separate batches read cap and matched
+    // (verdict: reject) — the verdict depended on batch composition.
+    def bands(ids: Seq[Long], delta: Boolean) =
+      ids.map(i => (i, 0, "K", delta))
+        .toDF("doc_id", "band", "bkey", "is_delta")
+    val store = bands(101L until (100L + cap.toLong), delta = false)
+    val d1 = bands(Seq(1L), delta = true)
+    val d2 = bands(Seq(2L), delta = true)
+
+    def verdicts(all: org.apache.spark.sql.DataFrame, docs: Seq[Long]) =
+      verdictRows(graft.queries.DedupTextQueries
+        .incrementalNeardupFlagged(all, docs.toDF("doc_id")))
+
+    val expected = Seq(
+      (1L, true, (cap - 1).toLong, 101L),
+      (2L, true, (cap - 1).toLong, 101L))
+    assert(verdicts(store.union(d1).union(d2), Seq(1L, 2L)) == expected)
+    assert((verdicts(store.union(d1), Seq(1L)) ++
+      verdicts(store.union(d2), Seq(2L))).sortBy(_._1) == expected)
+  }
 }
