@@ -276,18 +276,30 @@ object SimilarityQueries {
         Seq(col("band"), col("bkey")),
         struct(col("vec_id"), col("label"), col("embedding")))
       .filter(col("a.label") === col("b.label"))
-    val directed = cand.select(col("a.label").as("label"),
-        col("a.vec_id").as("vec_id"), col("b.vec_id").as("pair_id"),
-        cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
-      .unionByName(cand.select(col("b.label").as("label"),
-        col("b.vec_id").as("vec_id"), col("a.vec_id").as("pair_id"),
-        cosineSimilarity(col("b.embedding"), col("a.embedding")).as("sim")))
-    val covered = directed
+    // Score each candidate pair ONCE — the fused cosine loop is
+    // index-ordered, so sim(a,b) is bit-equal to sim(b,a) — and persist
+    // the scored frame (candidate-proportional, embedding-free): it
+    // feeds both direction projections below, and without the persist
+    // the whole band→bucket-pair chain re-executed per consumer (the
+    // first registration of q88 paid the hyperplane pass 2×).
+    val scored = graft.core.CacheScope.track(
+      cand.select(col("a.label").as("label"),
+          col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val directed = scored.select(col("label"), col("va").as("vec_id"),
+        col("vb").as("pair_id"), col("sim"))
+      .unionByName(scored.select(col("label"), col("vb").as("vec_id"),
+        col("va").as("pair_id"), col("sim")))
+    // covered is ≤ |vectors| tiny rows but has THREE consumers (the
+    // uncovered anti-join and the final union) — persist it too
+    val covered = graft.core.CacheScope.track(directed
       .groupBy("label", "vec_id")
       .agg(min(struct((-col("sim")).as("ns"), col("pair_id").as("pid")))
         .as("best"))
       .select(col("label"), col("vec_id"),
         col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact fallback ONLY for vectors no band covered — at scale this
     // is the cold tail (isolated vectors score few/no collisions), so
     // the quadratic leg runs over a sliver of the corpus
@@ -594,15 +606,24 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
-  val q46Sql: String = {
+  /** The hyperplane band keys as DuckDB SQL — one UNION ALL branch per
+    * band over a CTE `e` carrying `$cols` plus the `emb` double array;
+    * the 36 plane constants are rendered inline so both engines compute
+    * identical sign bits. Shared by the q46 and q88 oracles.
+    */
+  private def bandSelectsSql(cols: String): String = {
     def planeSql(h: Int): String =
       Hyperplanes(h).mkString("[", ", ", "]")
-    val bandSelects = (0 until NumBands).map { b =>
+    (0 until NumBands).map { b =>
       val key = (0 until BandBits).map { j =>
         s"(CASE WHEN list_dot_product(emb, ${planeSql(b * BandBits + j)}) > 0 THEN ${1 << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, emb, $b AS band, $key AS bkey FROM e"
+      s"SELECT $cols, $b AS band, $key AS bkey FROM e"
     }.mkString("\n UNION ALL\n ")
+  }
+
+  val q46Sql: String = {
+    val bandSelects = bandSelectsSql("vec_id, emb")
     val cosAB = cosSql("ea", "eb")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |bands AS (
@@ -619,6 +640,51 @@ object SimilarityQueries {
        |GROUP BY 1, 2 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q88 — [[prunedPairMining]] as a driver-visible query (round-6
+    * verdict #2): the 100 TB escape hatch runs every round, not just in
+    * its recall spec. Fully oracle-checked — the DuckDB side replays the
+    * band keys (shared plane constants), the candidate argmax, and the
+    * exact fallback for uncovered vectors, so the hash compare pins the
+    * whole covered/fallback composition, not just row counts.
+    */
+  val q88PrunedPairMining: Q = (s, d) =>
+    prunedPairMining(s, d).orderBy("label", "vec_id")
+
+  val q88Sql: String = {
+    val cosAB = cosSql("a.emb", "b.emb")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bands AS (
+       | ${bandSelectsSql("vec_id, label, emb")}),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands),
+       |cand AS (
+       | SELECT a.label, a.vec_id AS va, b.vec_id AS vb, $cosAB AS sim
+       | FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey
+       |   AND a.vec_id < b.vec_id
+       | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
+       |   AND a.label = b.label),
+       |directed AS (
+       | SELECT label, va AS vec_id, vb AS pair_id, sim FROM cand
+       | UNION ALL
+       | SELECT label, vb AS vec_id, va AS pair_id, sim FROM cand),
+       |covered AS (
+       | SELECT label, vec_id, pair_id, sim FROM (
+       |   SELECT *, ROW_NUMBER() OVER (
+       |     PARTITION BY label, vec_id ORDER BY sim DESC, pair_id ASC) AS rn
+       |   FROM directed) WHERE rn = 1),
+       |fallback AS (
+       | SELECT label, vec_id, pair_id, sim FROM (
+       |   SELECT a.label, a.vec_id, b.vec_id AS pair_id, $cosAB AS sim,
+       |     ROW_NUMBER() OVER (PARTITION BY a.label, a.vec_id
+       |       ORDER BY $cosAB DESC, b.vec_id ASC) AS rn
+       |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |   WHERE a.vec_id NOT IN (SELECT vec_id FROM covered)) WHERE rn = 1)
+       |SELECT label, vec_id, pair_id, sim FROM covered
+       |UNION ALL
+       |SELECT label, vec_id, pair_id, sim FROM fallback
+       |ORDER BY label, vec_id""".stripMargin
+  }
+
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
@@ -627,7 +693,8 @@ object SimilarityQueries {
     "q45_knn_ivf_kmeans" -> q45KnnIvfKmeans,
     "q46_embed_lsh" -> q46EmbedLsh,
     "q77_pair_mining" -> q77PairMining,
-    "q78_semantic_only_dups" -> q78SemanticOnlyDups
+    "q78_semantic_only_dups" -> q78SemanticOnlyDups,
+    "q88_pruned_pair_mining" -> q88PrunedPairMining
   )
 
   val oracle: Map[String, String] = Map(
@@ -637,6 +704,7 @@ object SimilarityQueries {
     "q44_topk_per_label" -> q44Sql,
     "q46_embed_lsh" -> q46Sql,
     "q77_pair_mining" -> q77Sql,
-    "q78_semantic_only_dups" -> q78Sql
+    "q78_semantic_only_dups" -> q78Sql,
+    "q88_pruned_pair_mining" -> q88Sql
   )
 }
