@@ -426,6 +426,42 @@ object DedupTextQueries {
       bandFrame(minhashSignature(shingleRows(s, d))).filter(keep),
       tableName, numBuckets, "band", "bkey")
 
+  /** Fold ADMITTED delta documents into an existing band-key signature
+    * store — the "nightly fold" [[graft.streaming.StreamingAdmission]]'s
+    * batch-boundary semantics assume (a batch is admitted against the
+    * STORE; cross-day dedup works because yesterday's admissions are
+    * folded in before today's run). The delta's per-row band keys
+    * ([[graft.functions.MinHashBandKeys]] — spec-pinned bit-equal to the
+    * batch signature pipeline) are APPENDED as new bucketed files under
+    * the store's existing `(band, bkey)` bucket spec (Spark validates
+    * the spec matches and refuses a mismatched append). The corpus is
+    * never rewritten — a fold costs O(|delta|) regardless of store
+    * size — and every subsequent admission pass, batch (q64 engine) or
+    * streaming, sees the folded docs as store-side candidates: a
+    * re-submitted near-dup of an admitted doc is rejected
+    * (StreamingAdmissionSpec's admit→fold→re-admit scenario).
+    *
+    * `admitted` is a `(doc_id, text)` frame — in production the
+    * `is_dup = false` slice of the day's admission verdicts joined back
+    * to its payloads.
+    */
+  def foldAdmitted(s: org.apache.spark.sql.SparkSession, tableName: String,
+      admitted: DataFrame, numBuckets: Int = 8): Unit = {
+    val target = s.table(tableName).schema
+    admitted
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeys.bandKeys(col("text")))
+          .as(Seq("band", "bkey")))
+      // align names/types to the store schema so the append can never
+      // silently widen a column
+      .select(target.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+      .write
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .mode("append")
+      .saveAsTable(tableName)
+  }
+
   val q64Sql: String = {
     s"""WITH $shingleRowsSql,
        |$sigSelectSql,

@@ -28,7 +28,9 @@ import graft.functions.MinHashBandKeys
   * Batch-boundary semantics are deliberate: a batch is admitted
   * against the STORE, not against earlier un-persisted batches —
   * cross-batch collisions inside the horizon are tier one's job, and
-  * the nightly store rewrite folds admitted docs in for the next day.
+  * the nightly [[graft.queries.DedupTextQueries.foldAdmitted]] appends
+  * admitted docs' band keys into the store for the next day (an
+  * O(|delta|) bucketed append, never a corpus rewrite).
   * That split keeps this tier stateless (no streaming state at all:
   * stream-static join + per-batch aggregation inside foreachBatch), so
   * it scales with the store's bucketed layout, not with stream length.

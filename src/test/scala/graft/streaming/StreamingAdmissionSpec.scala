@@ -75,6 +75,52 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS adm_store")
   }
 
+  test("fold-between-batches: a doc admitted on day 1 and folded into " +
+    "the store rejects its re-submitted near-dup on day 2 " +
+    "(admit → foldAdmitted → re-admit)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val novel = "grafted analytics engines fold admitted deltas back " +
+      "into the durable signature store every night before the next run"
+    try {
+      graft.queries.DedupTextQueries
+        .writeSignatureStore(spark, sf, "fold_store", lit(true))
+
+      // one "day": a fresh admission stream over the CURRENT store
+      // state (spark.table re-resolves, so folded files are visible)
+      def day(batch: Seq[(Long, String)]): Seq[(Long, Boolean, Long, Long)] = {
+        val source = MemoryStream[(Long, String)]
+        val got = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Boolean, Long, Long)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("fold_ckpt").toString
+        val q = StreamingAdmission.admissionQuery(
+            source.toDS().toDF("doc_id", "text"), spark.table("fold_store"),
+            ckpt, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+          verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+        }.start()
+        try { source.addData(batch: _*); q.processAllAvailable() }
+        finally q.stop()
+        got.sortBy(_._1).toSeq
+      }
+
+      // day 1: the novel doc has no store collision — admitted
+      assert(day(Seq((900001L, novel))) ==
+        Seq((900001L, false, 0L, -1L)))
+      // nightly fold: append the admitted doc's band keys (O(|delta|))
+      graft.queries.DedupTextQueries.foldAdmitted(spark, "fold_store",
+        Seq((900001L, novel)).toDF("doc_id", "text"))
+      // day 2: the same text under a new id now collides with the
+      // folded store row and is rejected, naming day 1's doc
+      assert(day(Seq((900002L, novel))) ==
+        Seq((900002L, true, 1L, 900001L)))
+      // an unrelated novel doc is still admitted after the fold
+      assert(day(Seq((900003L, "completely unrelated corpora graduate " +
+        "through entirely different admission gates today"))) ==
+        Seq((900003L, false, 0L, -1L)))
+    } finally spark.sql("DROP TABLE IF EXISTS fold_store")
+  }
+
   test("the skew cap is sized from the STORE alone: verdicts at a cap-" +
     "boundary bucket are invariant to micro-batch composition " +
     "(round-6 advisory)") {
