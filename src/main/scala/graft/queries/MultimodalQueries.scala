@@ -105,7 +105,9 @@ object MultimodalQueries {
     * sidecar docs table. The driver corpus has no byte-identical
     * payloads (its near-dups differ textually), so the dup branch and
     * the per-mime isolation rule are exercised by MediaDedupSpec's
-    * synthetic corpus instead.
+    * synthetic corpus instead. Content-hash dedup catches only
+    * byte-IDENTICAL assets by design — truncated or partially
+    * re-encoded copies are [[q89MediaNearDup]]'s job.
     */
   private[graft] def mediaDedupVerdict(mediaRows: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -172,14 +174,141 @@ object MultimodalQueries {
        |  (COUNT(*) - COUNT(DISTINCT content_fp)) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
        |FROM media GROUP BY mime ORDER BY mime""".stripMargin
 
+  /** q89 byte-window MinHash geometry. A 16-byte window with stride 8
+    * makes the shingle set of a truncated / partially re-encoded asset
+    * overlap its original's almost everywhere except the edited region,
+    * so signature agreement ≈ byte-level Jaccard; 8 permutations in 4
+    * bands of 2 collide near-identical assets with high probability
+    * while unrelated payloads share no band. The est-Jaccard bar (4/8)
+    * is deliberately far below the observed near-dup agreement (7-8/8
+    * on the driver corpus) and far above random collision.
+    */
+  private val MediaWindow = 16
+  private val MediaStride = 8
+  private val MediaPerms = 8
+  private val MediaBands = 4 // MediaPerms / 2 rows per band
+  private val MediaNearDupBar = 0.5
+
+  /** q89 — NEAR-dup media by banded byte-window MinHash: the q31/q32
+    * analog for binary columns, closing q86's documented limitation
+    * (content-hash dedup only catches byte-IDENTICAL assets; truncated
+    * or partially re-encoded copies hash differently). Raw payload
+    * bytes are cut into overlapping 16-byte windows map-side (never
+    * decoded — the windows are digested as bytes), each document keeps
+    * the min of 8 arithmetic permutations of the window digest (one
+    * md5 per window, the q31/q33 hashing discipline), and candidates collide
+    * per (mime, band, bkey) through the same bounded bucket-pair
+    * machinery as q32/q46 — per-mime isolation (q86's rule), ONE
+    * shuffle on the band key, skew-capped, pair volume
+    * duplication-proportional. Estimated byte Jaccard = matching
+    * permutations / 8, a dyadic rational (exact in double on both
+    * engines).
+    *
+    * At 100 TB the signature pass is map-side over the payload column
+    * and the 8 mh longs (64 B/doc) would live next to the payload at
+    * ingest — the q64 store discipline; the corpus bytes cross no
+    * exchange.
+    */
+  val q89MediaNearDup: Q = (s, d) =>
+    mediaNearDupPairs(
+      graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF())
+      .orderBy("mime", "doc_a", "doc_b")
+
+  /** The q89 engine over any `(doc_id, mime, payload)` media frame. */
+  private[graft] def mediaNearDupPairs(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val win = media.select(col("doc_id"), col("mime"),
+      explode(expr(
+        s"""transform(
+           |  sequence(bigint(0),
+           |    greatest(ceil((octet_length(payload) - $MediaWindow) / ${MediaStride}.0D), 0)),
+           |  i -> substring(payload, int(i * $MediaStride + 1), $MediaWindow))"""
+          .stripMargin)).as("w"))
+    // ONE md5 per window, then arithmetic permutations — the q31/q33
+    // discipline (first version salted the md5 per permutation: 8
+    // digests/window put q89 at 7.2 s in the sf0.1 bench; this shape
+    // reads 1 digest + 8 multiply-adds)
+    import graft.functions.MinHashBandKeys.{hashA, hashB, Mod}
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % Mod
+    val sigCols = (0 until MediaPerms).map(j =>
+      min((lit(hashA(j)) * h + lit(hashB(j))) % Mod).as(s"mh$j"))
+    val sig = win.groupBy("doc_id", "mime").agg(sigCols.head, sigCols.tail: _*)
+    val mhCols = (0 until MediaPerms).map(j => col(s"mh$j"))
+    val bands = sig.select((col("doc_id") +: col("mime") +: mhCols) :+
+        explode(array((0 until MediaBands).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+              .as("bkey"))): _*))
+          .as("bd"): _*)
+      .select((col("doc_id") +: col("mime") +: mhCols) :+
+        col("bd.band").as("band") :+ col("bd.bkey").as("bkey"): _*)
+    val cand = graft.operators.BucketPairs.boundedPairs(bands,
+      Seq(col("mime"), col("band"), col("bkey")),
+      struct(col("mime") +: col("doc_id") +: mhCols: _*))
+    val nMatches = (0 until MediaPerms)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.select(col("a.mime").as("mime"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), nMatches.as("n_matches"))
+      .groupBy("mime", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"),
+        max(col("n_matches")).as("n_matches"))
+      .withColumn("est_jaccard", col("n_matches") / lit(MediaPerms.toDouble))
+      .filter(col("est_jaccard") >= MediaNearDupBar)
+      .select(col("mime"), col("doc_a"), col("doc_b"),
+        col("n_shared_bands"), col("n_matches"), col("est_jaccard"))
+  }
+
+  val q89Sql: String = {
+    import graft.functions.MinHashBandKeys.{hashA, hashB, Mod}
+    val mh = (0 until MediaPerms)
+      .map(j => s"min((${hashA(j)} * h + ${hashB(j)}) % $Mod) AS mh$j")
+      .mkString(", ")
+    val mhList = (0 until MediaPerms).map(j => s"mh$j").mkString(", ")
+    val bandSelects = (0 until MediaBands).map(b =>
+      s"SELECT doc_id, mime, $mhList, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+      .mkString("\n UNION ALL\n ")
+    val matches = (0 until MediaPerms)
+      .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    // the corpus is ASCII so the payload's byte windows ARE character
+    // windows over text (the q52 substr parity), and DuckDB's
+    // md5(VARCHAR) digests the same UTF-8 bytes Spark's binary md5 sees
+    s"""WITH media AS (
+       |  SELECT doc_id,
+       |    ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+       |    text
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, mime, substr(text, CAST(i * $MediaStride + 1 AS INTEGER), $MediaWindow) AS w
+       |  FROM media, unnest(range(0, CAST(greatest(ceil((length(text) - $MediaWindow) / $MediaStride.0), 0) AS BIGINT) + 1)) AS t(i)),
+       |hashed AS (SELECT doc_id, mime,
+       |  ('0x' || substr(md5(w), 1, 15))::BIGINT % ${graft.functions.MinHashBandKeys.Mod} AS h FROM win),
+       |sig AS (SELECT doc_id, mime, $mh FROM hashed GROUP BY 1, 2),
+       |bands AS (
+       | $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY mime, band, bkey) AS bsz FROM bands),
+       |pairs AS (
+       |  SELECT a.mime, a.doc_id AS doc_a, b.doc_id AS doc_b, $matches AS n_matches
+       |  FROM sized a JOIN sized b ON a.mime = b.mime AND a.band = b.band
+       |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap})
+       |SELECT mime, doc_a, doc_b, COUNT(*) AS n_shared_bands,
+       |  MAX(n_matches) AS n_matches, MAX(n_matches) / $MediaPerms.0 AS est_jaccard
+       |FROM pairs GROUP BY 1, 2, 3
+       |HAVING MAX(n_matches) / $MediaPerms.0 >= $MediaNearDupBar
+       |ORDER BY mime, doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
     "q86_media_dedup" -> q86MediaDedup,
-    "q87_media_stats" -> q87MediaStats)
+    "q87_media_stats" -> q87MediaStats,
+    "q89_media_neardup" -> q89MediaNearDup)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
     "q86_media_dedup" -> q86Sql,
-    "q87_media_stats" -> q87Sql)
+    "q87_media_stats" -> q87Sql,
+    "q89_media_neardup" -> q89Sql)
 }

@@ -40,6 +40,36 @@ class MediaDedupSpec extends AnyFunSuite {
       (4L, 2L, true)))
   }
 
+  test("q89 near-dup media: a truncated copy of an asset pairs with its " +
+    "original WITHOUT equal content md5; unrelated assets and cross-mime " +
+    "byte-twins never pair") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"frame$i payload").mkString(" ")
+    val truncated = base.dropRight(40) // tail windows lost, rest shared
+    val unrelated = (0 until 60).map(i => s"totally other bytes $i").mkString(" ")
+    val media = Seq(
+      (0L, "image/png", base),
+      (1L, "image/png", truncated),
+      (2L, "image/png", unrelated),
+      (3L, "audio/wav", base) // byte-twin of 0 under another mime
+    ).toDF("doc_id", "mime", "text")
+      .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
+
+    val pairs = graft.queries.MultimodalQueries.mediaNearDupPairs(media)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(pairs.map(p => (p._1, p._2, p._3)).toSeq ==
+      Seq(("image/png", 0L, 1L)), pairs.mkString(", "))
+    // est is a SIGNATURE similarity: truncation may or may not move a
+    // given min-hash (it removes ~4% of windows here), so only the bar
+    // is contractual — the byte-inequality proof is the md5 check below
+    assert(pairs.head._4 >= 0.5 && pairs.head._4 <= 1.0)
+    // the whole point: q86's content hash can NOT see this pair
+    val fps = media.selectExpr("doc_id", "md5(payload) AS fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) != fps(1L))
+  }
+
   test("on the driver corpus the verdict covers every document and the " +
     "fingerprint matches the q43 byte-length contract") {
     val df = graft.queries.MultimodalQueries
