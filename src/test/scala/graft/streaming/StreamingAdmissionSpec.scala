@@ -121,6 +121,46 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fold_store")
   }
 
+  test("the two custom seams compose: the geonet micro-batch source " +
+    "feeds streaming admission against a band store (fixture transport, " +
+    "verdicts ≡ the batch engine on the same delta)") {
+    import graft.queries.QuakeQueries.FixtureJson
+    // "yesterday": quake 1's locality text was admitted as doc 42 and
+    // folded into the store
+    import spark.implicits._
+    val storeBands = Seq((42L, "15 km east of Seddon"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeys.bandKeys(col("text")))
+          .as(Seq("band", "bkey")))
+    def asDocs(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(col("publicID")).as("doc_id"),
+        col("locality").as("text"))
+
+    // "today": one AvailableNow drain of the geonet source → admission
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Long, Long)]
+    val q = StreamingAdmission.admissionQuery(
+        asDocs(QuakeStream.geonetStream(spark, Map("body" -> FixtureJson))),
+        storeBands,
+        java.nio.file.Files.createTempDirectory("geo_adm_ckpt").toString) {
+      verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+    }.start()
+    q.awaitTermination()
+
+    // batch ≡ stream: the same delta through the batch engine
+    val expected = graft.core.CacheScope.withScope {
+      verdictRows(StreamingAdmission.admitBatch(storeBands)(asDocs(
+        spark.read.format("geonet").option("body", FixtureJson).load())))
+    }
+    assert(got.sortBy(_._1).toSeq == expected)
+    // quake 1's text is byte-identical to the folded doc: rejected,
+    // naming it; every other fixture quake is novel and admitted
+    val dup = got.find(_._2)
+    assert(dup.map(d => (d._3, d._4)) == Some((1L, 42L)), got.mkString(", "))
+    assert(got.count(!_._2) == got.size - 1)
+  }
+
   test("the skew cap is sized from the STORE alone: verdicts at a cap-" +
     "boundary bucket are invariant to micro-batch composition " +
     "(round-6 advisory)") {
