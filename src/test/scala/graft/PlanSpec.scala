@@ -132,7 +132,7 @@ class PlanSpec extends AnyFunSuite {
       // of a corpus/100 artifact, zero signature recomputation
       assert(p.split("graft_sigstore").length - 1 >= 2, p.take(4000))
       assert(p.contains("BroadcastHashJoin"), p.take(4000))
-      assert(!p.contains("word_shingles"), p.take(4000))
+      assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
     }
   }
 
@@ -259,7 +259,7 @@ class PlanSpec extends AnyFunSuite {
       // the bucketed store table: 3 consumers (bandFrame, sig-a, sig-b)
       assert(p.split("graft_sigstore").length - 1 >= 3, p.take(4000))
       // the shingle expression must appear ZERO times — no text touched
-      assert(!p.contains("word_shingles"), p.take(4000))
+      assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
     }
   }
 
@@ -270,7 +270,7 @@ class PlanSpec extends AnyFunSuite {
         "q64_incremental_neardup")) {
       graft.core.CacheScope.withScope {
         val p = physical(DedupTextQueries.queries(q)(spark, sf))
-        assert(!p.contains("word_shingles"), s"$q rebuilds shingles\n" + p.take(3000))
+        assert(!p.toLowerCase.contains("wordshingles"), s"$q rebuilds shingles\n" + p.take(3000))
         // the store table must appear by NAME (round-6 advisory: an
         // InMemoryTableScan alternative would also accept a persisted
         // inline recompute of the signatures — the word_shingles guard
@@ -287,7 +287,7 @@ class PlanSpec extends AnyFunSuite {
     graft.core.CacheScope.withScope {
       val p = physical(DedupTextQueries.queries("q80_split_leakage")(spark, sf))
       assert(p.split("InMemoryTableScan").length - 1 >= 2, p.take(4000))
-      assert(!p.contains("word_shingles"), p.take(4000))
+      assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
     }
   }
 
