@@ -1114,6 +1114,76 @@ object DedupTextQueries {
        |SELECT head, rank, next, cnt, frac FROM r WHERE rank <= 3
        |ORDER BY head, rank""".stripMargin
 
+  /** q90 — per-document LM-SUPPORT score against the corpus bigram
+    * table (q84's LM): how many of a doc's bigrams the corpus supports
+    * (count ≥ 5), how many are corpus-hapax (count = 1 — the doc's own
+    * unique phrasing, or noise), and the weakest conditional frequency
+    * `min p(next|head)` — a log-free stand-in for perplexity scoring.
+    * True perplexity (Σ log p) is deliberately NOT computed: a float
+    * log-sum is accumulation-order- and libm-dependent, so it can never
+    * be oracle-hash-checked; the fraction and min are bit-stable (each
+    * p is one division of two exact integers, min is order-free). The
+    * gates a pipeline builds from this — drop high-hapax gibberish,
+    * review low-support docs — threshold exactly these statistics.
+    *
+    * Scale shape: the LM is vocab²-bounded (q84's argument) and
+    * broadcast onto the corpus bigram stream, so the only corpus-grain
+    * exchange is the per-doc aggregation. The tokenize+explode pass
+    * runs twice (LM build + scoring) — at 100 TB the LM would be read
+    * from its ingest-time store (the q64 discipline applied to n-gram
+    * tables) instead of a corpus-sized bigram persist.
+    */
+  val q90LmSupport: Q = (s, d) => {
+    val bi = parallelDocs(s, d)
+      .select(col("doc_id"), explode(
+        graft.functions.WordShingles.wordShingles(col("text"), 2)).as("b"))
+      .select(col("doc_id"),
+        substring_index(col("b"), " ", 1).as("head"),
+        substring_index(col("b"), " ", -1).as("next"))
+    val lm = bi.groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("head")))
+    val scored = bi.join(broadcast(lm), Seq("head", "next"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") === 1, 1).otherwise(0)).as("n_hapax"),
+        sum(when(col("cnt") >= 5, 1).otherwise(0)).as("n_supported"),
+        min(col("cnt").cast("double") / col("total")).as("min_cond_p"))
+    documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(col("n_supported"), lit(0L)).as("n_supported"),
+        when(col("n_bigrams") > 0,
+          col("n_supported").cast("double") / col("n_bigrams"))
+          .as("supported_frac"),
+        col("min_cond_p"))
+      .orderBy("doc_id")
+  }
+
+  val q90Sql: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |bi AS (SELECT doc_id, w[i+1] AS head, w[i+2] AS next
+       |       FROM d, unnest(range(len(w) - 1)) AS t(i) WHERE len(w) > 1),
+       |c AS (SELECT head, next, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+       |lm AS (SELECT head, next, cnt,
+       |       SUM(cnt) OVER (PARTITION BY head) AS total FROM c),
+       |sc AS (SELECT bi.doc_id,
+       |         COUNT(*) AS n_bigrams,
+       |         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |         CAST(SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_supported,
+       |         MIN(CAST(cnt AS DOUBLE) / total) AS min_cond_p
+       |       FROM bi JOIN lm USING (head, next) GROUP BY 1)
+       |SELECT docs.doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(n_hapax, 0) AS n_hapax,
+       |  COALESCE(n_supported, 0) AS n_supported,
+       |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |    THEN CAST(n_supported AS DOUBLE) / n_bigrams END AS supported_frac,
+       |  min_cond_p
+       |FROM documents docs LEFT JOIN sc ON docs.doc_id = sc.doc_id
+       |ORDER BY docs.doc_id""".stripMargin
+
   /** q56 — test-set decontamination: flag training documents that share
     * ≥3 distinct 3-word shingles with a benchmark/eval set (stand-in
     * here: every 97th document). The benchmark's shingle set is small BY
@@ -1416,6 +1486,7 @@ object DedupTextQueries {
     "q75_contamination_frac" -> q75ContaminationFrac,
     "q80_split_leakage" -> q80SplitLeakage,
     "q84_bigram_topnext" -> q84BigramTopNext,
+    "q90_lm_support" -> q90LmSupport,
     "q33_simhash" -> q33Simhash,
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_text_stats" -> q35TextStats,
@@ -1443,6 +1514,7 @@ object DedupTextQueries {
     "q75_contamination_frac" -> q75Sql,
     "q80_split_leakage" -> q80Sql,
     "q84_bigram_topnext" -> q84Sql,
+    "q90_lm_support" -> q90Sql,
     "q33_simhash" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_text_stats" -> q35Sql,

@@ -36,6 +36,19 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(before == after, "memoized access must not rewrite the store")
   }
 
+  test("distinct source dirs can never share a table name, even when " +
+    "sanitizing collides them (round-6 advisory)") {
+    // these two distinct raw paths sanitize to the SAME prefix; the
+    // raw-path hash suffix must keep the table names apart
+    val a = SignatureStore.tableName("/data/sf0.001")
+    val b = SignatureStore.tableName("/data/sf0_001")
+    assert(a != b, s"$a == $b")
+    assert(a.startsWith("graft_sigstore_"))
+    // and the name stays a valid identifier + deterministic
+    assert(a.matches("[A-Za-z0-9_]+"))
+    assert(a == SignatureStore.tableName("/data/sf0.001"))
+  }
+
   test("store table is bucketed on doc_id (ingest-time shuffle paid once)") {
     val cat = spark.catalog
     val t = SignatureStore.tableName(sf)
