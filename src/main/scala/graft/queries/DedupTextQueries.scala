@@ -462,6 +462,45 @@ object DedupTextQueries {
       .saveAsTable(tableName)
   }
 
+  /** Compact a band-key signature store: every [[foldAdmitted]] appends
+    * its own set of bucket files, so a store folded nightly accumulates
+    * O(folds × buckets) small files — the classic small-file tax on
+    * scan/open cost at 100 TB. Compaction rewrites the CURRENT contents
+    * into one fresh bucketed file set and swaps it in under the same
+    * name (write-aside + rename — the read of the old table happens
+    * entirely inside the temp-table write, so no reader ever sees a
+    * half-rewritten store). Contents, bucket spec, and admission
+    * verdicts are unchanged (StreamingAdmissionSpec pins all three);
+    * only the file layout shrinks back to `numBuckets` files.
+    *
+    * The rewrite is SHUFFLE-FREE: with the auto-bucketed-scan
+    * heuristic pinned off, the read is one partition per bucket, each
+    * task merges one bucket's fold files and writes one output file —
+    * a bucket-local file merge, which is what compaction should cost.
+    * (Left to the planner's default, a rewrite-shaped query disables
+    * the bucketed read, tasks follow file splits, and the write emits
+    * one file per task × bucket — MORE files than it consumed; an
+    * explicit repartition doesn't help because the optimizer removes
+    * it as redundant against the table's bucket metadata.)
+    */
+  def compactStore(s: org.apache.spark.sql.SparkSession, tableName: String,
+      numBuckets: Int = 8): Unit = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try {
+      val tmp = tableName + "_compacting"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      graft.core.Tables.writeBucketed(
+        s.table(tableName), tmp, numBuckets, "band", "bkey")
+      s.sql(s"DROP TABLE $tableName")
+      s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val q64Sql: String = {
     s"""WITH $shingleRowsSql,
        |$sigSelectSql,

@@ -121,6 +121,43 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fold_store")
   }
 
+  test("compaction after repeated folds: contents and admission " +
+    "verdicts unchanged, file count back to the bucket count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def novel(i: Int) = s"wholly novel admitted document number $i " +
+      s"with enough distinct words $i to shingle cleanly"
+    try {
+      graft.queries.DedupTextQueries
+        .writeSignatureStore(spark, sf, "cmp_store", lit(true))
+      val base = spark.table("cmp_store").inputFiles.length
+      (1 to 3).foreach { i =>
+        graft.queries.DedupTextQueries.foldAdmitted(spark, "cmp_store",
+          Seq((900000L + i, novel(i))).toDF("doc_id", "text"))
+      }
+      val folded = spark.table("cmp_store")
+      assert(folded.inputFiles.length > base, "folds must append files")
+      val before = folded.orderBy("doc_id", "band", "bkey").collect()
+
+      graft.queries.DedupTextQueries.compactStore(spark, "cmp_store")
+
+      val after = spark.table("cmp_store")
+      assert(after.inputFiles.length <= base,
+        s"${after.inputFiles.length} files after compaction (base $base)")
+      assert(after.orderBy("doc_id", "band", "bkey").collect().toSeq ==
+        before.toSeq, "compaction must preserve contents exactly")
+      // the compacted store still rejects a re-submitted folded doc
+      val verdicts = graft.core.CacheScope.withScope {
+        verdictRows(StreamingAdmission.admitBatch(spark.table("cmp_store"))(
+          Seq((900009L, novel(2))).toDF("doc_id", "text")))
+      }
+      assert(verdicts == Seq((900009L, true, 1L, 900002L)), verdicts)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmp_store")
+      spark.sql("DROP TABLE IF EXISTS cmp_store_compacting")
+    }
+  }
+
   test("the two custom seams compose: the geonet micro-batch source " +
     "feeds streaming admission against a band store (fixture transport, " +
     "verdicts ≡ the batch engine on the same delta)") {
