@@ -1165,12 +1165,15 @@ object DedupTextQueries {
     * gates a pipeline builds from this — drop high-hapax gibberish,
     * review low-support docs — threshold exactly these statistics.
     *
-    * Scale shape: the LM is vocab²-bounded (q84's argument) and
-    * broadcast onto the corpus bigram stream, so the only corpus-grain
-    * exchange is the per-doc aggregation. The tokenize+explode pass
-    * runs twice (LM build + scoring) — at 100 TB the LM would be read
-    * from its ingest-time store (the q64 discipline applied to n-gram
-    * tables) instead of a corpus-sized bigram persist.
+    * Scale shape: the LM is bigram-TYPE-bounded (q84's argument) and
+    * joined onto the corpus bigram stream un-hinted — AQE broadcasts
+    * it while small and shuffle-joins when a real corpus's bigram
+    * vocabulary outgrows a broadcast — so the corpus-grain exchanges
+    * are that join's stream side and the per-doc aggregation. The
+    * tokenize+explode pass runs twice (LM build + scoring) — at
+    * 100 TB the LM would be read from its ingest-time store (the q64
+    * discipline applied to n-gram tables) instead of a corpus-sized
+    * bigram persist.
     */
   val q90LmSupport: Q = (s, d) => {
     val bi = parallelDocs(s, d)
@@ -1181,7 +1184,12 @@ object DedupTextQueries {
         substring_index(col("b"), " ", -1).as("next"))
     val lm = bi.groupBy("head", "next").agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy("head")))
-    val scored = bi.join(broadcast(lm), Seq("head", "next"))
+    // no broadcast hint: unlike the UNIGRAM vocabulary (q63 — genuinely
+    // bounded, safely hinted), bigram TYPE counts keep growing with a
+    // real corpus, so a forced broadcast is an OOM at some scale; AQE
+    // broadcasts the LM while it is small and falls back to a shuffle
+    // join when it is not (the q53 drop-list rule)
+    val scored = bi.join(lm, Seq("head", "next"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cnt") === 1, 1).otherwise(0)).as("n_hapax"),

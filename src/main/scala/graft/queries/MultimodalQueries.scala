@@ -214,8 +214,14 @@ object MultimodalQueries {
       graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF())
       .orderBy("mime", "doc_a", "doc_b")
 
-  /** The q89 engine over any `(doc_id, mime, payload)` media frame. */
-  private[graft] def mediaNearDupPairs(media: org.apache.spark.sql.DataFrame)
+  /** The byte-window MinHash signature frame `(doc_id, mime,
+    * mh0..mh7)` shared by q89 (pair mining) and q91 (admission): ONE
+    * md5 per window, then arithmetic permutations — the q31/q33
+    * discipline (a salted-md5-per-permutation first version put q89 at
+    * 7.2 s in the sf0.1 bench; this shape reads 1 digest + 8
+    * multiply-adds). Entirely map-side until the per-doc min.
+    */
+  private[graft] def mediaSignatures(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val win = media.select(col("doc_id"), col("mime"),
       explode(expr(
@@ -224,15 +230,17 @@ object MultimodalQueries {
            |    greatest(ceil((octet_length(payload) - $MediaWindow) / ${MediaStride}.0D), 0)),
            |  i -> substring(payload, int(i * $MediaStride + 1), $MediaWindow))"""
           .stripMargin)).as("w"))
-    // ONE md5 per window, then arithmetic permutations — the q31/q33
-    // discipline (first version salted the md5 per permutation: 8
-    // digests/window put q89 at 7.2 s in the sf0.1 bench; this shape
-    // reads 1 digest + 8 multiply-adds)
     import graft.functions.MinHashBandKeys.{hashA, hashB, Mod}
     val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % Mod
     val sigCols = (0 until MediaPerms).map(j =>
       min((lit(hashA(j)) * h + lit(hashB(j))) % Mod).as(s"mh$j"))
-    val sig = win.groupBy("doc_id", "mime").agg(sigCols.head, sigCols.tail: _*)
+    win.groupBy("doc_id", "mime").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** The q89 engine over any `(doc_id, mime, payload)` media frame. */
+  private[graft] def mediaNearDupPairs(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = mediaSignatures(media)
     val mhCols = (0 until MediaPerms).map(j => col(s"mh$j"))
     val bands = sig.select((col("doc_id") +: col("mime") +: mhCols) :+
         explode(array((0 until MediaBands).map(b =>
@@ -259,21 +267,19 @@ object MultimodalQueries {
         col("n_shared_bands"), col("n_matches"), col("est_jaccard"))
   }
 
-  val q89Sql: String = {
+  /** Shared DuckDB rendering of [[mediaSignatures]] (the corpus is
+    * ASCII so the payload's byte windows ARE character windows over
+    * text — the q52 substr parity — and DuckDB's md5(VARCHAR) digests
+    * the same UTF-8 bytes Spark's binary md5 sees). Feeds the q89 and
+    * q91 oracles so the two media near-dup gates share one signature
+    * definition on both engines.
+    */
+  private val mediaSigCtesSql: String = {
     import graft.functions.MinHashBandKeys.{hashA, hashB, Mod}
     val mh = (0 until MediaPerms)
       .map(j => s"min((${hashA(j)} * h + ${hashB(j)}) % $Mod) AS mh$j")
       .mkString(", ")
-    val mhList = (0 until MediaPerms).map(j => s"mh$j").mkString(", ")
-    val bandSelects = (0 until MediaBands).map(b =>
-      s"SELECT doc_id, mime, $mhList, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
-      .mkString("\n UNION ALL\n ")
-    val matches = (0 until MediaPerms)
-      .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
-    // the corpus is ASCII so the payload's byte windows ARE character
-    // windows over text (the q52 substr parity), and DuckDB's
-    // md5(VARCHAR) digests the same UTF-8 bytes Spark's binary md5 sees
-    s"""WITH media AS (
+    s"""media AS (
        |  SELECT doc_id,
        |    ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
        |    text
@@ -282,8 +288,20 @@ object MultimodalQueries {
        |  SELECT doc_id, mime, substr(text, CAST(i * $MediaStride + 1 AS INTEGER), $MediaWindow) AS w
        |  FROM media, unnest(range(0, CAST(greatest(ceil((length(text) - $MediaWindow) / $MediaStride.0), 0) AS BIGINT) + 1)) AS t(i)),
        |hashed AS (SELECT doc_id, mime,
-       |  ('0x' || substr(md5(w), 1, 15))::BIGINT % ${graft.functions.MinHashBandKeys.Mod} AS h FROM win),
-       |sig AS (SELECT doc_id, mime, $mh FROM hashed GROUP BY 1, 2),
+       |  ('0x' || substr(md5(w), 1, 15))::BIGINT % $Mod AS h FROM win),
+       |sig AS (SELECT doc_id, mime, $mh FROM hashed GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val mhListSql: String =
+    (0 until MediaPerms).map(j => s"mh$j").mkString(", ")
+
+  val q89Sql: String = {
+    val bandSelects = (0 until MediaBands).map(b =>
+      s"SELECT doc_id, mime, $mhListSql, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+      .mkString("\n UNION ALL\n ")
+    val matches = (0 until MediaPerms)
+      .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $mediaSigCtesSql,
        |bands AS (
        | $bandSelects),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY mime, band, bkey) AS bsz FROM bands),
@@ -299,16 +317,77 @@ object MultimodalQueries {
        |ORDER BY mime, doc_a, doc_b""".stripMargin
   }
 
+  /** The media BAND frame `(doc_id, band, bkey)` for the generic
+    * admission engine ([[DedupTextQueries.incrementalNeardupFlagged]]
+    * groups on a flat `(band, bkey)` key): q89's banding with the mime
+    * folded INTO the band key, so q86's per-mime isolation rule
+    * survives the flat bucket — byte-twins under different media types
+    * never collide.
+    */
+  private[graft] def mediaBandFrame(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    mediaSignatures(media).select(col("doc_id"),
+      posexplode(array((0 until MediaBands).map(b =>
+        concat_ws("|", col("mime"),
+          concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
+        .as(Seq("band", "bkey")))
+
+  /** q91 — MEDIA-asset admission: q64's incremental delta-vs-corpus
+    * gate for binary columns. The delta (here `doc_id % 10 = 0` — in
+    * production, today's crawled assets) is checked against the
+    * corpus's byte-window signature bands; an asset colliding with an
+    * already-admitted near-identical asset (truncated/partially
+    * re-encoded — q89's detection class) is rejected naming the
+    * earliest collider. Runs on the SAME generic engine as text
+    * admission ([[graft.queries.DedupTextQueries
+    * .incrementalNeardupFlagged]]): store-side-only skew cap, delta
+    * bands broadcast, corpus never shuffles — and therefore the same
+    * streaming tier (foreachBatch over [[mediaBandFrame]]) and store
+    * lifecycle (fold/compact) apply unchanged.
+    */
+  val q91MediaAdmission: Q = (s, d) => {
+    val media = graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF()
+    val isDelta = col("doc_id") % 10 === 0
+    DedupTextQueries.incrementalNeardupFlagged(
+      mediaBandFrame(media).withColumn("is_delta", isDelta),
+      media.filter(isDelta).select(col("doc_id")))
+  }
+
+  val q91Sql: String = {
+    val bandSelects = (0 until MediaBands).map(b =>
+      s"SELECT doc_id, $b AS band, mime || '|' || CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH $mediaSigCtesSql,
+       |bands AS (
+       | $bandSelects),
+       |store AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM store),
+       |ok AS (SELECT * FROM sized WHERE bsz <= ${graft.operators.BucketPairs.DefaultCap}),
+       |hits AS (
+       | SELECT dl.doc_id AS delta_id,
+       |   COUNT(DISTINCT c.doc_id) AS n_candidates, MIN(c.doc_id) AS dup_of
+       | FROM bands dl JOIN ok c ON dl.band = c.band AND dl.bkey = c.bkey
+       | WHERE dl.doc_id % 10 = 0
+       | GROUP BY 1)
+       |SELECT m.doc_id, h.dup_of IS NOT NULL AS is_dup,
+       |  COALESCE(h.n_candidates, 0) AS n_candidates, h.dup_of
+       |FROM documents m LEFT JOIN hits h ON m.doc_id = h.delta_id
+       |WHERE m.doc_id % 10 = 0
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
     "q86_media_dedup" -> q86MediaDedup,
     "q87_media_stats" -> q87MediaStats,
-    "q89_media_neardup" -> q89MediaNearDup)
+    "q89_media_neardup" -> q89MediaNearDup,
+    "q91_media_admission" -> q91MediaAdmission)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
     "q86_media_dedup" -> q86Sql,
     "q87_media_stats" -> q87Sql,
-    "q89_media_neardup" -> q89Sql)
+    "q89_media_neardup" -> q89Sql,
+    "q91_media_admission" -> q91Sql)
 }

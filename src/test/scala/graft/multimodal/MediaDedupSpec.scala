@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -68,6 +69,38 @@ class MediaDedupSpec extends AnyFunSuite {
     val fps = media.selectExpr("doc_id", "md5(payload) AS fp").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(0L) != fps(1L))
+  }
+
+  test("q91 engine: a truncated copy of an ADMITTED asset is rejected " +
+    "at the gate; cross-mime byte-twins and novel assets admit") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"frame$i payload").mkString(" ")
+    def media(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "mime", "text")
+        .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
+    val store = media((0L, "image/png", base),
+      (2L, "image/png", (0 until 60).map(i => s"other stuff $i").mkString(" ")))
+    val delta = media(
+      (10L, "image/png", base.dropRight(40)), // truncated copy of 0
+      (11L, "audio/wav", base),               // byte-twin, other mime
+      (12L, "image/png", (0 until 60).map(i => s"novel words $i").mkString(" ")))
+
+    val q = graft.queries.MultimodalQueries
+    val verdicts = graft.core.CacheScope.withScope {
+      graft.queries.DedupTextQueries.incrementalNeardupFlagged(
+          q.mediaBandFrame(store).withColumn("is_delta", lit(false))
+            .unionByName(q.mediaBandFrame(delta)
+              .withColumn("is_delta", lit(true))),
+          delta.select(col("doc_id")))
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    }
+    assert(verdicts == Seq(
+      (10L, true, 1L, 0L),   // near-identical bytes: rejected, names 0
+      (11L, false, 0L, -1L), // same bytes, different mime: admitted
+      (12L, false, 0L, -1L)  // novel: admitted
+    ), verdicts.mkString(", "))
   }
 
   test("on the driver corpus the verdict covers every document and the " +
