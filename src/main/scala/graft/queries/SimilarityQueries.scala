@@ -244,7 +244,9 @@ object SimilarityQueries {
     * answer (same schema and cardinality as q77), but the pair matrix
     * is never enumerated for covered vectors. Recall vs q77's exact
     * argmax is pinned by PrunedPairMiningSpec; the uncovered-fallback
-    * rows are exact by construction.
+    * rows are exact by construction. Measured on the driver corpus at
+    * sf0.1: all 2000 vectors are band-covered — the exact fallback leg
+    * is EMPTY and the whole answer is candidate-proportional.
     */
   def prunedPairMining(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
