@@ -66,6 +66,12 @@ object Bench {
     // sfDir or does not exist.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    // a silently skipped warmup would make the timed numbers cold-start
+    // contaminated with nothing in the output to show it — say so
+    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
+        && !new java.io.File(warmDir).isDirectory)
+      System.err.println(
+        s"[bench] WARNING: warmup dir $warmDir missing — timings are COLD")
     if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
         && new java.io.File(warmDir).getCanonicalFile !=
           new java.io.File(sfDir).getCanonicalFile

@@ -426,6 +426,18 @@ object DedupTextQueries {
       bandFrame(minhashSignature(shingleRows(s, d))).filter(keep),
       tableName, numBuckets, "band", "bkey")
 
+  /** A delta's per-row band keys as a store-shaped `(doc_id, band,
+    * bkey)` frame — THE band derivation for text documents, shared by
+    * the streaming admission path ([[graft.streaming.StreamingAdmission
+    * .admitBatch]]) and the nightly [[foldAdmitted]] so the two can
+    * never drift apart (a fold writing keys the admission path no
+    * longer matches would silently stop rejecting re-submissions).
+    */
+  def textBandFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBandKeys.bandKeys(col("text")))
+        .as(Seq("band", "bkey")))
+
   /** Fold ADMITTED delta documents into an existing band-key signature
     * store — the "nightly fold" [[graft.streaming.StreamingAdmission]]'s
     * batch-boundary semantics assume (a batch is admitted against the
@@ -446,32 +458,47 @@ object DedupTextQueries {
     * to its payloads.
     */
   def foldAdmitted(s: org.apache.spark.sql.SparkSession, tableName: String,
-      admitted: DataFrame, numBuckets: Int = 8): Unit = {
+      admitted: DataFrame): Unit = {
     val target = s.table(tableName).schema
-    admitted
-      .select(col("doc_id"),
-        posexplode(graft.functions.MinHashBandKeys.bandKeys(col("text")))
-          .as(Seq("band", "bkey")))
+    textBandFrame(admitted)
       // align names/types to the store schema so the append can never
       // silently widen a column
       .select(target.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
       .write
-      .bucketBy(numBuckets, "band", "bkey")
+      .bucketBy(storeBucketCount(s, tableName), "band", "bkey")
       .sortBy("band", "bkey")
       .mode("append")
       .saveAsTable(tableName)
   }
+
+  /** The bucket count of an existing bucketed table, read from the
+    * catalog — [[foldAdmitted]] and [[compactStore]] must follow the
+    * store's ACTUAL spec, never a caller-supplied count (a mismatched
+    * append throws, but a mismatched compaction rewrite would silently
+    * rebucket the store and break the next fold).
+    */
+  private def storeBucketCount(s: org.apache.spark.sql.SparkSession,
+      tableName: String): Int =
+    s.sql(s"DESCRIBE EXTENDED $tableName").collect()
+      .find(_.getString(0) == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tableName is not a bucketed table"))
 
   /** Compact a band-key signature store: every [[foldAdmitted]] appends
     * its own set of bucket files, so a store folded nightly accumulates
     * O(folds × buckets) small files — the classic small-file tax on
     * scan/open cost at 100 TB. Compaction rewrites the CURRENT contents
     * into one fresh bucketed file set and swaps it in under the same
-    * name (write-aside + rename — the read of the old table happens
-    * entirely inside the temp-table write, so no reader ever sees a
-    * half-rewritten store). Contents, bucket spec, and admission
-    * verdicts are unchanged (StreamingAdmissionSpec pins all three);
-    * only the file layout shrinks back to `numBuckets` files.
+    * name. The write-aside keeps the rewrite itself out of readers'
+    * view, but the swap is TWO catalog operations (drop + rename) with
+    * no atomicity — run compaction in the ingest job's maintenance
+    * window, not concurrently with active readers; a crash between the
+    * two ops leaves the data intact under `<name>_compacting` for
+    * manual recovery (re-issue the rename). Contents, bucket spec
+    * (read from the catalog, never assumed), and admission verdicts
+    * are unchanged (StreamingAdmissionSpec pins all three); only the
+    * file layout shrinks back to one file per bucket.
     *
     * The rewrite is SHUFFLE-FREE: with the auto-bucketed-scan
     * heuristic pinned off, the read is one partition per bucket, each
@@ -483,8 +510,9 @@ object DedupTextQueries {
     * explicit repartition doesn't help because the optimizer removes
     * it as redundant against the table's bucket metadata.)
     */
-  def compactStore(s: org.apache.spark.sql.SparkSession, tableName: String,
-      numBuckets: Int = 8): Unit = {
+  def compactStore(s: org.apache.spark.sql.SparkSession,
+      tableName: String): Unit = {
+    val numBuckets = storeBucketCount(s, tableName)
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = s.conf.getOption(key)
     s.conf.set(key, "false")

@@ -4,8 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-import graft.functions.MinHashBandKeys
-
 /** Streaming ADMISSION against the durable signature store — the
   * second tier of the two-tier streaming dedup design
   * ([[StreamingNearDup]] is tier one: online collisions *within* the
@@ -16,7 +14,8 @@ import graft.functions.MinHashBandKeys
   *
   * Per micro-batch this runs EXACTLY the batch admission engine
   * ([[graft.queries.DedupTextQueries.incrementalNeardupFlagged]]): the
-  * batch's per-row native band keys ([[MinHashBandKeys]], spec-pinned
+  * batch's per-row native band keys ([[graft.queries.DedupTextQueries
+  * .textBandFrame]], spec-pinned
   * bit-equal to the batch signature pipeline) union the store's bands,
   * and the store side never shuffles — the delta keys broadcast onto
   * it. The skew cap is sized from the STORE's bands alone (round-6
@@ -42,22 +41,22 @@ object StreamingAdmission {
     * `delta` frame of `(doc_id, text)` rows against `storeBands`
     * (`doc_id, band, bkey`, e.g. `spark.table("sig_store")`).
     */
-  def admitBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame = {
-    val deltaBands = delta.select(col("doc_id"),
-      posexplode(MinHashBandKeys.bandKeys(col("text")))
-        .as(Seq("band", "bkey")))
+  def admitBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame =
     graft.queries.DedupTextQueries.incrementalNeardupFlagged(
       storeBands.select(col("doc_id"), col("band"), col("bkey"))
         .withColumn("is_delta", lit(false))
-        .unionByName(deltaBands.withColumn("is_delta", lit(true))),
+        .unionByName(graft.queries.DedupTextQueries.textBandFrame(delta)
+          .withColumn("is_delta", lit(true))),
       delta.select(col("doc_id")))
-  }
 
   /** Wire a STREAMING `(doc_id, text)` frame to the admission engine:
     * every trigger runs [[admitBatch]] on that micro-batch and hands
-    * the verdict frame to `onVerdicts` (inside a CacheScope, so the
-    * engine's internal persist is released per batch). Start with
-    * `.start()` / stop via the returned writer's query, as usual.
+    * the verdict frame to `onVerdicts` inside a CacheScope — the
+    * engine itself no longer persists (the round-7 cap change removed
+    * it), but the scope stays so anything `onVerdicts` or a future
+    * engine revision tracks is released per batch rather than leaking
+    * across the stream's lifetime. Start with `.start()` / stop via
+    * the returned writer's query, as usual.
     */
   def admissionQuery(docs: DataFrame, storeBands: DataFrame,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())(

@@ -158,6 +158,34 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("fold and compaction follow the store's ACTUAL bucket spec from " +
+    "the catalog — a non-default store is never silently rebucketed") {
+    import spark.implicits._
+    try {
+      graft.queries.DedupTextQueries
+        .writeSignatureStore(spark, sf, "b4_store", lit(true), numBuckets = 4)
+      def buckets(): String = spark.sql("DESCRIBE EXTENDED b4_store")
+        .collect().find(_.getString(0) == "Num Buckets")
+        .map(_.getString(1).trim).getOrElse("missing")
+      assert(buckets() == "4")
+      // fold reads 4 from the catalog (an assumed default of 8 would
+      // throw a bucket-spec mismatch on this append)
+      graft.queries.DedupTextQueries.foldAdmitted(spark, "b4_store",
+        Seq((900100L, "a novel document folded into the four bucket store"))
+          .toDF("doc_id", "text"))
+      val before = spark.table("b4_store")
+        .orderBy("doc_id", "band", "bkey").collect()
+      graft.queries.DedupTextQueries.compactStore(spark, "b4_store")
+      assert(buckets() == "4", "compaction must preserve the bucket spec")
+      assert(spark.table("b4_store").inputFiles.length == 4)
+      assert(spark.table("b4_store")
+        .orderBy("doc_id", "band", "bkey").collect().toSeq == before.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b4_store")
+      spark.sql("DROP TABLE IF EXISTS b4_store_compacting")
+    }
+  }
+
   test("the two custom seams compose: the geonet micro-batch source " +
     "feeds streaming admission against a band store (fixture transport, " +
     "verdicts ≡ the batch engine on the same delta)") {
