@@ -36,37 +36,61 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   */
 object StreamingAdmission {
 
+  /** The admission engine over ANY band derivation: `bandFrameOf`
+    * turns a micro-batch into store-shaped `(doc_id, band, bkey)`
+    * rows; the store side never shuffles and the skew cap reads the
+    * store alone. [[admitBatch]] (text) and [[admitMediaBatch]]
+    * (binary assets) are the two instantiations — admission semantics
+    * are keyed, not modality-specific.
+    */
+  private def admitVia(bandFrameOf: DataFrame => DataFrame)(
+      storeBands: DataFrame)(delta: DataFrame): DataFrame =
+    graft.queries.DedupTextQueries.incrementalNeardupFlagged(
+      storeBands.select(col("doc_id"), col("band"), col("bkey"))
+        .withColumn("is_delta", lit(false))
+        .unionByName(bandFrameOf(delta).withColumn("is_delta", lit(true))),
+      delta.select(col("doc_id")))
+
   /** One micro-batch's admission verdicts: `(doc_id, is_dup,
     * n_candidates, dup_of)` — q64's exact output schema — for a static
     * `delta` frame of `(doc_id, text)` rows against `storeBands`
     * (`doc_id, band, bkey`, e.g. `spark.table("sig_store")`).
     */
   def admitBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame =
-    graft.queries.DedupTextQueries.incrementalNeardupFlagged(
-      storeBands.select(col("doc_id"), col("band"), col("bkey"))
-        .withColumn("is_delta", lit(false))
-        .unionByName(graft.queries.DedupTextQueries.textBandFrame(delta)
-          .withColumn("is_delta", lit(true))),
-      delta.select(col("doc_id")))
+    admitVia(graft.queries.DedupTextQueries.textBandFrame)(storeBands)(delta)
 
-  /** Wire a STREAMING `(doc_id, text)` frame to the admission engine:
-    * every trigger runs [[admitBatch]] on that micro-batch and hands
-    * the verdict frame to `onVerdicts` inside a CacheScope — the
-    * engine itself no longer persists (the round-7 cap change removed
-    * it), but the scope stays so anything `onVerdicts` or a future
-    * engine revision tracks is released per batch rather than leaking
-    * across the stream's lifetime. Start with `.start()` / stop via
-    * the returned writer's query, as usual.
+  /** [[admitBatch]]'s MEDIA analog: a `(doc_id, mime, payload)` asset
+    * batch admitted against a byte-window band store (the q91 keys —
+    * [[graft.queries.MultimodalQueries.mediaBandFrame]], mime folded
+    * into the band key so per-mime isolation survives). Written once
+    * via `Tables.writeBucketed(mediaBandFrame(corpus), t, n, "band",
+    * "bkey")`, the store then serves the same fold/compact lifecycle
+    * as the text store.
+    */
+  def admitMediaBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame =
+    admitVia(graft.queries.MultimodalQueries.mediaBandFrame)(storeBands)(delta)
+
+  /** Wire a STREAMING frame to the admission engine: every trigger
+    * runs the per-batch admission on that micro-batch and hands the
+    * verdict frame to `onVerdicts` inside a CacheScope — the engine
+    * itself no longer persists (the round-7 cap change removed it),
+    * but the scope stays so anything `onVerdicts` or a future engine
+    * revision tracks is released per batch rather than leaking across
+    * the stream's lifetime. `admit` is [[admitBatch]] for `(doc_id,
+    * text)` documents (the default) or [[admitMediaBatch]] for
+    * `(doc_id, mime, payload)` assets. Start with `.start()` / stop
+    * via the returned writer's query, as usual.
     */
   def admissionQuery(docs: DataFrame, storeBands: DataFrame,
-      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())(
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      admit: DataFrame => DataFrame => DataFrame = admitBatch)(
       onVerdicts: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.core.CacheScope.withScope {
-          onVerdicts(admitBatch(storeBands)(batch))
+          onVerdicts(admit(storeBands)(batch))
         }
       }
 }

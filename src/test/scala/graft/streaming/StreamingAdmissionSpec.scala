@@ -158,6 +158,44 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("media assets stream through the SAME admission tier " +
+    "(admitMediaBatch): a truncated copy of a stored asset is rejected " +
+    "per micro-batch, cross-mime twins and novel assets admit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 60).map(i => s"frame$i payload").mkString(" ")
+    def assets(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "mime", "text")
+        .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
+    val storeBands = graft.queries.MultimodalQueries
+      .mediaBandFrame(assets((0L, "image/png", base)))
+
+    val source = MemoryStream[(Long, String, String)]
+    val docs = source.toDS().toDF("doc_id", "mime", "text")
+      .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Long, Long)]
+    val q = StreamingAdmission.admissionQuery(docs, storeBands,
+        java.nio.file.Files.createTempDirectory("media_adm_ckpt").toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        StreamingAdmission.admitMediaBatch) {
+      verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+    }.start()
+    try {
+      source.addData((10L, "image/png", base.dropRight(40)),
+        (11L, "audio/wav", base))
+      q.processAllAvailable()
+      source.addData((12L, "image/png",
+        (0 until 60).map(i => s"novel words $i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sortBy(_._1).toSeq == Seq(
+      (10L, true, 1L, 0L),   // truncated copy: rejected, names asset 0
+      (11L, false, 0L, -1L), // byte-twin under another mime: admitted
+      (12L, false, 0L, -1L)  // novel asset in batch 2: admitted
+    ), got.mkString(", "))
+  }
+
   test("fold and compaction follow the store's ACTUAL bucket spec from " +
     "the catalog — a non-default store is never silently rebucketed") {
     import spark.implicits._
