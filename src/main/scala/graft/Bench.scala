@@ -30,19 +30,10 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // dev loop: SPARK_GRAFT_ONLY=q39_lang_ngram,q42_embed_neardup
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    // a typo'd ONLY filter would otherwise print total 0 / n_failed 0 —
-    // a suspiciously perfect benchmark instead of an operator error
-    only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        System.err.println(
-          s"[bench] WARNING: SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
-      if (o.intersect(SparkEntry.queries.keySet).isEmpty)
-        sys.error(s"SPARK_GRAFT_ONLY matched zero registered queries: $o")
-    }
+    // dev loop: SPARK_GRAFT_ONLY=q39_lang_ngram,q42_embed_neardup —
+    // a typo'd filter would otherwise print total 0 / n_failed 0, a
+    // suspiciously perfect benchmark instead of an operator error
+    val only = SparkEntry.parseOnlyFilter("bench")
     // dev-only: SPARK_GRAFT_REPEAT=3 times each query N times (warm-vs-
     // cold / wobble diagnosis, stderr); the JSON still reports run 1 so
     // numbers stay comparable with driver rounds
@@ -66,15 +57,21 @@ object Bench {
     // sfDir or does not exist.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    val warmupEnabled = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
+    val warmupSameDir = new java.io.File(warmDir).getCanonicalFile ==
+      new java.io.File(sfDir).getCanonicalFile
     // a silently skipped warmup would make the timed numbers cold-start
-    // contaminated with nothing in the output to show it — say so
-    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
-        && !new java.io.File(warmDir).isDirectory)
+    // contaminated with nothing in the output to show it — every skip
+    // reason says so on stderr
+    if (warmupEnabled && !new java.io.File(warmDir).isDirectory)
       System.err.println(
         s"[bench] WARNING: warmup dir $warmDir missing — timings are COLD")
-    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
-        && new java.io.File(warmDir).getCanonicalFile !=
-          new java.io.File(sfDir).getCanonicalFile
+    else if (warmupEnabled && warmupSameDir)
+      System.err.println(
+        s"[bench] WARNING: warmup dir equals the bench dir $sfDir — " +
+          "per-query warmup skipped (would run the workload twice); " +
+          "first-touch timings are cold")
+    if (warmupEnabled && !warmupSameDir
         && new java.io.File(warmDir).isDirectory) {
       val t0 = System.nanoTime()
       selected.foreach { case (name, fn) =>

@@ -31,6 +31,25 @@ object SparkEntry {
       MultimodalQueries.queries ++
       QuakeQueries.queries
 
+  /** Dev-loop subset filter shared by Bench and Verify: parse
+    * SPARK_GRAFT_ONLY, warn about unknown names, and ERROR when
+    * nothing matches — a typo'd filter must never read as a clean
+    * empty run (the driver never sets the variable).
+    */
+  private[graft] def parseOnlyFilter(tag: String): Option[Set[String]] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    only.foreach { o =>
+      val unknown = o -- queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[$tag] WARNING: SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      if (o.intersect(queries.keySet).isEmpty)
+        sys.error(s"SPARK_GRAFT_ONLY matched zero registered queries: $o")
+    }
+    only
+  }
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver
     * records a weaker rows-only check).

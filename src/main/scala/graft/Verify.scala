@@ -15,20 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev loop only (the driver never sets it): dump a subset, e.g.
-    // SPARK_GRAFT_ONLY=q64_incremental_neardup — same contract as Bench
-    // including the typo guard (a misspelled filter would otherwise
-    // dump nothing and exit 0, reading as an up-to-date dump)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        System.err.println(
-          s"[verify] WARNING: SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
-      if (o.intersect(SparkEntry.queries.keySet).isEmpty)
-        sys.error(s"SPARK_GRAFT_ONLY matched zero registered queries: $o")
-    }
+    // dev loop only: dump a subset, e.g. SPARK_GRAFT_ONLY=q64_... —
+    // one contract with Bench, typo guard included (a misspelled
+    // filter must not dump nothing and exit 0)
+    val only = SparkEntry.parseOnlyFilter("verify")
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

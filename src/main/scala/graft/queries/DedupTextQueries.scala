@@ -458,9 +458,24 @@ object DedupTextQueries {
     * to its payloads.
     */
   def foldAdmitted(s: org.apache.spark.sql.SparkSession, tableName: String,
+      admitted: DataFrame): Unit =
+    foldAdmittedVia(textBandFrame)(s, tableName, admitted)
+
+  /** [[foldAdmitted]] over ANY band derivation — the fold must use the
+    * SAME derivation as the store's admission path or the appended
+    * keys can never match (folding text keys into a media store would
+    * silently admit every re-submitted asset forever). Text stores
+    * fold via [[foldAdmitted]]; media stores via
+    * `foldAdmittedVia(MultimodalQueries.mediaBandFrame)` with a
+    * `(doc_id, mime, payload)` admitted frame — both band frames share
+    * the store schema `(doc_id, band, bkey)`, so one append path
+    * serves both modalities.
+    */
+  def foldAdmittedVia(bandFrameOf: DataFrame => DataFrame)(
+      s: org.apache.spark.sql.SparkSession, tableName: String,
       admitted: DataFrame): Unit = {
     val target = s.table(tableName).schema
-    textBandFrame(admitted)
+    bandFrameOf(admitted)
       // align names/types to the store schema so the append can never
       // silently widen a column
       .select(target.map(f => col(f.name).cast(f.dataType)).toSeq: _*)

@@ -64,8 +64,11 @@ object StreamingAdmission {
     * [[graft.queries.MultimodalQueries.mediaBandFrame]], mime folded
     * into the band key so per-mime isolation survives). Written once
     * via `Tables.writeBucketed(mediaBandFrame(corpus), t, n, "band",
-    * "bkey")`, the store then serves the same fold/compact lifecycle
-    * as the text store.
+    * "bkey")`, the store then serves the same lifecycle as the text
+    * store: nightly `foldAdmittedVia(mediaBandFrame)` appends admitted
+    * assets (the fold MUST use the media derivation — text keys can
+    * never match media admission), `compactStore` merges the fold
+    * files (spec-pinned end-to-end in StreamingAdmissionSpec).
     */
   def admitMediaBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame =
     admitVia(graft.queries.MultimodalQueries.mediaBandFrame)(storeBands)(delta)

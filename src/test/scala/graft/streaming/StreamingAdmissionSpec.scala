@@ -158,42 +158,63 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
-  test("media assets stream through the SAME admission tier " +
-    "(admitMediaBatch): a truncated copy of a stored asset is rejected " +
-    "per micro-batch, cross-mime twins and novel assets admit") {
+  test("media assets run the FULL admission lifecycle on the same " +
+    "tier: streamed micro-batch verdicts (admitMediaBatch), nightly " +
+    "foldAdmittedVia(mediaBandFrame), compaction — a truncated copy " +
+    "of a folded asset is rejected the next day") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val q = graft.queries.MultimodalQueries
     val base = (0 until 60).map(i => s"frame$i payload").mkString(" ")
+    val novel = (0 until 60).map(i => s"novel words $i").mkString(" ")
     def assets(rows: (Long, String, String)*) =
       rows.toSeq.toDF("doc_id", "mime", "text")
         .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
-    val storeBands = graft.queries.MultimodalQueries
-      .mediaBandFrame(assets((0L, "image/png", base)))
 
-    val source = MemoryStream[(Long, String, String)]
-    val docs = source.toDS().toDF("doc_id", "mime", "text")
-      .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
-    val got = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Boolean, Long, Long)]
-    val q = StreamingAdmission.admissionQuery(docs, storeBands,
-        java.nio.file.Files.createTempDirectory("media_adm_ckpt").toString,
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
-        StreamingAdmission.admitMediaBatch) {
-      verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
-    }.start()
+    // one "day": a fresh media admission stream over the current store
+    def day(batches: Seq[(Long, String, String)]*): Seq[(Long, Boolean, Long, Long)] = {
+      val source = MemoryStream[(Long, String, String)]
+      val docs = source.toDS().toDF("doc_id", "mime", "text")
+        .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Long, Long)]
+      val s = StreamingAdmission.admissionQuery(docs,
+          spark.table("media_store"),
+          java.nio.file.Files.createTempDirectory("media_adm_ckpt").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+          StreamingAdmission.admitMediaBatch) {
+        verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+      }.start()
+      try batches.foreach { b =>
+        source.addData(b: _*); s.processAllAvailable()
+      } finally s.stop()
+      got.sortBy(_._1).toSeq
+    }
+
     try {
-      source.addData((10L, "image/png", base.dropRight(40)),
-        (11L, "audio/wav", base))
-      q.processAllAvailable()
-      source.addData((12L, "image/png",
-        (0 until 60).map(i => s"novel words $i").mkString(" ")))
-      q.processAllAvailable()
-    } finally q.stop()
-    assert(got.sortBy(_._1).toSeq == Seq(
-      (10L, true, 1L, 0L),   // truncated copy: rejected, names asset 0
-      (11L, false, 0L, -1L), // byte-twin under another mime: admitted
-      (12L, false, 0L, -1L)  // novel asset in batch 2: admitted
-    ), got.mkString(", "))
+      graft.core.Tables.writeBucketed(
+        q.mediaBandFrame(assets((0L, "image/png", base))),
+        "media_store", 4, "band", "bkey")
+      // day 1, two micro-batches
+      assert(day(
+        Seq((10L, "image/png", base.dropRight(40)), // truncated copy of 0
+          (11L, "audio/wav", base)),                // byte-twin, other mime
+        Seq((12L, "image/png", novel))) ==          // novel asset
+        Seq((10L, true, 1L, 0L), (11L, false, 0L, -1L),
+          (12L, false, 0L, -1L)))
+      // nightly: fold the admitted asset with the MEDIA derivation,
+      // then compact the fold files away
+      graft.queries.DedupTextQueries.foldAdmittedVia(q.mediaBandFrame)(
+        spark, "media_store", assets((12L, "image/png", novel)))
+      graft.queries.DedupTextQueries.compactStore(spark, "media_store")
+      assert(spark.table("media_store").inputFiles.length == 4)
+      // day 2: a truncated copy of yesterday's admission is rejected
+      assert(day(Seq((13L, "image/png", novel.dropRight(40)))) ==
+        Seq((13L, true, 1L, 12L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS media_store")
+      spark.sql("DROP TABLE IF EXISTS media_store_compacting")
+    }
   }
 
   test("fold and compaction follow the store's ACTUAL bucket spec from " +
