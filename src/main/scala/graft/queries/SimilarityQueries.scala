@@ -304,10 +304,17 @@ object SimilarityQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact fallback ONLY for vectors no band covered — at scale this
     // is the cold tail (isolated vectors score few/no collisions), so
-    // the quadratic leg runs over a sliver of the corpus
+    // the quadratic leg runs over a sliver of the corpus. The tail is
+    // OBSERVED before the leg is built: when every vector is covered
+    // (the sf0.1 corpus — see class doc) the salted join would still
+    // shuffle its 8×-replicated side for zero probe rows, so an empty
+    // check (one scan against the persisted argmax) skips the whole
+    // leg — the q45-style adaptive construction, decided per corpus,
+    // not hardcoded.
     val uncovered = emb.join(covered.select(col("vec_id")),
       Seq("vec_id"), "left_anti")
-    covered.unionByName(pairMiningExact(uncovered, emb))
+    if (uncovered.isEmpty) covered
+    else covered.unionByName(pairMiningExact(uncovered, emb))
   }
 
   /** q78 — SEMANTIC-ONLY near-dups (paraphrase mining): embedding pairs
