@@ -136,6 +136,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q89 media near-dup plans with NO join anywhere: candidate " +
+    "pairs are enumerated inside buckets (BucketPairs), never by " +
+    "self-joining the corpus") {
+    val p = physical(MultimodalQueries.queries("q89_media_neardup")(spark, sf))
+    assert(!p.contains("Join"), p.take(4000))
+    // the bounded bucket enumeration runs as an ObjectHashAggregate
+    // (collect_list buckets) over ONE scan of the documents table
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    assert(p.split("Scan parquet ").length - 1 == 1, p.take(4000))
+  }
+
+  test("q91 media admission: the delta side broadcasts onto the store " +
+    "bands — no corpus-grain shuffle join, no cartesian product") {
+    val p = physical(MultimodalQueries.queries("q91_media_admission")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q65 balanced mixture: corpus is one scan with broadcast-joined " +
     "rates — every hash exchange is on the tiny per-lang count key, " +
     "never a corpus-grain key") {
