@@ -62,7 +62,14 @@ object Bench {
       new java.io.File(sfDir).getCanonicalFile
     // a silently skipped warmup would make the timed numbers cold-start
     // contaminated with nothing in the output to show it — every skip
-    // reason says so on stderr
+    // reason says so on stderr AND in the JSON's "warmup" field (round-7
+    // advisory: from the artifact alone, cold-contaminated timings were
+    // indistinguishable from warm runs)
+    val warmupSkipReason: Option[String] =
+      if (!warmupEnabled) Some("disabled")
+      else if (!new java.io.File(warmDir).isDirectory) Some("dir_missing")
+      else if (warmupSameDir) Some("same_dir")
+      else None
     if (warmupEnabled && !new java.io.File(warmDir).isDirectory)
       System.err.println(
         s"[bench] WARNING: warmup dir $warmDir missing — timings are COLD")
@@ -71,8 +78,7 @@ object Bench {
         s"[bench] WARNING: warmup dir equals the bench dir $sfDir — " +
           "per-query warmup skipped (would run the workload twice); " +
           "first-touch timings are cold")
-    if (warmupEnabled && !warmupSameDir
-        && new java.io.File(warmDir).isDirectory) {
+    if (warmupSkipReason.isEmpty) {
       val t0 = System.nanoTime()
       selected.foreach { case (name, fn) =>
         try graft.core.CacheScope.withScope { fn(spark, warmDir).count() }
@@ -82,20 +88,26 @@ object Bench {
       System.err.println(
         f"[bench] per-query sf0.001 warmup: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    // The signature store is INGEST-TIME work (built once, read by the
-    // q32/q53/q57/q59/q64/q72/q78/q80 family) — build it here, timed,
-    // and report it as its own visible setup metric so the cost is
+    // The on-disk stores are INGEST-TIME work (built once, read by
+    // their query families: text signatures by q32/q53/q57/q59/q64/
+    // q72/q78/q80, media signatures by q89/q91/q93, the bigram LM by
+    // q84/q90, hyperplane bands by q46/q88) — build them here, timed,
+    // and report each as its own visible setup metric so the cost is
     // neither hidden nor mis-attributed to whichever family query runs
-    // first. It is still counted into "total" below.
-    val setupT0 = System.nanoTime()
-    val setupErr = try {
-      graft.queries.SignatureStore.ensure(spark, sfDir); None
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] sigstore build FAILED: $e")
-      Some(e.toString)
+    // first. All counted into "total" below.
+    val setups: Seq[(String, () => Unit)] = Seq(
+      "sigstore_build" ->
+        (() => graft.queries.SignatureStore.ensure(spark, sfDir)),
+      "media_sigstore_build" ->
+        (() => graft.queries.MediaSignatureStore.ensure(spark, sfDir)))
+    val setupTimes = setups.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      val ok = try { run(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e"); false
+      }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else 0.0)
     }
-    val setupSec =
-      if (setupErr.isEmpty) (System.nanoTime() - setupT0) / 1e9 else 0.0
+    val setupSec = setupTimes.map(_._2).sum
     val results = selected
       .map { case (name, fn) =>
       // the scope unpersists exactly the frames the query tracked (q39,
@@ -126,7 +138,13 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m), _) =>
       s"\"${esc(k)}\":\"${esc(m)}\"" }.mkString("{", ",", "}")
     val total = setupSec + results.collect { case (_, _, None, sec) => sec }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":{"sigstore_build":$setupSec},"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val setupJson = setupTimes
+      .map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
+    val warmupJson = warmupSkipReason match {
+      case None => """{"ran":true}"""
+      case Some(r) => s"""{"ran":false,"reason":"${esc(r)}"}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"warmup":$warmupJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

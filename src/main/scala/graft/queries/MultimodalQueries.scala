@@ -204,14 +204,15 @@ object MultimodalQueries {
     * permutations / 8, a dyadic rational (exact in double on both
     * engines).
     *
-    * At 100 TB the signature pass is map-side over the payload column
-    * and the 8 mh longs (64 B/doc) would live next to the payload at
-    * ingest — the q64 store discipline; the corpus bytes cross no
-    * exchange.
+    * Reads the on-disk [[MediaSignatureStore]] (round-8: the 8 mh
+    * longs — 64 B/asset — live next to the payload, built once per
+    * run, the q64 store discipline the round-7 scaladoc promised):
+    * the payload bytes are never touched and the signature pass never
+    * re-runs per query; PlanSpec asserts the plan scans the store with
+    * zero digest expressions.
     */
   val q89MediaNearDup: Q = (s, d) =>
-    mediaNearDupPairs(
-      graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF())
+    mediaNearDupPairsFromSig(MediaSignatureStore.signatures(s, d))
       .orderBy("mime", "doc_a", "doc_b")
 
   /** The byte-window MinHash signature frame `(doc_id, mime,
@@ -237,10 +238,22 @@ object MultimodalQueries {
     win.groupBy("doc_id", "mime").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** The q89 engine over any `(doc_id, mime, payload)` media frame. */
+  /** The q89 engine over any `(doc_id, mime, payload)` media frame —
+    * signs the payloads inline (specs feed synthetic corpora here);
+    * the production/query path is [[mediaNearDupPairsFromSig]] over
+    * the persisted store.
+    */
   private[graft] def mediaNearDupPairs(media: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val sig = mediaSignatures(media)
+      : org.apache.spark.sql.DataFrame =
+    mediaNearDupPairsFromSig(mediaSignatures(media))
+
+  /** The q89 engine over a PRECOMPUTED `(doc_id, mime, mh0..mh7)`
+    * signature frame ([[MediaSignatureStore]] or an inline
+    * [[mediaSignatures]]) — banding, bounded bucket pairs, and the
+    * per-pair agreement count never look at payload bytes.
+    */
+  private[graft] def mediaNearDupPairsFromSig(
+      sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val mhCols = (0 until MediaPerms).map(j => col(s"mh$j"))
     val bands = sig.select((col("doc_id") +: col("mime") +: mhCols) :+
         explode(array((0 until MediaBands).map(b =>
@@ -326,7 +339,16 @@ object MultimodalQueries {
     */
   private[graft] def mediaBandFrame(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    mediaSignatures(media).select(col("doc_id"),
+    mediaBandFrameFromSig(mediaSignatures(media))
+
+  /** [[mediaBandFrame]] over a precomputed signature frame — the
+    * store-fed corpus side of q91; the streaming DELTA side keeps
+    * [[mediaBandFrame]] (an arriving micro-batch has no store row yet
+    * by definition, so it signs its own payloads).
+    */
+  private[graft] def mediaBandFrameFromSig(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sig.select(col("doc_id"),
       posexplode(array((0 until MediaBands).map(b =>
         concat_ws("|", col("mime"),
           concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
@@ -346,11 +368,17 @@ object MultimodalQueries {
     * lifecycle (fold/compact) apply unchanged.
     */
   val q91MediaAdmission: Q = (s, d) => {
-    val media = graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF()
+    // Store-fed (round-8): both the corpus and the delta slice read
+    // their band keys from the persisted signature store — q64's exact
+    // shape (`bandFrame(SignatureStore.signatures)`), no payload
+    // re-signing. A real arriving delta signs its own batch
+    // (admitMediaBatch); here the delta IS a corpus slice, so its
+    // store rows are bit-identical to a fresh signing (spec-pinned).
+    val sig = MediaSignatureStore.signatures(s, d)
     val isDelta = col("doc_id") % 10 === 0
     DedupTextQueries.incrementalNeardupFlagged(
-      mediaBandFrame(media).withColumn("is_delta", isDelta),
-      media.filter(isDelta).select(col("doc_id")))
+      mediaBandFrameFromSig(sig).withColumn("is_delta", isDelta),
+      sig.filter(isDelta).select(col("doc_id")))
   }
 
   val q91Sql: String = {

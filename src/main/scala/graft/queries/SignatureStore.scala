@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The ON-DISK MinHash signature store shared by the LSH query family.
@@ -33,56 +31,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SignatureStore {
 
-  /** One store table per source dir per JVM; ConcurrentHashMap
-    * serializes the build so parallel first readers don't race the
-    * overwrite.
+  /** Build/memoization/orphan-cleanup policy lives in [[RunStore]] —
+    * shared with the media-signature, bigram-LM, and hyperplane-band
+    * stores so the four "store discipline" tables can't drift apart.
     */
-  private val built = new ConcurrentHashMap[String, String]()
+  private val store = new RunStore("graft_sigstore", 8, Seq("doc_id"),
+    (s, d) => DedupTextQueries.minhashSignature(
+      DedupTextQueries.shingleRows(s, d)))
 
-  /** Sanitizing alone collapses distinct dirs ("sf0.001" vs "sf0_001")
-    * to one table name while the memo stays keyed by the raw dir — the
-    * second build would silently overwrite the first's table under the
-    * first's live memo entry. A short hash of the RAW path keeps
-    * distinct dirs collision-free (round-6 advisory).
-    */
-  private[graft] def tableName(d: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_sigstore_${d.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
-  }
+  private[graft] def tableName(d: String): String = store.tableName(d)
 
   /** The corpus signature table for `d`, reading the bucketed on-disk
     * store (built on first access in this JVM). Schema: `doc_id,
     * mh00..mh15` — identical, bit-for-bit, to
     * `minhashSignature(shingleRows(s, d))`.
     */
-  def signatures(s: SparkSession, d: String): DataFrame = {
-    val name = built.computeIfAbsent(d, _ => {
-      val t = tableName(d)
-      // The in-memory catalog dies with the JVM but the warehouse
-      // directory does not: a previous process's store is an ORPHAN
-      // location that blocks CREATE TABLE. Drop both — this build
-      // policy is rebuild-always (see class doc), so the old files are
-      // dead weight, never a cache.
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      graft.core.Tables.writeBucketed(
-        DedupTextQueries.minhashSignature(DedupTextQueries.shingleRows(s, d)),
-        t, numBuckets = 8, "doc_id")
-      t
-    })
-    s.table(name)
-  }
+  def signatures(s: SparkSession, d: String): DataFrame = store.table(s, d)
 
   /** Build (or re-read) the store eagerly — Bench calls this before the
     * timed loop so the ingest-time cost is reported as its own visible
     * setup metric rather than inside whichever family query runs first.
     */
-  def ensure(s: SparkSession, d: String): Unit = { signatures(s, d); () }
+  def ensure(s: SparkSession, d: String): Unit = store.ensure(s, d)
 
   /** Test hook: forget the memo so a spec can observe a fresh build. */
-  private[graft] def reset(): Unit = built.clear()
+  private[graft] def reset(): Unit = store.reset()
 }

@@ -136,22 +136,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q89 media near-dup plans with NO join anywhere: candidate " +
-    "pairs are enumerated inside buckets (BucketPairs), never by " +
-    "self-joining the corpus") {
+  test("q89 media near-dup reads the ON-DISK media signature store " +
+    "(no payload re-signing — round-7 verdict #1) and plans with NO " +
+    "join anywhere: candidate pairs are enumerated inside buckets " +
+    "(BucketPairs), never by self-joining the corpus") {
     val p = physical(MultimodalQueries.queries("q89_media_neardup")(spark, sf))
     assert(!p.contains("Join"), p.take(4000))
     // the bounded bucket enumeration runs as an ObjectHashAggregate
-    // (collect_list buckets) over ONE scan of the documents table
+    // (collect_list buckets) over ONE scan — of the signature store,
+    // not the documents payloads
     assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    assert(p.contains("graft_media_sigstore"), p.take(4000))
     assert(p.split("Scan parquet ").length - 1 == 1, p.take(4000))
+    // zero digest work: the byte-window md5 pass lives in the store
+    // build, never in the query
+    assert(!p.contains("md5"), p.take(4000))
   }
 
-  test("q91 media admission: the delta side broadcasts onto the store " +
-    "bands — no corpus-grain shuffle join, no cartesian product") {
+  test("q91 media admission is fully store-fed (both sides scan the " +
+    "media signature store, no payload digesting) and the delta side " +
+    "broadcasts onto the store bands — no corpus-grain shuffle join, " +
+    "no cartesian product") {
     val p = physical(MultimodalQueries.queries("q91_media_admission")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.split("graft_media_sigstore").length - 1 >= 2, p.take(4000))
+    assert(!p.contains("md5"), p.take(4000))
   }
 
   test("q65 balanced mixture: corpus is one scan with broadcast-joined " +
