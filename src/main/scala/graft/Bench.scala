@@ -99,7 +99,11 @@ object Bench {
       "sigstore_build" ->
         (() => graft.queries.SignatureStore.ensure(spark, sfDir)),
       "media_sigstore_build" ->
-        (() => graft.queries.MediaSignatureStore.ensure(spark, sfDir)))
+        (() => graft.queries.MediaSignatureStore.ensure(spark, sfDir)),
+      "lm_store_build" ->
+        (() => graft.queries.LmStore.ensure(spark, sfDir)),
+      "emb_bandstore_build" ->
+        (() => graft.queries.SimilarityQueries.EmbBandStore.ensure(spark, sfDir)))
     val setupTimes = setups.map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch { case e: Throwable =>

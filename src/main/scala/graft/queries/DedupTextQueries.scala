@@ -474,11 +474,27 @@ object DedupTextQueries {
   def foldAdmittedVia(bandFrameOf: DataFrame => DataFrame)(
       s: org.apache.spark.sql.SparkSession, tableName: String,
       admitted: DataFrame): Unit = {
+    healCompaction(s, tableName)
     val target = s.table(tableName).schema
-    bandFrameOf(admitted)
-      // align names/types to the store schema so the append can never
-      // silently widen a column
-      .select(target.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val frame = bandFrameOf(admitted)
+    // Align column ORDER to the store schema, but never cast: an
+    // unconditional cast silently widens OR narrows (a LONG band key
+    // folded into an INT-band store would truncate instead of fail —
+    // round-7 advisory). A derivation/store type mismatch is a wiring
+    // bug and must throw here, before any file is written.
+    val mismatches = target.flatMap { f =>
+      frame.schema.find(_.name == f.name) match {
+        case None => Some(s"${f.name}: missing from band frame")
+        case Some(g) if g.dataType != f.dataType =>
+          Some(s"${f.name}: band frame ${g.dataType.simpleString} vs " +
+            s"store ${f.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    require(mismatches.isEmpty,
+      s"band frame does not match $tableName's schema — " +
+        mismatches.mkString("; "))
+    frame.select(target.map(f => col(f.name)).toSeq: _*)
       .write
       .bucketBy(storeBucketCount(s, tableName), "band", "bkey")
       .sortBy("band", "bkey")
@@ -486,19 +502,46 @@ object DedupTextQueries {
       .saveAsTable(tableName)
   }
 
+  /** Finish a [[compactStore]] swap that crashed between its two
+    * catalog operations: when `<name>` is gone but `<name>_compacting`
+    * exists, the compacted copy IS the store — re-issue the rename.
+    * Called on every store access that goes through the lifecycle API
+    * ([[foldAdmittedVia]], [[storeBucketCount]], [[compactStore]]
+    * itself — where healing FIRST also keeps the `DROP ... _compacting`
+    * reset from deleting the only surviving copy), so the crash window
+    * self-heals on the next touch instead of requiring manual repair
+    * (round-7 verdict #3). Returns true when a rename was re-issued.
+    * No-op when the primary exists: a live `_compacting` next to a live
+    * primary is an ABANDONED rewrite (crash before DROP), safe to
+    * discard — which is exactly what compactStore's reset does.
+    */
+  def healCompaction(s: org.apache.spark.sql.SparkSession,
+      tableName: String): Boolean = {
+    val tmp = tableName + "_compacting"
+    val orphaned = !s.catalog.tableExists(tableName) &&
+      s.catalog.tableExists(tmp)
+    if (orphaned) s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+    orphaned
+  }
+
   /** The bucket count of an existing bucketed table, read from the
-    * catalog — [[foldAdmitted]] and [[compactStore]] must follow the
-    * store's ACTUAL spec, never a caller-supplied count (a mismatched
-    * append throws, but a mismatched compaction rewrite would silently
-    * rebucket the store and break the next fold).
+    * catalog API — [[foldAdmitted]] and [[compactStore]] must follow
+    * the store's ACTUAL spec, never a caller-supplied count (a
+    * mismatched append throws, but a mismatched compaction rewrite
+    * would silently rebucket the store and break the next fold).
+    * (Round-7 advisory: this parsed `DESCRIBE EXTENDED` text before —
+    * brittle across Spark formatting changes; `getTableMetadata`'s
+    * `bucketSpec` is the structured source.)
     */
   private def storeBucketCount(s: org.apache.spark.sql.SparkSession,
-      tableName: String): Int =
-    s.sql(s"DESCRIBE EXTENDED $tableName").collect()
-      .find(_.getString(0) == "Num Buckets")
-      .map(_.getString(1).trim.toInt)
+      tableName: String): Int = {
+    healCompaction(s, tableName)
+    s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(tableName))
+      .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(
         s"$tableName is not a bucketed table"))
+  }
 
   /** Compact a band-key signature store: every [[foldAdmitted]] appends
     * its own set of bucket files, so a store folded nightly accumulates
@@ -524,10 +567,16 @@ object DedupTextQueries {
     * one file per task × bucket — MORE files than it consumed; an
     * explicit repartition doesn't help because the optimizer removes
     * it as redundant against the table's bucket metadata.)
+    *
+    * Crash recovery is automatic since round 8: every lifecycle entry
+    * point calls [[healCompaction]] first, so a run that died between
+    * DROP and RENAME is repaired on the next touch of the store — and
+    * in particular BEFORE this function's own `DROP ... _compacting`
+    * reset, which would otherwise delete the only surviving copy.
     */
   def compactStore(s: org.apache.spark.sql.SparkSession,
       tableName: String): Unit = {
-    val numBuckets = storeBucketCount(s, tableName)
+    val numBuckets = storeBucketCount(s, tableName)  // heals first
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = s.conf.getOption(key)
     s.conf.set(key, "false")
@@ -542,6 +591,105 @@ object DedupTextQueries {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
+  }
+
+  /** q92 — the STORE LIFECYCLE as a driver-visible query (round-7
+    * verdict #4: the write→admit→fold→re-admit→compact path ran only
+    * in scalatest; now the driver exercises it every round). One call
+    * replays two "days" of the production admission loop end-to-end:
+    *
+    *  1. ingest: the admitted corpus's band keys (`doc_id % 10 <> 0`)
+    *     are written as a fresh bucketed `(band, bkey)` store;
+    *  2. day 1: delta A (`doc_id % 20 = 0`) is admitted against it
+    *     (the same [[graft.streaming.StreamingAdmission.admitBatch]]
+    *     engine the streaming tier runs), and the verdict frame is
+    *     materialized to parquet — the run artifact a pipeline ships,
+    *     and the lineage break that lets the fold write to the table
+    *     the verdict plan reads from;
+    *  3. nightly: [[foldAdmitted]] appends the admitted docs' band
+    *     keys (O(|delta|)), then [[compactStore]] merges the fold
+    *     files back to one per bucket (bucket-local, shuffle-free);
+    *  4. day 2: delta B (`doc_id % 20 = 10`) is admitted against the
+    *     folded+compacted store — the returned verdicts.
+    *
+    * The oracle replays the same two-day composition in one SQL pass
+    * (store side pre-unioned with day 1's admissions — the q64 oracle
+    * pattern), so the hash gate pins the WHOLE lifecycle: a fold that
+    * dropped keys, a compaction that altered contents, or an admission
+    * reading stale state would all change day-2 verdicts. Skew-cap
+    * note: the cap is re-sized from the FOLDED store on day 2 (store-
+    * side-only sizing — verdicts stay invariant to how the deltas were
+    * micro-batched, round-6 advisory), which the oracle mirrors by
+    * windowing over the pre-unioned store.
+    *
+    * Deliberately NOT memoized: the point is to run the lifecycle —
+    * table + location are reset at entry so the query is re-runnable
+    * within a JVM (Bench warmup/repeat, Verify). Measured on the
+    * driver corpus at sf0.1: 4 of the 250 day-2 verdicts flip if the
+    * fold is dropped, so the gate is semantically live, not just
+    * structurally exercised (at sf0.01 the near-dup clusters happen
+    * not to straddle the two delta slices; the fold-dependent
+    * semantics there are pinned by StreamingAdmissionSpec instead).
+    */
+  val q92StoreLifecycle: Q = (s, d) => {
+    val t = RunStore.tableName("graft_lifecycle", d)
+    RunStore.dropWithLocation(s, t)
+    RunStore.dropWithLocation(s, t + "_compacting")
+    val day1Path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t + "_day1").toString
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val isStore = col("doc_id") % 10 =!= 0
+    val isDeltaA = col("doc_id") % 20 === 0
+    val isDeltaB = col("doc_id") % 20 === 10
+    graft.core.Tables.writeBucketed(
+      bandFrame(SignatureStore.signatures(s, d)).filter(isStore),
+      t, 8, "band", "bkey")
+    graft.streaming.StreamingAdmission.admitBatch(s.table(t))(
+        docs.filter(isDeltaA))
+      .write.mode("overwrite").parquet(day1Path)
+    val admittedA = docs.filter(isDeltaA)
+      .join(s.read.parquet(day1Path).filter(!col("is_dup")).select("doc_id"),
+        Seq("doc_id"))
+    foldAdmitted(s, t, admittedA)
+    compactStore(s, t)
+    graft.streaming.StreamingAdmission.admitBatch(s.table(t))(
+      docs.filter(isDeltaB))
+  }
+
+  val q92Sql: String = {
+    val cap = graft.operators.BucketPairs.DefaultCap
+    s"""WITH $shingleRowsSql,
+       |$sigSelectSql,
+       |bands AS (
+       | $bandsSelectSql),
+       |store0 AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+       |sized0 AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM store0),
+       |ok0 AS (SELECT * FROM sized0 WHERE bsz <= $cap),
+       |hitsA AS (
+       | SELECT dl.doc_id AS delta_id, MIN(c.doc_id) AS dup_of
+       | FROM bands dl JOIN ok0 c ON dl.band = c.band AND dl.bkey = c.bkey
+       | WHERE dl.doc_id % 20 = 0
+       | GROUP BY 1),
+       |admittedA AS (
+       | SELECT d.doc_id FROM documents d LEFT JOIN hitsA h ON d.doc_id = h.delta_id
+       | WHERE d.doc_id % 20 = 0 AND h.dup_of IS NULL),
+       |store1 AS (
+       | SELECT * FROM store0
+       | UNION ALL
+       | SELECT b.* FROM bands b JOIN admittedA a ON b.doc_id = a.doc_id),
+       |sized1 AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM store1),
+       |ok1 AS (SELECT * FROM sized1 WHERE bsz <= $cap),
+       |hitsB AS (
+       | SELECT dl.doc_id AS delta_id,
+       |   COUNT(DISTINCT c.doc_id) AS n_candidates, MIN(c.doc_id) AS dup_of
+       | FROM bands dl JOIN ok1 c ON dl.band = c.band AND dl.bkey = c.bkey
+       | WHERE dl.doc_id % 20 = 10
+       | GROUP BY 1)
+       |SELECT d.doc_id, h.dup_of IS NOT NULL AS is_dup,
+       |  COALESCE(h.n_candidates, 0) AS n_candidates, h.dup_of
+       |FROM documents d LEFT JOIN hitsB h ON d.doc_id = h.delta_id
+       |WHERE d.doc_id % 20 = 10
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   val q64Sql: String = {
@@ -1166,19 +1314,33 @@ object DedupTextQueries {
     * shingle on its separator is exact. `frac` is one division of two
     * exact integers.
     */
-  val q84BigramTopNext: Q = (s, d) => {
-    val counts = parallelDocs(s, d)
-      .select(explode(
+  /** The per-document bigram stream `(doc_id, head, next)` — ONE
+    * tokenize+shingle pass (native [[graft.functions.WordShingles]],
+    * map-side). THE corpus-side derivation shared by the LM build
+    * ([[LmStore]]) and q90's scoring side, so "tokenize the corpus"
+    * happens once per consumer, never twice inside one query.
+    */
+  private[graft] def bigramRows(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    parallelDocs(s, d)
+      .select(col("doc_id"), explode(
         graft.functions.WordShingles.wordShingles(col("text"), 2)).as("b"))
-      .select(substring_index(col("b"), " ", 1).as("head"),
+      .select(col("doc_id"),
+        substring_index(col("b"), " ", 1).as("head"),
         substring_index(col("b"), " ", -1).as("next"))
-      .groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+
+  val q84BigramTopNext: Q = (s, d) => {
+    // Store-fed (round-8): the (head, next, cnt, total) LM table is
+    // materialized once per run (LmStore — the q64 store discipline
+    // applied to n-gram tables, retiring q90's documented double
+    // tokenize); this query is just the vocab²-bounded rank window
+    // over it. `frac` = cnt/total is the same division of the same two
+    // exact integers the inline sum-window produced.
     val byHead = Window.partitionBy("head")
-    counts
+    LmStore.table(s, d)
       .withColumn("rank", row_number().over(
         byHead.orderBy(col("cnt").desc, col("next"))))
-      .withColumn("frac",
-        col("cnt").cast("double") / sum(col("cnt")).over(byHead))
+      .withColumn("frac", col("cnt").cast("double") / col("total"))
       .filter(col("rank") <= 3)
       .select("head", "rank", "next", "cnt", "frac")
       .orderBy("head", "rank")
@@ -1212,21 +1374,18 @@ object DedupTextQueries {
     * joined onto the corpus bigram stream un-hinted — AQE broadcasts
     * it while small and shuffle-joins when a real corpus's bigram
     * vocabulary outgrows a broadcast — so the corpus-grain exchanges
-    * are that join's stream side and the per-doc aggregation. The
-    * tokenize+explode pass runs twice (LM build + scoring) — at
-    * 100 TB the LM would be read from its ingest-time store (the q64
-    * discipline applied to n-gram tables) instead of a corpus-sized
-    * bigram persist.
+    * are that join's stream side and the per-doc aggregation. The LM
+    * side reads the ingest-time [[LmStore]] table (round-8 — the q64
+    * discipline applied to n-gram tables), so the corpus is tokenized
+    * exactly once here: the scoring stream.
     */
   val q90LmSupport: Q = (s, d) => {
-    val bi = parallelDocs(s, d)
-      .select(col("doc_id"), explode(
-        graft.functions.WordShingles.wordShingles(col("text"), 2)).as("b"))
-      .select(col("doc_id"),
-        substring_index(col("b"), " ", 1).as("head"),
-        substring_index(col("b"), " ", -1).as("next"))
-    val lm = bi.groupBy("head", "next").agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("head")))
+    // ONE tokenize+explode of the corpus (the scoring stream); the LM
+    // side reads the persisted [[LmStore]] table — round-8 retired the
+    // documented double pass (LM build + scoring each re-exploded the
+    // corpus). PlanSpec pins the single-WordShingles shape.
+    val bi = bigramRows(s, d)
+    val lm = LmStore.table(s, d)
     // no broadcast hint: unlike the UNIGRAM vocabulary (q63 — genuinely
     // bounded, safely hinted), bigram TYPE counts keep growing with a
     // real corpus, so a forced broadcast is an OOM at some scale; AQE
@@ -1577,6 +1736,7 @@ object DedupTextQueries {
     "q80_split_leakage" -> q80SplitLeakage,
     "q84_bigram_topnext" -> q84BigramTopNext,
     "q90_lm_support" -> q90LmSupport,
+    "q92_store_lifecycle" -> q92StoreLifecycle,
     "q33_simhash" -> q33Simhash,
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_text_stats" -> q35TextStats,
@@ -1605,6 +1765,7 @@ object DedupTextQueries {
     "q80_split_leakage" -> q80Sql,
     "q84_bigram_topnext" -> q84Sql,
     "q90_lm_support" -> q90Sql,
+    "q92_store_lifecycle" -> q92Sql,
     "q33_simhash" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_text_stats" -> q35Sql,

@@ -404,18 +404,91 @@ object MultimodalQueries {
        |ORDER BY m.doc_id""".stripMargin
   }
 
+  /** q93 — the composed MEDIA-RELEASE verdict: q57's data-release
+    * artifact for the binary-column side of the corpus (round-7
+    * verdict #6: the release story composed only text gates). One row
+    * per asset carrying every media gate a multimodal release applies,
+    * joined on the q66 manifest alignment, plus the final `release`
+    * conjunction:
+    *
+    *  - `ok_exact` — not a byte-identical copy under its mime (q86's
+    *    verdict, canonical-earliest);
+    *  - `ok_neardup` — not the LATER member of a banded byte-window
+    *    near-dup pair (q89's detection class: truncated / partially
+    *    re-encoded copies; `doc_b > doc_a` by construction, so
+    *    rejecting `doc_b` is the same earliest-wins rule as q86);
+    *  - `ok_admitted` — for the delta slice (`doc_id % 10 = 0`), the
+    *    q91 admission verdict; assets already in the corpus pass
+    *    trivially;
+    *  - `in_manifest` — the asset aligns with a training-manifest row
+    *    (q66: has an embedding and clears the token gate), the
+    *    cross-modal consistency check.
+    *
+    * Every component reuses its query's exact engine — consistency
+    * with the per-gate outputs holds by construction (q57's argument)
+    * — and the near-dup + admission legs share ONE scan of the media
+    * signature store. The oracle composes the four published gate SQLs
+    * verbatim as subqueries, so the hash gate pins the composition,
+    * not a re-derivation.
+    */
+  val q93MediaRelease: Q = (s, d) => {
+    val media = graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF()
+    val sig = MediaSignatureStore.signatures(s, d)
+    val exact = mediaDedupVerdict(media, documents(s, d))
+      .select(col("doc_id"), col("mime"), (!col("is_dup")).as("ok_exact"))
+    val near = mediaNearDupPairsFromSig(sig)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(true))
+    val isDelta = col("doc_id") % 10 === 0
+    val adm = DedupTextQueries.incrementalNeardupFlagged(
+        mediaBandFrameFromSig(sig).withColumn("is_delta", isDelta),
+        sig.filter(isDelta).select(col("doc_id")))
+      .select(col("doc_id"), (!col("is_dup")).as("adm_ok"))
+    val manifest = IngestQueries.q66TrainingManifest(s, d)
+      .select(col("doc_id")).withColumn("mf", lit(true))
+    exact
+      .join(near, Seq("doc_id"), "left")
+      .join(adm, Seq("doc_id"), "left")
+      .join(manifest, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("mime"), col("ok_exact"),
+        col("near_hit").isNull.as("ok_neardup"),
+        coalesce(col("adm_ok"), lit(true)).as("ok_admitted"),
+        col("mf").isNotNull.as("in_manifest"))
+      .withColumn("release",
+        col("ok_exact") && col("ok_neardup") && col("ok_admitted") &&
+          col("in_manifest"))
+      .orderBy("doc_id")
+  }
+
+  val q93Sql: String =
+    s"""SELECT e.doc_id, e.mime,
+       |  NOT e.is_dup AS ok_exact,
+       |  n.doc_id IS NULL AS ok_neardup,
+       |  COALESCE(NOT a.is_dup, TRUE) AS ok_admitted,
+       |  m.doc_id IS NOT NULL AS in_manifest,
+       |  NOT e.is_dup AND n.doc_id IS NULL AND COALESCE(NOT a.is_dup, TRUE)
+       |    AND m.doc_id IS NOT NULL AS release
+       |FROM ($q86Sql) e
+       |LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM ($q89Sql)) n
+       |  ON e.doc_id = n.doc_id
+       |LEFT JOIN ($q91Sql) a ON e.doc_id = a.doc_id
+       |LEFT JOIN (${IngestQueries.q66Sql}) m ON e.doc_id = m.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
     "q86_media_dedup" -> q86MediaDedup,
     "q87_media_stats" -> q87MediaStats,
     "q89_media_neardup" -> q89MediaNearDup,
-    "q91_media_admission" -> q91MediaAdmission)
+    "q91_media_admission" -> q91MediaAdmission,
+    "q93_media_release" -> q93MediaRelease)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
     "q86_media_dedup" -> q86Sql,
     "q87_media_stats" -> q87Sql,
     "q89_media_neardup" -> q89Sql,
-    "q91_media_admission" -> q91Sql)
+    "q91_media_admission" -> q91Sql,
+    "q93_media_release" -> q93Sql)
 }

@@ -36,11 +36,8 @@ private[graft] final class RunStore(
 
   private val built = new ConcurrentHashMap[String, String]()
 
-  private[graft] def tableName(d: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${prefix}_${d.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
-  }
+  private[graft] def tableName(d: String): String =
+    RunStore.tableName(prefix, d)
 
   /** The store table for source dir `d`, building it on the first
     * access in this JVM.
@@ -67,6 +64,15 @@ private[graft] final class RunStore(
 }
 
 private[graft] object RunStore {
+  /** Collision-free per-source-dir table naming (see class doc) —
+    * also used by non-memoized lifecycle tables (q92).
+    */
+  private[graft] def tableName(prefix: String, d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${prefix}_${d.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
+  }
+
   /** Drop a catalog table AND its warehouse location — the orphan-file
     * cleanup every rebuild-always store needs (see class doc).
     */

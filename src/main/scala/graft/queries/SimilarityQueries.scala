@@ -249,27 +249,47 @@ object SimilarityQueries {
     * is EMPTY and the whole answer is candidate-proportional.
     */
   def prunedPairMining(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame =
-    prunedPairMiningOver(embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      : org.apache.spark.sql.DataFrame = {
+    // store-fed (round-8): band keys come from EmbBandStore — ONE
+    // hyperplane projection pass per run shared with q46
+    val sig = EmbBandStore.table(s, d)
+    prunedPairMiningBands(
+      storedBandFrame(sig, Seq("vec_id", "label", "embedding")),
+      sig.select(col("vec_id"), col("label"), col("embedding")))
+  }
 
-  /** [[prunedPairMining]] over any `(vec_id, label, embedding)` frame. */
+  /** [[prunedPairMining]] over any `(vec_id, label, embedding)` frame —
+    * signs the vectors inline (the recall spec's entry point); the
+    * query path reads the store.
+    */
   private[graft] def prunedPairMiningOver(emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    def bit(h: Int): Column =
-      graft.functions.VectorFunctions
-        .dotProduct(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
-    val bandKeys = (0 until NumBands).map { b =>
-      val key = (0 until BandBits)
-        .map(j => when(bit(b * BandBits + j), lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
+    val bandKeys = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), bandKeyCol(b).as("bkey")))
     val bands = emb
       .select(col("vec_id"), col("label"), col("embedding"),
         explode(array(bandKeys: _*)).as("bd"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    prunedPairMiningBands(bands, emb)
+  }
+
+  /** The shared q88 engine over a pre-banded `(vec_id, label,
+    * embedding, band, bkey)` frame plus the plain `emb` frame (the
+    * exact-fallback leg's probe/build sides).
+    *
+    * NOTE: the adaptive fallback check below (`uncovered.isEmpty`) is
+    * a REAL Spark job executed at DataFrame-CONSTRUCTION time — even
+    * explain/plan-shape consumers (PlanSpec, Plans.md generation)
+    * execute the band+argmax pipeline, and the returned plan is baked
+    * to the data observed at build time (round-7 advisory). Acceptable
+    * for this engine's run-then-read queries; if construction-time
+    * execution ever becomes a problem, fold the uncovered count into
+    * the job that materializes `covered` (an `observe` metric) and
+    * gate the union on it at action time.
+    */
+  private def prunedPairMiningBands(bands: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // candidate pairs: same band key AND same label; both directions
     // (argmax needs a → every colliding b). A pair colliding in k bands
     // is scored k times — harmless under min(struct), cheaper than a
@@ -566,6 +586,49 @@ object SimilarityQueries {
     Array.fill(NumBands * BandBits)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** The hyperplane sign-bit band key for band `b` over `embedding` —
+    * the ONE Spark-side derivation (36 dot products grouped 6×6),
+    * consumed inline by the spec-facing engines and once per run by
+    * [[EmbBandStore]]'s build.
+    */
+  private def bandKeyCol(b: Int): Column = {
+    def bit(h: Int): Column =
+      graft.functions.VectorFunctions
+        .dotProduct(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
+    (0 until BandBits)
+      .map(j => when(bit(b * BandBits + j), lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** The ON-DISK hyperplane band-key table `(vec_id, label, embedding,
+    * bkey0..bkey5)` — the store discipline applied to the 36-plane
+    * projection (round-7 verdict #5: q46 and q88 each recomputed the
+    * identical 36 dot-products per vector). One projection pass per
+    * run; both LSH consumers explode the six PRECOMPUTED ints instead.
+    * The embedding rides along (candidate scoring needs it next to the
+    * band key, and a vec_id join to fetch it back would cost the very
+    * exchange the store exists to avoid) — at 100 TB this is the
+    * ingest job widening the embeddings table with six int columns,
+    * not a second copy of the corpus. `vec_id`-bucketed like the
+    * other stores ([[RunStore]] contract).
+    */
+  private[graft] val EmbBandStore = new RunStore("graft_embstore", 8,
+    Seq("vec_id"),
+    (s, d) => embeddings(s, d).select(
+      col("vec_id") +: col("label") +: col("embedding") +:
+        (0 until NumBands).map(b => bandKeyCol(b).as(s"bkey$b")): _*))
+
+  /** Explode a store row's six precomputed keys back into the
+    * `(…, band, bkey)` frame the pair machinery consumes.
+    */
+  private def storedBandFrame(sig: org.apache.spark.sql.DataFrame,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cols = carry.map(col)
+    sig.select(cols :+ explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"), col(s"bkey$b").as("bkey"))): _*)).as("bd"): _*)
+      .select(cols :+ col("bd.band").as("band") :+ col("bd.bkey").as("bkey"): _*)
+  }
+
   /** q46 — random-hyperplane LSH near-dup over ALL embeddings: the
     * UNBLOCKED scale path that q42's label-blocking sidesteps. Each
     * vector gets sign-bits against 36 fixed hyperplanes, grouped as 6
@@ -579,11 +642,16 @@ object SimilarityQueries {
     * colliding subset of the ≥0.35 pairs, deterministically.
     */
   val q46EmbedLsh: Q = (s, d) =>
-    lshNearDup(embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism), 0.35)
+    // store-fed (round-8): the 36-plane projection lives in
+    // EmbBandStore; this plan explodes six stored ints and scores
+    // candidates — zero hyperplane dot-products (PlanSpec-pinned)
+    lshPairsOverBands(
+      storedBandFrame(EmbBandStore.table(s, d), Seq("vec_id", "embedding")),
+      0.35)
 
-  /** The q46 engine over any 64-dim (vec_id, embedding) frame — the
-    * recall spec feeds it a clustered corpus.
+  /** The q46 engine over any 64-dim (vec_id, embedding) frame — signs
+    * the vectors inline; the recall spec feeds it a clustered corpus.
+    * The query path is the store-fed [[q46EmbedLsh]].
     */
   def lshNearDup(emb: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
@@ -591,20 +659,22 @@ object SimilarityQueries {
     // expression skips 2 of 3 accumulators and both sqrts per plane in
     // the hottest map stage, and matches the oracle's bare
     // list_dot_product even more directly
-    def bit(h: Int): Column =
-      graft.functions.VectorFunctions
-        .dotProduct(col("embedding"), typedlit(Hyperplanes(h).toSeq)) > 0
-    val bandKeys = (0 until NumBands).map { b =>
-      val key = (0 until BandBits)
-        .map(j => when(bit(b * BandBits + j), lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
+    val bandKeys = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), bandKeyCol(b).as("bkey")))
     val bands = emb
       .select(col("vec_id"), col("embedding"),
         explode(array(bandKeys: _*)).as("bd"))
       .select(col("vec_id"), col("embedding"),
         col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    lshPairsOverBands(bands, threshold)
+  }
+
+  /** The shared q46 tail over a `(vec_id, embedding, band, bkey)`
+    * frame: bounded bucket pairs, exact cosine on candidates only,
+    * per-pair band count.
+    */
+  private def lshPairsOverBands(bands: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame =
     graft.operators.BucketPairs.boundedPairs(bands,
         Seq(col("band"), col("bkey")),
         struct(col("vec_id"), col("embedding")))
@@ -613,7 +683,6 @@ object SimilarityQueries {
       .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .agg(count(lit(1)).as("n_bands"), max(col("sim")).as("sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   /** The hyperplane band keys as DuckDB SQL — one UNION ALL branch per
     * band over a CTE `e` carrying `$cols` plus the `emb` double array;

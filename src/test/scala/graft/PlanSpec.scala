@@ -164,6 +164,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("md5"), p.take(4000))
   }
 
+  test("q93 media release: the near-dup and admission gates all read " +
+    "the media signature store (payloads are digested only in the " +
+    "q86 exact-gate leg)") {
+    val p = physical(MultimodalQueries.queries("q93_media_release")(spark, sf))
+    // near-dup leg (1 scan) + admission store/delta legs (2 scans)
+    assert(p.split("graft_media_sigstore").length - 1 >= 3, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q65 balanced mixture: corpus is one scan with broadcast-joined " +
     "rates — every hash exchange is on the tiny per-lang count key, " +
     "never a corpus-grain key") {
@@ -204,6 +213,28 @@ class PlanSpec extends AnyFunSuite {
     val p = physical(IngestQueries.q67TokenChunks(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
     assert(p.contains("Generate"), p.take(4000))
+  }
+
+  test("q46 reads the ON-DISK hyperplane band store: six precomputed " +
+    "ints explode per vector, ZERO hyperplane dot-products in the " +
+    "plan (round-7 verdict #5: q46 and q88 each ran the 36-plane " +
+    "projection)") {
+    val p = physical(SimilarityQueries.queries("q46_embed_lsh")(spark, sf))
+    assert(p.contains("graft_embstore"), p.take(4000))
+    // plan-string spelling: the custom expression renders as its
+    // lowercased class name ("dotproduct"); cosine scoring renders as
+    // "cosinesimilarity" and must remain — only the projection moved
+    assert(!p.toLowerCase.contains("dotproduct"), p.take(4000))
+    assert(p.toLowerCase.contains("cosinesimilarity"), p.take(4000))
+  }
+
+  test("q88 is store-fed like q46: the candidate leg scans " +
+    "graft_embstore and recomputes no hyperplane projection") {
+    graft.core.CacheScope.withScope {
+      val p = physical(SimilarityQueries.queries("q88_pruned_pair_mining")(spark, sf))
+      assert(p.contains("graft_embstore"), p.take(4000))
+      assert(!p.toLowerCase.contains("dotproduct"), p.take(4000))
+    }
   }
 
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
@@ -307,6 +338,25 @@ class PlanSpec extends AnyFunSuite {
           s"$q does not read the store\n" + p.take(3000))
       }
     }
+  }
+
+  test("q84 reads the ON-DISK bigram LM store: the plan is the rank " +
+    "window over the stored table — zero corpus tokenizes (round-7 " +
+    "verdict #2)") {
+    val p = physical(DedupTextQueries.queries("q84_bigram_topnext")(spark, sf))
+    assert(p.contains("graft_lmstore"), p.take(4000))
+    assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
+  }
+
+  test("q90 tokenizes the corpus exactly ONCE (the scoring stream); " +
+    "the LM side scans the store table (round-7 verdict #2: the " +
+    "double tokenize+explode)") {
+    val p = physical(DedupTextQueries.queries("q90_lm_support")(spark, sf))
+    assert(p.contains("graft_lmstore"), p.take(4000))
+    // plan-string spelling: the custom expression renders as its
+    // lowercased class name, NOT the SQL-registered word_shingles
+    assert(p.toLowerCase.split("wordshingles").length - 1 == 1,
+      s"expected exactly one corpus tokenize\n${p.take(4000)}")
   }
 
   test("q80 persists the near-dup edge frame: both leakage legs read " +

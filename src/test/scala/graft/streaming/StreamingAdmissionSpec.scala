@@ -217,6 +217,64 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("a compaction crash between DROP and RENAME self-heals on the " +
+    "next lifecycle touch: contents and admission verdicts unchanged, " +
+    "no manual repair (round-7 verdict #3)") {
+    import spark.implicits._
+    val D = graft.queries.DedupTextQueries
+    val novel = "self healing compaction stores recover their swapped " +
+      "copy automatically on the next access"
+    try {
+      D.writeSignatureStore(spark, sf, "heal_store", lit(true))
+      D.foldAdmitted(spark, "heal_store",
+        Seq((900301L, novel)).toDF("doc_id", "text"))
+      val before = spark.table("heal_store")
+        .orderBy("doc_id", "band", "bkey").collect().toSeq
+      val buckets = 8
+
+      // simulate the crash window: the compacted copy is written aside,
+      // the primary is dropped, and the process dies before the RENAME
+      val saved = spark.conf
+        .getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try graft.core.Tables.writeBucketed(spark.table("heal_store"),
+        "heal_store_compacting", buckets, "band", "bkey")
+      finally saved match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      }
+      spark.sql("DROP TABLE heal_store")
+      assert(!spark.catalog.tableExists("heal_store"))
+
+      // next lifecycle touch (here: a nightly fold) heals, then appends
+      D.foldAdmitted(spark, "heal_store",
+        Seq((900302L, "a brand new document arriving the morning after " +
+          "the crashed maintenance window")).toDF("doc_id", "text"))
+      assert(spark.catalog.tableExists("heal_store"))
+      assert(!spark.catalog.tableExists("heal_store_compacting"))
+      val healed = spark.table("heal_store")
+        .filter(col("doc_id") =!= 900302L)
+        .orderBy("doc_id", "band", "bkey").collect().toSeq
+      assert(healed == before, "healed store must carry the exact " +
+        "pre-crash contents")
+      // and the healed store still rejects a re-submission of the
+      // folded doc — admission semantics survived the crash+heal
+      val verdicts = graft.core.CacheScope.withScope {
+        verdictRows(StreamingAdmission.admitBatch(spark.table("heal_store"))(
+          Seq((900309L, novel)).toDF("doc_id", "text")))
+      }
+      assert(verdicts == Seq((900309L, true, 1L, 900301L)), verdicts)
+      // idempotent: with a live primary, heal is a no-op
+      assert(!D.healCompaction(spark, "heal_store"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS heal_store")
+      spark.sql("DROP TABLE IF EXISTS heal_store_compacting")
+    }
+  }
+
   test("fold and compaction follow the store's ACTUAL bucket spec from " +
     "the catalog — a non-default store is never silently rebucketed") {
     import spark.implicits._
