@@ -96,26 +96,40 @@ object MultimodalQueries {
     * id-bucketed layout (BucketingSpec's q66 proof).
     */
   val q86MediaDedup: Q = (s, d) =>
-    mediaDedupVerdict(
-      graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF(),
+    // store-fed (round-8): the content digest is read from the media
+    // profile store — the plan touches no payload bytes
+    mediaDedupVerdictFromProfile(
+      MediaSignatureStore.signatures(s, d)
+        .withColumn("byte_len", col("byte_len").cast("int")),
       documents(s, d))
       .orderBy("doc_id")
 
   /** The q86 engine over any `(doc_id, mime, payload)` media frame +
-    * sidecar docs table. The driver corpus has no byte-identical
-    * payloads (its near-dups differ textually), so the dup branch and
-    * the per-mime isolation rule are exercised by MediaDedupSpec's
-    * synthetic corpus instead. Content-hash dedup catches only
+    * sidecar docs table — digests inline (MediaDedupSpec's synthetic
+    * corpora); the query path reads the profile store. The driver
+    * corpus has no byte-identical payloads (its near-dups differ
+    * textually), so the dup branch and the per-mime isolation rule are
+    * exercised by the spec instead. Content-hash dedup catches only
     * byte-IDENTICAL assets by design — truncated or partially
     * re-encoded copies are [[q89MediaNearDup]]'s job.
     */
   private[graft] def mediaDedupVerdict(mediaRows: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mediaDedupVerdictFromProfile(
+      mediaRows.select(col("doc_id"), col("mime"),
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_fp")),
+      docs)
+
+  /** The q86 verdict over a precomputed `(doc_id, mime, byte_len,
+    * content_fp, …)` profile frame: the (mime, fp) canonical window +
+    * the id-keyed lang join — payload-free.
+    */
+  private[graft] def mediaDedupVerdictFromProfile(
+      profile: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val media = mediaRows.select(col("doc_id"), col("mime"),
-      octet_length(col("payload")).as("byte_len"),
-      md5(col("payload")).as("content_fp"))
     val w = Window.partitionBy("mime", "content_fp")
-    media
+    profile
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -144,11 +158,11 @@ object MultimodalQueries {
     * compare rejects, hence the explicit CAST).
     */
   val q87MediaStats: Q = (s, d) =>
-    graft.multimodal.MediaPipeline
-      .toMediaRows(documents(s, d)).toDF()
-      .select(col("doc_id"), col("mime"),
-        octet_length(col("payload")).cast("long").as("byte_len"),
-        md5(col("payload")).as("content_fp"))
+    // store-fed (round-8): byte lengths and content digests come from
+    // the media profile store — a |corpus|-row scan of ~100 B rows,
+    // zero payload bytes read
+    MediaSignatureStore.signatures(s, d)
+      .select(col("doc_id"), col("mime"), col("byte_len"), col("content_fp"))
       .groupBy("mime")
       .agg(
         count(lit(1)).as("n_assets"),
@@ -223,19 +237,46 @@ object MultimodalQueries {
     * multiply-adds). Entirely map-side until the per-doc min.
     */
   private[graft] def mediaSignatures(media: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val win = media.select(col("doc_id"), col("mime"),
+      : org.apache.spark.sql.DataFrame =
+    sigAgg(mediaWindows(media), Seq("doc_id", "mime"))
+
+  /** The full INGEST-TIME media profile `(doc_id, mime, byte_len,
+    * content_fp, mh0..mh7)` — what [[MediaSignatureStore]] persists.
+    * ONE pass over the payload column produces the exact-dedup digest
+    * (q86/q87's `md5(payload)`), the byte length, and the 8 window
+    * minhashes together: the per-asset columns are computed once per
+    * input row before the window explode and ride the aggregation as
+    * (functionally dependent) grouping keys — no second payload scan,
+    * no join.
+    */
+  private[graft] def mediaProfile(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sigAgg(mediaWindows(media,
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_fp")),
+      Seq("doc_id", "mime", "byte_len", "content_fp"))
+
+  /** The overlapping byte-window explode (16-byte windows, stride 8),
+    * carrying any extra per-asset columns through the Generate — they
+    * are computed ONCE per asset, not once per window.
+    */
+  private def mediaWindows(media: org.apache.spark.sql.DataFrame,
+      carry: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    media.select(Seq(col("doc_id"), col("mime")) ++ carry :+
       explode(expr(
         s"""transform(
            |  sequence(bigint(0),
            |    greatest(ceil((octet_length(payload) - $MediaWindow) / ${MediaStride}.0D), 0)),
            |  i -> substring(payload, int(i * $MediaStride + 1), $MediaWindow))"""
-          .stripMargin)).as("w"))
+          .stripMargin)).as("w"): _*)
+
+  private def sigAgg(win: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
     import graft.functions.MinHashBandKeys.{hashA, hashB, Mod}
     val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % Mod
     val sigCols = (0 until MediaPerms).map(j =>
       min((lit(hashA(j)) * h + lit(hashB(j))) % Mod).as(s"mh$j"))
-    win.groupBy("doc_id", "mime").agg(sigCols.head, sigCols.tail: _*)
+    win.groupBy(keys.head, keys.tail: _*).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** The q89 engine over any `(doc_id, mime, payload)` media frame —
@@ -432,9 +473,10 @@ object MultimodalQueries {
     * not a re-derivation.
     */
   val q93MediaRelease: Q = (s, d) => {
-    val media = graft.multimodal.MediaPipeline.toMediaRows(documents(s, d)).toDF()
+    // every gate reads the ONE media profile store — the whole release
+    // verdict is payload-free (round-8)
     val sig = MediaSignatureStore.signatures(s, d)
-    val exact = mediaDedupVerdict(media, documents(s, d))
+    val exact = mediaDedupVerdictFromProfile(sig, documents(s, d))
       .select(col("doc_id"), col("mime"), (!col("is_dup")).as("ok_exact"))
     val near = mediaNearDupPairsFromSig(sig)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -475,6 +517,73 @@ object MultimodalQueries {
        |LEFT JOIN (${IngestQueries.q66Sql}) m ON e.doc_id = m.doc_id
        |ORDER BY e.doc_id""".stripMargin
 
+  /** q94 — media duplicate CLUSTERS: q59's connected-components view
+    * for binary assets, completing the media dedup story (exact pairs
+    * q86, near-dup pairs q89, admission q91, release verdict q93 —
+    * and now the cluster view production dedup actually ships, where
+    * pairwise verdicts under-merge: if A≈B and B≈C, pair-dropping can
+    * keep two of three assets; the component keeps exactly one
+    * canonical, the min doc_id).
+    *
+    * Edges: byte-identical pairs (asset → its (mime, content_fp)
+    * canonical) ∪ q89's banded byte-window near-dup pairs — both
+    * intra-mime by construction, so clusters never straddle media
+    * types (q86's isolation rule lifts to components). Both edge
+    * sources and the asset spine read the ONE media profile store —
+    * payload-free like the rest of the family. Components via
+    * [[graft.operators.ConnectedComponents]] (driver union-find under
+    * the bounded-edge threshold, lineage-truncated min-label
+    * propagation above it — edge volume is duplication-proportional,
+    * never corpus-proportional); the oracle walks the same edges with
+    * a recursive CTE to the identical min-reachable-id fixpoint (the
+    * q59 pattern).
+    */
+  val q94MediaDupClusters: Q = (s, d) => {
+    val sig = MediaSignatureStore.signatures(s, d)
+    val exactEdges = sig
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy("mime", "content_fp")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("src"), col("canonical_id").as("dst"))
+    val nearEdges = mediaNearDupPairsFromSig(sig)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.operators.ConnectedComponents.labels(s,
+      exactEdges.union(nearEdges))
+    sig.select(col("doc_id"), col("mime"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val q94Sql: String =
+    s"""WITH RECURSIVE
+       |near AS (SELECT doc_a AS src, doc_b AS dst FROM ($q89Sql)),
+       |m94 AS (
+       |  SELECT doc_id,
+       |    ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+       |    md5(text) AS content_fp
+       |  FROM documents),
+       |exact_edges AS (
+       | SELECT doc_id AS src, canonical_id AS dst FROM (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY mime, content_fp) AS canonical_id
+       |  FROM m94) WHERE doc_id <> canonical_id),
+       |edges AS (
+       | SELECT src, dst FROM near UNION SELECT src, dst FROM exact_edges
+       | UNION SELECT dst, src FROM near UNION SELECT dst, src FROM exact_edges),
+       |walk AS (
+       | SELECT doc_id, doc_id AS reach FROM m94
+       | UNION
+       | SELECT w.doc_id, e.dst AS reach FROM walk w JOIN edges e ON w.reach = e.src),
+       |comp AS (SELECT doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc_id)
+       |SELECT c.doc_id, m.mime, c.cluster,
+       | COUNT(*) OVER (PARTITION BY c.cluster) AS cluster_size,
+       | c.doc_id = c.cluster AS is_canonical
+       |FROM comp c JOIN m94 m ON c.doc_id = m.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
@@ -482,7 +591,8 @@ object MultimodalQueries {
     "q87_media_stats" -> q87MediaStats,
     "q89_media_neardup" -> q89MediaNearDup,
     "q91_media_admission" -> q91MediaAdmission,
-    "q93_media_release" -> q93MediaRelease)
+    "q93_media_release" -> q93MediaRelease,
+    "q94_media_dup_clusters" -> q94MediaDupClusters)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
@@ -490,5 +600,6 @@ object MultimodalQueries {
     "q87_media_stats" -> q87Sql,
     "q89_media_neardup" -> q89Sql,
     "q91_media_admission" -> q91Sql,
-    "q93_media_release" -> q93Sql)
+    "q93_media_release" -> q93Sql,
+    "q94_media_dup_clusters" -> q94Sql)
 }

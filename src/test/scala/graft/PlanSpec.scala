@@ -164,13 +164,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("md5"), p.take(4000))
   }
 
-  test("q93 media release: the near-dup and admission gates all read " +
-    "the media signature store (payloads are digested only in the " +
-    "q86 exact-gate leg)") {
+  test("q93 media release is PAYLOAD-FREE: all four gates read the " +
+    "media profile store — zero digest expressions in the whole " +
+    "composed plan") {
     val p = physical(MultimodalQueries.queries("q93_media_release")(spark, sf))
-    // near-dup leg (1 scan) + admission store/delta legs (2 scans)
-    assert(p.split("graft_media_sigstore").length - 1 >= 3, p.take(4000))
+    // exact leg (1 scan) + near-dup leg (1) + admission store/delta (2)
+    assert(p.split("graft_media_sigstore").length - 1 >= 4, p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("md5"), p.take(4000))
+  }
+
+  test("q86/q87 read the media profile store: the exact-dedup digest " +
+    "and byte stats are ingest-time columns, not per-query payload " +
+    "scans (round-8)") {
+    for (q <- Seq("q86_media_dedup", "q87_media_stats")) {
+      val p = physical(MultimodalQueries.queries(q)(spark, sf))
+      assert(p.contains("graft_media_sigstore"), s"$q\n" + p.take(3000))
+      assert(!p.contains("md5"), s"$q digests payloads\n" + p.take(3000))
+    }
   }
 
   test("q65 balanced mixture: corpus is one scan with broadcast-joined " +

@@ -15,16 +15,30 @@ class MediaSignatureStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf0001
 
-  test("store-read equals inline payload signing bit-for-bit " +
-    "(doc_id, mime + 8 minhash longs)") {
+  test("store-read equals the inline payload profile bit-for-bit " +
+    "(doc_id, mime, byte_len, content_fp + 8 minhash longs)") {
     val fromStore = MediaSignatureStore.signatures(spark, sf)
       .orderBy("doc_id").collect()
-    val recomputed = MultimodalQueries.mediaSignatures(
+    val recomputed = MultimodalQueries.mediaProfile(
         graft.multimodal.MediaPipeline
           .toMediaRows(Tables.documents(spark, sf)).toDF())
       .orderBy("doc_id").collect()
     assert(fromStore.length == recomputed.length && fromStore.nonEmpty)
     fromStore.zip(recomputed).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("the profile's signature columns equal mediaSignatures exactly " +
+    "(carrying byte_len/content_fp through the window aggregation " +
+    "changes nothing)") {
+    val media = graft.multimodal.MediaPipeline
+      .toMediaRows(Tables.documents(spark, sf)).toDF()
+    import org.apache.spark.sql.functions.col
+    val mhCols = Seq("doc_id", "mime") ++ (0 until 8).map(j => s"mh$j")
+    val fromProfile = MultimodalQueries.mediaProfile(media)
+      .select(mhCols.map(col): _*).orderBy("doc_id").collect()
+    val direct = MultimodalQueries.mediaSignatures(media)
+      .orderBy("doc_id").collect()
+    fromProfile.zip(direct).foreach { case (a, b) => assert(a == b) }
   }
 
   test("second access reads the memoized table without a rebuild") {
