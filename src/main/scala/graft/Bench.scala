@@ -103,7 +103,9 @@ object Bench {
       "lm_store_build" ->
         (() => graft.queries.LmStore.ensure(spark, sfDir)),
       "emb_bandstore_build" ->
-        (() => graft.queries.SimilarityQueries.EmbBandStore.ensure(spark, sfDir)))
+        (() => graft.queries.SimilarityQueries.EmbBandStore.ensure(spark, sfDir)),
+      "ivf_index_build" ->
+        (() => graft.queries.SimilarityQueries.IvfIndexStore.ensure(spark, sfDir)))
     val setupTimes = setups.map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch { case e: Throwable =>

@@ -67,29 +67,64 @@ object SimilarityQueries {
     * on both engines (round 1 used "first 16 rows", which correlates with
     * insertion order). The Lloyd-refined quantizer is q45.
     */
-  val q41KnnIvf: Q = (s, d) => {
-    val emb = embeddings(s, d)
-    val cent = emb
+  /** The deterministic coarse quantizer shared by the index build and
+    * the probe: the 16 vectors with the smallest md5(vec_id) —
+    * order-independent and oracle-expressible on both engines.
+    */
+  private def ivfCentroids(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb
       .orderBy(md5(col("vec_id").cast("string")))
       .limit(16)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
 
-    val cells = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
+  /** The cell assignment over any `(vec_id, embedding)` frame: nearest
+    * of the 16 sampled centroids, map-side argmax (ties to the larger
+    * centroid id — both engines). The embedding rides the aggregation
+    * as a (functionally dependent) grouping key so the index row
+    * carries it — the inverted-file layout stores vectors BY CELL.
+    */
+  private[graft] def ivfAssignments(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(ivfCentroids(emb)))
       .withColumn("c_sim", cosineSimilarity(col("embedding"), col("c_emb")))
-      .groupBy("vec_id")
+      .groupBy("vec_id", "embedding")
       .agg(max(struct(col("c_sim"), col("c_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("cell"))
+      .select(col("vec_id"), col("best.c_id").as("cell"), col("embedding"))
 
-    val probe = cent.crossJoin(broadcast(qv))
+  /** The ON-DISK IVF index: `(vec_id, cell, embedding)` bucketed AND
+    * sorted by `cell` — the store discipline applied to ANN serving.
+    * The n×16 assignment cosines are an INGEST cost paid once per run;
+    * a probe filters `cell IN (…)` with literal cell ids, so the
+    * predicate reaches the parquet reader (`PushedFilters: In(cell,…)`,
+    * PlanSpec-pinned) and, because each bucket file is sorted by cell,
+    * row-group min/max statistics skip everything outside the probed
+    * cells — the scan reads the targeted cells' row groups, not the
+    * corpus. This is the production inverted-file layout: vectors
+    * stored clustered by cell, a probe is a contiguous read of its
+    * cells. (q45's Lloyd-TRAINED quantizer keeps its own iterative
+    * build — it demonstrates index construction; this store
+    * demonstrates index SERVING.)
+    */
+  private[graft] val IvfIndexStore = new RunStore("graft_ivfstore", 8,
+    Seq("cell"), (s, d) => ivfAssignments(embeddings(s, d)))
+
+  val q41KnnIvf: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val cent = ivfCentroids(emb)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // the 2 probe cells are resolved driver-side (16 centroids × 1
+    // query vector — the same bounded, justified collect class as the
+    // query-vector lookup) so the store filter is a LITERAL `cell IN`
+    // predicate and bucket pruning engages on the scan below
+    val probeCells = cent.crossJoin(broadcast(qv))
       .select(col("c_id"), cosineSimilarity(col("c_emb"), col("q_emb")).as("p_sim"))
       .orderBy(col("p_sim").desc, col("c_id"))
       .limit(2)
-      .select(col("c_id").as("cell"))
-
-    emb.join(cells, Seq("vec_id"))
-      .join(broadcast(probe), Seq("cell"))
+      .collect().map(_.getLong(0)).toSeq
+    IvfIndexStore.table(s, d)
+      .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),
@@ -763,6 +798,153 @@ object SimilarityQueries {
   }
 
 
+  /** A delta's hyperplane band keys as a store-shaped `(doc_id, band,
+    * bkey)` frame — THE band derivation for embedding admission,
+    * shared by the streaming tier ([[graft.streaming.StreamingAdmission
+    * .admitEmbeddingBatch]]) and any nightly
+    * `foldAdmittedVia(embBandFrame)` so the two can never drift apart
+    * (the same contract [[DedupTextQueries.textBandFrame]] and
+    * [[MultimodalQueries.mediaBandFrame]] hold for their modalities).
+    * Input: `(doc_id, embedding)` rows.
+    */
+  def embBandFrame(vectors: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vectors.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(bandKeyCol): _*))
+        .as(Seq("band", "bkey")))
+
+  /** q95 — EMBEDDING-space admission: the semantic tier of the
+    * admission stack (text keys catch copies — q64; media keys catch
+    * re-encodes — q91; embedding bands catch paraphrases). Unlike
+    * those two, a BARE band collision is not a verdict here: 6-bit
+    * hyperplane keys are dense (64 values/band — on this corpus every
+    * delta vector collides with something, measured before this
+    * design), so the gate is the production two-stage shape every ANN
+    * admission system uses — LSH candidates, then EXACT cosine
+    * confirmation at q42's near-dup bar. A delta vector is rejected
+    * iff some CONFIRMED (sim ≥ 0.35) admitted vector collides with it
+    * in any band, naming the earliest confirmed collider.
+    *
+    * Scale shape: the store side is capped per band bucket (store-
+    * side-only sizing — batch-invariant verdicts, the q64 rule), the
+    * delta's bands and embeddings broadcast, and the candidate
+    * embedding fetch joins the `vec_id`-bucketed [[EmbBandStore]] on
+    * its bucket key — the corpus never shuffles anywhere. Candidate
+    * volume is collision-proportional; only candidates get a cosine.
+    * Fully store-fed (both sides), zero hyperplane recomputation.
+    */
+  val q95EmbeddingAdmission: Q = (s, d) => {
+    val sig = EmbBandStore.table(s, d)
+    val isDelta = col("vec_id") % 10 === 0
+    val bands = storedBandFrame(sig, Seq("vec_id"))
+    embeddingAdmit(
+      bands.filter(!isDelta),
+      sig.filter(!isDelta).select(col("vec_id"), col("embedding")),
+      bands.filter(isDelta)
+        .select(col("vec_id").as("delta_id"), col("band"), col("bkey")),
+      sig.filter(isDelta)
+        .select(col("vec_id").as("delta_id"), col("embedding")))
+  }
+
+  /** The q95 engine over explicit store/delta sides — the form the
+    * streaming tier instantiates per micro-batch
+    * ([[graft.streaming.StreamingAdmission.admitEmbeddingBatch]]
+    * derives the delta's bands inline; q95 reads both sides from the
+    * store, bit-equal by the shared [[bandKeyCol]] derivation).
+    * `storeBands`/`deltaBands` are `(vec_id|delta_id, band, bkey)`;
+    * `storeEmb`/`deltaEmb` carry the vectors for the confirm stage.
+    */
+  private[graft] def embeddingAdmit(
+      storeBands: org.apache.spark.sql.DataFrame,
+      storeEmb: org.apache.spark.sql.DataFrame,
+      deltaBands: org.apache.spark.sql.DataFrame,
+      deltaEmb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cap = graft.operators.BucketPairs.DefaultCap
+    val storeOk = storeBands
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bkey")))
+      .filter(col("bsz") <= cap)
+    val cand = storeOk
+      .join(broadcast(deltaBands), Seq("band", "bkey"))
+      .select(col("delta_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    // exact confirmation: candidate embeddings come from the bucketed
+    // store (vec_id join = the store's bucket key), delta embeddings
+    // broadcast
+    val scored = cand
+      .join(storeEmb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cand_emb")), Seq("cand_id"))
+      .join(broadcast(deltaEmb
+          .select(col("delta_id"), col("embedding").as("delta_emb"))),
+        Seq("delta_id"))
+      .withColumn("sim", cosineSimilarity(col("delta_emb"), col("cand_emb")))
+    val verdicts = scored.groupBy("delta_id")
+      .agg(countDistinct(col("cand_id")).as("n_candidates"),
+        sum(when(col("sim") >= NearDupSimThreshold, 1).otherwise(0))
+          .as("n_confirmed"),
+        min(when(col("sim") >= NearDupSimThreshold, col("cand_id")))
+          .as("dup_of"))
+    deltaEmb.select(col("delta_id").as("vec_id"))
+      .join(verdicts.withColumnRenamed("delta_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+        col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** [[embeddingAdmit]] over a WIDE admitted-corpus store table
+    * (`vec_id, embedding, bkey0..bkey5` — the [[EmbBandStore]] layout;
+    * in production the ingest job appends admitted vectors' wide rows)
+    * and a `(doc_id, embedding)` delta batch, which signs itself
+    * inline via [[embBandFrame]] — an arriving vector has no store
+    * row yet by definition.
+    */
+  def embeddingAdmitBatch(storeSig: org.apache.spark.sql.DataFrame)(
+      delta: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    embeddingAdmit(
+      storedBandFrame(storeSig, Seq("vec_id")),
+      storeSig.select(col("vec_id"), col("embedding")),
+      embBandFrame(delta)
+        .select(col("doc_id").as("delta_id"), col("band"), col("bkey")),
+      delta.select(col("doc_id").as("delta_id"), col("embedding")))
+
+  val q95Sql: String = {
+    val cap = graft.operators.BucketPairs.DefaultCap
+    val cosAB = cosSql("a.emb", "b.emb")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bands AS (
+       | ${bandSelectsSql("vec_id, emb")}),
+       |store AS (SELECT * FROM bands WHERE vec_id % 10 <> 0),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM store),
+       |ok AS (SELECT * FROM sized WHERE bsz <= $cap),
+       |cand AS (
+       | SELECT DISTINCT dl.vec_id AS delta_id, c.vec_id AS cand_id
+       | FROM bands dl JOIN ok c ON dl.band = c.band AND dl.bkey = c.bkey
+       | WHERE dl.vec_id % 10 = 0),
+       |scored AS (
+       | SELECT cand.delta_id, cand.cand_id, $cosAB AS sim
+       | FROM cand JOIN e a ON cand.delta_id = a.vec_id
+       |           JOIN e b ON cand.cand_id = b.vec_id),
+       |verdicts AS (
+       | SELECT delta_id,
+       |   COUNT(DISTINCT cand_id) AS n_candidates,
+       |   CAST(SUM(CASE WHEN sim >= $NearDupSimThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed,
+       |   MIN(CASE WHEN sim >= $NearDupSimThreshold THEN cand_id END) AS dup_of
+       | FROM scored GROUP BY 1)
+       |SELECT m.vec_id, v.dup_of IS NOT NULL AS is_dup,
+       |  COALESCE(v.n_candidates, 0) AS n_candidates,
+       |  COALESCE(v.n_confirmed, 0) AS n_confirmed, v.dup_of
+       |FROM embeddings m LEFT JOIN verdicts v ON m.vec_id = v.delta_id
+       |WHERE m.vec_id % 10 = 0
+       |ORDER BY m.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
@@ -772,7 +954,8 @@ object SimilarityQueries {
     "q46_embed_lsh" -> q46EmbedLsh,
     "q77_pair_mining" -> q77PairMining,
     "q78_semantic_only_dups" -> q78SemanticOnlyDups,
-    "q88_pruned_pair_mining" -> q88PrunedPairMining
+    "q88_pruned_pair_mining" -> q88PrunedPairMining,
+    "q95_embedding_admission" -> q95EmbeddingAdmission
   )
 
   val oracle: Map[String, String] = Map(
@@ -783,6 +966,7 @@ object SimilarityQueries {
     "q46_embed_lsh" -> q46Sql,
     "q77_pair_mining" -> q77Sql,
     "q78_semantic_only_dups" -> q78Sql,
-    "q88_pruned_pair_mining" -> q88Sql
+    "q88_pruned_pair_mining" -> q88Sql,
+    "q95_embedding_admission" -> q95Sql
   )
 }

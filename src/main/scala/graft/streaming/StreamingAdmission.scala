@@ -73,6 +73,21 @@ object StreamingAdmission {
   def admitMediaBatch(storeBands: DataFrame)(delta: DataFrame): DataFrame =
     admitVia(graft.queries.MultimodalQueries.mediaBandFrame)(storeBands)(delta)
 
+  /** The EMBEDDING tier (q95's streaming form): a `(doc_id, embedding)`
+    * vector batch admitted against the WIDE admitted-corpus store
+    * (`vec_id, embedding, bkey0..bkey5` — the EmbBandStore layout) —
+    * the semantic gate that rejects an arriving document whose vector
+    * near-duplicates an admitted one, whatever its surface form.
+    * Deliberately NOT the generic `admitVia` engine: 6-bit hyperplane
+    * band keys are dense, so a bare band collision is a candidate,
+    * not a verdict — this tier runs q95's two-stage shape (LSH
+    * candidates → exact cosine confirmation at the q42 bar; see
+    * [[graft.queries.SimilarityQueries.embeddingAdmitBatch]]). The
+    * batch signs itself inline; verdict schema adds `n_confirmed`.
+    */
+  def admitEmbeddingBatch(storeSig: DataFrame)(delta: DataFrame): DataFrame =
+    graft.queries.SimilarityQueries.embeddingAdmitBatch(storeSig)(delta)
+
   /** Wire a STREAMING frame to the admission engine: every trigger
     * runs the per-batch admission on that micro-batch and hands the
     * verdict frame to `onVerdicts` inside a CacheScope — the engine

@@ -248,6 +248,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 probes the ON-DISK IVF index: the literal cell-IN " +
+    "predicate is pushed to the parquet reader over the cell-sorted " +
+    "store, and the per-query assignment pass is gone (round-8: the " +
+    "n x 16 cosines are an ingest cost)") {
+    val p = physical(SimilarityQueries.queries("q41_knn_ivf")(spark, sf))
+    assert(p.contains("graft_ivfstore"), p.take(4000))
+    assert(p.contains("In(cell"), p.take(4000))
+    // exactly two parquet scans remain: the pruned index probe and the
+    // 1-row query-vector lookup — the corpus-wide assignment subtree
+    // (a third scan + 16-centroid crossjoin + groupBy) is gone
+    assert(p.split("Scan parquet").length - 1 == 2, p.take(4000))
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))

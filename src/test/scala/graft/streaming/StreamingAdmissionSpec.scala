@@ -303,6 +303,57 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding admission (the semantic tier): the streaming batch " +
+    "form equals q95 on the identical delta, and a band collision " +
+    "alone is NOT a rejection — only a cosine-confirmed near-dup is") {
+    import spark.implicits._
+    val S = graft.queries.SimilarityQueries
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+        .sortBy(_._1).toSeq
+
+    // batch ≡ q95: wide store = the non-delta slice of the band store,
+    // delta = the corpus delta slice signing itself inline
+    val sf01 = graft.TestSpark.Sf0001
+    val sig = S.EmbBandStore.table(spark, sf01)
+    val isDelta = col("vec_id") % 10 === 0
+    val expected = graft.core.CacheScope.withScope {
+      rows(S.queries("q95_embedding_admission")(spark, sf01))
+    }
+    val got = graft.core.CacheScope.withScope {
+      rows(StreamingAdmission.admitEmbeddingBatch(sig.filter(!isDelta))(
+        graft.core.Tables.embeddings(spark, sf01).filter(isDelta)
+          .select(col("vec_id").as("doc_id"), col("embedding"))))
+    }
+    assert(got == expected)
+    assert(expected.exists(_._2) && expected.exists(!_._2),
+      "both admit and reject branches must be exercised")
+
+    // semantic scenario: an exact duplicate vector is rejected naming
+    // its store twin; an orthogonal vector is admitted even if some
+    // 6-bit band happens to collide (n_candidates may be > 0, but
+    // nothing confirms at the cosine bar)
+    val dup = Array.fill(64)(0.5f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    // derive the store's real band keys through the public derivation
+    val storeWide = Seq((100L, dup)).toDF("doc_id", "embedding")
+    val keys = S.embBandFrame(storeWide)
+      .groupBy("doc_id").pivot("band").agg(first("bkey"))
+    val wide = storeWide.join(keys, Seq("doc_id"))
+      .toDF("vec_id", "embedding", "bkey0", "bkey1", "bkey2", "bkey3",
+        "bkey4", "bkey5")
+    val verdicts = graft.core.CacheScope.withScope {
+      rows(StreamingAdmission.admitEmbeddingBatch(wide)(
+        Seq((200L, dup), (201L, ortho)).toDF("doc_id", "embedding")))
+    }
+    val byId = verdicts.map(v => v._1 -> v).toMap
+    assert(byId(200L)._2 && byId(200L)._5 == 100L,
+      s"exact duplicate must be rejected naming the twin: $verdicts")
+    assert(!byId(201L)._2,
+      s"orthogonal vector must be admitted (cos 0 < bar): $verdicts")
+  }
+
   test("the two custom seams compose: the geonet micro-batch source " +
     "feeds streaming admission against a band store (fixture transport, " +
     "verdicts ≡ the batch engine on the same delta)") {
