@@ -828,10 +828,14 @@ object SimilarityQueries {
     * Scale shape: the store side is capped per band bucket (store-
     * side-only sizing — batch-invariant verdicts, the q64 rule), the
     * delta's bands and embeddings broadcast, and the candidate
-    * embedding fetch joins the `vec_id`-bucketed [[EmbBandStore]] on
-    * its bucket key — the corpus never shuffles anywhere. Candidate
-    * volume is collision-proportional; only candidates get a cosine.
-    * Fully store-fed (both sides), zero hyperplane recomputation.
+    * embedding fetch joins the `vec_id`-bucketed [[EmbBandStore]].
+    * The EMBEDDINGS never cross an exchange; the one corpus-grain
+    * shuffle is the 6-int-per-vector band rows for the cap window —
+    * at ingest a `(band, bkey)`-bucketed band store (exactly
+    * [[DedupTextQueries.writeSignatureStore]]'s layout) removes it,
+    * the same two-layout split the text family uses. Candidate volume
+    * is collision-proportional; only candidates get a cosine. Fully
+    * store-fed (both sides), zero hyperplane recomputation.
     */
   val q95EmbeddingAdmission: Q = (s, d) => {
     val sig = EmbBandStore.table(s, d)
