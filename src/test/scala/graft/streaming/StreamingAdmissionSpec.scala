@@ -354,6 +354,44 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       s"orthogonal vector must be admitted (cos 0 < bar): $verdicts")
   }
 
+  test("embedding admission composes with the streaming plumbing: " +
+    "vectors arriving as micro-batches through admissionQuery get the " +
+    "same two-stage verdicts as the batch engine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val S = graft.queries.SimilarityQueries
+    val dup = Array.fill(64)(0.25f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.25f else -0.25f)
+    val storeWide = Seq((500L, dup)).toDF("doc_id", "embedding")
+    val keys = S.embBandFrame(storeWide)
+      .groupBy("doc_id").pivot("band").agg(first("bkey"))
+    val wide = storeWide.join(keys, Seq("doc_id"))
+      .toDF("vec_id", "embedding", "bkey0", "bkey1", "bkey2", "bkey3",
+        "bkey4", "bkey5")
+
+    val source = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Long)]
+    val q = StreamingAdmission.admissionQuery(
+        source.toDS().toDF("doc_id", "embedding"), wide,
+        java.nio.file.Files.createTempDirectory("emb_adm_ckpt").toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        StreamingAdmission.admitEmbeddingBatch) { verdicts =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getBoolean(1),
+            if (r.isNullAt(4)) -1L else r.getLong(4)))
+      }; ()
+    }.start()
+    try {
+      source.addData((600L, dup), (601L, ortho))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = got.sortBy(_._1).map(v => v._1 -> v).toMap
+    assert(byId(600L)._2 && byId(600L)._3 == 500L, got.mkString(", "))
+    assert(!byId(601L)._2, got.mkString(", "))
+  }
+
   test("the two custom seams compose: the geonet micro-batch source " +
     "feeds streaming admission against a band store (fixture transport, " +
     "verdicts ≡ the batch engine on the same delta)") {
