@@ -761,6 +761,14 @@ object DedupTextQueries {
     // round-1 formulation (explode → global distinct → count window →
     // bucket groupBy) moved the full shingle stream through THREE
     // exchanges.
+    // The shuffle key is the shingle's 60-bit md5 prefix, not the
+    // shingle STRING: the one corpus-grain exchange carries 8-byte
+    // keys instead of ~25-byte text (and buckets group by long
+    // compare, not string compare). Same digest-keyed-grouping
+    // convention as q30's fingerprint dedup and the q31 hash chain;
+    // the oracle applies the identical '0x'||substr(md5(s),1,15)
+    // conversion, so both engines see the same (collision-free in any
+    // practical corpus) buckets.
     val shd = parallelDocs(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(
@@ -768,13 +776,16 @@ object DedupTextQueries {
       .withColumn("n", size(col("ss")))
       .select(col("doc_id"), col("lang"), col("source"), col("n"),
         explode(col("ss")).as("s"))
-    // |A∩B| via bucket-local pair generation (one shuffle on the shingle,
-    // pairs enumerated per bucket) — same shape as q32, no self-join.
-    // Stop-shingle buckets beyond the cap are dropped (skew guard): a
-    // shingle shared by >cap documents in one block contributes ~zero
-    // Jaccard signal but O(bucket²) pairs in ONE task.
+      .select(col("doc_id"), col("lang"), col("source"), col("n"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    // |A∩B| via bucket-local pair generation (one shuffle on the shingle
+    // digest, pairs enumerated per bucket) — same shape as q32, no
+    // self-join. Stop-shingle buckets beyond the cap are dropped (skew
+    // guard): a shingle shared by >cap documents in one block
+    // contributes ~zero Jaccard signal but O(bucket²) pairs in ONE task.
     graft.operators.BucketPairs.boundedPairs(shd,
-        Seq(col("lang"), col("source"), col("s")),
+        Seq(col("lang"), col("source"), col("h")),
         struct(col("doc_id"), col("n")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -789,13 +800,14 @@ object DedupTextQueries {
     // sized/bsz mirrors the Spark-side skew cap (BucketPairs.DefaultCap);
     // |A|/|B| stay uncapped, matching Spark (n is attached pre-bucketing)
     s"""WITH $shingleRowsSql,
-       |ds AS (SELECT DISTINCT doc_id, lang, source, s FROM sh),
+       |ds AS (SELECT doc_id, lang, source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |       FROM (SELECT DISTINCT doc_id, lang, source, s FROM sh)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
-       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, source, s) AS bsz FROM ds),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, source, h) AS bsz FROM ds),
        |inter AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        | FROM sized a JOIN sized b ON a.lang = b.lang AND a.source = b.source
-       |   AND a.s = b.s AND a.doc_id < b.doc_id
+       |   AND a.h = b.h AND a.doc_id < b.doc_id
        | WHERE a.bsz <= ${graft.operators.BucketPairs.DefaultCap}
        | GROUP BY 1, 2)
        |SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
