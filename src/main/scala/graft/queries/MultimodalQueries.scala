@@ -538,18 +538,27 @@ object MultimodalQueries {
     * a recursive CTE to the identical min-reachable-id fixpoint (the
     * q59 pattern).
     */
-  val q94MediaDupClusters: Q = (s, d) => {
-    val sig = MediaSignatureStore.signatures(s, d)
-    val exactEdges = sig
+  val q94MediaDupClusters: Q = (s, d) =>
+    mediaDupClusters(s, MediaSignatureStore.signatures(s, d))
+
+  /** The q94 engine over any media PROFILE frame (`doc_id, mime,
+    * content_fp, mh0..mh7` — the store, or an inline
+    * [[mediaProfile]] for MediaDedupSpec's synthetic corpora, which
+    * exercise the exact-edge branch and the transitive exact+near
+    * merge the driver corpus can't).
+    */
+  private[graft] def mediaDupClusters(s: org.apache.spark.sql.SparkSession,
+      profile: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val exactEdges = profile
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy("mime", "content_fp")))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as("src"), col("canonical_id").as("dst"))
-    val nearEdges = mediaNearDupPairsFromSig(sig)
+    val nearEdges = mediaNearDupPairsFromSig(profile)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = graft.operators.ConnectedComponents.labels(s,
       exactEdges.union(nearEdges))
-    sig.select(col("doc_id"), col("mime"))
+    profile.select(col("doc_id"), col("mime"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("cluster_size",

@@ -71,6 +71,35 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(fps(0L) != fps(1L))
   }
 
+  test("q94 clusters merge TRANSITIVELY across edge types: a byte-twin " +
+    "edge and a near-dup edge chain into one component with the min-id " +
+    "canonical (pairwise verdicts would under-merge); cross-mime twins " +
+    "and unrelated assets stay singletons") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"frame$i payload").mkString(" ")
+    val truncated = base.dropRight(40)
+    val unrelated = (0 until 60).map(i => s"totally other bytes $i").mkString(" ")
+    val media = Seq(
+      (10L, "image/png", base),       // canonical
+      (11L, "image/png", base),       // exact twin of 10
+      (12L, "image/png", truncated),  // near-dup of 10/11
+      (13L, "audio/wav", base),       // byte-twin, other mime: own cluster
+      (14L, "image/png", unrelated)   // singleton
+    ).toDF("doc_id", "mime", "text")
+      .selectExpr("doc_id", "mime", "encode(text, 'UTF-8') AS payload")
+    val got = graft.queries.MultimodalQueries.mediaDupClusters(spark,
+        graft.queries.MultimodalQueries.mediaProfile(media))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, 10L, 3L, true),   // the exact+near chain is ONE cluster of 3
+      (11L, 10L, 3L, false),
+      (12L, 10L, 3L, false),
+      (13L, 13L, 1L, true),   // per-mime isolation lifts to components
+      (14L, 14L, 1L, true)), got.mkString(", "))
+  }
+
   test("q91 engine: a truncated copy of an ADMITTED asset is rejected " +
     "at the gate; cross-mime byte-twins and novel assets admit") {
     import spark.implicits._
