@@ -423,7 +423,63 @@ object EventQueries {
       |SELECT event_type, n, mean, variance, sqrt(variance) AS stddev
       |FROM c ORDER BY event_type""".stripMargin
 
+  /** q96 — time-series PATTERN search over the event stream: every
+    * per-user sliding 8-value window (ordered by time) is scored by
+    * cosine similarity against a fixed rising-ramp pattern, and the
+    * 20 best-matching windows are returned — the momentum/shape
+    * screen of the retrieved time-series-similarity-search line of
+    * work (EDBT'19 streaming TS search, SIGMOD'20 adaptive similarity
+    * — PAPERS.md), expressed as window-aggregate + the engine's fused
+    * cosine.
+    *
+    * Hash-parity design: a float dot product over rows is
+    * accumulation-order-dependent, so the window is materialized as an
+    * ORDERED array (`collect_list` over a rows-frame follows the
+    * window sort; ts is augmented with event_id so the order is total)
+    * and scored by the index-ordered fused [[cosineSimilarity]] —
+    * bit-equal to the oracle's `list(...)` + `list_dot_product`. The
+    * final cut is totally ordered (sim desc, user, end_ms), so the
+    * LIMIT is deterministic.
+    *
+    * Scale shape: ONE exchange (user_id) + in-partition sort builds
+    * every window; scoring is map-side; the top-k is
+    * TakeOrderedAndProject — k·partitions rows to the driver, no
+    * global sort. At 100 TB the window pass rides the same
+    * user-bucketed event layout as q23/q24.
+    */
+  val q96PatternTopk: Q = (s, d) => {
+    val W = 8
+    val ramp = (1 to W).map(_.toDouble)
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-(W - 1), Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("win", collect_list(col("value")).over(win))
+      .filter(size(col("win")) === W)
+      .select(col("user_id"), unix_millis(col("ts")).as("end_ms"),
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("win"), typedlit(ramp)).as("sim"))
+      .orderBy(col("sim").desc, col("user_id"), col("end_ms"))
+      .limit(20)
+  }
+
+  val q96Sql: String = {
+    val ramp = (1 to 8).map(i => s"$i.0").mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT user_id, ts,
+       |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+       |  FROM events),
+       |f AS (SELECT user_id, epoch_ms(ts) AS end_ms, win FROM w WHERE len(win) = 8)
+       |SELECT user_id, end_ms,
+       |  list_dot_product(win, $ramp)
+       |    / (sqrt(list_dot_product(win, win)) * sqrt(list_dot_product($ramp, $ramp))) AS sim
+       |FROM f
+       |ORDER BY sim DESC, user_id, end_ms LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q96_pattern_topk" -> q96PatternTopk,
     "q14_filter_age" -> q14FilterAge,
     "q15_filter_quality" -> q15FilterQuality,
     "q16_proj_cot" -> q16ProjCot,
@@ -442,6 +498,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q96_pattern_topk" -> q96Sql,
     "q14_filter_age" -> q14Sql,
     "q15_filter_quality" -> q15Sql,
     "q16_proj_cot" -> q16Sql,

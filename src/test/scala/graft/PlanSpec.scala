@@ -426,6 +426,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q96 pattern search: ONE user-keyed exchange builds every " +
+    "window, scoring is map-side, and the cut is " +
+    "TakeOrderedAndProject — no global sort of the scored stream") {
+    val p = physical(EventQueries.queries("q96_pattern_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(4000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(4000))
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
