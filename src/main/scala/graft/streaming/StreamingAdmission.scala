@@ -40,8 +40,12 @@ object StreamingAdmission {
     * turns a micro-batch into store-shaped `(doc_id, band, bkey)`
     * rows; the store side never shuffles and the skew cap reads the
     * store alone. [[admitBatch]] (text) and [[admitMediaBatch]]
-    * (binary assets) are the two instantiations — admission semantics
-    * are keyed, not modality-specific.
+    * (binary assets) are the two keyed instantiations — admission
+    * semantics are keyed, not modality-specific, wherever a band
+    * collision IS the verdict. The embedding tier
+    * ([[admitEmbeddingBatch]]) deliberately does NOT ride this
+    * engine: its dense band keys make collisions candidates, not
+    * verdicts, so it runs the two-stage candidates→confirm shape.
     */
   private def admitVia(bandFrameOf: DataFrame => DataFrame)(
       storeBands: DataFrame)(delta: DataFrame): DataFrame =
