@@ -98,6 +98,8 @@ object Bench {
     val setups: Seq[(String, () => Unit)] = Seq(
       "sigstore_build" ->
         (() => graft.queries.SignatureStore.ensure(spark, sfDir)),
+      "bandstore_build" ->
+        (() => graft.queries.BandStore.ensure(spark, sfDir)),
       "media_sigstore_build" ->
         (() => graft.queries.MediaSignatureStore.ensure(spark, sfDir)),
       "lm_store_build" ->

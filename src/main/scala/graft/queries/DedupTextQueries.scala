@@ -219,27 +219,35 @@ object DedupTextQueries {
   }
 
   private def lshPairs(sig: DataFrame): DataFrame =
+    lshPairsFromBands(bandFrame(sig))
+
+  /** The pair tail over a `(doc_id, band, bkey)` frame. Over the
+    * [[BandStore]] layout the bucket groupBy aggregates directly on
+    * the bucketed scan — zero exchanges (round-8; PlanSpec).
+    */
+  private def lshPairsFromBands(bands: DataFrame): DataFrame =
     graft.operators.BucketPairs
-      .boundedPairs(bandFrame(sig), Seq(col("band"), col("bkey")), col("doc_id"))
+      .boundedPairs(bands, Seq(col("band"), col("bkey")), col("doc_id"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
 
-  /** q32 reads the on-disk [[SignatureStore]] (built once per run) —
-    * band keys + pair generation never touch document text; the plan is
-    * a bucketed-table scan, WordShingles-free (PlanSpec).
+  /** q32 reads the on-disk [[BandStore]] (built once per run from the
+    * signature store) — band keys + pair generation never touch
+    * document text OR cross an exchange; the plan is one bucketed
+    * scan, WordShingles-free (PlanSpec).
     */
   val q32MinhashPairs: Q = (s, d) =>
-    lshPairs(SignatureStore.signatures(s, d))
+    lshPairsFromBands(BandStore.bands(s, d))
       .orderBy("doc_a", "doc_b")
 
   /** The ≥2-shared-bands near-dup edge set (q53's drop threshold) —
     * exposed for cross-modal composition (q78's text leg). Reads the
-    * [[SignatureStore]], so composed consumers share the one build.
+    * [[BandStore]], so composed consumers share the one build.
     */
   private[queries] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    lshPairs(SignatureStore.signatures(s, d))
+    lshPairsFromBands(BandStore.bands(s, d))
       .filter(col("n_shared_bands") >= 2)
       .select(col("doc_a"), col("doc_b"))
 
@@ -292,10 +300,18 @@ object DedupTextQueries {
     * rational — exact in double on both engines.
     */
   val q72MinhashJaccard: Q = (s, d) =>
-    minhashJaccard(SignatureStore.signatures(s, d)).orderBy("doc_a", "doc_b")
+    minhashJaccard(SignatureStore.signatures(s, d),
+      lshPairsFromBands(BandStore.bands(s, d))).orderBy("doc_a", "doc_b")
 
-  /** The q72 body over a (persisted) signature frame. */
-  private[graft] def minhashJaccard(sig: DataFrame): DataFrame = {
+  /** The q72 body over a (persisted) signature frame, deriving the
+    * pair leg from `sig` (spec path) — the query overload feeds the
+    * exchange-free [[BandStore]] pair leg instead.
+    */
+  private[graft] def minhashJaccard(sig: DataFrame): DataFrame =
+    minhashJaccard(sig, lshPairs(sig))
+
+  private[graft] def minhashJaccard(sig: DataFrame,
+      pairsIn: DataFrame): DataFrame = {
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until P).map(i => col(f"mh$i%02d").as(f"a$i%02d")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +:
@@ -303,7 +319,7 @@ object DedupTextQueries {
     val nMatches = (0 until P)
       .map(i => when(col(f"a$i%02d") === col(f"b$i%02d"), 1).otherwise(0))
       .reduce(_ + _)
-    lshPairs(sig)
+    pairsIn
       .join(a, Seq("doc_a"))
       .join(b, Seq("doc_b"))
       .withColumn("n_matches", nMatches)
@@ -352,9 +368,11 @@ object DedupTextQueries {
     * candidates collided, and the smallest colliding corpus doc id.
     */
   val q64IncrementalNeardup: Q = (s, d) => {
+    // round-8: the band frame is the (band,bkey)-bucketed BandStore —
+    // the skew-cap window plans with NO exchange over its layout
     val isDelta = col("doc_id") % 10 === 0
     incrementalNeardup(
-      bandFrame(SignatureStore.signatures(s, d)),
+      BandStore.bands(s, d),
       documents(s, d).filter(isDelta).select(col("doc_id")),
       isDelta)
   }
@@ -423,7 +441,7 @@ object DedupTextQueries {
   def writeSignatureStore(s: org.apache.spark.sql.SparkSession, d: String,
       tableName: String, keep: Column, numBuckets: Int = 8): Unit =
     graft.core.Tables.writeBucketed(
-      bandFrame(minhashSignature(shingleRows(s, d))).filter(keep),
+      bandFrame(SignatureStore.signatures(s, d)).filter(keep),
       tableName, numBuckets, "band", "bkey")
 
   /** A delta's per-row band keys as a store-shaped `(doc_id, band,
@@ -642,7 +660,7 @@ object DedupTextQueries {
     val isDeltaA = col("doc_id") % 20 === 0
     val isDeltaB = col("doc_id") % 20 === 10
     graft.core.Tables.writeBucketed(
-      bandFrame(SignatureStore.signatures(s, d)).filter(isStore),
+      BandStore.bands(s, d).filter(isStore),
       t, 8, "band", "bkey")
     graft.streaming.StreamingAdmission.admitBatch(s.table(t))(
         docs.filter(isDeltaA))
@@ -1103,7 +1121,7 @@ object DedupTextQueries {
     * really are small; when they aren't, the join shuffles safely.
     */
   val q53DedupVerdict: Q = (s, d) =>
-    dedupVerdict(s, d, lshPairs(SignatureStore.signatures(s, d)))
+    dedupVerdict(s, d, lshPairsFromBands(BandStore.bands(s, d)))
 
   /** The q53 body over a caller-supplied LSH candidate-pair frame — q53
     * computes its own pairs; q57 feeds pairs derived from the SHARED
@@ -1662,7 +1680,7 @@ object DedupTextQueries {
       .select(col("doc_id"), col("keep").as("ok_quality"))
     val rep = q55Repetition(s, d)
       .select(col("doc_id"), col("keep").as("ok_repetition"))
-    val dedup = dedupVerdict(s, d, lshPairs(SignatureStore.signatures(s, d)))
+    val dedup = dedupVerdict(s, d, lshPairsFromBands(BandStore.bands(s, d)))
       .select(col("doc_id"), col("keep").as("ok_dedup"))
     val decon = decontamination(s, d, shingled)
       .select(col("doc_id"), (!col("contaminated")).as("ok_decontaminated"))

@@ -123,16 +123,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q64 incremental near-dup: both join sides scan the ON-DISK " +
-    "signature store (no in-session persist — the store IS the " +
-    "materialization) and the delta side is broadcast — the corpus " +
-    "text is never shuffled") {
+    "band store, the skew-cap window runs with NO exchange over its " +
+    "(band,bkey) bucket layout (round-8), and the delta side is " +
+    "broadcast — the corpus text is never shuffled, the band rows " +
+    "aren't either") {
     graft.core.CacheScope.withScope {
       val p = physical(DedupTextQueries.q64IncrementalNeardup(spark, sf))
-      // store leg + delta leg each read the bucketed table — two scans
-      // of a corpus/100 artifact, zero signature recomputation
-      assert(p.split("graft_sigstore").length - 1 >= 2, p.take(4000))
+      // store leg + delta leg each read the bucketed band table
+      assert(p.split("graft_bandstore").length - 1 >= 2, p.take(4000))
       assert(p.contains("BroadcastHashJoin"), p.take(4000))
       assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
+      // the cap window's distribution comes from the bucket layout —
+      // a band-keyed exchange reappearing is the regression this pins
+      assert(!p.contains("Exchange hashpartitioning(band"), p.take(4000))
     }
   }
 
@@ -335,20 +338,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 3, p.take(4000))
   }
 
-  test("q72 reads the ON-DISK signature store: band keys and both pair-" +
-    "join sides scan the bucketed table, no shingle re-derivation") {
+  test("q72 reads the ON-DISK stores: the pair leg scans the band " +
+    "store (exchange-free enumeration), both signature join sides " +
+    "scan the signature store — no shingle re-derivation anywhere") {
     graft.core.CacheScope.withScope {
       val p = physical(DedupTextQueries.queries("q72_minhash_jaccard")(spark, sf))
-      // the bucketed store table: 3 consumers (bandFrame, sig-a, sig-b)
-      assert(p.split("graft_sigstore").length - 1 >= 3, p.take(4000))
+      assert(p.split("graft_sigstore").length - 1 >= 2, p.take(4000))
+      assert(p.contains("graft_bandstore"), p.take(4000))
       // the shingle expression must appear ZERO times — no text touched
       assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
     }
   }
 
-  test("the LSH family reads the signature store — q32/q53/q64 plans " +
-    "are WordShingles-free and scan the bucketed table (round-5 " +
-    "headline: the chain was rebuilt cold per query)") {
+  test("the LSH family reads the on-disk stores — q32/q53/q64 plans " +
+    "are WordShingles-free and their band legs scan the bucketed " +
+    "BAND table (round-5 headline: the chain was rebuilt cold per " +
+    "query; round-8: the band shuffle moved into the store build)") {
     for (q <- Seq("q32_minhash_pairs", "q53_dedup_verdict",
         "q64_incremental_neardup")) {
       graft.core.CacheScope.withScope {
@@ -356,10 +361,10 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.toLowerCase.contains("wordshingles"), s"$q rebuilds shingles\n" + p.take(3000))
         // the store table must appear by NAME (round-6 advisory: an
         // InMemoryTableScan alternative would also accept a persisted
-        // inline recompute of the signatures — the word_shingles guard
-        // alone doesn't prove the store is read)
-        assert(p.contains("graft_sigstore"),
-          s"$q does not read the store\n" + p.take(3000))
+        // inline recompute — the word_shingles guard alone doesn't
+        // prove the store is read)
+        assert(p.contains("graft_bandstore"),
+          s"$q does not read the band store\n" + p.take(3000))
       }
     }
   }
