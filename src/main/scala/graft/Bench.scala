@@ -106,6 +106,8 @@ object Bench {
         (() => graft.queries.LmStore.ensure(spark, sfDir)),
       "emb_bandstore_build" ->
         (() => graft.queries.SimilarityQueries.EmbBandStore.ensure(spark, sfDir)),
+      "emb_admission_bandstore_build" ->
+        (() => graft.queries.SimilarityQueries.EmbAdmissionBandStore.ensure(spark, sfDir)),
       "ivf_index_build" ->
         (() => graft.queries.SimilarityQueries.IvfIndexStore.ensure(spark, sfDir)))
     val setupTimes = setups.map { case (name, run) =>

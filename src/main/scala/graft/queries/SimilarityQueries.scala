@@ -664,6 +664,18 @@ object SimilarityQueries {
       .select(cols :+ col("bd.band").as("band") :+ col("bd.bkey").as("bkey"): _*)
   }
 
+  /** The ADMISSION-LAYOUT embedding band store: [[EmbBandStore]]'s keys
+    * exploded to `(vec_id, band, bkey)` rows and re-bucketed on
+    * `(band, bkey)` — [[BandStore]]'s two-layout split applied to the
+    * embedding modality, so q95's store-side skew-cap window plans
+    * with NO exchange over the bucket layout (the 6-int band rows were
+    * the one corpus-grain shuffle the round-8 scaladoc documented;
+    * retired here the same way the text family's was).
+    */
+  private[graft] val EmbAdmissionBandStore = new RunStore(
+    "graft_embbandstore", 8, Seq("band", "bkey"),
+    (s, d) => storedBandFrame(EmbBandStore.table(s, d), Seq("vec_id")))
+
   /** q46 — random-hyperplane LSH near-dup over ALL embeddings: the
     * UNBLOCKED scale path that q42's label-blocking sidesteps. Each
     * vector gets sign-bits against 36 fixed hyperplanes, grouped as 6
@@ -826,21 +838,20 @@ object SimilarityQueries {
     * in any band, naming the earliest confirmed collider.
     *
     * Scale shape: the store side is capped per band bucket (store-
-    * side-only sizing — batch-invariant verdicts, the q64 rule), the
-    * delta's bands and embeddings broadcast, and the candidate
-    * embedding fetch joins the `vec_id`-bucketed [[EmbBandStore]].
-    * The EMBEDDINGS never cross an exchange; the one corpus-grain
-    * shuffle is the 6-int-per-vector band rows for the cap window —
-    * at ingest a `(band, bkey)`-bucketed band store (exactly
-    * [[DedupTextQueries.writeSignatureStore]]'s layout) removes it,
-    * the same two-layout split the text family uses. Candidate volume
+    * side-only sizing — batch-invariant verdicts, the q64 rule) with
+    * the window's distribution satisfied by
+    * [[EmbAdmissionBandStore]]'s `(band, bkey)` bucket layout — NO
+    * exchange anywhere on the corpus side (the text family's
+    * two-layout split, both layouts materialized); the delta's bands
+    * and embeddings broadcast, and the candidate embedding fetch
+    * joins the `vec_id`-bucketed [[EmbBandStore]]. Candidate volume
     * is collision-proportional; only candidates get a cosine. Fully
     * store-fed (both sides), zero hyperplane recomputation.
     */
   val q95EmbeddingAdmission: Q = (s, d) => {
     val sig = EmbBandStore.table(s, d)
+    val bands = EmbAdmissionBandStore.table(s, d)
     val isDelta = col("vec_id") % 10 === 0
-    val bands = storedBandFrame(sig, Seq("vec_id"))
     embeddingAdmit(
       bands.filter(!isDelta),
       sig.filter(!isDelta).select(col("vec_id"), col("embedding")),

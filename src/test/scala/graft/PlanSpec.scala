@@ -431,6 +431,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 embedding admission: the store-side cap window runs over " +
+    "the (band,bkey)-bucketed admission band store with NO band-keyed " +
+    "exchange — the corpus side of the semantic gate is exchange-free " +
+    "like q64's") {
+    graft.core.CacheScope.withScope {
+      val p = physical(SimilarityQueries.queries("q95_embedding_admission")(spark, sf))
+      assert(p.contains("graft_embbandstore"), p.take(4000))
+      assert(!p.contains("Exchange hashpartitioning(band"), p.take(4000))
+      assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    }
+  }
+
   test("q96 pattern search: ONE user-keyed exchange builds every " +
     "window, scoring is map-side, and the cut is " +
     "TakeOrderedAndProject — no global sort of the scored stream") {
