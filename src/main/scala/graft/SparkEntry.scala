@@ -29,6 +29,7 @@ object SparkEntry {
       IngestQueries.queries ++
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
+      StreamingQueries.queries ++
       QuakeQueries.queries
 
   /** Dev-loop subset filter shared by Bench and Verify: parse
@@ -62,5 +63,6 @@ object SparkEntry {
       IngestQueries.oracle ++
       SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++
+      StreamingQueries.oracle ++
       QuakeQueries.oracle
 }

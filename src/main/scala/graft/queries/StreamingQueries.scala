@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The streaming ADMISSION tiers as driver-visible, oracle-checked
+  * queries (round-8 verdict #1: the stream ≡ batch guarantees lived
+  * only in scalatest — CORRECTNESS never saw the streaming engine run).
+  *
+  * Each query here drives the SAME delta slice its batch twin uses
+  * (q64 text / q91 media / q95 embedding) through the REAL Structured
+  * Streaming engine: the delta is materialized to parquet as several
+  * files, streamed back with `maxFilesPerTrigger=1` under
+  * `Trigger.AvailableNow` (so the run genuinely spans MULTIPLE
+  * micro-batches, checkpointed like production), admitted per batch by
+  * [[graft.streaming.StreamingAdmission]] against the corpus store,
+  * and the per-batch verdict frames are appended to a parquet sink.
+  * The returned frame reads that sink back — and is hash-compared by
+  * the driver against the batch query's DuckDB oracle VERBATIM.
+  *
+  * That equality is the engine's batch-invariance contract made
+  * driver-visible: verdicts depend only on (doc, store) — the skew cap
+  * is sized from the store alone and delta docs only ever meet store
+  * rows (never each other), so ANY partition of the delta into
+  * micro-batches unions to exactly the batch verdict set. A cap that
+  * drifted with batch composition, a band derivation that diverged
+  * between the store build and the streaming signer, or state leaking
+  * across batches would all flip some verdict and fail the hash gate.
+  *
+  * Scale shape: identical to the batch tiers — the corpus side reads
+  * its once-per-run stores and never shuffles; each micro-batch
+  * broadcasts its own band keys. The parquet spool here stands in for
+  * the production message bus; its volume is O(|delta|), never
+  * O(corpus). Like q92, these run their job at construction time by
+  * design — the query IS the lifecycle being demonstrated.
+  */
+object StreamingQueries {
+
+  /** Spool `delta` to parquet (`nFiles` files), stream it back one file
+    * per trigger under AvailableNow, admit each micro-batch against
+    * `storeBands` via `admit`, append verdicts to a parquet sink, and
+    * return the sink's contents ordered by `orderCol`. All three dirs
+    * live under the warehouse dir with store-style hashed names and are
+    * reset at entry so the query is re-runnable within a JVM (Bench
+    * warmup/repeat, Verify — the q92 convention).
+    */
+  private def runAdmission(s: SparkSession, tag: String, d: String,
+      delta: DataFrame, storeBands: DataFrame,
+      admit: DataFrame => DataFrame => DataFrame,
+      orderCol: String, nFiles: Int = 3): DataFrame = {
+    val base = RunStore.tableName(s"graft_stream_$tag", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    delta.repartition(nFiles).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    graft.streaming.StreamingAdmission.admissionQuery(
+        stream, storeBands, path("_ckpt").toString,
+        Trigger.AvailableNow(), admit) { verdicts =>
+      verdicts.write.mode("append").parquet(outPath)
+    }.start().awaitTermination()
+    s.read.parquet(outPath).orderBy(orderCol)
+  }
+
+  /** q97 — STREAMING text admission: q64's delta (`doc_id % 10 = 0`)
+    * arrives as three parquet-file micro-batches and is admitted
+    * against the corpus band store per batch
+    * ([[graft.streaming.StreamingAdmission.admitBatch]] — each batch
+    * signs its own text via the per-row band-key expression,
+    * spec-pinned bit-equal to the store build's signature pipeline).
+    * Oracle: q64's SQL verbatim — streaming through the real engine
+    * must union to exactly the batch verdicts.
+    */
+  val q97StreamingTextAdmission: Q = (s, d) => {
+    val isDelta = col("doc_id") % 10 === 0
+    runAdmission(s, "text", d,
+      graft.core.Tables.documents(s, d).filter(isDelta)
+        .select(col("doc_id"), col("text")),
+      BandStore.bands(s, d).filter(!isDelta),
+      graft.streaming.StreamingAdmission.admitBatch, "doc_id")
+  }
+
+  /** q98 — STREAMING media admission: q91's asset delta streamed as
+    * micro-batches of `(doc_id, mime, payload)` rows, each batch
+    * signing its own payload byte-windows
+    * ([[graft.streaming.StreamingAdmission.admitMediaBatch]]) against
+    * the corpus profile store's bands. Oracle: q91's SQL verbatim.
+    */
+  val q98StreamingMediaAdmission: Q = (s, d) => {
+    val isDelta = col("doc_id") % 10 === 0
+    runAdmission(s, "media", d,
+      graft.multimodal.MediaPipeline.toMediaRows(
+        graft.core.Tables.documents(s, d).filter(isDelta)).toDF(),
+      MultimodalQueries.mediaBandFrameFromSig(
+        MediaSignatureStore.signatures(s, d).filter(!isDelta)),
+      graft.streaming.StreamingAdmission.admitMediaBatch, "doc_id")
+  }
+
+  /** q99 — STREAMING embedding admission: q95's vector delta streamed
+    * as micro-batches of `(doc_id, embedding)` rows through the
+    * two-stage semantic gate
+    * ([[graft.streaming.StreamingAdmission.admitEmbeddingBatch]] —
+    * dense band collisions are CANDIDATES, exact cosine confirms at
+    * the q42 bar; the batch signs itself inline with the same
+    * hyperplane derivation the store was built from). The store side
+    * is the wide `vec_id`-bucketed hyperplane table. Oracle: q95's SQL
+    * verbatim.
+    */
+  val q99StreamingEmbeddingAdmission: Q = (s, d) => {
+    val isDelta = col("vec_id") % 10 === 0
+    runAdmission(s, "emb", d,
+      graft.core.Tables.embeddings(s, d).filter(isDelta)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      SimilarityQueries.EmbBandStore.table(s, d).filter(!isDelta),
+      graft.streaming.StreamingAdmission.admitEmbeddingBatch, "vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q97_streaming_text_admission" -> q97StreamingTextAdmission,
+    "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
+    "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission)
+
+  /** The batch tiers' oracles VERBATIM — the whole point: the streaming
+    * engine's union of per-micro-batch verdicts must hash-match the
+    * batch semantics exactly.
+    */
+  val oracle: Map[String, String] = Map(
+    "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
+    "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
+    "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql)
+}
