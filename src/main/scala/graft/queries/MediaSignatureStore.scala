@@ -43,7 +43,7 @@ object MediaSignatureStore {
   def signatures(s: SparkSession, d: String): DataFrame = store.table(s, d)
 
   /** Eager build for Bench's visible setup metric. */
-  def ensure(s: SparkSession, d: String): Unit = store.ensure(s, d)
+  def ensure(s: SparkSession, d: String): String = store.ensure(s, d)
 
   /** Test hook: forget the memo so a spec can observe a fresh build. */
   private[graft] def reset(): Unit = store.reset()

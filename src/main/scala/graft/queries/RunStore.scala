@@ -2,6 +2,7 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Generic once-per-JVM-per-source-dir ON-DISK bucketed materialization —
@@ -15,15 +16,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    memoized table) with [[graft.core.Tables.writeBucketed]], so the
   *    one corpus-sized shuffle is paid at write time and later
   *    key-aligned joins/windows plan without their exchange;
-  *  - REBUILT on the first access of each JVM — never trusted across
-  *    process restarts, so a changed source table can't serve stale
-  *    derived rows. At 100 TB the analog is the ingest job's own
-  *    overwrite of the derived partition it (re)processed;
-  *  - the in-memory catalog dies with the JVM but the warehouse
-  *    directory does not: a previous process's store is an ORPHAN
-  *    location that blocks CREATE TABLE, so both the catalog entry and
-  *    the location are dropped before the rebuild (the files are dead
-  *    weight under the rebuild-always policy, never a cache).
+  *  - REVALIDATED (not blindly rebuilt) on the first access of each
+  *    JVM: every build writes a FINGERPRINT sidecar next to its data —
+  *    source files (name+size+mtime), the canonicalized build plan
+  *    (which carries the derivation's expressions and literal
+  *    constants), the bucket spec, and the fingerprints of any upstream
+  *    store tables the plan reads. A fresh JVM whose fingerprint
+  *    matches re-registers the existing location in the (in-memory)
+  *    catalog and REUSES it; any mismatch — source data changed,
+  *    derivation code changed, an upstream store rebuilt — drops and
+  *    rebuilds. At 100 TB this is the ingest job recognizing its
+  *    derived partition is already current instead of re-paying the
+  *    corpus pass on every driver restart (round-8 verdict #3);
+  *  - a location whose sidecar is missing or unreadable is treated as
+  *    stale: the catalog entry and the location are dropped before the
+  *    rebuild, resolving the real path from the catalog when the entry
+  *    exists and falling back to the LOWERCASED warehouse path
+  *    `saveAsTable` actually writes (round-8 advisory: the raw-cased
+  *    guess missed the orphan for uppercase-bearing names).
   *
   * Table naming keeps distinct source dirs collision-free even when
   * sanitizing collides them ("sf0.001" vs "sf0_001" — round-6
@@ -35,35 +45,57 @@ private[graft] final class RunStore(
     build: (SparkSession, String) => DataFrame) {
 
   private val built = new ConcurrentHashMap[String, String]()
+  private val modes = new ConcurrentHashMap[String, String]()
 
   private[graft] def tableName(d: String): String =
     RunStore.tableName(prefix, d)
 
-  /** The store table for source dir `d`, building it on the first
-    * access in this JVM.
+  /** The store table for source dir `d`, reusing a fingerprint-valid
+    * on-disk build from a previous process or (re)building on the
+    * first access in this JVM.
     */
   def table(s: SparkSession, d: String): DataFrame = {
     val name = built.computeIfAbsent(d, _ => {
       val t = tableName(d)
-      RunStore.dropWithLocation(s, t)
-      graft.core.Tables.writeBucketed(build(s, d), t, numBuckets,
-        bucketKeys: _*)
+      // constructing the build plan is lazy (no jobs) and ensures any
+      // upstream stores the derivation reads are themselves
+      // validated/built first — their fingerprints feed this one's
+      val frame = build(s, d)
+      val fp = RunStore.fingerprint(s, d, prefix, numBuckets, bucketKeys, frame)
+      if (RunStore.revalidate(s, t, fp)) modes.put(d, "reused")
+      else {
+        RunStore.dropWithLocation(s, t)
+        graft.core.Tables.writeBucketed(frame, t, numBuckets, bucketKeys: _*)
+        RunStore.writeSidecar(s, t, fp, frame, numBuckets, bucketKeys)
+        modes.put(d, "built")
+      }
       t
     })
     s.table(name)
   }
 
-  /** Build (or re-read) eagerly — Bench calls this before the timed
-    * loop so the ingest-time cost is reported as a visible setup metric
-    * rather than inside whichever family query runs first.
+  /** Build (or revalidate) eagerly — Bench calls this before the timed
+    * loop so the ingest-time cost is a visible setup metric rather than
+    * hiding inside whichever family query runs first. Returns how the
+    * store was satisfied: "built" (fresh materialization), "reused"
+    * (fingerprint-valid on-disk build from a previous process), or
+    * "memoized" (already ensured earlier in this JVM).
     */
-  def ensure(s: SparkSession, d: String): Unit = { table(s, d); () }
+  def ensure(s: SparkSession, d: String): String = {
+    val before = built.containsKey(d)
+    table(s, d)
+    if (before) "memoized" else modes.getOrDefault(d, "built")
+  }
 
-  /** Test hook: forget the memo so a spec can observe a fresh build. */
-  private[graft] def reset(): Unit = built.clear()
+  /** Test hook: forget the memo so a spec can observe a fresh
+    * build/revalidation.
+    */
+  private[graft] def reset(): Unit = { built.clear(); modes.clear() }
 }
 
 private[graft] object RunStore {
+  private val SidecarName = "_graft_store.properties"
+
   /** Collision-free per-source-dir table naming (see class doc) —
     * also used by non-memoized lifecycle tables (q92).
     */
@@ -73,15 +105,130 @@ private[graft] object RunStore {
     s"${prefix}_${d.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
   }
 
+  /** Where `saveAsTable` actually puts a default-database table:
+    * warehouse.dir/<lowercased name> (identifiers are lowercased by
+    * the writer — round-8 advisory).
+    */
+  private def defaultLocation(s: SparkSession, t: String): Path =
+    new Path(s.conf.get("spark.sql.warehouse.dir"),
+      t.toLowerCase(java.util.Locale.ROOT))
+
+  /** The table's REAL location when the catalog knows it (covers
+    * non-default databases and explicit locations); None otherwise.
+    */
+  private def catalogLocation(s: SparkSession, t: String): Option[Path] =
+    if (s.catalog.tableExists(t))
+      Some(new Path(s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location))
+    else None
+
   /** Drop a catalog table AND its warehouse location — the orphan-file
-    * cleanup every rebuild-always store needs (see class doc).
+    * cleanup every store rebuild needs. The location is resolved from
+    * the catalog when the entry exists; the lowercased default path is
+    * always also cleared so a previous process's orphan (files on
+    * disk, nothing in this JVM's in-memory catalog) cannot block the
+    * CREATE TABLE.
     */
   private[graft] def dropWithLocation(s: SparkSession, t: String): Unit = {
+    val locs = (catalogLocation(s, t).toSeq :+ defaultLocation(s, t))
+      .distinctBy(_.toString)
     s.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), t)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    locs.foreach { loc =>
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     ()
   }
+
+  /** The store's validity fingerprint: bucket spec + source files
+    * (name, size, mtime — one directory level deep, sorted) + the
+    * CANONICALIZED analyzed build plan (carries the derivation's
+    * expression tree and literal constants, so a code change to the
+    * derivation — new hash permutations, different hyperplanes —
+    * invalidates the store even though the sources didn't move) + the
+    * sidecar fingerprints of every catalog table the plan reads (so a
+    * rebuilt upstream store invalidates its derived stores).
+    */
+  private def fingerprint(s: SparkSession, d: String, prefix: String,
+      numBuckets: Int, bucketKeys: Seq[String], frame: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def add(x: String): Unit = md.update(x.getBytes("UTF-8"))
+    add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}")
+    val src = new Path(d)
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(src)) {
+      def walk(p: Path, depth: Int): Unit =
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+          add(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          if (st.isDirectory && depth > 0) walk(st.getPath, depth - 1)
+        }
+      walk(src, 1)
+    }
+    add("|" + frame.queryExecution.analyzed.canonicalized.toString)
+    frame.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isDefined =>
+        lr.catalogTable.get.identifier.table
+    }.distinct.sorted.foreach { up =>
+      add(s"|$up=${readSidecar(s, up).map(_._1).getOrElse("?")}")
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def sidecarPath(s: SparkSession, t: String): Path =
+    new Path(catalogLocation(s, t).getOrElse(defaultLocation(s, t)),
+      SidecarName)
+
+  /** Persist the fingerprint + enough DDL to re-register the table in a
+    * fresh JVM's empty in-memory catalog. Lives INSIDE the table
+    * location (underscore-prefixed — data readers ignore it; dropped
+    * with the location).
+    */
+  private def writeSidecar(s: SparkSession, t: String, fp: String,
+      frame: DataFrame, numBuckets: Int, bucketKeys: Seq[String]): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("fingerprint", fp)
+    props.setProperty("schemaDdl", frame.schema.toDDL)
+    props.setProperty("numBuckets", numBuckets.toString)
+    props.setProperty("bucketKeys", bucketKeys.mkString(","))
+    val p = sidecarPath(s, t)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try props.store(out, "graft RunStore fingerprint") finally out.close()
+  }
+
+  private def readSidecar(s: SparkSession, t: String)
+      : Option[(String, java.util.Properties)] = {
+    val p = sidecarPath(s, t)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val props = new java.util.Properties()
+      try props.load(in) finally in.close()
+      Option(props.getProperty("fingerprint")).map((_, props))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** True iff an on-disk build with a matching fingerprint exists; when
+    * it does and this JVM's catalog has no entry yet (fresh process),
+    * the location is re-registered with its persisted schema + bucket
+    * spec so bucketed scans plan exactly as if this JVM had written it.
+    */
+  private def revalidate(s: SparkSession, t: String, fp: String): Boolean =
+    readSidecar(s, t) match {
+      case Some((stored, props)) if stored == fp =>
+        if (!s.catalog.tableExists(t)) {
+          val keys = props.getProperty("bucketKeys").split(",").toSeq
+          s.sql(
+            s"""CREATE TABLE $t (${props.getProperty("schemaDdl")})
+               |USING PARQUET
+               |CLUSTERED BY (${keys.mkString(", ")})
+               |SORTED BY (${keys.mkString(", ")})
+               |INTO ${props.getProperty("numBuckets")} BUCKETS
+               |LOCATION '${defaultLocation(s, t)}'""".stripMargin)
+        }
+        true
+      case _ => false
+    }
 }

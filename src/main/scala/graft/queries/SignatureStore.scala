@@ -52,7 +52,7 @@ object SignatureStore {
     * timed loop so the ingest-time cost is reported as its own visible
     * setup metric rather than inside whichever family query runs first.
     */
-  def ensure(s: SparkSession, d: String): Unit = store.ensure(s, d)
+  def ensure(s: SparkSession, d: String): String = store.ensure(s, d)
 
   /** Test hook: forget the memo so a spec can observe a fresh build. */
   private[graft] def reset(): Unit = store.reset()

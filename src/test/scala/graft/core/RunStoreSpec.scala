@@ -37,6 +37,112 @@ class RunStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint revalidation: an unchanged source reuses the " +
+    "on-disk build across reset(); a source change or a derivation " +
+    "change rebuilds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("runstore_src")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "v1")
+    def mkStore(tag: Int) = new RunStore("graft_test_reval", 2, Seq("k"),
+      (_, _) => Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .withColumn("w", lit(tag)))
+    val store = mkStore(1)
+    val t = store.tableName(dir.toString)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      assert(store.ensure(spark, dir.toString) == "memoized")
+      // fresh memo, untouched source: the previous build is reused
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "reused")
+      assert(store.table(spark, dir.toString).count() == 2)
+      // source file changed (size): fingerprint mismatch -> rebuild
+      java.nio.file.Files.writeString(dir.resolve("data.txt"), "v2 longer")
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "built")
+      // derivation changed (different literal in the build plan):
+      // sources untouched, still a rebuild — stale derived rows are the
+      // dangerous direction
+      assert(mkStore(2).ensure(spark, dir.toString) == "built")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      store.reset()
+    }
+  }
+
+  test("a fresh JVM (empty in-memory catalog, fingerprint-valid files " +
+    "on disk) re-registers the location with its bucket spec instead " +
+    "of rebuilding") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("runstore_src2")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "stable")
+    val store = new RunStore("graft_test_fresh", 2, Seq("k"),
+      (_, _) => Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val t = store.tableName(dir.toString)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+    val fs = loc.getFileSystem(hconf)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      // simulate a NEW process: the in-memory catalog forgets the table
+      // (DROP deletes managed data, so stash the directory around it)
+      val backup = new org.apache.hadoop.fs.Path(loc.getParent, t + "_bak")
+      org.apache.hadoop.fs.FileUtil.copy(fs, loc, fs, backup, false, hconf)
+      spark.sql(s"DROP TABLE $t")
+      assert(!fs.exists(loc))
+      org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, loc, true, hconf)
+      store.reset()
+
+      assert(store.ensure(spark, dir.toString) == "reused")
+      assert(store.table(spark, dir.toString).count() == 3)
+      // the re-registered entry carries the REAL bucket spec, so
+      // bucketed scans plan exactly as if this JVM had written it
+      val bs = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec
+      assert(bs.exists(b => b.numBuckets == 2 &&
+        b.bucketColumnNames == Seq("k") && b.sortColumnNames == Seq("k")))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      store.reset()
+    }
+  }
+
+  test("a rebuilt upstream store invalidates stores derived from its " +
+    "table (the sidecar fingerprint chains through catalog reads)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("runstore_src3")
+    def mkUpstream(tag: Int) = new RunStore("graft_test_up", 2, Seq("k"),
+      (_, _) => Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .withColumn("w", lit(tag)))
+    val up1 = mkUpstream(1)
+    val tUp = up1.tableName(dir.toString)
+    val down = new RunStore("graft_test_down", 2, Seq("k"),
+      (s, _) => s.table(tUp).select(col("k"), col("w")))
+    val tDown = down.tableName(dir.toString)
+    try {
+      assert(up1.ensure(spark, dir.toString) == "built")
+      assert(down.ensure(spark, dir.toString) == "built")
+      // nothing changed: both revalidate
+      up1.reset(); down.reset()
+      assert(up1.ensure(spark, dir.toString) == "reused")
+      assert(down.ensure(spark, dir.toString) == "reused")
+      // upstream derivation changes -> upstream rebuilds; downstream's
+      // OWN plan is unchanged but its recorded upstream fingerprint no
+      // longer matches -> downstream rebuilds too, never serving rows
+      // derived from the dead upstream build
+      assert(mkUpstream(2).ensure(spark, dir.toString) == "built")
+      down.reset()
+      assert(down.ensure(spark, dir.toString) == "built")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tDown")
+      spark.sql(s"DROP TABLE IF EXISTS $tUp")
+      down.reset(); up1.reset()
+    }
+  }
+
   test("distinct raw dirs that sanitize identically still get distinct " +
     "tables (the shared naming helper)") {
     val a = RunStore.tableName("pfx", "/data/sf0.001")
