@@ -114,15 +114,21 @@ object SimilarityQueries {
     val emb = embeddings(s, d)
     val cent = ivfCentroids(emb)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    // the 2 probe cells are resolved driver-side (16 centroids × 1
+    // The 2 probe cells are resolved driver-side (16 centroids × 1
     // query vector — the same bounded, justified collect class as the
     // query-vector lookup) so the store filter is a LITERAL `cell IN`
-    // predicate and bucket pruning engages on the scan below
+    // predicate and row-group pruning engages on the scan below.
+    // NOTE: this collect is a REAL Spark job executed at DataFrame-
+    // CONSTRUCTION time — explain/plan-shape consumers run the probe,
+    // and the returned plan is baked to the centroids observed at
+    // build time (round-8 advisory, the q88 caveat's sibling). That is
+    // inherent to a literal-predicate probe: do not move this call
+    // into a hot path or a loop; an index probe IS a query.
     val probeCells = cent.crossJoin(broadcast(qv))
       .select(col("c_id"), cosineSimilarity(col("c_emb"), col("q_emb")).as("p_sim"))
       .orderBy(col("p_sim").desc, col("c_id"))
       .limit(2)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getAs[Number]("c_id").longValue).toSeq
     IvfIndexStore.table(s, d)
       .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= 0)
@@ -313,15 +319,24 @@ object SimilarityQueries {
     * embedding, band, bkey)` frame plus the plain `emb` frame (the
     * exact-fallback leg's probe/build sides).
     *
-    * NOTE: the adaptive fallback check below (`uncovered.isEmpty`) is
-    * a REAL Spark job executed at DataFrame-CONSTRUCTION time — even
-    * explain/plan-shape consumers (PlanSpec, Plans.md generation)
-    * execute the band+argmax pipeline, and the returned plan is baked
-    * to the data observed at build time (round-7 advisory). Acceptable
-    * for this engine's run-then-read queries; if construction-time
-    * execution ever becomes a problem, fold the uncovered count into
-    * the job that materializes `covered` (an `observe` metric) and
-    * gate the union on it at action time.
+    * Construction is JOB-FREE (round-8 verdict #4: the previous
+    * `uncovered.isEmpty` check executed the whole band+argmax pipeline
+    * at DataFrame-construction time, so even explain/plan-shape
+    * consumers ran it, and the plan was baked to data observed at
+    * build time). The fallback leg is now ALWAYS part of the plan, but
+    * shaped so an empty probe costs nothing that matters: the
+    * uncovered sliver is BROADCAST onto the un-replicated label
+    * blocks — when every vector is band-covered (the sf0.1 corpus) the
+    * leg is one empty broadcast plus a map-side pass over the store
+    * scan, no shuffle, no 8× salt replication; when the cold tail is
+    * non-empty the leg computes the exact in-label argmax for just
+    * those vectors (PrunedPairMiningSpec pins that path). The
+    * broadcast is sound for the same reason the leg exists at all:
+    * uncovered is the isolated-vector tail, collision-starved by
+    * construction — a tail too big to broadcast means the banding is
+    * mis-sized for the corpus, which is a config bug to fix, not a
+    * plan to accommodate. PlanSpec holds the zero-jobs-at-construction
+    * contract with a job-counting listener.
     */
   private def prunedPairMiningBands(bands: org.apache.spark.sql.DataFrame,
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -359,17 +374,24 @@ object SimilarityQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact fallback ONLY for vectors no band covered — at scale this
     // is the cold tail (isolated vectors score few/no collisions), so
-    // the quadratic leg runs over a sliver of the corpus. The tail is
-    // OBSERVED before the leg is built: when every vector is covered
-    // (the sf0.1 corpus — see class doc) the salted join would still
-    // shuffle its 8×-replicated side for zero probe rows, so an empty
-    // check (one scan against the persisted argmax) skips the whole
-    // leg — the q45-style adaptive construction, decided per corpus,
-    // not hardcoded.
+    // the quadratic leg runs over a sliver of the corpus; see the
+    // method doc for why the sliver broadcasts and why an empty one
+    // makes the leg near-free without any construction-time check
     val uncovered = emb.join(covered.select(col("vec_id")),
       Seq("vec_id"), "left_anti")
-    if (uncovered.isEmpty) covered
-    else covered.unionByName(pairMiningExact(uncovered, emb))
+    val fallback = broadcast(
+        uncovered.select(col("label"), col("vec_id"),
+          col("embedding").as("emb_a")))
+      .join(emb.select(col("label"), col("vec_id").as("pair_id"),
+        col("embedding").as("emb_b")), Seq("label"))
+      .filter(col("vec_id") =!= col("pair_id"))
+      .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
+      .groupBy("label", "vec_id")
+      .agg(min(struct((-col("sim")).as("ns"), col("pair_id").as("pid")))
+        .as("best"))
+      .select(col("label"), col("vec_id"),
+        col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
+    covered.unionByName(fallback)
   }
 
   /** q78 — SEMANTIC-ONLY near-dups (paraphrase mining): embedding pairs

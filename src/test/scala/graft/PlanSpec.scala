@@ -251,6 +251,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 construction launches ZERO Spark jobs (round-8 verdict #4: " +
+    "the adaptive isEmpty check ran the whole pipeline at build time); " +
+    "the fallback leg is in-plan with its uncovered sliver broadcast") {
+    // the store build runs jobs on first access — pay it before counting
+    SimilarityQueries.EmbBandStore.ensure(spark, sf)
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try graft.core.CacheScope.withScope {
+      val df = SimilarityQueries.queries("q88_pruned_pair_mining")(spark, sf)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // a construction-time job blocks until completion, so its
+      // JobStart was posted before we got here; the grace period only
+      // covers listener-bus delivery
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"construction/explain launched ${jobs.get()} Spark jobs")
+      assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("q41 probes the ON-DISK IVF index: the literal cell-IN " +
     "predicate is pushed to the parquet reader over the cell-sorted " +
     "store, and the per-query assignment pass is gone (round-8: the " +
