@@ -457,25 +457,33 @@ object EventQueries {
       .withColumn("win", collect_list(col("value")).over(win))
       .filter(size(col("win")) === W)
       .select(col("user_id"), unix_millis(col("ts")).as("end_ms"),
+        col("event_id"),
         graft.functions.VectorFunctions
           .cosineSimilarity(col("win"), typedlit(ramp)).as("sim"))
-      .orderBy(col("sim").desc, col("user_id"), col("end_ms"))
+      // event_id joins the sort key (then drops from the output): two
+      // windows for one user can share end_ms when events carry equal
+      // timestamps, so without it a tie at the LIMIT boundary would be
+      // engine-order-dependent (round-8 advisory); the plan stays
+      // TakeOrderedAndProject — the projection rides the top-k
+      .orderBy(col("sim").desc, col("user_id"), col("end_ms"),
+        col("event_id"))
       .limit(20)
+      .select(col("user_id"), col("end_ms"), col("sim"))
   }
 
   val q96Sql: String = {
     val ramp = (1 to 8).map(i => s"$i.0").mkString("[", ", ", "]")
     s"""WITH w AS (
-       |  SELECT user_id, ts,
+       |  SELECT user_id, ts, event_id,
        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
        |  FROM events),
-       |f AS (SELECT user_id, epoch_ms(ts) AS end_ms, win FROM w WHERE len(win) = 8)
+       |f AS (SELECT user_id, epoch_ms(ts) AS end_ms, event_id, win FROM w WHERE len(win) = 8)
        |SELECT user_id, end_ms,
        |  list_dot_product(win, $ramp)
        |    / (sqrt(list_dot_product(win, win)) * sqrt(list_dot_product($ramp, $ramp))) AS sim
        |FROM f
-       |ORDER BY sim DESC, user_id, end_ms LIMIT 20""".stripMargin
+       |ORDER BY sim DESC, user_id, end_ms, event_id LIMIT 20""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
