@@ -569,8 +569,12 @@ object DedupTextQueries {
     * name. The write-aside keeps the rewrite itself out of readers'
     * view, but the swap is TWO catalog operations (drop + rename) with
     * no atomicity — run compaction in the ingest job's maintenance
-    * window, not concurrently with active readers; a crash between the
-    * two ops leaves the data intact under `<name>_compacting` for
+    * window, not concurrently with active readers. Since round 9 that
+    * precondition is ENFORCED, not just documented: an active
+    * streaming reader's lease ([[graft.core.StoreLeases]], acquired by
+    * `StreamingAdmission.admissionQuery` for the stream's lifetime)
+    * makes this call throw instead of racing the swap. A crash between
+    * the two ops leaves the data intact under `<name>_compacting` for
     * manual recovery (re-issue the rename). Contents, bucket spec
     * (read from the catalog, never assumed), and admission verdicts
     * are unchanged (StreamingAdmissionSpec pins all three); only the
@@ -594,6 +598,20 @@ object DedupTextQueries {
     */
   def compactStore(s: org.apache.spark.sql.SparkSession,
       tableName: String): Unit = {
+    // the documented no-concurrent-readers precondition, ENFORCED
+    // (round-8 verdict #6): refuse while any pending-start token or
+    // still-active streaming query holds a read lease on this table —
+    // the drop+rename swap would dangle the reader's file index.
+    // Terminated-but-unreleased leases (listener delivery is async)
+    // never block: holders are checked against the live active set.
+    val active = s.streams.active.map(_.id.toString).toSet
+    val live = graft.core.StoreLeases.holdersOf(tableName)
+      .filter(h => h.startsWith("pending:") || active.contains(h))
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"compactStore($tableName) refused: leased by active streaming " +
+        s"reader(s) ${live.mkString(", ")} — the swap is two " +
+        "non-atomic catalog ops; run compaction in the maintenance " +
+        "window after the streams stop")
     val numBuckets = storeBucketCount(s, tableName)  // heals first
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = s.conf.getOption(key)

@@ -68,7 +68,7 @@ object StreamingQueries {
         stream, storeBands, path("_ckpt").toString,
         Trigger.AvailableNow(), admit) { verdicts =>
       verdicts.write.mode("append").parquet(outPath)
-    }.start().awaitTermination()
+    }.awaitTermination()
     s.read.parquet(outPath).orderBy(orderCol)
   }
 

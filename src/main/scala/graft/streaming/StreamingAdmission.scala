@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Streaming ADMISSION against the durable signature store — the
   * second tier of the two-tier streaming dedup design
@@ -92,27 +92,64 @@ object StreamingAdmission {
   def admitEmbeddingBatch(storeSig: DataFrame)(delta: DataFrame): DataFrame =
     graft.queries.SimilarityQueries.embeddingAdmitBatch(storeSig)(delta)
 
-  /** Wire a STREAMING frame to the admission engine: every trigger
-    * runs the per-batch admission on that micro-batch and hands the
-    * verdict frame to `onVerdicts` inside a CacheScope — the engine
-    * itself no longer persists (the round-7 cap change removed it),
-    * but the scope stays so anything `onVerdicts` or a future engine
-    * revision tracks is released per batch rather than leaking across
-    * the stream's lifetime. `admit` is [[admitBatch]] for `(doc_id,
-    * text)` documents (the default) or [[admitMediaBatch]] for
-    * `(doc_id, mime, payload)` assets. Start with `.start()` / stop
-    * via the returned writer's query, as usual.
+  /** Wire a STREAMING frame to the admission engine and START it:
+    * every trigger runs the per-batch admission on that micro-batch
+    * and hands the verdict frame to `onVerdicts` inside a CacheScope —
+    * the engine itself no longer persists (the round-7 cap change
+    * removed it), but the scope stays so anything `onVerdicts` or a
+    * future engine revision tracks is released per batch rather than
+    * leaking across the stream's lifetime. `admit` is [[admitBatch]]
+    * for `(doc_id, text)` documents (the default) or
+    * [[admitMediaBatch]] / [[admitEmbeddingBatch]] for assets/vectors.
+    *
+    * For the stream's LIFETIME, the catalog tables `storeBands` scans
+    * are leased in [[graft.core.StoreLeases]] (acquired under a
+    * pending token BEFORE start so no startup window is unguarded;
+    * released by a termination listener), which is what lets
+    * `compactStore` refuse its drop+rename swap while this stream
+    * would race it — a swapped-out store would otherwise fail the next
+    * micro-batch with a dangling file index (round-8 verdict #6).
     */
   def admissionQuery(docs: DataFrame, storeBands: DataFrame,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       admit: DataFrame => DataFrame => DataFrame = admitBatch)(
-      onVerdicts: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.core.CacheScope.withScope {
-          onVerdicts(admit(storeBands)(batch))
+      onVerdicts: DataFrame => Unit): StreamingQuery = {
+    val tables = storeBands.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isDefined =>
+        lr.catalogTable.get.identifier.table
+    }.toSet
+    val token = "pending:" + java.util.UUID.randomUUID()
+    graft.core.StoreLeases.acquire(token, tables)
+    val started = try {
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.core.CacheScope.withScope {
+            onVerdicts(admit(storeBands)(batch))
+          }
         }
-      }
+        .start()
+    } catch { case e: Throwable =>
+      graft.core.StoreLeases.release(token); throw e
+    }
+    if (tables.nonEmpty) {
+      graft.core.StoreLeases.rekey(token, started.id.toString)
+      val streams = docs.sparkSession.streams
+      streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == started.id) {
+            graft.core.StoreLeases.release(started.id.toString)
+            streams.removeListener(this)
+          }
+      })
+    }
+    started
+  }
 }

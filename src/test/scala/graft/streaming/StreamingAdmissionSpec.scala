@@ -57,7 +57,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
             source.toDS().toDF("doc_id", "text"), store, ckpt,
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { verdicts =>
           got.synchronized { got ++= verdictRows(verdicts) }; ()
-        }.start()
+        }
         try batches.foreach { b =>
           source.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
@@ -98,7 +98,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
             source.toDS().toDF("doc_id", "text"), spark.table("fold_store"),
             ckpt, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
           verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
-        }.start()
+        }
         try { source.addData(batch: _*); q.processAllAvailable() }
         finally q.stop()
         got.sortBy(_._1).toSeq
@@ -158,6 +158,41 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("compactStore REFUSES while an active admission stream leases " +
+    "the store, and proceeds once the stream stops (round-8 verdict " +
+    "#6: the no-concurrent-readers precondition is enforced)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      graft.queries.DedupTextQueries
+        .writeSignatureStore(spark, sf, "lease_store", lit(true))
+      val source = MemoryStream[(Long, String)]
+      val q = StreamingAdmission.admissionQuery(
+          source.toDS().toDF("doc_id", "text"), spark.table("lease_store"),
+          java.nio.file.Files.createTempDirectory("lease_ckpt").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+        verdicts => verdicts.count(); ()
+      }
+      try {
+        source.addData((900001L, "a live reader holds its lease"))
+        q.processAllAvailable()
+        val e = intercept[IllegalStateException] {
+          graft.queries.DedupTextQueries.compactStore(spark, "lease_store")
+        }
+        assert(e.getMessage.contains("lease_store"), e.getMessage)
+        assert(e.getMessage.contains(q.id.toString), e.getMessage)
+      } finally q.stop()
+      // terminated stream: the lease no longer counts against the live
+      // active set even before the async listener fires — compaction
+      // proceeds and the store stays intact
+      graft.queries.DedupTextQueries.compactStore(spark, "lease_store")
+      assert(spark.table("lease_store").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lease_store")
+      spark.sql("DROP TABLE IF EXISTS lease_store_compacting")
+    }
+  }
+
   test("media assets run the FULL admission lifecycle on the same " +
     "tier: streamed micro-batch verdicts (admitMediaBatch), nightly " +
     "foldAdmittedVia(mediaBandFrame), compaction — a truncated copy " +
@@ -184,7 +219,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
           StreamingAdmission.admitMediaBatch) {
         verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
-      }.start()
+      }
       try batches.foreach { b =>
         source.addData(b: _*); s.processAllAvailable()
       } finally s.stop()
@@ -382,7 +417,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
           (r.getLong(0), r.getBoolean(1),
             if (r.isNullAt(4)) -1L else r.getLong(4)))
       }; ()
-    }.start()
+    }
     try {
       source.addData((600L, dup), (601L, ortho))
       q.processAllAvailable()
@@ -416,7 +451,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         storeBands,
         java.nio.file.Files.createTempDirectory("geo_adm_ckpt").toString) {
       verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
-    }.start()
+    }
     q.awaitTermination()
 
     // batch ≡ stream: the same delta through the batch engine
