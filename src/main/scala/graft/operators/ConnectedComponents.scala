@@ -17,13 +17,20 @@ import org.apache.spark.storage.StorageLevel
   *    case, and it replaces per-round Spark jobs whose scheduling costs
   *    orders of magnitude more than the arithmetic (measured: 3 rounds ≈
   *    5 s for a 400-edge graph at sf0.1).
-  *  - **Iterative min-label propagation** otherwise: each round every
-  *    node takes the min of its own label and its neighbors' labels (one
-  *    join + one groupBy over |edges| rows — never the corpus), rounds
-  *    until a cheap aggregate reports no change. Label frames are
-  *    cache-rotated (persist next, unpersist previous). At extreme
-  *    diameters large-star/small-star halves round count; duplicate
-  *    graphs are near-clique, diameter 2-3.
+  *  - **Iterative min-label propagation WITH POINTER JUMPING**
+  *    otherwise: each round every node takes the min of its own label,
+  *    its neighbors' labels, AND its label's label (the Shiloach-
+  *    Vishkin shortcut — two joins + one groupBy over |edges|-
+  *    proportional rows, never the corpus), rounds until a cheap
+  *    aggregate reports no change. The label-of-label hop doubles the
+  *    distance a component min travels per round, so rounds are
+  *    O(log diameter) instead of O(diameter) — ~15 rounds on a
+  *    10,000-node chain where plain propagation would take 10,000
+  *    (ConnectedComponentsSpec pins ≤ 20). Duplicate graphs are
+  *    near-clique (diameter 2-3) so this is insurance for adversarial
+  *    shapes, at the cost of one extra |nodes|-row join per round.
+  *    Label frames are cache-rotated (persist next, unpersist
+  *    previous).
   *
   * Both paths are deterministic (labels are ids, min is order-free) and
   * CacheScope-compatible: every persisted frame is tracked.
@@ -58,7 +65,7 @@ object ConnectedComponents {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = sym.count()
     if (n <= localThreshold) localLabels(spark, sym)
-    else iterativeLabels(sym)
+    else iterativeLabels(sym)._1
   }
 
   private def localLabels(spark: SparkSession, sym: DataFrame): DataFrame = {
@@ -102,25 +109,38 @@ object ConnectedComponents {
     (c, release)
   }
 
-  private def iterativeLabels(sym: DataFrame): DataFrame = {
+  /** The distributed fixpoint; also returns the ROUND COUNT so the
+    * spec can hold the O(log diameter) convergence bound.
+    */
+  private[graft] def iterativeLabels(sym: DataFrame): (DataFrame, Int) = {
     // Each round MUST truncate lineage (eager localCheckpoint): `next`
-    // references `labels` twice (union + propagation join), so a
-    // persist-only rotation doubles the logical plan per round —
-    // exponential tree growth that OOMs the driver near round ~30 (the
-    // classic iterative-lineage trap; a production deployment would use
-    // reliable checkpointing to survive executor loss, same idea).
-    // Rotated rounds release their RDD blocks immediately; the FINAL
-    // frame's release is deferred to the caller's CacheScope.
+    // references `labels` three times (union + propagation join + the
+    // pointer-jump self-join), so a persist-only rotation multiplies
+    // the logical plan per round — exponential tree growth that OOMs
+    // the driver near round ~30 (the classic iterative-lineage trap; a
+    // production deployment would use reliable checkpointing to
+    // survive executor loss, same idea). Rotated rounds release their
+    // RDD blocks immediately; the FINAL frame's release is deferred to
+    // the caller's CacheScope.
     var (labels, release) = checkpointed(
       sym.select(col("src").as("doc_id"))
         .distinct()
         .select(col("doc_id"), col("doc_id").as("cluster")))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
         .select(sym("dst").as("doc_id"), col("cluster"))
+      // pointer jumping: every label is itself a node id in the same
+      // component (self-labels initially, neighbor/hop labels after),
+      // so label-of-label is always defined (inner self-join matches
+      // every row) and always a valid, no-larger label — each round the
+      // distance a min has travelled DOUBLES instead of growing by one
+      val hop = labels.as("a")
+        .join(labels.as("b"), col("a.cluster") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.cluster").as("cluster"))
       val (next, nextRelease) = checkpointed(
-        labels.union(prop)
+        labels.union(prop).union(hop)
           .groupBy("doc_id")
           .agg(min(col("cluster")).as("cluster")))
       changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
@@ -128,8 +148,9 @@ object ConnectedComponents {
       release()
       labels = next
       release = nextRelease
+      rounds += 1
     }
     graft.core.CacheScope.defer(release)
-    labels
+    (labels, rounds)
   }
 }

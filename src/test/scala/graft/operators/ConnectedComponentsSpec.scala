@@ -50,6 +50,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(truth.values.toSet == Set(0L)) // one component, min id 0
   }
 
+  test("a 10,000-node chain converges in O(log diameter) rounds on the " +
+    "distributed path (pointer jumping; plain propagation would take " +
+    "10,000 rounds — round-8 verdict #7)") {
+    import spark.implicits._
+    graft.core.CacheScope.withScope {
+      val chain = (1L until 10000L).map(i => (i, i + 1))
+      val sym = graft.core.CacheScope.track(
+        chain.toDF("src", "dst")
+          .select(col("src"), col("dst"))
+          .union(chain.toDF("src", "dst")
+            .select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .persist())
+      val (labels, rounds) = ConnectedComponents.iterativeLabels(sym)
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 10000)
+      assert(got.forall(_._2 == 1L),
+        s"all labels must reach the component min, got ${got.filter(_._2 != 1L).take(5).toSeq}")
+      // distance-to-min doubles per round: ceil(log2(10000)) = 14, plus
+      // the no-change detection round and slack
+      assert(rounds <= 20, s"$rounds rounds for diameter 9999")
+    }
+  }
+
   test("random sparse graph: local union-find == distributed propagation") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)(
