@@ -37,6 +37,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Micro-batches here carry O(|delta|/nFiles) rows, so the session's
+    * batch-sized shuffle-partition count just multiplies per-trigger
+    * task/state overhead for empty gain — pin it low for the stream's
+    * duration (state partition counts bake in at stream start; each
+    * run starts a fresh checkpoint, so this never conflicts with a
+    * prior run's layout). At 100 TB the equivalent knob is sizing
+    * shuffle partitions to the micro-batch, not the backfill.
+    */
+  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, saved)
+  }
+
   /** Spool `delta` to parquet (`nFiles` files), stream it back one file
     * per trigger under AvailableNow, admit each micro-batch against
     * `storeBands` via `admit`, append verdicts to a parquet sink, and
@@ -64,11 +79,13 @@ object StreamingQueries {
       .schema(s.read.parquet(deltaPath).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(deltaPath)
-    graft.streaming.StreamingAdmission.admissionQuery(
-        stream, storeBands, path("_ckpt").toString,
-        Trigger.AvailableNow(), admit) { verdicts =>
-      verdicts.write.mode("append").parquet(outPath)
-    }.awaitTermination()
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingAdmission.admissionQuery(
+          stream, storeBands, path("_ckpt").toString,
+          Trigger.AvailableNow(), admit) { verdicts =>
+        verdicts.write.mode("append").parquet(outPath)
+      }.awaitTermination()
+    }
     s.read.parquet(outPath).orderBy(orderCol)
   }
 
@@ -125,17 +142,97 @@ object StreamingQueries {
       graft.streaming.StreamingAdmission.admitEmbeddingBatch, "vec_id")
   }
 
+  /** q100 — STREAMING time-series pattern top-k: q96 run through the
+    * real stateful engine. The whole events table is spooled as THREE
+    * unordered parquet files (round-robin repartition — every
+    * micro-batch carries events from all over the timeline, so the
+    * run leans hard on [[graft.streaming.StreamingPatternSearch]]'s
+    * cross-batch merge-sort + watermark-finality semantics), streamed
+    * one file per trigger, scored per user by the keyed state machine,
+    * and the emitted scores are cut to the batch query's top 20.
+    * Oracle: q96's SQL verbatim.
+    *
+    * Emission is on finality, so the stream is closed with TWO
+    * far-future sentinel events (user −1, which never fills a window)
+    * in two separate trailing files: the first advances the watermark
+    * past every real user's state TTL, and processing the second —
+    * whose batch runs with that advanced watermark — fires the
+    * event-time timeouts that flush every user's remaining final
+    * windows before `AvailableNow` terminates. The watermark delay (45
+    * days) covers the corpus's whole time span because the round-robin
+    * spool is maximally disordered — an event from day 1 can arrive in
+    * the last real batch and must still be admissible; a production
+    * stream's bounded disorder would use a delay of minutes and hold
+    * proportionally less state. TTL (1 year) exceeds the span so no
+    * user expires mid-stream; the sentinels sit a further year out so
+    * every timeout fires at the end. Like the admission trio, the
+    * spool + the `max(ts)` read are construction-time work by design —
+    * the query IS the streaming run.
+    */
+  val q100StreamingPatternTopk: Q = (s, d) => {
+    val ramp = (1 to 8).map(_.toDouble).toArray
+    val dayMs = 24L * 3600 * 1000
+    val base = RunStore.tableName("graft_stream_pattern", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    ev.repartition(3).write.parquet(deltaPath)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    Seq(maxTs + 730L * dayMs, maxTs + 731L * dayMs).foreach { ts =>
+      // separate sequential writes: the file source orders by
+      // modification time, so each sentinel lands in its own LATER
+      // micro-batch (the tiny sleep keeps ms-granularity stamps apart)
+      Thread.sleep(10)
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(ts),
+            Long.MaxValue, 0.0)), ev.schema)
+        .write.mode("append").parquet(deltaPath)
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingPatternSearch
+        .scores(stream, ramp, "45 days", stateTtlMs = 365L * dayMs)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.PatternScore],
+              _: Long) =>
+            batch.write.mode("append").parquet(outPath); ()
+        }
+        .start().awaitTermination()
+    }
+    s.read.parquet(outPath)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("end_ms"), col("sim"))
+      .orderBy(col("sim").desc, col("user_id"), col("end_ms"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
-    "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission)
+    "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission,
+    "q100_streaming_pattern_topk" -> q100StreamingPatternTopk)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
-    * engine's union of per-micro-batch verdicts must hash-match the
+    * engine's union of per-micro-batch results must hash-match the
     * batch semantics exactly.
     */
   val oracle: Map[String, String] = Map(
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
-    "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql)
+    "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql,
+    "q100_streaming_pattern_topk" -> EventQueries.q96Sql)
 }

@@ -53,4 +53,13 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(got == want)
     assert(commits("emb") >= 3)
   }
+
+  test("q100 streaming pattern top-k over a maximally disordered spool " +
+    "== batch q96, bit-for-bit, across >= 5 micro-batches (3 shuffled " +
+    "event files + 2 flush sentinels)") {
+    val got = rows(StreamingQueries.q100StreamingPatternTopk(spark, sf))
+    val want = rows(graft.queries.EventQueries.queries("q96_pattern_topk")(spark, sf))
+    assert(got.nonEmpty && got == want)
+    assert(commits("pattern") >= 5)
+  }
 }
