@@ -499,11 +499,16 @@ object DedupTextQueries {
     // unconditional cast silently widens OR narrows (a LONG band key
     // folded into an INT-band store would truncate instead of fail —
     // round-7 advisory). A derivation/store type mismatch is a wiring
-    // bug and must throw here, before any file is written.
+    // bug and must throw here, before any file is written. Structural
+    // comparison ignoring NULLABILITY only: a locally-built admitted
+    // frame carries non-null array elements while the parquet store
+    // reads them back nullable — same physical type, safe to append.
     val mismatches = target.flatMap { f =>
       frame.schema.find(_.name == f.name) match {
         case None => Some(s"${f.name}: missing from band frame")
-        case Some(g) if g.dataType != f.dataType =>
+        case Some(g) if !org.apache.spark.sql.types.DataType
+            .equalsStructurally(g.dataType, f.dataType,
+              ignoreNullability = true) =>
           Some(s"${f.name}: band frame ${g.dataType.simpleString} vs " +
             s"store ${f.dataType.simpleString}")
         case _ => None
@@ -512,10 +517,15 @@ object DedupTextQueries {
     require(mismatches.isEmpty,
       s"band frame does not match $tableName's schema — " +
         mismatches.mkString("; "))
+    // append under the store's ACTUAL bucket spec (never assumed):
+    // the same fold path serves the (band,bkey) band stores and the
+    // vec_id-bucketed wide embedding store
+    val spec = storeBucketSpec(s, tableName)
     frame.select(target.map(f => col(f.name)).toSeq: _*)
       .write
-      .bucketBy(storeBucketCount(s, tableName), "band", "bkey")
-      .sortBy("band", "bkey")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .mode("append")
       .saveAsTable(tableName)
   }
@@ -524,7 +534,7 @@ object DedupTextQueries {
     * catalog operations: when `<name>` is gone but `<name>_compacting`
     * exists, the compacted copy IS the store — re-issue the rename.
     * Called on every store access that goes through the lifecycle API
-    * ([[foldAdmittedVia]], [[storeBucketCount]], [[compactStore]]
+    * ([[foldAdmittedVia]], `storeBucketSpec`, [[compactStore]]
     * itself — where healing FIRST also keeps the `DROP ... _compacting`
     * reset from deleting the only surviving copy), so the crash window
     * self-heals on the next touch instead of requiring manual repair
@@ -551,12 +561,12 @@ object DedupTextQueries {
     * brittle across Spark formatting changes; `getTableMetadata`'s
     * `bucketSpec` is the structured source.)
     */
-  private def storeBucketCount(s: org.apache.spark.sql.SparkSession,
-      tableName: String): Int = {
+  private def storeBucketSpec(s: org.apache.spark.sql.SparkSession,
+      tableName: String): org.apache.spark.sql.catalyst.catalog.BucketSpec = {
     healCompaction(s, tableName)
     s.sessionState.catalog
       .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(tableName))
-      .bucketSpec.map(_.numBuckets)
+      .bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"$tableName is not a bucketed table"))
   }
@@ -598,6 +608,9 @@ object DedupTextQueries {
     */
   def compactStore(s: org.apache.spark.sql.SparkSession,
       tableName: String): Unit = {
+    // generic over the store's catalog bucket spec — compacts the
+    // (band,bkey) band stores and the vec_id-bucketed wide embedding
+    // store through the one code path
     // the documented no-concurrent-readers precondition, ENFORCED
     // (round-8 verdict #6): refuse while any pending-start token or
     // still-active streaming query holds a read lease on this table —
@@ -612,7 +625,7 @@ object DedupTextQueries {
         s"reader(s) ${live.mkString(", ")} — the swap is two " +
         "non-atomic catalog ops; run compaction in the maintenance " +
         "window after the streams stop")
-    val numBuckets = storeBucketCount(s, tableName)  // heals first
+    val spec = storeBucketSpec(s, tableName)  // heals first
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = s.conf.getOption(key)
     s.conf.set(key, "false")
@@ -620,7 +633,8 @@ object DedupTextQueries {
       val tmp = tableName + "_compacting"
       s.sql(s"DROP TABLE IF EXISTS $tmp")
       graft.core.Tables.writeBucketed(
-        s.table(tableName), tmp, numBuckets, "band", "bkey")
+        s.table(tableName), tmp, spec.numBuckets,
+        spec.bucketColumnNames: _*)
       s.sql(s"DROP TABLE $tableName")
       s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
     } finally saved match {

@@ -934,12 +934,32 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** An admitted `(doc_id, embedding)` batch widened to the embedding
+    * store's layout (`vec_id, embedding, bkey0..bkey5`) — THE fold
+    * derivation for the semantic tier, completing the lifecycle
+    * symmetry across modalities: text and media band stores fold via
+    * `foldAdmittedVia(textBandFrame / mediaBandFrame)`; the wide
+    * embedding store folds via `foldAdmittedVia(embWideRows)` (the
+    * fold path reads the store's actual bucket spec from the catalog,
+    * so the vec_id-bucketed layout appends and compacts through the
+    * same code path as the band stores). Keys come from the ONE
+    * [[bandKeyCol]] derivation, so folded rows are bit-identical to
+    * ingest-signed rows and a re-submitted near-dup of a folded
+    * vector is rejected (StreamingAdmissionSpec's embedding
+    * admit→fold→re-admit scenario).
+    */
+  def embWideRows(admitted: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    admitted.select(
+      col("doc_id").as("vec_id") +: col("embedding") +:
+        (0 until NumBands).map(b => bandKeyCol(b).as(s"bkey$b")): _*)
+
   /** [[embeddingAdmit]] over a WIDE admitted-corpus store table
     * (`vec_id, embedding, bkey0..bkey5` — the [[EmbBandStore]] layout;
-    * in production the ingest job appends admitted vectors' wide rows)
-    * and a `(doc_id, embedding)` delta batch, which signs itself
-    * inline via [[embBandFrame]] — an arriving vector has no store
-    * row yet by definition.
+    * in production the ingest job appends admitted vectors' wide rows
+    * via `foldAdmittedVia(embWideRows)`) and a `(doc_id, embedding)`
+    * delta batch, which signs itself inline via [[embBandFrame]] — an
+    * arriving vector has no store row yet by definition.
     */
   def embeddingAdmitBatch(storeSig: org.apache.spark.sql.DataFrame)(
       delta: org.apache.spark.sql.DataFrame)

@@ -389,6 +389,49 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       s"orthogonal vector must be admitted (cos 0 < bar): $verdicts")
   }
 
+  test("embedding vectors run the FULL admission lifecycle: wide-store " +
+    "fold (foldAdmittedVia(embWideRows)) + bucket-spec-generic " +
+    "compaction — a re-submitted near-dup of a folded vector is " +
+    "rejected the next day, and pre-fold store rows survive") {
+    import spark.implicits._
+    val S = graft.queries.SimilarityQueries
+    val D = graft.queries.DedupTextQueries
+    val dup = Array.fill(64)(0.25f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.25f else -0.25f)
+    def admit(batch: Seq[(Long, Array[Float])]) =
+      graft.core.CacheScope.withScope {
+        StreamingAdmission.admitEmbeddingBatch(spark.table("emb_fold_store"))(
+            batch.toDF("doc_id", "embedding"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1),
+            if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+      }
+    try {
+      // ingest: the admitted corpus is one vector, written in the wide
+      // vec_id-bucketed layout
+      graft.core.Tables.writeBucketed(
+        S.embWideRows(Seq((500L, dup)).toDF("doc_id", "embedding")),
+        "emb_fold_store", 4, "vec_id")
+      // day 1: an orthogonal vector has no confirmed collider — admitted
+      assert(admit(Seq((600L, ortho))) == Seq((600L, false, -1L)))
+      // nightly: fold the admitted vector's wide row, then compact —
+      // both through the SAME lifecycle path as the band stores, the
+      // bucket spec read from the catalog (vec_id, 4 buckets)
+      D.foldAdmittedVia(S.embWideRows)(spark, "emb_fold_store",
+        Seq((600L, ortho)).toDF("doc_id", "embedding"))
+      D.compactStore(spark, "emb_fold_store")
+      assert(spark.table("emb_fold_store").count() == 2)
+      // day 2: the same vector under a new id collides in every band
+      // with the FOLDED row and confirms at cosine 1 — rejected naming
+      // day 1's vector; a near-dup of the ORIGINAL store row still
+      // rejects too (compaction preserved pre-fold contents)
+      assert(admit(Seq((601L, ortho))) == Seq((601L, true, 600L)))
+      assert(admit(Seq((602L, dup))) == Seq((602L, true, 500L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS emb_fold_store")
+      spark.sql("DROP TABLE IF EXISTS emb_fold_store_compacting")
+    }
+  }
+
   test("embedding admission composes with the streaming plumbing: " +
     "vectors arriving as micro-batches through admissionQuery get the " +
     "same two-stage verdicts as the batch engine") {
