@@ -763,6 +763,26 @@ object DedupTextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Oracle for q101 (the ONLINE near-dup tier run driver-visibly —
+    * [[graft.queries.StreamingQueries]]): with the stream spooled in
+    * (ts, doc_id) order, a band bucket's online OWNER is its minimum
+    * doc_id, and every later claimant emits one hit per colliding
+    * band against that owner. Lives here because it is built from the
+    * same private band-CTE strings as every other LSH oracle — the
+    * parity contract with [[graft.functions.MinHashBandKeys]] has ONE
+    * rendering.
+    */
+  val q101Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$sigSelectSql,
+       |bands AS (
+       | $bandsSelectSql),
+       |own AS (SELECT band, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)
+       |SELECT b.doc_id, b.band, o.owner AS dup_of
+       |FROM bands b JOIN own o ON b.band = o.band AND b.bkey = o.bkey
+       |WHERE b.doc_id <> o.owner
+       |ORDER BY b.doc_id, b.band""".stripMargin
+
   private val SimhashBits = 32
 
   /** q33 — frequency-weighted SimHash (32-bit): per token a 32-bit md5

@@ -220,11 +220,78 @@ object StreamingQueries {
       .limit(20)
   }
 
+  /** q101 — STREAMING online near-dup (tier ONE of the two-tier dedup
+    * design, driver-visible): every arriving document is checked
+    * ONLINE against everything seen inside the state horizon by
+    * [[graft.streaming.StreamingNearDup]] — `(band, bkey)`-keyed
+    * state holding one owner per bucket; later claimants emit hits.
+    * Tier two (the durable store) is q64/q97; this is the
+    * within-horizon engine those tiers deliberately don't cover.
+    *
+    * Ownership in the online tier is ARRIVAL order, so the spool
+    * realizes the oracle's total order: documents are written as
+    * three doc_id-range files, sequentially (the file source
+    * processes files in modification-time order), with `ts`
+    * synthesized monotone in doc_id — making the online owner of
+    * every bucket its minimum doc_id, which is exactly what the SQL
+    * oracle computes. The horizon TTL exceeds the synthetic time
+    * span, so nothing expires mid-stream; hits emit immediately (no
+    * finality wait — this operator's output is the collision, not a
+    * window), so no flush sentinels are needed.
+    */
+  val q101StreamingOnlineNeardup: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_online", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("doc_id") + lit(1700000000000L)).as("ts"))
+    val Seq(lo, hi) = docs
+      .agg(min(col("doc_id")), max(col("doc_id")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val (a, b) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    Seq(col("doc_id") <= a,
+        col("doc_id") > a && col("doc_id") <= b,
+        col("doc_id") > b)
+      .foreach { range =>
+        Thread.sleep(10)
+        docs.filter(range).coalesce(1).write.mode("append").parquet(deltaPath)
+      }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingNearDup
+        .collisions(stream, "1 hour", stateTtlMs = 24L * 3600 * 1000)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.NearDupHit],
+              _: Long) =>
+            batch.write.mode("append").parquet(outPath); ()
+        }
+        .start().awaitTermination()
+    }
+    s.read.parquet(outPath)
+      .select(col("doc_id"), col("band"), col("dup_of"))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
     "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission,
-    "q100_streaming_pattern_topk" -> q100StreamingPatternTopk)
+    "q100_streaming_pattern_topk" -> q100StreamingPatternTopk,
+    "q101_streaming_online_neardup" -> q101StreamingOnlineNeardup)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -234,5 +301,6 @@ object StreamingQueries {
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
     "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql,
-    "q100_streaming_pattern_topk" -> EventQueries.q96Sql)
+    "q100_streaming_pattern_topk" -> EventQueries.q96Sql,
+    "q101_streaming_online_neardup" -> DedupTextQueries.q101Sql)
 }

@@ -24,7 +24,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(n >= 0)
       // core operators must produce rows even at the smallest SF
       val mustBeNonEmpty = !Set("q32_minhash_pairs", "q34_ngram_jaccard",
-        "q42_embed_neardup", "q06_anti_join", "q12_except").contains(name)
+        "q42_embed_neardup", "q06_anti_join", "q12_except",
+        "q101_streaming_online_neardup").contains(name)
       if (mustBeNonEmpty) assert(n > 0, s"$name returned no rows")
     }
   }

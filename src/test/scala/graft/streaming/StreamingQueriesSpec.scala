@@ -54,6 +54,24 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(commits("emb") >= 3)
   }
 
+  test("q101 streaming online near-dup across >= 3 micro-batches == " +
+    "the min-owner-per-bucket batch semantics (tier one, driver-visible)") {
+    import org.apache.spark.sql.functions._
+    val got = rows(StreamingQueries.q101StreamingOnlineNeardup(spark, sf))
+    // batch equivalent of online ownership under the (ts, doc_id)-
+    // ordered spool: a bucket's owner is its min doc_id
+    val bands = DedupTextQueries.textBandFrame(
+      graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val own = bands.groupBy("band", "bkey")
+      .agg(min(col("doc_id")).as("dup_of"))
+    val want = rows(bands.join(own, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("band"), col("dup_of"))
+      .orderBy(col("doc_id"), col("band")))
+    assert(got == want)
+    assert(commits("online") >= 3)
+  }
+
   test("q100 streaming pattern top-k over a maximally disordered spool " +
     "== batch q96, bit-for-bit, across >= 5 micro-batches (3 shuffled " +
     "event files + 2 flush sentinels)") {
