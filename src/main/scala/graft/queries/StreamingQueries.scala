@@ -37,6 +37,28 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Pin every data file under `dir` that isn't already stamped to a
+    * strictly increasing modification time. The file source admits
+    * files ordered by (modification time, path); sequential writes
+    * normally produce increasing stamps, but a ms-granularity tie
+    * would fall back to path order — random part-file UUIDs — and the
+    * ordered spools (q100's trailing sentinels, q101's ownership
+    * ranges) NEED their write order to be the processing order. Called
+    * after each ordered append with a monotonically increasing epoch.
+    */
+  private def stampOrder(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, stamped: scala.collection.mutable.Set[String],
+      epoch: Long): Unit =
+    fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        if (!stamped.contains(st.getPath.getName)) {
+          fs.setTimes(st.getPath, epoch, -1)
+          stamped += st.getPath.getName
+        }
+      }
+
   /** Micro-batches here carry O(|delta|/nFiles) rows, so the session's
     * batch-sized shuffle-partition count just multiplies per-trigger
     * task/state overhead for empty gain — pin it low for the stream's
@@ -185,16 +207,20 @@ object StreamingQueries {
     val ev = graft.core.Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     ev.repartition(3).write.parquet(deltaPath)
+    // separate sequential writes: the file source orders by
+    // modification time, so each sentinel lands in its own LATER
+    // micro-batch — order pinned with explicit stamps (see stampOrder)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
+    stampOrder(fs, path("_delta"), stamped, epoch)
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
     Seq(maxTs + 730L * dayMs, maxTs + 731L * dayMs).foreach { ts =>
-      // separate sequential writes: the file source orders by
-      // modification time, so each sentinel lands in its own LATER
-      // micro-batch (the tiny sleep keeps ms-granularity stamps apart)
-      Thread.sleep(10)
       s.createDataFrame(java.util.List.of(
           org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(ts),
             Long.MaxValue, 0.0)), ev.schema)
         .write.mode("append").parquet(deltaPath)
+      epoch += 1000
+      stampOrder(fs, path("_delta"), stamped, epoch)
     }
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
@@ -257,12 +283,18 @@ object StreamingQueries {
       .agg(min(col("doc_id")), max(col("doc_id")))
       .head().toSeq.map(_.asInstanceOf[Long])
     val (a, b) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    // sequential range writes with explicitly stamped, strictly
+    // increasing modification times (see stampOrder): processing order
+    // IS ownership order, so it must never fall to a path tie-break
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
     Seq(col("doc_id") <= a,
         col("doc_id") > a && col("doc_id") <= b,
         col("doc_id") > b)
       .foreach { range =>
-        Thread.sleep(10)
         docs.filter(range).coalesce(1).write.mode("append").parquet(deltaPath)
+        epoch += 1000
+        stampOrder(fs, path("_delta"), stamped, epoch)
       }
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
