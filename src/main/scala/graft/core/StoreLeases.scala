@@ -24,6 +24,15 @@ import scala.jdk.CollectionConverters._
   * reader-safe anyway (a pinned file index simply doesn't see new
   * files). The destructive operation is compaction's drop+rename, and
   * streams are the readers that can straddle it.
+  *
+  * SCOPE: the guard is per-SparkSession — `streams.active` only lists
+  * queries started from the session compaction runs in, so a stream
+  * on a sibling `newSession()` of the same catalog is not protected,
+  * and the check is check-then-act (a stream acquiring its lease
+  * between the check and the DROP races the swap). This engine runs
+  * one session per process; at multi-writer scale the production
+  * analog is a catalog-level lock or an open-table-format's atomic
+  * swap, not an in-JVM registry.
   */
 object StoreLeases {
 

@@ -51,11 +51,23 @@ object Tables {
     * stages.
     */
   def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
-      keys: String*): Unit = {
-    require(keys.nonEmpty, "bucketed layout needs at least one key")
-    df.write
-      .bucketBy(numBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      keys: String*): Unit =
+    writeBucketedSorted(df, tableName, numBuckets, keys, keys)
+
+  /** [[writeBucketed]] with an independent sort spec — the sort columns
+    * may be a superset of the bucket columns (or empty for an unsorted
+    * bucketed layout); `compactStore` uses this to rewrite a store
+    * under its EXACT catalog spec instead of collapsing the sort spec
+    * to the bucket columns.
+    */
+  def writeBucketedSorted(df: DataFrame, tableName: String, numBuckets: Int,
+      bucketKeys: Seq[String], sortKeys: Seq[String]): Unit = {
+    require(bucketKeys.nonEmpty, "bucketed layout needs at least one key")
+    val writer = df.write
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    sortKeys.headOption
+      .map(h => writer.sortBy(h, sortKeys.tail: _*))
+      .getOrElse(writer)
       .mode("overwrite")
       .saveAsTable(tableName)
   }

@@ -519,13 +519,17 @@ object DedupTextQueries {
         mismatches.mkString("; "))
     // append under the store's ACTUAL bucket spec (never assumed):
     // the same fold path serves the (band,bkey) band stores and the
-    // vec_id-bucketed wide embedding store
+    // vec_id-bucketed wide embedding store. The SORT columns are the
+    // spec's own (they can be a superset of the bucket columns), and a
+    // bucketed-but-unsorted store simply appends unsorted.
     val spec = storeBucketSpec(s, tableName)
-    frame.select(target.map(f => col(f.name)).toSeq: _*)
+    val writer = frame.select(target.map(f => col(f.name)).toSeq: _*)
       .write
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
-      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    spec.sortColumnNames.headOption
+      .map(h => writer.sortBy(h, spec.sortColumnNames.tail: _*))
+      .getOrElse(writer)
       .mode("append")
       .saveAsTable(tableName)
   }
@@ -632,9 +636,9 @@ object DedupTextQueries {
     try {
       val tmp = tableName + "_compacting"
       s.sql(s"DROP TABLE IF EXISTS $tmp")
-      graft.core.Tables.writeBucketed(
+      graft.core.Tables.writeBucketedSorted(
         s.table(tableName), tmp, spec.numBuckets,
-        spec.bucketColumnNames: _*)
+        spec.bucketColumnNames, spec.sortColumnNames)
       s.sql(s"DROP TABLE $tableName")
       s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
     } finally saved match {

@@ -157,12 +157,19 @@ private[graft] object RunStore {
     val src = new Path(d)
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(src)) {
-      def walk(p: Path, depth: Int): Unit =
+      // FULLY recursive: an in-place rewrite of a file nested under
+      // partition directories (d/table/date=.../part.parquet) changes
+      // neither a shallow listing nor any parent directory's mtime, so
+      // a bounded walk would serve stale derived rows — the one
+      // direction this fingerprint exists to prevent. Cost is one
+      // listing per directory, proportional to the source's file
+      // count, i.e. the same order as the build's own file listing.
+      def walk(p: Path): Unit =
         fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
           add(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          if (st.isDirectory && depth > 0) walk(st.getPath, depth - 1)
+          if (st.isDirectory) walk(st.getPath)
         }
-      walk(src, 1)
+      walk(src)
     }
     add("|" + frame.queryExecution.analyzed.canonicalized.toString)
     frame.queryExecution.analyzed.collect {

@@ -263,15 +263,24 @@ object SimilarityQueries {
         col("embedding").as("emb_b"))
       .withColumn("salt",
         explode(array((0 until PairSalts).map(lit): _*)))
-    a.join(b.hint("shuffle_hash"), Seq("label", "salt"))
-      .filter(col("vec_id") =!= col("pair_id"))
+    bestInLabelMatch(a.join(b.hint("shuffle_hash"), Seq("label", "salt")))
+  }
+
+  /** The in-label argmax tail shared by q77's salted exact join and
+    * q88's broadcast fallback leg — ONE rendering of the scoring +
+    * tie-break contract (best sim, then smallest pair_id), so the two
+    * legs can never drift apart. Input: joined candidate rows carrying
+    * `label, vec_id, emb_a, pair_id, emb_b`.
+    */
+  private def bestInLabelMatch(joined: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    joined.filter(col("vec_id") =!= col("pair_id"))
       .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
       .groupBy("label", "vec_id")
       .agg(min(struct((-col("sim")).as("ns"), col("pair_id").as("pid")))
         .as("best"))
       .select(col("label"), col("vec_id"),
         col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
-  }
 
   /** The 100 TB ESCAPE HATCH for pair mining (round-5 verdict #3):
     * q77's exact in-label argmax is O(n²/label) COMPUTE — the salted
@@ -379,18 +388,12 @@ object SimilarityQueries {
     // makes the leg near-free without any construction-time check
     val uncovered = emb.join(covered.select(col("vec_id")),
       Seq("vec_id"), "left_anti")
-    val fallback = broadcast(
-        uncovered.select(col("label"), col("vec_id"),
-          col("embedding").as("emb_a")))
-      .join(emb.select(col("label"), col("vec_id").as("pair_id"),
-        col("embedding").as("emb_b")), Seq("label"))
-      .filter(col("vec_id") =!= col("pair_id"))
-      .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
-      .groupBy("label", "vec_id")
-      .agg(min(struct((-col("sim")).as("ns"), col("pair_id").as("pid")))
-        .as("best"))
-      .select(col("label"), col("vec_id"),
-        col("best.pid").as("pair_id"), (-col("best.ns")).as("sim"))
+    val fallback = bestInLabelMatch(
+      broadcast(
+          uncovered.select(col("label"), col("vec_id"),
+            col("embedding").as("emb_a")))
+        .join(emb.select(col("label"), col("vec_id").as("pair_id"),
+          col("embedding").as("emb_b")), Seq("label")))
     covered.unionByName(fallback)
   }
 

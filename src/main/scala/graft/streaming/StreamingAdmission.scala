@@ -137,7 +137,7 @@ object StreamingAdmission {
     if (tables.nonEmpty) {
       graft.core.StoreLeases.rekey(token, started.id.toString)
       val streams = docs.sparkSession.streams
-      streams.addListener(new StreamingQueryListener {
+      val listener = new StreamingQueryListener {
         override def onQueryStarted(
             e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
@@ -148,7 +148,19 @@ object StreamingAdmission {
             graft.core.StoreLeases.release(started.id.toString)
             streams.removeListener(this)
           }
-      })
+      }
+      streams.addListener(listener)
+      // a query can terminate (instant AvailableNow drain, immediate
+      // failure) BEFORE the listener registers, in which case its
+      // termination event was posted to nobody: release/deregister
+      // here — both operations are idempotent, so double cleanup from
+      // the race's other interleaving is harmless. Without this, every
+      // short-lived admission stream would leak its lease entry and a
+      // dead listener on the bus for the JVM's lifetime.
+      if (!started.isActive) {
+        graft.core.StoreLeases.release(started.id.toString)
+        streams.removeListener(listener)
+      }
     }
     started
   }
