@@ -102,6 +102,12 @@ object StreamingAdmission {
     * for `(doc_id, text)` documents (the default) or
     * [[admitMediaBatch]] / [[admitEmbeddingBatch]] for assets/vectors.
     *
+    * Each micro-batch re-executes the admission plan against the
+    * CURRENT store — deliberately: the tier is stateless, and a
+    * nightly fold must be visible to the next batch, so the store
+    * scan (bucketed, window exchange-free) is a per-batch cost, never
+    * cached across batches into a stale view.
+    *
     * For the stream's LIFETIME, the catalog tables `storeBands` scans
     * are leased in [[graft.core.StoreLeases]] (acquired under a
     * pending token BEFORE start so no startup window is unguarded;
