@@ -131,6 +131,33 @@ class StreamingPatternSearchSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("randomized disorder sweep: arbitrary arrival shuffles cut into " +
+    "arbitrary micro-batches all emit the exact batch scored frame " +
+    "(seeded, 4 scenarios × 2 users with interleaved ties)") {
+    import spark.implicits._
+    val pat = Array(1.0, 2.0, 3.0)
+    def t(ms: Long) = new Timestamp(ms)
+    // two users, interleaved timestamps, one exact ts-tie per user
+    val all = (0 until 10).map { i =>
+      (1L + i % 2, t(1000L * (i / 2) + 1000), 100L + i, (i * 7 % 5) + 1.0)
+    } ++ Seq((1L, t(3000), 200L, 9.0), (2L, t(4000), 201L, 2.5))
+    val expected = batchScores(
+      all.toDF("user_id", "ts", "event_id", "value"), pat)
+    assert(expected.nonEmpty)
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { scenario =>
+      val shuffled = rnd.shuffle(all)
+      // random cut points -> 1..4 batches of random sizes
+      val cuts = (Seq(0, shuffled.size) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(shuffled.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+      val got = runStream(batches, pat, "1 hour",
+        ttlMs = 3600 * 1000, flushTs = 6000 + 3L * 3600 * 1000)
+      assert(got == expected,
+        s"scenario $scenario (batches ${batches.map(_.size)}) diverged")
+    }
+  }
+
   test("an idle user's window state expires at the TTL: the rolling " +
     "buffer restarts instead of chaining across the gap, and expiry " +
     "flushes the user's final windows") {
