@@ -74,13 +74,32 @@ object StreamingQueries {
     try body finally s.conf.set(key, saved)
   }
 
+  /** IDEMPOTENT per-batch parquet sink (round-9 verdict #4): each
+    * micro-batch overwrites its own `batch_id=<id>` partition
+    * directory instead of appending files to a shared dir, so a
+    * REPLAYED epoch (a stream restarted from its checkpoint re-runs
+    * the last uncommitted batch under the same id) lands on the same
+    * path and cannot duplicate rows — exactly-once sink semantics from
+    * at-least-once batch execution, the standard production shape.
+    */
+  private[graft] def writeBatch(df: DataFrame, outPath: String,
+      batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** Read a [[writeBatch]] sink back; the partition-discovery
+    * `batch_id` column is an implementation detail, dropped here.
+    */
+  private[graft] def readSink(s: SparkSession, outPath: String): DataFrame =
+    s.read.parquet(outPath).drop("batch_id")
+
   /** Spool `delta` to parquet (`nFiles` files), stream it back one file
     * per trigger under AvailableNow, admit each micro-batch against
-    * `storeBands` via `admit`, append verdicts to a parquet sink, and
-    * return the sink's contents ordered by `orderCol`. All three dirs
-    * live under the warehouse dir with store-style hashed names and are
-    * reset at entry so the query is re-runnable within a JVM (Bench
-    * warmup/repeat, Verify — the q92 convention).
+    * `storeBands` via `admit`, write verdicts to a batchId-keyed
+    * parquet sink, and return the sink's contents ordered by
+    * `orderCol`. All three dirs live under the warehouse dir with
+    * store-style hashed names and are reset at entry so the query is
+    * re-runnable within a JVM (Bench warmup/repeat, Verify — the q92
+    * convention).
     */
   private def runAdmission(s: SparkSession, tag: String, d: String,
       delta: DataFrame, storeBands: DataFrame,
@@ -104,11 +123,11 @@ object StreamingQueries {
     withFewShufflePartitions(s) {
       graft.streaming.StreamingAdmission.admissionQuery(
           stream, storeBands, path("_ckpt").toString,
-          Trigger.AvailableNow(), admit) { verdicts =>
-        verdicts.write.mode("append").parquet(outPath)
+          Trigger.AvailableNow(), admit) { (verdicts, batchId) =>
+        writeBatch(verdicts, outPath, batchId)
       }.awaitTermination()
     }
-    s.read.parquet(outPath).orderBy(orderCol)
+    readSink(s, outPath).orderBy(orderCol)
   }
 
   /** q97 — STREAMING text admission: q64's delta (`doc_id % 10 = 0`)
@@ -175,21 +194,26 @@ object StreamingQueries {
     * Oracle: q96's SQL verbatim.
     *
     * Emission is on finality, so the stream is closed with TWO
-    * far-future sentinel events (user −1, which never fills a window)
-    * in two separate trailing files: the first advances the watermark
-    * past every real user's state TTL, and processing the second —
-    * whose batch runs with that advanced watermark — fires the
-    * event-time timeouts that flush every user's remaining final
-    * windows before `AvailableNow` terminates. The watermark delay (45
-    * days) covers the corpus's whole time span because the round-robin
-    * spool is maximally disordered — an event from day 1 can arrive in
-    * the last real batch and must still be admissible; a production
-    * stream's bounded disorder would use a delay of minutes and hold
-    * proportionally less state. TTL (1 year) exceeds the span so no
-    * user expires mid-stream; the sentinels sit a further year out so
-    * every timeout fires at the end. Like the admission trio, the
-    * spool + the `max(ts)` read are construction-time work by design —
-    * the query IS the streaming run.
+    * far-future sentinel events (user `min(user_id) − 1` — a key no
+    * real row can carry, derived from the data rather than assumed;
+    * two events never fill an 8-wide window) in two separate trailing
+    * files: the first advances the watermark past every real user's
+    * state TTL, and processing the second — whose batch runs with that
+    * advanced watermark — fires the event-time timeouts that flush
+    * every user's remaining final windows before `AvailableNow`
+    * terminates. The watermark delay, TTL and sentinel timestamps are
+    * all DERIVED from the observed `[min(ts), max(ts)]` span (round-9
+    * advisory: hardcoded constants silently under-covered any corpus
+    * spanning more than their assumption): the round-robin spool is
+    * maximally disordered, so the delay must cover the whole span — an
+    * event from day 1 can arrive in the last real batch and must still
+    * be admissible; a production stream's bounded disorder would use a
+    * delay of minutes and hold proportionally less state. The TTL
+    * exceeds the span so no user expires mid-stream; the sentinels sit
+    * beyond `max(ts) + ttl + delay` so every timeout fires at the end.
+    * Like the admission trio, the spool + the span read are
+    * construction-time work by design — the query IS the streaming
+    * run.
     */
   val q100StreamingPatternTopk: Q = (s, d) => {
     val ramp = (1 to 8).map(_.toDouble).toArray
@@ -213,10 +237,17 @@ object StreamingQueries {
     val stamped = scala.collection.mutable.Set.empty[String]
     var epoch = System.currentTimeMillis()
     stampOrder(fs, path("_delta"), stamped, epoch)
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
-    Seq(maxTs + 730L * dayMs, maxTs + 731L * dayMs).foreach { ts =>
+    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
+      .head()
+    val (minTs, maxTs) =
+      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
+    val sentinelUid = span.getLong(2) - 1
+    val delayMs = maxTs - minTs + dayMs
+    val ttlMs = 2L * (maxTs - minTs) + 2 * dayMs
+    val sentinel1 = maxTs + ttlMs + delayMs + dayMs
+    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
       s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(ts),
+          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
             Long.MaxValue, 0.0)), ev.schema)
         .write.mode("append").parquet(deltaPath)
       epoch += 1000
@@ -228,19 +259,19 @@ object StreamingQueries {
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       graft.streaming.StreamingPatternSearch
-        .scores(stream, ramp, "45 days", stateTtlMs = 365L * dayMs)
+        .scores(stream, ramp, s"$delayMs milliseconds", stateTtlMs = ttlMs)
         .writeStream
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[graft.streaming.PatternScore],
-              _: Long) =>
-            batch.write.mode("append").parquet(outPath); ()
+              batchId: Long) =>
+            writeBatch(batch.toDF(), outPath, batchId)
         }
         .start().awaitTermination()
     }
-    s.read.parquet(outPath)
-      .filter(col("user_id") >= 0)
+    readSink(s, outPath)
+      .filter(col("user_id") =!= lit(sentinelUid))
       .select(col("user_id"), col("end_ms"), col("sim"))
       .orderBy(col("sim").desc, col("user_id"), col("end_ms"))
       .limit(20)
@@ -260,10 +291,14 @@ object StreamingQueries {
     * processes files in modification-time order), with `ts`
     * synthesized monotone in doc_id — making the online owner of
     * every bucket its minimum doc_id, which is exactly what the SQL
-    * oracle computes. The horizon TTL exceeds the synthetic time
-    * span, so nothing expires mid-stream; hits emit immediately (no
+    * oracle computes. The horizon TTL is derived from the observed
+    * doc_id span so nothing expires mid-stream at ANY scale factor
+    * (round-9 advisory: a hardcoded 24 h horizon silently expired
+    * state once doc ids exceeded 86.4 M); hits emit immediately (no
     * finality wait — this operator's output is the collision, not a
-    * window), so no flush sentinels are needed.
+    * window), so no flush sentinels are needed. The
+    * disorder-TOLERANT twin of this query is q102, which drops the
+    * ordered-spool requirement entirely.
     */
   val q101StreamingOnlineNeardup: Q = (s, d) => {
     val base = RunStore.tableName("graft_stream_online", d)
@@ -282,7 +317,9 @@ object StreamingQueries {
     val Seq(lo, hi) = docs
       .agg(min(col("doc_id")), max(col("doc_id")))
       .head().toSeq.map(_.asInstanceOf[Long])
-    val (a, b) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val spanMs = hi - lo
+    val hourMs = 3600L * 1000
+    val (a, b) = (lo + spanMs / 3, lo + 2 * spanMs / 3)
     // sequential range writes with explicitly stamped, strictly
     // increasing modification times (see stampOrder): processing order
     // IS ownership order, so it must never fall to a path tie-break
@@ -302,18 +339,105 @@ object StreamingQueries {
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       graft.streaming.StreamingNearDup
-        .collisions(stream, "1 hour", stateTtlMs = 24L * 3600 * 1000)
+        .collisions(stream, s"${spanMs + hourMs} milliseconds",
+          stateTtlMs = 2 * spanMs + 2 * hourMs)
         .writeStream
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[graft.streaming.NearDupHit],
-              _: Long) =>
-            batch.write.mode("append").parquet(outPath); ()
+              batchId: Long) =>
+            writeBatch(batch.toDF(), outPath, batchId)
         }
         .start().awaitTermination()
     }
-    s.read.parquet(outPath)
+    readSink(s, outPath)
+      .select(col("doc_id"), col("band"), col("dup_of"))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** q102 — STREAMING near-dup over a maximally DISORDERED spool
+    * (round-9 verdict #2: q101's online tier required arrival order =
+    * ownership order; this is the watermark-finality twin that
+    * doesn't). The same documents-with-synthesized-`ts` frame is
+    * spooled as three ROUND-ROBIN parquet files — every micro-batch
+    * carries documents from all over the id range — and ownership is
+    * decided by [[graft.streaming.StreamingNearDup
+    * .finalityCollisions]]: a bucket's owner is its minimum
+    * `(ts, doc_id)` claim, judged only once the watermark passes the
+    * claim's `ts`, so the arrival permutation is irrelevant. With `ts`
+    * monotone in doc_id the event-time owner is the min doc_id —
+    * exactly q101's oracle, which this query shares VERBATIM: the
+    * ordered-arrival engine and the disorder-tolerant engine must
+    * produce the same hits.
+    *
+    * Drain follows the q100 discipline: watermark delay covers the
+    * whole observed span (round-robin disorder), TTL exceeds it so no
+    * bucket expires mid-stream, and two far-future sentinel documents
+    * (doc_ids BELOW every real id, unique texts so they collide with
+    * nothing) in separate trailing files advance the watermark and
+    * fire the timeouts that flush still-open claims before
+    * `AvailableNow` terminates.
+    */
+  val q102StreamingNeardupDisordered: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_disorder", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val epochMs = 1700000000000L
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("doc_id") + lit(epochMs)).as("ts"))
+    val Seq(lo, hi) = docs
+      .agg(min(col("doc_id")), max(col("doc_id")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val spanMs = hi - lo
+    val hourMs = 3600L * 1000
+    val delayMs = spanMs + hourMs
+    val ttlMs = 2 * spanMs + 2 * hourMs
+    // maximally disordered: round-robin repartition scatters the id
+    // range across all three files
+    docs.repartition(3).write.parquet(deltaPath)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
+    stampOrder(fs, path("_delta"), stamped, epoch)
+    val maxTsMs = epochMs + hi
+    val sentinel1 = maxTsMs + ttlMs + delayMs + hourMs
+    Seq((lo - 1, sentinel1, "graft q102 flush sentinel one"),
+        (lo - 2, sentinel1 + hourMs, "graft q102 flush sentinel two"))
+      .foreach { case (id, ts, text) =>
+        s.createDataFrame(java.util.List.of(
+            org.apache.spark.sql.Row(id, text, new java.sql.Timestamp(ts))),
+            docs.schema)
+          .write.mode("append").parquet(deltaPath)
+        epoch += 1000
+        stampOrder(fs, path("_delta"), stamped, epoch)
+      }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingNearDup
+        .finalityCollisions(stream, s"$delayMs milliseconds", ttlMs)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.NearDupHit],
+              batchId: Long) =>
+            writeBatch(batch.toDF(), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("doc_id") >= lit(lo))
       .select(col("doc_id"), col("band"), col("dup_of"))
       .orderBy(col("doc_id"), col("band"))
   }
@@ -323,7 +447,8 @@ object StreamingQueries {
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
     "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission,
     "q100_streaming_pattern_topk" -> q100StreamingPatternTopk,
-    "q101_streaming_online_neardup" -> q101StreamingOnlineNeardup)
+    "q101_streaming_online_neardup" -> q101StreamingOnlineNeardup,
+    "q102_streaming_neardup_disordered" -> q102StreamingNeardupDisordered)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -334,5 +459,6 @@ object StreamingQueries {
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
     "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql,
     "q100_streaming_pattern_topk" -> EventQueries.q96Sql,
-    "q101_streaming_online_neardup" -> DedupTextQueries.q101Sql)
+    "q101_streaming_online_neardup" -> DedupTextQueries.q101Sql,
+    "q102_streaming_neardup_disordered" -> DedupTextQueries.q101Sql)
 }

@@ -119,7 +119,7 @@ object StreamingAdmission {
   def admissionQuery(docs: DataFrame, storeBands: DataFrame,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       admit: DataFrame => DataFrame => DataFrame = admitBatch)(
-      onVerdicts: DataFrame => Unit): StreamingQuery = {
+      onVerdicts: (DataFrame, Long) => Unit): StreamingQuery = {
     val tables = storeBands.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
           if lr.catalogTable.isDefined =>
@@ -131,9 +131,13 @@ object StreamingAdmission {
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .trigger(trigger)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch id is handed through so sinks can key their writes
+        // by it — the idempotence handle a replayed epoch needs (a
+        // restarted stream re-runs its last uncommitted batch with the
+        // SAME id, so a batchId-keyed overwrite can't duplicate rows)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.core.CacheScope.withScope {
-            onVerdicts(admit(storeBands)(batch))
+            onVerdicts(admit(storeBands)(batch), batchId)
           }
         }
         .start()

@@ -55,7 +55,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         // that feeds data after starting)
         val q = StreamingAdmission.admissionQuery(
             source.toDS().toDF("doc_id", "text"), store, ckpt,
-            org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { verdicts =>
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { (verdicts, _) =>
           got.synchronized { got ++= verdictRows(verdicts) }; ()
         }
         try batches.foreach { b =>
@@ -97,7 +97,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         val q = StreamingAdmission.admissionQuery(
             source.toDS().toDF("doc_id", "text"), spark.table("fold_store"),
             ckpt, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
-          verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+          (verdicts, _) => got.synchronized { got ++= verdictRows(verdicts) }; ()
         }
         try { source.addData(batch: _*); q.processAllAvailable() }
         finally q.stop()
@@ -171,7 +171,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
           source.toDS().toDF("doc_id", "text"), spark.table("lease_store"),
           java.nio.file.Files.createTempDirectory("lease_ckpt").toString,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
-        verdicts => verdicts.count(); ()
+        (verdicts, _) => verdicts.count(); ()
       }
       try {
         source.addData((900001L, "a live reader holds its lease"))
@@ -218,7 +218,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
           java.nio.file.Files.createTempDirectory("media_adm_ckpt").toString,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
           StreamingAdmission.admitMediaBatch) {
-        verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+        (verdicts, _) => got.synchronized { got ++= verdictRows(verdicts) }; ()
       }
       try batches.foreach { b =>
         source.addData(b: _*); s.processAllAvailable()
@@ -454,7 +454,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         source.toDS().toDF("doc_id", "embedding"), wide,
         java.nio.file.Files.createTempDirectory("emb_adm_ckpt").toString,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
-        StreamingAdmission.admitEmbeddingBatch) { verdicts =>
+        StreamingAdmission.admitEmbeddingBatch) { (verdicts, _) =>
       got.synchronized {
         got ++= verdicts.collect().map(r =>
           (r.getLong(0), r.getBoolean(1),
@@ -493,7 +493,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         asDocs(QuakeStream.geonetStream(spark, Map("body" -> FixtureJson))),
         storeBands,
         java.nio.file.Files.createTempDirectory("geo_adm_ckpt").toString) {
-      verdicts => got.synchronized { got ++= verdictRows(verdicts) }; ()
+      (verdicts, _) => got.synchronized { got ++= verdictRows(verdicts) }; ()
     }
     q.awaitTermination()
 

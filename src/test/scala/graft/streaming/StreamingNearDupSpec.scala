@@ -89,4 +89,105 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(h6.forall { case (_, _, o) => o == 5L })
     } finally q.stop()
   }
+
+  /** Run batches through [[StreamingNearDup.finalityCollisions]], close
+    * with two far-future sentinel docs (unique texts — they collide
+    * with nothing; the first advances the watermark, the second's batch
+    * fires the timeouts that flush still-open claims), and return the
+    * real docs' hits.
+    */
+  private def runFinality(batches: Seq[Seq[(Long, String, Timestamp)]],
+      delay: String, ttlMs: Long, flushTs: Long): Seq[(Long, Int, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val q = StreamingNearDup.finalityCollisions(
+        source.toDS().toDF("doc_id", "text", "ts"), delay, ttlMs)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("fin_ckpt").toString)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[NearDupHit], _: Long) =>
+        got.synchronized {
+          got ++= batch.collect().map(h => (h.doc_id, h.band, h.dup_of))
+        }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      source.addData((-1L, "finality flush sentinel alpha",
+        new Timestamp(flushTs)))
+      q.processAllAvailable()
+      source.addData((-2L, "finality flush sentinel omega",
+        new Timestamp(flushTs + 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    got.filter(_._1 >= 0).sortBy(h => (h._1, h._2)).toSeq
+  }
+
+  /** The batch semantics finality mode must realize: per bucket the
+    * owner is the min `(ts, doc_id)` claim; everyone else emits a hit
+    * per colliding band against that owner.
+    */
+  private def minOwnerHits(docs: Seq[(Long, String, Timestamp)])
+      : Seq[(Long, Int, Long)] =
+    docs.flatMap { case (id, text, ts) =>
+      keys(text).zipWithIndex.map { case (k, band) => (band, k, ts.getTime, id) }
+    }.groupBy(c => (c._1, c._2)).toSeq.flatMap { case ((band, _), claims) =>
+      val owner = claims.minBy(c => (c._3, c._4))
+      claims.filterNot(_ == owner).map(c => (c._4, band, owner._4))
+    }.sortBy(h => (h._1, h._2))
+
+  test("finality mode: ownership is EVENT-time min (ts, doc_id), not " +
+    "arrival order — the earlier-ts copy arriving in a LATER batch " +
+    "still owns the bucket (round-9 verdict #2)") {
+    // doc 2 (ts 10min) arrives BEFORE doc 1 (ts 5min): arrival-order
+    // ownership would blame 2; event-time ownership blames 1
+    val docs = Seq((2L, TextA, t(10)), (1L, TextA, t(5)))
+    val got = runFinality(Seq(Seq(docs.head), Seq(docs(1))),
+      delay = "1 hour", ttlMs = 60L * 60 * 1000,
+      flushTs = t(0).getTime + 10L * 3600 * 1000)
+    assert(got.nonEmpty)
+    assert(got == minOwnerHits(docs))
+    assert(got.forall { case (d, _, o) => d == 2L && o == 1L },
+      s"the ts-earlier doc 1 must own every bucket: $got")
+  }
+
+  test("finality mode randomized disorder sweep: arbitrary arrival " +
+    "shuffles cut into arbitrary micro-batches all emit exactly the " +
+    "min-(ts, doc_id)-owner hits (seeded, 4 scenarios)") {
+    // four docs: two full copies of A (all bands collide), a partial
+    // overlap D, a disjoint C — distinct ts per doc, disordered below
+    val docs = Seq(
+      (11L, TextA, t(3)), (12L, TextA, t(1)), (13L, TextD, t(8)),
+      (14L, TextC, t(2)), (15L, TextA, t(6)))
+    val expected = minOwnerHits(docs)
+    assert(expected.nonEmpty)
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { scenario =>
+      val shuffled = rnd.shuffle(docs)
+      val cuts = (Seq(0, shuffled.size) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(shuffled.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+      val got = runFinality(batches, delay = "1 hour",
+        ttlMs = 60L * 60 * 1000, flushTs = t(0).getTime + 10L * 3600 * 1000)
+      assert(got == expected,
+        s"scenario $scenario (batches ${batches.map(_.size)}) diverged")
+    }
+  }
+
+  test("finality mode horizon: buckets expire at the TTL like the " +
+    "arrival mode — a copy arriving after the horizon claims silently, " +
+    "a copy inside the fresh horizon blames the NEW owner") {
+    // TTL 1h: doc 21 (ts 0min) expires before doc 22 (ts 120min)
+    // arrives; 23 (ts 125min) collides against 22, not 21
+    val docs = Seq((21L, TextA, t(0)), (22L, TextA, t(120)),
+      (23L, TextA, t(125)))
+    val got = runFinality(docs.map(Seq(_)), delay = "10 minutes",
+      ttlMs = 60L * 60 * 1000, flushTs = t(0).getTime + 24L * 3600 * 1000)
+    assert(got.nonEmpty && got.forall { case (d, _, o) => d == 23L && o == 22L },
+      s"only 23-vs-22 hits may emit across the expired horizon: $got")
+  }
 }

@@ -54,22 +54,36 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(commits("emb") >= 3)
   }
 
-  test("q101 streaming online near-dup across >= 3 micro-batches == " +
-    "the min-owner-per-bucket batch semantics (tier one, driver-visible)") {
+  /** Batch min-owner-per-bucket semantics — the target both near-dup
+    * streaming queries must realize (q101 via an ordered spool, q102
+    * via watermark finality over a disordered one).
+    */
+  private def minOwnerWant: Seq[Seq[Any]] = {
     import org.apache.spark.sql.functions._
-    val got = rows(StreamingQueries.q101StreamingOnlineNeardup(spark, sf))
-    // batch equivalent of online ownership under the (ts, doc_id)-
-    // ordered spool: a bucket's owner is its min doc_id
     val bands = DedupTextQueries.textBandFrame(
       graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
     val own = bands.groupBy("band", "bkey")
       .agg(min(col("doc_id")).as("dup_of"))
-    val want = rows(bands.join(own, Seq("band", "bkey"))
+    rows(bands.join(own, Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("dup_of"))
       .select(col("doc_id"), col("band"), col("dup_of"))
       .orderBy(col("doc_id"), col("band")))
-    assert(got == want)
+  }
+
+  test("q101 streaming online near-dup across >= 3 micro-batches == " +
+    "the min-owner-per-bucket batch semantics (tier one, driver-visible)") {
+    val got = rows(StreamingQueries.q101StreamingOnlineNeardup(spark, sf))
+    assert(got == minOwnerWant)
     assert(commits("online") >= 3)
+  }
+
+  test("q102 streaming near-dup over a maximally DISORDERED spool == " +
+    "the same min-owner batch semantics — ownership by event time, " +
+    "arrival permutation irrelevant (>= 5 micro-batches: 3 round-robin " +
+    "files + 2 flush sentinels)") {
+    val got = rows(StreamingQueries.q102StreamingNeardupDisordered(spark, sf))
+    assert(got.nonEmpty && got == minOwnerWant)
+    assert(commits("disorder") >= 5)
   }
 
   test("q100 streaming pattern top-k over a maximally disordered spool " +
@@ -79,5 +93,54 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val want = rows(graft.queries.EventQueries.queries("q96_pattern_topk")(spark, sf))
     assert(got.nonEmpty && got == want)
     assert(commits("pattern") >= 5)
+  }
+
+  test("batchId-keyed sinks are idempotent under epoch replay: " +
+    "deleting the last commit and restarting from the checkpoint " +
+    "re-runs that batch onto the SAME path — final sink contents " +
+    "unchanged (round-9 verdict #4)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("replay").toString
+    val (deltaPath, ckpt, out) = (s"$tmp/delta", s"$tmp/ckpt", s"$tmp/out")
+    val isDelta = col("doc_id") % 10 === 0
+    graft.core.Tables.documents(spark, sf).filter(isDelta)
+      .select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(deltaPath)
+    val store = graft.queries.BandStore.bands(spark, sf).filter(!isDelta)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(deltaPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltaPath)
+      StreamingAdmission.admissionQuery(stream, store, ckpt,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+        (verdicts, batchId) =>
+          StreamingQueries.writeBatch(verdicts, out, batchId)
+      }.awaitTermination()
+    }
+
+    runOnce()
+    def sink() = rows(StreamingQueries.readSink(spark, out)
+      .orderBy("doc_id"))
+    val first = sink()
+    assert(first.nonEmpty)
+
+    // simulate a crash after the batch ran but before its commit was
+    // recorded: drop the newest commit marker, restart from checkpoint
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val latest = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    val replayedId = latest.getName.toLong
+    assert(latest.delete())
+    // the local checksum FS keeps a .crc sidecar per commit file; a
+    // stale one makes the re-commit look like a concurrent writer
+    new java.io.File(commitsDir, s".$replayedId.crc").delete()
+    runOnce()
+
+    assert(sink() == first,
+      "the replayed epoch must overwrite its own batch dir, not append")
+    assert(new java.io.File(commitsDir, replayedId.toString).exists(),
+      "the replayed batch must re-commit under the SAME id")
   }
 }
