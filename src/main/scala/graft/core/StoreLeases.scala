@@ -4,8 +4,11 @@ import scala.jdk.CollectionConverters._
 
 /** Read-leases on lifecycle store tables — the registry behind
   * [[graft.queries.DedupTextQueries.compactStore]]'s concurrent-reader
-  * guard (round-8 verdict #6: the compaction swap documented a
-  * no-concurrent-readers precondition but nothing enforced it).
+  * protection (round-8 verdict #6 introduced it as a refusal guard;
+  * since the round-10 atomic swap it instead gates the SWEEP: a
+  * compaction under a live lease still commits its `SET LOCATION`
+  * swap — invisible to pinned readers — but RETAINS the old
+  * generation's files until no live lease remains).
   *
   * A long-running reader (a streaming admission query — the one reader
   * class in this engine that outlives a batch action) leases the store
@@ -13,26 +16,24 @@ import scala.jdk.CollectionConverters._
   * [[graft.streaming.StreamingAdmission.admissionQuery]] acquires
   * under a transient `pending:` holder BEFORE the stream starts (so
   * the startup window is covered), re-keys the lease to the started
-  * query's id, and a termination listener releases it. `compactStore`
-  * refuses to swap while any lease is held by a `pending:` holder or a
-  * STILL-ACTIVE query id — a terminated-but-unreleased entry (listener
-  * delivery is asynchronous) never blocks, because holders are checked
-  * against the live `spark.streams.active` set.
+  * query's id, and a termination listener releases it. Holders are
+  * checked against the live `spark.streams.active` set, so a
+  * terminated-but-unreleased entry (listener delivery is
+  * asynchronous) never defers a sweep.
   *
   * Batch queries are deliberately NOT leased: they are run-then-read
   * (the driver executes and dumps), and `foldAdmitted`'s append is
   * reader-safe anyway (a pinned file index simply doesn't see new
-  * files). The destructive operation is compaction's drop+rename, and
-  * streams are the readers that can straddle it.
+  * files). The destructive operation is deleting a generation a
+  * pinned reader still scans, and streams are the readers that can
+  * straddle it.
   *
   * SCOPE: the guard is per-SparkSession — `streams.active` only lists
   * queries started from the session compaction runs in, so a stream
-  * on a sibling `newSession()` of the same catalog is not protected,
-  * and the check is check-then-act (a stream acquiring its lease
-  * between the check and the DROP races the swap). This engine runs
-  * one session per process; at multi-writer scale the production
-  * analog is a catalog-level lock or an open-table-format's atomic
-  * swap, not an in-JVM registry.
+  * on a sibling `newSession()` of the same catalog is not protected.
+  * This engine runs one session per process; at multi-writer scale
+  * the production analog is a catalog-level lock or an
+  * open-table-format's snapshot retention, not an in-JVM registry.
   */
 object StoreLeases {
 

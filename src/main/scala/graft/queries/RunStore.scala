@@ -2,7 +2,9 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.Path
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Generic once-per-JVM-per-source-dir ON-DISK bucketed materialization —
@@ -15,25 +17,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    serialize on the `ConcurrentHashMap` memo; later callers get the
   *    memoized table) with [[graft.core.Tables.writeBucketed]], so the
   *    one corpus-sized shuffle is paid at write time and later
-  *    key-aligned joins/windows plan without their exchange;
+  *    key-aligned joins/windows plan without their exchange. Across
+  *    PROCESSES, the build itself serializes on a best-effort lock file
+  *    under the warehouse (round-9 verdict #6: two fresh JVMs
+  *    fingerprint-missing concurrently would otherwise race the same
+  *    CREATE), and the loser of the race revalidates the winner's build
+  *    instead of re-paying it;
   *  - REVALIDATED (not blindly rebuilt) on the first access of each
   *    JVM: every build writes a FINGERPRINT sidecar next to its data —
   *    source files (name+size+mtime), the canonicalized build plan
   *    (which carries the derivation's expressions and literal
   *    constants), the bucket spec, and the fingerprints of any upstream
-  *    store tables the plan reads. A fresh JVM whose fingerprint
-  *    matches re-registers the existing location in the (in-memory)
-  *    catalog and REUSES it; any mismatch — source data changed,
-  *    derivation code changed, an upstream store rebuilt — drops and
-  *    rebuilds. At 100 TB this is the ingest job recognizing its
-  *    derived partition is already current instead of re-paying the
-  *    corpus pass on every driver restart (round-8 verdict #3);
-  *  - a location whose sidecar is missing or unreadable is treated as
-  *    stale: the catalog entry and the location are dropped before the
-  *    rebuild, resolving the real path from the catalog when the entry
-  *    exists and falling back to the LOWERCASED warehouse path
-  *    `saveAsTable` actually writes (round-8 advisory: the raw-cased
-  *    guess missed the orphan for uppercase-bearing names).
+  *    store tables the plan reads. The sidecar also records the build's
+  *    OUTPUT file manifest (names+sizes), verified before any reuse: a
+  *    location whose part-files were externally damaged or partially
+  *    deleted while the sidecar survived is rebuilt, not silently
+  *    served (round-9 advisory). A fresh JVM whose fingerprint and
+  *    manifest match re-registers the existing location in the
+  *    (in-memory) catalog and REUSES it; any mismatch — source data
+  *    changed, derivation code changed, an upstream store rebuilt,
+  *    store files damaged — drops and rebuilds. At 100 TB this is the
+  *    ingest job recognizing its derived partition is already current
+  *    instead of re-paying the corpus pass on every driver restart;
+  *  - a location whose sidecar is missing or unreadable IN ANY WAY is
+  *    treated as stale (the reader catches every non-fatal failure, not
+  *    just IOException — a corrupted sidecar triggers the rebuild the
+  *    contract promises, round-9 advisory), and the sidecar itself is
+  *    written to a temp name and renamed in, so a crash mid-write can
+  *    never leave a half-written sidecar that parses;
+  *  - the store's CURRENT location may be a compaction GENERATION
+  *    directory (`<default>__c<n>` — [[DedupTextQueries.compactStore]]
+  *    re-points the catalog atomically instead of renaming tables), so
+  *    sidecar discovery scans the default location plus all generation
+  *    dirs, and drops clear every candidate.
   *
   * Table naming keeps distinct source dirs collision-free even when
   * sanitizing collides them ("sf0.001" vs "sf0_001" — round-6
@@ -63,11 +79,16 @@ private[graft] final class RunStore(
       val frame = build(s, d)
       val fp = RunStore.fingerprint(s, d, prefix, numBuckets, bucketKeys, frame)
       if (RunStore.revalidate(s, t, fp)) modes.put(d, "reused")
-      else {
-        RunStore.dropWithLocation(s, t)
-        graft.core.Tables.writeBucketed(frame, t, numBuckets, bucketKeys: _*)
-        RunStore.writeSidecar(s, t, fp, frame, numBuckets, bucketKeys)
-        modes.put(d, "built")
+      else RunStore.withBuildLock(s, t) {
+        // the lock wait may have been another process finishing this
+        // exact build — revalidate again before paying for it
+        if (RunStore.revalidate(s, t, fp)) modes.put(d, "reused")
+        else {
+          RunStore.dropWithLocation(s, t)
+          graft.core.Tables.writeBucketed(frame, t, numBuckets, bucketKeys: _*)
+          RunStore.writeSidecar(s, t, fp, frame, numBuckets, bucketKeys)
+          modes.put(d, "built")
+        }
       }
       t
     })
@@ -105,6 +126,9 @@ private[graft] object RunStore {
     s"${prefix}_${d.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
   }
 
+  private def hadoopFs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
   /** Where `saveAsTable` actually puts a default-database table:
     * warehouse.dir/<lowercased name> (identifiers are lowercased by
     * the writer — round-8 advisory).
@@ -114,7 +138,8 @@ private[graft] object RunStore {
       t.toLowerCase(java.util.Locale.ROOT))
 
   /** The table's REAL location when the catalog knows it (covers
-    * non-default databases and explicit locations); None otherwise.
+    * non-default databases, explicit locations and post-compaction
+    * generation dirs); None otherwise.
     */
   private def catalogLocation(s: SparkSession, t: String): Option[Path] =
     if (s.catalog.tableExists(t))
@@ -122,32 +147,76 @@ private[graft] object RunStore {
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location))
     else None
 
-  /** Drop a catalog table AND its warehouse location — the orphan-file
+  /** Compaction generation directories for `t` under the warehouse —
+    * `<lowercased name>__c<n>` ([[DedupTextQueries.compactStore]]'s
+    * write-aside targets; one of them may be the CURRENT catalog
+    * location after a swap).
+    */
+  private[graft] def generationDirs(s: SparkSession, t: String): Seq[Path] = {
+    val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = hadoopFs(s, wh)
+    val prefix = t.toLowerCase(java.util.Locale.ROOT) + "__c"
+    if (!fs.exists(wh)) Seq.empty
+    else fs.listStatus(wh).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix)).toSeq
+  }
+
+  /** A fresh, unused generation directory for a compaction write-aside. */
+  private[graft] def nextGenerationDir(s: SparkSession, t: String): Path = {
+    val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = hadoopFs(s, wh)
+    val base = t.toLowerCase(java.util.Locale.ROOT) + "__c"
+    var n = System.currentTimeMillis()
+    var p = new Path(wh, base + n)
+    while (fs.exists(p)) { n += 1; p = new Path(wh, base + n) }
+    p
+  }
+
+  /** Every on-disk directory that may carry (a generation of) `t`'s
+    * data, EXCEPT `keep` — what a compaction sweeps once no reader can
+    * still be scanning them.
+    */
+  private[graft] def staleStoreDirs(s: SparkSession, t: String,
+      keep: Path): Seq[Path] = {
+    val fs = hadoopFs(s, keep)
+    val keepQ = fs.makeQualified(keep).toString
+    (defaultLocation(s, t) +: generationDirs(s, t))
+      .filter(p => fs.makeQualified(p).toString != keepQ && fs.exists(p))
+      .distinctBy(p => fs.makeQualified(p).toString)
+  }
+
+  /** Drop a catalog table AND its warehouse locations — the orphan-file
     * cleanup every store rebuild needs. The location is resolved from
-    * the catalog when the entry exists; the lowercased default path is
-    * always also cleared so a previous process's orphan (files on
-    * disk, nothing in this JVM's in-memory catalog) cannot block the
-    * CREATE TABLE.
+    * the catalog when the entry exists; the lowercased default path and
+    * any compaction generation dirs are always also cleared so a
+    * previous process's orphan (files on disk, nothing in this JVM's
+    * in-memory catalog) cannot block the CREATE TABLE or be
+    * rediscovered later.
     */
   private[graft] def dropWithLocation(s: SparkSession, t: String): Unit = {
-    val locs = (catalogLocation(s, t).toSeq :+ defaultLocation(s, t))
+    val locs = (catalogLocation(s, t).toSeq ++
+        (defaultLocation(s, t) +: generationDirs(s, t)))
       .distinctBy(_.toString)
     s.sql(s"DROP TABLE IF EXISTS $t")
     locs.foreach { loc =>
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fs = hadoopFs(s, loc)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     ()
   }
 
   /** The store's validity fingerprint: bucket spec + source files
-    * (name, size, mtime — one directory level deep, sorted) + the
-    * CANONICALIZED analyzed build plan (carries the derivation's
-    * expression tree and literal constants, so a code change to the
-    * derivation — new hash permutations, different hyperplanes —
-    * invalidates the store even though the sources didn't move) + the
-    * sidecar fingerprints of every catalog table the plan reads (so a
-    * rebuilt upstream store invalidates its derived stores).
+    * (name, size, mtime — fully recursive, sorted) + the CANONICALIZED
+    * analyzed build plan (carries the derivation's expression tree and
+    * literal constants, so a code change to the derivation — new hash
+    * permutations, different hyperplanes — invalidates the store even
+    * though the sources didn't move) + the fingerprints of every
+    * catalog table the plan reads (so a rebuilt upstream store
+    * invalidates its derived stores). An upstream WITHOUT a sidecar is
+    * fingerprinted by its location's file listing instead of a
+    * constant (round-9 advisory: the old "?" meant a non-RunStore
+    * upstream could change without ever invalidating stores derived
+    * from it).
     */
   private def fingerprint(s: SparkSession, d: String, prefix: String,
       numBuckets: Int, bucketKeys: Seq[String], frame: DataFrame): String = {
@@ -155,7 +224,7 @@ private[graft] object RunStore {
     def add(x: String): Unit = md.update(x.getBytes("UTF-8"))
     add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}")
     val src = new Path(d)
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(s, src)
     if (fs.exists(src)) {
       // FULLY recursive: an in-place rewrite of a file nested under
       // partition directories (d/table/date=.../part.parquet) changes
@@ -177,54 +246,159 @@ private[graft] object RunStore {
           if lr.catalogTable.isDefined =>
         lr.catalogTable.get.identifier.table
     }.distinct.sorted.foreach { up =>
-      add(s"|$up=${readSidecar(s, up).map(_._1).getOrElse("?")}")
+      val upFp = discoverSidecar(s, up).map(_._2)
+        .getOrElse(locationListingHash(s, up))
+      add(s"|$up=$upFp")
     }
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def sidecarPath(s: SparkSession, t: String): Path =
-    new Path(catalogLocation(s, t).getOrElse(defaultLocation(s, t)),
-      SidecarName)
-
-  /** Persist the fingerprint + enough DDL to re-register the table in a
-    * fresh JVM's empty in-memory catalog. Lives INSIDE the table
-    * location (underscore-prefixed — data readers ignore it; dropped
-    * with the location).
+  /** Fallback upstream fingerprint for a catalog table with no sidecar:
+    * a hash of its location's recursive file listing — stable while
+    * the table's files are untouched, different the moment they
+    * change, so sidecar-less upstreams still invalidate downstream
+    * stores ("fail closed" without rebuilding on every restart).
     */
-  private def writeSidecar(s: SparkSession, t: String, fp: String,
+  private def locationListingHash(s: SparkSession, t: String): String =
+    catalogLocation(s, t) match {
+      case None => "absent"
+      case Some(loc) =>
+        val fs = hadoopFs(s, loc)
+        if (!fs.exists(loc)) "missing"
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def walk(p: Path): Unit =
+            fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+              md.update(
+                s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+                  .getBytes("UTF-8"))
+              if (st.isDirectory) walk(st.getPath)
+            }
+          walk(loc)
+          md.digest().map("%02x".format(_)).mkString
+        }
+    }
+
+  /** The build's output data files (name:size, sorted) at `loc` —
+    * underscore-prefixed control files (the sidecar itself, _SUCCESS)
+    * and checksum sidecars excluded. Recorded in the sidecar at build
+    * time and verified before any reuse.
+    */
+  private def manifestOf(fs: FileSystem, loc: Path): String =
+    if (!fs.exists(loc)) ""
+    else fs.listStatus(loc)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => s"${st.getPath.getName}:${st.getLen}")
+      .sorted.mkString(";")
+
+  /** Persist the fingerprint + output manifest + enough DDL to
+    * re-register the table in a fresh JVM's empty in-memory catalog.
+    * Lives INSIDE the table location (underscore-prefixed — data
+    * readers ignore it; dropped with the location), written to a temp
+    * name and renamed in so no crash leaves a half-written sidecar
+    * that parses.
+    */
+  private[graft] def writeSidecar(s: SparkSession, t: String, fp: String,
       frame: DataFrame, numBuckets: Int, bucketKeys: Seq[String]): Unit = {
+    val loc = catalogLocation(s, t).getOrElse(defaultLocation(s, t))
+    val fs = hadoopFs(s, loc)
     val props = new java.util.Properties()
     props.setProperty("fingerprint", fp)
     props.setProperty("schemaDdl", frame.schema.toDDL)
     props.setProperty("numBuckets", numBuckets.toString)
     props.setProperty("bucketKeys", bucketKeys.mkString(","))
-    val p = sidecarPath(s, t)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    props.setProperty("manifest", manifestOf(fs, loc))
+    storeSidecar(fs, loc, props)
+  }
+
+  private def storeSidecar(fs: FileSystem, loc: Path,
+      props: java.util.Properties): Unit = {
+    val tmp = new Path(loc, SidecarName + ".tmp")
+    val out = fs.create(tmp, true)
     try props.store(out, "graft RunStore fingerprint") finally out.close()
+    val dest = new Path(loc, SidecarName)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $dest")
   }
 
-  private def readSidecar(s: SparkSession, t: String)
+  /** Re-list the CURRENT catalog location and rewrite the sidecar's
+    * output manifest (fingerprint and DDL unchanged) — called after
+    * any operation that legitimately changes the store's file set
+    * without changing its derivation: a nightly fold's append, a
+    * compaction's rewrite. Without this, the manifest check would
+    * read every legitimate lifecycle mutation as external damage and
+    * rebuild — discarding the folded admissions it exists to protect.
+    * No-op for tables without a sidecar (q92's lifecycle tables).
+    */
+  private[graft] def refreshManifest(s: SparkSession, t: String): Unit =
+    catalogLocation(s, t).foreach { loc =>
+      val fs = hadoopFs(s, loc)
+      readSidecarAt(fs, loc).foreach { case (_, props) =>
+        props.setProperty("manifest", manifestOf(fs, loc))
+        storeSidecar(fs, loc, props)
+      }
+    }
+
+  /** Copy `from`'s sidecar (if any) into `to` — a compaction carries
+    * the fingerprint to the new generation dir so a fresh process can
+    * still discover and reuse the store after the swap. The manifest
+    * is refreshed separately once the swap commits.
+    */
+  private[graft] def copySidecar(s: SparkSession, from: Path, to: Path): Unit = {
+    val fs = hadoopFs(s, from)
+    readSidecarAt(fs, from).foreach { case (_, props) => storeSidecar(fs, to, props) }
+  }
+
+  private def readSidecarAt(fs: FileSystem, loc: Path)
       : Option[(String, java.util.Properties)] = {
-    val p = sidecarPath(s, t)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val in = fs.open(p)
-      val props = new java.util.Properties()
-      try props.load(in) finally in.close()
-      Option(props.getProperty("fingerprint")).map((_, props))
-    } catch { case _: java.io.IOException => None }
+    val p = new Path(loc, SidecarName)
+    // any unreadable sidecar — missing, truncated, malformed escapes
+    // (Properties.load throws IllegalArgumentException, not
+    // IOException) — means "treat as stale", never "fail the access"
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val props = new java.util.Properties()
+        try props.load(in) finally in.close()
+        Option(props.getProperty("fingerprint")).map((_, props))
+      }
+    } catch { case NonFatal(_) => None }
   }
 
-  /** True iff an on-disk build with a matching fingerprint exists; when
-    * it does and this JVM's catalog has no entry yet (fresh process),
-    * the location is re-registered with its persisted schema + bucket
-    * spec so bucketed scans plan exactly as if this JVM had written it.
+  /** Find the store's on-disk location by its sidecar: the catalog
+    * location when registered, else the default location, else any
+    * compaction generation dir — first candidate with a readable
+    * sidecar wins (when both a retained pre-compaction dir and its
+    * generation survive a lease-deferred sweep, their contents are
+    * equal by compaction's contract, so either is correct).
+    */
+  private def discoverSidecar(s: SparkSession, t: String)
+      : Option[(Path, String, java.util.Properties)] =
+    (catalogLocation(s, t).toSeq ++
+        (defaultLocation(s, t) +: generationDirs(s, t)))
+      .distinctBy(_.toString)
+      .view
+      .flatMap { loc =>
+        readSidecarAt(hadoopFs(s, loc), loc).map { case (fp, props) =>
+          (loc, fp, props)
+        }
+      }
+      .headOption
+
+  /** True iff an on-disk build with a matching fingerprint AND intact
+    * output manifest exists; when it does and this JVM's catalog has
+    * no entry yet (fresh process), the location is re-registered with
+    * its persisted schema + bucket spec so bucketed scans plan exactly
+    * as if this JVM had written it.
     */
   private def revalidate(s: SparkSession, t: String, fp: String): Boolean =
-    readSidecar(s, t) match {
-      case Some((stored, props)) if stored == fp =>
+    discoverSidecar(s, t) match {
+      case Some((loc, stored, props)) if stored == fp &&
+          Option(props.getProperty("manifest"))
+            .contains(manifestOf(hadoopFs(s, loc), loc)) =>
         if (!s.catalog.tableExists(t)) {
           val keys = props.getProperty("bucketKeys").split(",").toSeq
           s.sql(
@@ -233,9 +407,47 @@ private[graft] object RunStore {
                |CLUSTERED BY (${keys.mkString(", ")})
                |SORTED BY (${keys.mkString(", ")})
                |INTO ${props.getProperty("numBuckets")} BUCKETS
-               |LOCATION '${defaultLocation(s, t)}'""".stripMargin)
+               |LOCATION '$loc'""".stripMargin)
         }
         true
       case _ => false
     }
+
+  /** Best-effort CROSS-PROCESS build serialization (round-9 verdict
+    * #6): a lock file under `<warehouse>/_graft_locks/` taken with
+    * create-if-absent before a store build. A contender polls until
+    * the holder releases, then re-runs revalidation — the usual
+    * outcome of losing the race is REUSING the winner's build, not
+    * re-paying it. Best-effort by design: local-FS create-exclusive
+    * is not atomic across hosts, and a crashed holder's stale lock is
+    * BROKEN after a bounded wait (a deadlock on debris would be worse
+    * than a rare double build, whose loser's CREATE simply fails).
+    * The production analog is an open-table-format's commit protocol
+    * or a catalog-level lock, not a filesystem flag.
+    */
+  private def withBuildLock[T](s: SparkSession, t: String)(body: => T): T = {
+    val dir = new Path(s.conf.get("spark.sql.warehouse.dir"), "_graft_locks")
+    val fs = hadoopFs(s, dir)
+    fs.mkdirs(dir)
+    val lock = new Path(dir, t.toLowerCase(java.util.Locale.ROOT) + ".lock")
+    val deadline = System.nanoTime() + 30L * 1000L * 1000 * 1000
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false)
+        try out.writeBytes(
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}\n")
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          if (System.nanoTime() > deadline) {
+            System.err.println(
+              s"[RunStore] breaking stale build lock $lock after 30 s")
+            fs.delete(lock, false)
+          } else Thread.sleep(200)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
 }

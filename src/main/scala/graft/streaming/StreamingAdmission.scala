@@ -111,10 +111,11 @@ object StreamingAdmission {
     * For the stream's LIFETIME, the catalog tables `storeBands` scans
     * are leased in [[graft.core.StoreLeases]] (acquired under a
     * pending token BEFORE start so no startup window is unguarded;
-    * released by a termination listener), which is what lets
-    * `compactStore` refuse its drop+rename swap while this stream
-    * would race it — a swapped-out store would otherwise fail the next
-    * micro-batch with a dangling file index (round-8 verdict #6).
+    * released by a termination listener), which is what makes
+    * `compactStore` RETAIN the generation this stream's pinned plan
+    * scans until the stream stops — the atomic swap itself is
+    * invisible to the reader, and deleting the old files out from
+    * under its file index is the one hazard left (round-9 verdict #1).
     */
   def admissionQuery(docs: DataFrame, storeBands: DataFrame,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),

@@ -151,6 +151,133 @@ class RunStoreSpec extends AnyFunSuite {
     assert(a.matches("[A-Za-z0-9_]+"))
   }
 
+  test("externally damaged store files fail the sidecar's output " +
+    "manifest check: revalidation rebuilds instead of silently serving " +
+    "a partial store (round-9 advisory)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("runstore_dmg")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "stable")
+    val store = new RunStore("graft_test_dmg", 2, Seq("k"),
+      (_, _) => Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"))
+    val t = store.tableName(dir.toString)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // damage: delete one data file, leave the sidecar intact
+      val victim = fs.listStatus(loc)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .head.getPath
+      fs.delete(victim, false)
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "built",
+        "a manifest mismatch must rebuild, never reuse")
+      assert(store.table(spark, dir.toString).count() == 4)
+    } finally {
+      RunStore.dropWithLocation(spark, t)
+      store.reset()
+    }
+  }
+
+  test("an unreadable sidecar — malformed content, not just a missing " +
+    "file — triggers the treat-as-stale rebuild instead of failing " +
+    "the access (round-9 advisory: Properties.load throws " +
+    "IllegalArgumentException on bad unicode escapes)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("runstore_bad")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "stable")
+    val store = new RunStore("graft_test_bad", 2, Seq("k"),
+      (_, _) => Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val t = store.tableName(dir.toString)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sc = new org.apache.hadoop.fs.Path(loc, "_graft_store.properties")
+      val out = fs.create(sc, true)
+      try out.writeBytes("fingerprint=\\uZZZZ broken\n") finally out.close()
+      store.reset()
+      // must neither throw nor reuse the corrupted sidecar's location
+      assert(store.ensure(spark, dir.toString) == "built")
+      assert(store.table(spark, dir.toString).count() == 2)
+    } finally {
+      RunStore.dropWithLocation(spark, t)
+      store.reset()
+    }
+  }
+
+  test("the store lifecycle keeps cross-process reuse alive: after a " +
+    "fold (manifest refreshed) and a compaction (sidecar carried to " +
+    "the generation dir), a fresh memo still revalidates as 'reused' " +
+    "with the folded rows intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("runstore_lc")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "stable")
+    val store = new RunStore("graft_test_lc", 2, Seq("band", "bkey"),
+      (_, _) => Seq((1L, 0, "a"), (2L, 1, "b"))
+        .toDF("doc_id", "band", "bkey"))
+    val t = store.tableName(dir.toString)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      // a nightly fold appends files; the manifest must follow or the
+      // next process would read the fold as damage and rebuild,
+      // discarding the admitted rows
+      DedupTextQueries.foldAdmittedVia(docs =>
+          docs.select(col("doc_id"), col("band"), col("bkey")))(
+        spark, t, Seq((9L, 2, "z")).toDF("doc_id", "band", "bkey"))
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "reused",
+        "a folded store must revalidate, not rebuild")
+      assert(store.table(spark, dir.toString).count() == 3)
+      // compaction moves the store to a generation dir; discovery must
+      // find the carried sidecar there
+      DedupTextQueries.compactStore(spark, t)
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "reused",
+        "a compacted store must revalidate at its generation dir")
+      assert(store.table(spark, dir.toString).count() == 3)
+    } finally {
+      RunStore.dropWithLocation(spark, t)
+      store.reset()
+    }
+  }
+
+  test("a sidecar-less upstream catalog table is fingerprinted by its " +
+    "file listing: changing it invalidates derived stores (round-9 " +
+    "advisory: the old constant '?' never did)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("runstore_up2")
+    val down = new RunStore("graft_test_rawup", 2, Seq("k"),
+      (s, _) => s.table("raw_upstream").select(col("k"), col("v")))
+    val t = down.tableName(dir.toString)
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.mode("overwrite").saveAsTable("raw_upstream")
+      assert(down.ensure(spark, dir.toString) == "built")
+      down.reset()
+      assert(down.ensure(spark, dir.toString) == "reused")
+      // the upstream (no sidecar — a plain catalog table) changes:
+      // the derived store must rebuild, not serve rows from the dead
+      // upstream state
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .write.mode("overwrite").saveAsTable("raw_upstream")
+      down.reset()
+      assert(down.ensure(spark, dir.toString) == "built")
+      assert(down.table(spark, dir.toString).count() == 3)
+    } finally {
+      RunStore.dropWithLocation(spark, t)
+      spark.sql("DROP TABLE IF EXISTS raw_upstream")
+      down.reset()
+    }
+  }
+
   test("foldAdmittedVia refuses a band frame whose key TYPES differ " +
     "from the store's (round-7 advisory: an unconditional cast would " +
     "silently truncate) — a cross-modality fold cannot corrupt a store") {

@@ -121,6 +121,56 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fold_store")
   }
 
+  test("per-batch store visibility INSIDE one stream (round-9 verdict " +
+    "#3): a fold landing between two triggers of the SAME query is " +
+    "visible to the next micro-batch — batch N's verdicts predate it, " +
+    "batch N+1's reflect it — while the stream's lease is held") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.queries.DedupTextQueries
+    val novel = "mid stream folds must surface in the very next trigger " +
+      "or nightly admissions would silently re-admit their duplicates"
+    try {
+      D.writeSignatureStore(spark, sf, "vis_store", lit(true))
+      val source = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Long, Long)]
+      val q = StreamingAdmission.admissionQuery(
+          source.toDS().toDF("doc_id", "text"), spark.table("vis_store"),
+          java.nio.file.Files.createTempDirectory("vis_ckpt").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+        (verdicts, _) => got.synchronized { got ++= verdictRows(verdicts) }; ()
+      }
+      try {
+        // batch N: the novel doc has no store collision — admitted
+        source.addData((901001L, novel))
+        q.processAllAvailable()
+        assert(got.toSeq == Seq((901001L, false, 0L, -1L)))
+
+        // the fold lands BETWEEN two triggers of the live stream —
+        // exactly the seam the read lease exists to protect (the
+        // fold's bucketed append is reader-safe; compaction is the
+        // destructive op, and it defers its sweep under this lease)
+        assert(graft.core.StoreLeases.holdersOf("vis_store")
+          .contains(q.id.toString),
+          "the live stream must hold its lease across the fold")
+        D.foldAdmitted(spark, "vis_store",
+          Seq((901001L, novel)).toDF("doc_id", "text"))
+
+        // batch N+1: the captured store frame must re-read the CURRENT
+        // file set — the re-submitted near-dup is rejected, naming the
+        // doc folded a moment ago
+        source.addData((901002L, novel))
+        q.processAllAvailable()
+        assert(got.toSeq == Seq((901001L, false, 0L, -1L),
+          (901002L, true, 1L, 901001L)),
+          s"the fold must be visible to the next micro-batch: $got")
+      } finally q.stop()
+    } finally {
+      graft.queries.RunStore.dropWithLocation(spark, "vis_store")
+    }
+  }
+
   test("compaction after repeated folds: contents and admission " +
     "verdicts unchanged, file count back to the bucket count") {
     import spark.implicits._
@@ -158,37 +208,57 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
-  test("compactStore REFUSES while an active admission stream leases " +
-    "the store, and proceeds once the stream stops (round-8 verdict " +
-    "#6: the no-concurrent-readers precondition is enforced)") {
+  test("compaction proceeds SAFELY under an active streaming lease " +
+    "(round-9 verdict #1: atomic swap instead of refusal): the " +
+    "reader's generation is retained while leased — its verdicts keep " +
+    "flowing — and a later compaction sweeps it once the stream stops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val D = graft.queries.DedupTextQueries
+    def loc(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("lease_store")).location)
     try {
-      graft.queries.DedupTextQueries
-        .writeSignatureStore(spark, sf, "lease_store", lit(true))
+      D.writeSignatureStore(spark, sf, "lease_store", lit(true))
+      val fs = loc().getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val oldLoc = loc()
       val source = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Long, Long)]
       val q = StreamingAdmission.admissionQuery(
           source.toDS().toDF("doc_id", "text"), spark.table("lease_store"),
           java.nio.file.Files.createTempDirectory("lease_ckpt").toString,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
-        (verdicts, _) => verdicts.count(); ()
+        (verdicts, _) => got.synchronized { got ++= verdictRows(verdicts) }; ()
       }
       try {
-        source.addData((900001L, "a live reader holds its lease"))
+        source.addData((900001L, "a live reader holds its lease today"))
         q.processAllAvailable()
-        val e = intercept[IllegalStateException] {
-          graft.queries.DedupTextQueries.compactStore(spark, "lease_store")
-        }
-        assert(e.getMessage.contains("lease_store"), e.getMessage)
-        assert(e.getMessage.contains(q.id.toString), e.getMessage)
+        val before = got.toSeq
+
+        // live lease: compaction commits its atomic swap but RETAINS
+        // the generation the pinned reader scans
+        D.compactStore(spark, "lease_store")
+        assert(loc().toString != oldLoc.toString,
+          "the catalog must re-point at the compacted generation")
+        assert(fs.exists(oldLoc),
+          "the leased reader's files must be retained, not deleted")
+
+        // the stream keeps producing identical verdicts mid-swap
+        source.addData((900001L, "a live reader holds its lease today"))
+        q.processAllAvailable()
+        assert(got.toSeq == before ++ before,
+          s"verdicts must be unchanged across the swap: $got")
       } finally q.stop()
       // terminated stream: the lease no longer counts against the live
-      // active set even before the async listener fires — compaction
-      // proceeds and the store stays intact
-      graft.queries.DedupTextQueries.compactStore(spark, "lease_store")
+      // active set even before the async listener fires — the next
+      // compaction sweeps the retained generation
+      D.compactStore(spark, "lease_store")
+      assert(!fs.exists(oldLoc),
+        "the retained generation must be swept once the lease is gone")
       assert(spark.table("lease_store").count() > 0)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS lease_store")
+      graft.queries.RunStore.dropWithLocation(spark, "lease_store")
       spark.sql("DROP TABLE IF EXISTS lease_store_compacting")
     }
   }
@@ -252,61 +322,62 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
-  test("a compaction crash between DROP and RENAME self-heals on the " +
-    "next lifecycle touch: contents and admission verdicts unchanged, " +
-    "no manual repair (round-7 verdict #3)") {
+  test("compaction is ATOMIC at every seam: killing it after any step " +
+    "leaves the store registered and readable with unchanged contents " +
+    "and verdicts, and the next compaction absorbs the debris " +
+    "(round-9 verdict #1)") {
     import spark.implicits._
     val D = graft.queries.DedupTextQueries
-    val novel = "self healing compaction stores recover their swapped " +
-      "copy automatically on the next access"
+    val novel = "atomically swapped compaction generations keep every " +
+      "reader on a complete file set at all times"
+    final class Killed extends RuntimeException("injected crash")
     try {
-      D.writeSignatureStore(spark, sf, "heal_store", lit(true))
-      D.foldAdmitted(spark, "heal_store",
-        Seq((900301L, novel)).toDF("doc_id", "text"))
-      val before = spark.table("heal_store")
+      D.writeSignatureStore(spark, sf, "atomic_store", lit(true))
+      D.foldAdmitted(spark, "atomic_store",
+        Seq((900401L, novel)).toDF("doc_id", "text"))
+      val before = spark.table("atomic_store")
         .orderBy("doc_id", "band", "bkey").collect().toSeq
-      val buckets = 8
-
-      // simulate the crash window: the compacted copy is written aside,
-      // the primary is dropped, and the process dies before the RENAME
-      val saved = spark.conf
-        .getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
-      spark.conf
-        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      try graft.core.Tables.writeBucketed(spark.table("heal_store"),
-        "heal_store_compacting", buckets, "band", "bkey")
-      finally saved match {
-        case Some(v) => spark.conf
-          .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
-        case None => spark.conf
-          .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      def verdict() = graft.core.CacheScope.withScope {
+        verdictRows(StreamingAdmission.admitBatch(spark.table("atomic_store"))(
+          Seq((900409L, novel)).toDF("doc_id", "text")))
       }
-      spark.sql("DROP TABLE heal_store")
-      assert(!spark.catalog.tableExists("heal_store"))
+      val expected = Seq((900409L, true, 1L, 900401L))
+      assert(verdict() == expected)
 
-      // next lifecycle touch (here: a nightly fold) heals, then appends
-      D.foldAdmitted(spark, "heal_store",
-        Seq((900302L, "a brand new document arriving the morning after " +
-          "the crashed maintenance window")).toDF("doc_id", "text"))
-      assert(spark.catalog.tableExists("heal_store"))
-      assert(!spark.catalog.tableExists("heal_store_compacting"))
-      val healed = spark.table("heal_store")
-        .filter(col("doc_id") =!= 900302L)
-        .orderBy("doc_id", "band", "bkey").collect().toSeq
-      assert(healed == before, "healed store must carry the exact " +
-        "pre-crash contents")
-      // and the healed store still rejects a re-submission of the
-      // folded doc — admission semantics survived the crash+heal
-      val verdicts = graft.core.CacheScope.withScope {
-        verdictRows(StreamingAdmission.admitBatch(spark.table("heal_store"))(
-          Seq((900309L, novel)).toDF("doc_id", "text")))
+      Seq("swept", "written", "sidecar_copied", "committed",
+          "scaffold_dropped").foreach { stop =>
+        intercept[Killed] {
+          D.compactStoreSeams(spark, "atomic_store") { name =>
+            if (name == stop) throw new Killed
+          }
+        }
+        assert(spark.catalog.tableExists("atomic_store"),
+          s"store must stay registered after a crash at '$stop'")
+        assert(spark.table("atomic_store")
+          .orderBy("doc_id", "band", "bkey").collect().toSeq == before,
+          s"contents must be exact after a crash at '$stop'")
+        assert(verdict() == expected,
+          s"admission semantics must survive a crash at '$stop'")
       }
-      assert(verdicts == Seq((900309L, true, 1L, 900301L)), verdicts)
-      // idempotent: with a live primary, heal is a no-op
-      assert(!D.healCompaction(spark, "heal_store"))
+
+      // a clean compaction after all five crashes absorbs the debris:
+      // contents exact, file count back to one per bucket, and no
+      // stale generation or default dir remains besides the current
+      D.compactStore(spark, "atomic_store")
+      assert(spark.table("atomic_store")
+        .orderBy("doc_id", "band", "bkey").collect().toSeq == before)
+      assert(spark.table("atomic_store").inputFiles.length == 8)
+      assert(verdict() == expected)
+      val cur = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("atomic_store"))
+          .location)
+      assert(graft.queries.RunStore
+        .staleStoreDirs(spark, "atomic_store", cur).isEmpty,
+        "every non-current generation must be swept")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS heal_store")
-      spark.sql("DROP TABLE IF EXISTS heal_store_compacting")
+      graft.queries.RunStore.dropWithLocation(spark, "atomic_store")
+      spark.sql("DROP TABLE IF EXISTS atomic_store_compacting")
     }
   }
 
