@@ -442,13 +442,92 @@ object StreamingQueries {
       .orderBy(col("doc_id"), col("band"))
   }
 
+  /** q103 — the STORE LIFECYCLE through the real streaming engine:
+    * q92's two-day write→admit→fold→compact→re-admit loop with the
+    * nightly maintenance landing BETWEEN two checkpointed triggers of
+    * one live admission stream. Trigger 1 admits delta A (`doc_id %
+    * 20 = 0`) against the fresh store; inside that same batch's sink
+    * callback the admitted docs are folded in and the store is
+    * COMPACTED — the atomic `SET LOCATION` swap committing while the
+    * stream's own lease is live (the old generation is retained for
+    * the stream's pinned plan, which by then already contains the
+    * fold's appended files); trigger 2 admits delta B (`doc_id % 20 =
+    * 10`) against the folded store. Oracle: q92's SQL VERBATIM — the
+    * streamed lifecycle must produce exactly the batch lifecycle's
+    * day-2 verdicts, which it can only do if (a) the fold is visible
+    * to the very next micro-batch (round-9 verdict #3's machinery)
+    * and (b) the mid-stream compaction changes nothing but file
+    * layout (round-9 verdict #1's machinery). Both retained-old and
+    * swapped-new generations hold identical contents, so the verdict
+    * equality pins semantics, not which copy served the scan.
+    */
+  val q103StreamingStoreLifecycle: Q = (s, d) => {
+    val t = RunStore.tableName("graft_stream_lifecycle", d)
+    RunStore.dropWithLocation(s, t)
+    RunStore.dropWithLocation(s, t + "_compacting")
+    val base = RunStore.tableName("graft_stream_lc", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val isStore = col("doc_id") % 10 =!= 0
+    val isDeltaA = col("doc_id") % 20 === 0
+    val isDeltaB = col("doc_id") % 20 === 10
+    graft.core.Tables.writeBucketed(
+      BandStore.bands(s, d).filter(isStore), t, 8, "band", "bkey")
+    // two "days" as two spool files in stamped order: trigger 1 = delta
+    // A, trigger 2 = delta B (the q101 sequential-write discipline)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
+    Seq(isDeltaA, isDeltaB).foreach { range =>
+      docs.filter(range).coalesce(1).write.mode("append").parquet(deltaPath)
+      epoch += 1000
+      stampOrder(fs, path("_delta"), stamped, epoch)
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingAdmission.admissionQuery(
+          stream, s.table(t), path("_ckpt").toString,
+          Trigger.AvailableNow()) { (verdicts, batchId) =>
+        writeBatch(verdicts, outPath, batchId)
+        if (batchId == 0) {
+          // nightly maintenance INSIDE the stream's lifetime — the
+          // sink dir (not the live verdict plan) feeds the fold, the
+          // q92 lineage-break discipline
+          val admittedA = docs.join(
+            s.read.parquet(s"$outPath/batch_id=0")
+              .filter(!col("is_dup")).select("doc_id"),
+            Seq("doc_id"))
+          DedupTextQueries.foldAdmitted(s, t, admittedA)
+          DedupTextQueries.compactStore(s, t)
+        }
+      }.awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(isDeltaB)
+      .select(col("doc_id"), col("is_dup"), col("n_candidates"),
+        col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
     "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission,
     "q100_streaming_pattern_topk" -> q100StreamingPatternTopk,
     "q101_streaming_online_neardup" -> q101StreamingOnlineNeardup,
-    "q102_streaming_neardup_disordered" -> q102StreamingNeardupDisordered)
+    "q102_streaming_neardup_disordered" -> q102StreamingNeardupDisordered,
+    "q103_streaming_store_lifecycle" -> q103StreamingStoreLifecycle)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -460,5 +539,6 @@ object StreamingQueries {
     "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql,
     "q100_streaming_pattern_topk" -> EventQueries.q96Sql,
     "q101_streaming_online_neardup" -> DedupTextQueries.q101Sql,
-    "q102_streaming_neardup_disordered" -> DedupTextQueries.q101Sql)
+    "q102_streaming_neardup_disordered" -> DedupTextQueries.q101Sql,
+    "q103_streaming_store_lifecycle" -> DedupTextQueries.q92Sql)
 }

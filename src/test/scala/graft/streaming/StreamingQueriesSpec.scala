@@ -95,6 +95,23 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(commits("pattern") >= 5)
   }
 
+  test("q103 streams the FULL store lifecycle: fold + atomic " +
+    "compaction land between two checkpointed triggers of one live " +
+    "admission stream, and day-2 verdicts equal the batch q92 " +
+    "lifecycle exactly") {
+    val got = rows(StreamingQueries.q103StreamingStoreLifecycle(spark, sf))
+    val want = rows(DedupTextQueries.q92StoreLifecycle(spark, sf)
+      .orderBy("doc_id"))
+    assert(got.nonEmpty && got == want)
+    val ckpt = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      graft.queries.RunStore.tableName("graft_stream_lc", sf) +
+        "_ckpt/commits")
+    assert(Option(ckpt.list()).map(_.count(_.forall(_.isDigit)))
+      .getOrElse(0) >= 2,
+      "the lifecycle must span two real triggers (day 1, day 2)")
+  }
+
   test("batchId-keyed sinks are idempotent under epoch replay: " +
     "deleting the last commit and restarting from the checkpoint " +
     "re-runs that batch onto the SAME path — final sink contents " +
