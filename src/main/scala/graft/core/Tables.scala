@@ -58,16 +58,22 @@ object Tables {
     * may be a superset of the bucket columns (or empty for an unsorted
     * bucketed layout); `compactStore` uses this to rewrite a store
     * under its EXACT catalog spec instead of collapsing the sort spec
-    * to the bucket columns.
+    * to the bucket columns. With `path` set, the table is created
+    * EXTERNAL at that location (compaction's write-aside scaffold:
+    * dropping the catalog entry later must not touch the files) —
+    * either way the bucket-spec plumbing lives HERE, once, so a
+    * divergent copy can never silently rebucket a store.
     */
   def writeBucketedSorted(df: DataFrame, tableName: String, numBuckets: Int,
-      bucketKeys: Seq[String], sortKeys: Seq[String]): Unit = {
+      bucketKeys: Seq[String], sortKeys: Seq[String],
+      path: Option[String] = None): Unit = {
     require(bucketKeys.nonEmpty, "bucketed layout needs at least one key")
     val writer = df.write
       .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    val placed = path.map(p => writer.option("path", p)).getOrElse(writer)
     sortKeys.headOption
-      .map(h => writer.sortBy(h, sortKeys.tail: _*))
-      .getOrElse(writer)
+      .map(h => placed.sortBy(h, sortKeys.tail: _*))
+      .getOrElse(placed)
       .mode("overwrite")
       .saveAsTable(tableName)
   }

@@ -643,31 +643,32 @@ object DedupTextQueries {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = s.conf.getOption(key)
     s.conf.set(key, "false")
-    try {
-      val writer = s.table(tableName).write
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-          spec.bucketColumnNames.tail: _*)
-        .option("path", genLoc.toString)
-      spec.sortColumnNames.headOption
-        .map(h => writer.sortBy(h, spec.sortColumnNames.tail: _*))
-        .getOrElse(writer)
-        .mode("overwrite")
-        .saveAsTable(tmp)
-    } finally saved match {
+    try
+      graft.core.Tables.writeBucketedSorted(
+        s.table(tableName), tmp, spec.numBuckets,
+        spec.bucketColumnNames, spec.sortColumnNames,
+        path = Some(genLoc.toString))
+    finally saved match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
     seam("written")
     // carry the RunStore fingerprint sidecar (if any) so a fresh
-    // process can still discover and reuse the store post-swap
+    // process can still discover and reuse the store post-swap — the
+    // carried copy's manifest is computed against the GENERATION's
+    // files, valid from the instant the swap commits
     RunStore.copySidecar(s, oldLoc, genLoc)
     seam("sidecar_copied")
     // THE commit: one catalog operation re-points readers at the
     // compacted generation
     s.sql(s"ALTER TABLE $tableName SET LOCATION '$genLoc'")
     seam("committed")
+    // the old generation's files may be retained below for pinned
+    // readers, but its SIDECAR goes now: post-swap folds land on the
+    // new generation only, and a fresh process discovering the stale
+    // copy would revalidate a store missing them
+    RunStore.deleteSidecarAt(s, oldLoc)
     s.sql(s"DROP TABLE $tmp")  // external scaffold: entry only, files stay
-    RunStore.refreshManifest(s, tableName)
     seam("scaffold_dropped")
     // the old generation: gone now, or retained for any live pinned
     // reader and swept by a later compaction

@@ -196,7 +196,7 @@ private[graft] object RunStore {
   private[graft] def dropWithLocation(s: SparkSession, t: String): Unit = {
     val locs = (catalogLocation(s, t).toSeq ++
         (defaultLocation(s, t) +: generationDirs(s, t)))
-      .distinctBy(_.toString)
+      .distinctBy(p => hadoopFs(s, p).makeQualified(p).toString)
     s.sql(s"DROP TABLE IF EXISTS $t")
     locs.foreach { loc =>
       val fs = hadoopFs(s, loc)
@@ -225,21 +225,7 @@ private[graft] object RunStore {
     add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}")
     val src = new Path(d)
     val fs = hadoopFs(s, src)
-    if (fs.exists(src)) {
-      // FULLY recursive: an in-place rewrite of a file nested under
-      // partition directories (d/table/date=.../part.parquet) changes
-      // neither a shallow listing nor any parent directory's mtime, so
-      // a bounded walk would serve stale derived rows — the one
-      // direction this fingerprint exists to prevent. Cost is one
-      // listing per directory, proportional to the source's file
-      // count, i.e. the same order as the build's own file listing.
-      def walk(p: Path): Unit =
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-          add(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          if (st.isDirectory) walk(st.getPath)
-        }
-      walk(src)
-    }
+    if (fs.exists(src)) add(listingDigest(fs, src))
     add("|" + frame.queryExecution.analyzed.canonicalized.toString)
     frame.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -251,6 +237,27 @@ private[graft] object RunStore {
       add(s"|$up=$upFp")
     }
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The ONE recursive `name:size:mtime` walk both fingerprint inputs
+    * share (source dirs and sidecar-less upstream locations must never
+    * drift in what they hash). FULLY recursive: an in-place rewrite of
+    * a file nested under partition directories (d/table/date=.../
+    * part.parquet) changes neither a shallow listing nor any parent
+    * directory's mtime, so a bounded walk would serve stale derived
+    * rows — the one direction the fingerprint exists to prevent. Cost
+    * is one listing per directory, proportional to the tree's file
+    * count, i.e. the same order as a build's own file listing.
+    */
+  private def listingDigest(fs: FileSystem, root: Path): String = {
+    val sb = new StringBuilder
+    def walk(p: Path): Unit =
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        sb.append(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        if (st.isDirectory) walk(st.getPath)
+      }
+    walk(root)
+    sb.toString
   }
 
   /** Fallback upstream fingerprint for a catalog table with no sidecar:
@@ -265,18 +272,9 @@ private[graft] object RunStore {
       case Some(loc) =>
         val fs = hadoopFs(s, loc)
         if (!fs.exists(loc)) "missing"
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def walk(p: Path): Unit =
-            fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-              md.update(
-                s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-                  .getBytes("UTF-8"))
-              if (st.isDirectory) walk(st.getPath)
-            }
-          walk(loc)
-          md.digest().map("%02x".format(_)).mkString
-        }
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(listingDigest(fs, loc).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
     }
 
   /** The build's output data files (name:size, sorted) at `loc` —
@@ -341,14 +339,34 @@ private[graft] object RunStore {
       }
     }
 
-  /** Copy `from`'s sidecar (if any) into `to` — a compaction carries
+  /** Carry `from`'s sidecar (if any) into `to` — a compaction moves
     * the fingerprint to the new generation dir so a fresh process can
     * still discover and reuse the store after the swap. The manifest
-    * is refreshed separately once the swap commits.
+    * is recomputed for the DESTINATION's file set at copy time, so the
+    * carried sidecar is valid the moment the swap commits — a crash
+    * right after the commit must not leave a gen whose stale manifest
+    * forces a rebuild that would discard folded admissions.
     */
   private[graft] def copySidecar(s: SparkSession, from: Path, to: Path): Unit = {
     val fs = hadoopFs(s, from)
-    readSidecarAt(fs, from).foreach { case (_, props) => storeSidecar(fs, to, props) }
+    readSidecarAt(fs, from).foreach { case (_, props) =>
+      props.setProperty("manifest", manifestOf(fs, to))
+      storeSidecar(fs, to, props)
+    }
+  }
+
+  /** Remove the sidecar at `loc` (data files untouched) — compaction
+    * calls this on the OLD generation right after its swap commits.
+    * The retained dir (kept only for live pinned readers, which never
+    * read sidecars) must drop out of [[discoverSidecar]]'s view:
+    * otherwise a fresh process could revalidate against the stale
+    * copy, miss every fold that landed on the new generation since,
+    * and the next compaction's sweep would delete the folded data.
+    */
+  private[graft] def deleteSidecarAt(s: SparkSession, loc: Path): Unit = {
+    val fs = hadoopFs(s, loc)
+    fs.delete(new Path(loc, SidecarName), false)
+    ()
   }
 
   private def readSidecarAt(fs: FileSystem, loc: Path)
@@ -379,7 +397,7 @@ private[graft] object RunStore {
       : Option[(Path, String, java.util.Properties)] =
     (catalogLocation(s, t).toSeq ++
         (defaultLocation(s, t) +: generationDirs(s, t)))
-      .distinctBy(_.toString)
+      .distinctBy(p => hadoopFs(s, p).makeQualified(p).toString)
       .view
       .flatMap { loc =>
         readSidecarAt(hadoopFs(s, loc), loc).map { case (fp, props) =>
@@ -413,41 +431,64 @@ private[graft] object RunStore {
       case _ => false
     }
 
+  /** How old a build lock must be before a contender may presume its
+    * holder dead and break it. A LIVE build outlasting this bound is
+    * possible (a 100 TB ingest pass), which is exactly why the lock is
+    * best-effort — see the caveats on [[withBuildLock]].
+    */
+  private val LockStaleMs = 10L * 60 * 1000
+
   /** Best-effort CROSS-PROCESS build serialization (round-9 verdict
     * #6): a lock file under `<warehouse>/_graft_locks/` taken with
     * create-if-absent before a store build. A contender polls until
     * the holder releases, then re-runs revalidation — the usual
     * outcome of losing the race is REUSING the winner's build, not
-    * re-paying it. Best-effort by design: local-FS create-exclusive
-    * is not atomic across hosts, and a crashed holder's stale lock is
-    * BROKEN after a bounded wait (a deadlock on debris would be worse
-    * than a rare double build, whose loser's CREATE simply fails).
-    * The production analog is an open-table-format's commit protocol
-    * or a catalog-level lock, not a filesystem flag.
+    * re-paying it. Staleness is judged by the LOCK FILE's age, not by
+    * how long this contender has waited: only a lock older than
+    * [[LockStaleMs]] is presumed to belong to a dead process and
+    * broken (a deadlock on crash debris would be worse than a rare
+    * double build). Release checks OWNERSHIP — each acquisition writes
+    * a unique token, and the finally only deletes a lock that still
+    * carries its own token, so a holder whose lock was broken cannot
+    * delete its successor's. Best-effort by design: local-FS
+    * create-exclusive is not atomic across hosts, and a live build
+    * slower than the stale bound can still be usurped — the
+    * production analog is an open-table-format's commit protocol or a
+    * catalog-level lock, not a filesystem flag.
     */
   private def withBuildLock[T](s: SparkSession, t: String)(body: => T): T = {
     val dir = new Path(s.conf.get("spark.sql.warehouse.dir"), "_graft_locks")
     val fs = hadoopFs(s, dir)
     fs.mkdirs(dir)
     val lock = new Path(dir, t.toLowerCase(java.util.Locale.ROOT) + ".lock")
-    val deadline = System.nanoTime() + 30L * 1000L * 1000 * 1000
+    val token =
+      s"${ProcessHandle.current().pid()}:${java.util.UUID.randomUUID()}"
+    def readToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Option(new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine())
+        finally in.close()
+      } catch { case NonFatal(_) => None }
     var acquired = false
     while (!acquired) {
       try {
         val out = fs.create(lock, false)
-        try out.writeBytes(
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}\n")
-        finally out.close()
+        try out.write(token.getBytes("UTF-8")) finally out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          if (System.nanoTime() > deadline) {
-            System.err.println(
-              s"[RunStore] breaking stale build lock $lock after 30 s")
+          val age = try
+            System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime
+          catch { case NonFatal(_) => 0L }  // vanished: retry create
+          if (age > LockStaleMs) {
+            System.err.println(s"[RunStore] breaking stale build lock " +
+              s"$lock (${age / 1000} s old, holder presumed dead)")
             fs.delete(lock, false)
           } else Thread.sleep(200)
       }
     }
-    try body finally fs.delete(lock, false)
+    try body finally if (readToken().contains(token)) fs.delete(lock, false)
   }
 }

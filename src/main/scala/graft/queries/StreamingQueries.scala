@@ -444,22 +444,25 @@ object StreamingQueries {
 
   /** q103 — the STORE LIFECYCLE through the real streaming engine:
     * q92's two-day write→admit→fold→compact→re-admit loop with the
-    * nightly maintenance landing BETWEEN two checkpointed triggers of
-    * one live admission stream. Trigger 1 admits delta A (`doc_id %
-    * 20 = 0`) against the fresh store; inside that same batch's sink
-    * callback the admitted docs are folded in and the store is
-    * COMPACTED — the atomic `SET LOCATION` swap committing while the
-    * stream's own lease is live (the old generation is retained for
-    * the stream's pinned plan, which by then already contains the
-    * fold's appended files); trigger 2 admits delta B (`doc_id % 20 =
-    * 10`) against the folded store. Oracle: q92's SQL VERBATIM — the
+    * nightly maintenance landing BETWEEN two checkpointed runs of ONE
+    * query lineage. Day 1: the stream drains delta A (`doc_id % 20 =
+    * 0`, `AvailableNow`) against the fresh store and terminates. The
+    * maintenance window: day 1's admitted docs are folded in and the
+    * store is COMPACTED (the atomic `SET LOCATION` swap) while the
+    * stream is down — the production shape, and the reason the
+    * maintenance is exactly-once: it runs driver-side between runs,
+    * never inside a replayable micro-batch (a foreachBatch fold would
+    * double-append under epoch replay and flip cap-boundary verdicts;
+    * the registered queries' only in-batch side effect is the
+    * batchId-keyed sink write). Day 2: delta B (`doc_id % 20 = 10`)
+    * arrives and the SAME checkpoint resumes, admitting it against
+    * the folded, compacted store. Oracle: q92's SQL VERBATIM — the
     * streamed lifecycle must produce exactly the batch lifecycle's
-    * day-2 verdicts, which it can only do if (a) the fold is visible
-    * to the very next micro-batch (round-9 verdict #3's machinery)
-    * and (b) the mid-stream compaction changes nothing but file
-    * layout (round-9 verdict #1's machinery). Both retained-old and
-    * swapped-new generations hold identical contents, so the verdict
-    * equality pins semantics, not which copy served the scan.
+    * day-2 verdicts, which it can only do if the resumed stream's
+    * store scan reflects the fold and the compaction changed nothing
+    * but file layout. (The live-stream variants — fold visible to the
+    * NEXT trigger of a running query, compaction under a live
+    * lease — are spec-held in StreamingAdmissionSpec.)
     */
   val q103StreamingStoreLifecycle: Q = (s, d) => {
     val t = RunStore.tableName("graft_stream_lifecycle", d)
@@ -482,37 +485,37 @@ object StreamingQueries {
     val isDeltaB = col("doc_id") % 20 === 10
     graft.core.Tables.writeBucketed(
       BandStore.bands(s, d).filter(isStore), t, 8, "band", "bkey")
-    // two "days" as two spool files in stamped order: trigger 1 = delta
-    // A, trigger 2 = delta B (the q101 sequential-write discipline)
     val stamped = scala.collection.mutable.Set.empty[String]
     var epoch = System.currentTimeMillis()
-    Seq(isDeltaA, isDeltaB).foreach { range =>
-      docs.filter(range).coalesce(1).write.mode("append").parquet(deltaPath)
+    // one "day" of the lifecycle: spool the day's delta as a new file,
+    // resume the SAME checkpoint over the spool dir, drain, terminate
+    def day(delta: DataFrame): Unit = {
+      delta.coalesce(1).write.mode("append").parquet(deltaPath)
       epoch += 1000
       stampOrder(fs, path("_delta"), stamped, epoch)
+      val stream = s.readStream
+        .schema(s.read.parquet(deltaPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltaPath)
+      withFewShufflePartitions(s) {
+        graft.streaming.StreamingAdmission.admissionQuery(
+            stream, s.table(t), path("_ckpt").toString,
+            Trigger.AvailableNow()) { (verdicts, batchId) =>
+          writeBatch(verdicts, outPath, batchId)
+        }.awaitTermination()
+      }
     }
-    val stream = s.readStream
-      .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(deltaPath)
-    withFewShufflePartitions(s) {
-      graft.streaming.StreamingAdmission.admissionQuery(
-          stream, s.table(t), path("_ckpt").toString,
-          Trigger.AvailableNow()) { (verdicts, batchId) =>
-        writeBatch(verdicts, outPath, batchId)
-        if (batchId == 0) {
-          // nightly maintenance INSIDE the stream's lifetime — the
-          // sink dir (not the live verdict plan) feeds the fold, the
-          // q92 lineage-break discipline
-          val admittedA = docs.join(
-            s.read.parquet(s"$outPath/batch_id=0")
-              .filter(!col("is_dup")).select("doc_id"),
-            Seq("doc_id"))
-          DedupTextQueries.foldAdmitted(s, t, admittedA)
-          DedupTextQueries.compactStore(s, t)
-        }
-      }.awaitTermination()
-    }
+    day(docs.filter(isDeltaA))
+    // the maintenance window, stream down: fold day 1's admissions
+    // (read back from the sink — the q92 lineage-break discipline),
+    // then compact; exactly-once because no micro-batch replay can
+    // reach it
+    val admittedA = docs.join(
+      readSink(s, outPath).filter(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"))
+    DedupTextQueries.foldAdmitted(s, t, admittedA)
+    DedupTextQueries.compactStore(s, t)
+    day(docs.filter(isDeltaB))
     readSink(s, outPath)
       .filter(isDeltaB)
       .select(col("doc_id"), col("is_dup"), col("n_candidates"),
