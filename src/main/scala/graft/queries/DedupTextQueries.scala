@@ -589,16 +589,22 @@ object DedupTextQueries {
     * heal, so the round-8 `healCompaction` repair path is gone
     * entirely.
     *
-    * Concurrent streaming readers no longer block compaction: a
-    * reader's pinned plan keeps scanning the OLD generation's files,
-    * which are retained — not deleted — while any live lease exists
-    * ([[graft.core.StoreLeases]]; swept by a later compaction once the
-    * leases are gone), and a reader that re-resolves the table after
-    * the commit sees the new generation with identical contents. The
-    * residual caveat is inherited from the lease scope itself
-    * (per-session, documented there): a plan built against the old
-    * generation by a reader that never leased it races the deferred
-    * sweep, not the swap.
+    * Concurrent streaming readers no longer block compaction: the OLD
+    * generation's files are retained — not deleted — while any live
+    * lease exists ([[graft.core.StoreLeases]]; swept by a later
+    * compaction once the leases are gone). The lease check before
+    * each delete is race-free for admission streams by a
+    * happens-before argument: a stream leases BEFORE it starts, and
+    * [[graft.streaming.StreamingAdmission.admissionQuery]] re-resolves
+    * the store from the catalog at EVERY trigger — so a lease live at
+    * check time defers the delete, and a lease acquired after the
+    * check belongs to a stream whose every batch resolves post-swap
+    * and never touches the old generation. (Per-batch re-resolution is
+    * also what keeps post-swap folds visible to a stream that
+    * straddles the compaction — folds land on the CURRENT catalog
+    * location, and so do the stream's subsequent scans.) Readers that
+    * don't lease — batch queries, sibling sessions — remain outside
+    * the guard, per StoreLeases' documented scope.
     *
     * The rewrite is SHUFFLE-FREE: with the auto-bucketed-scan
     * heuristic pinned off, the read is one partition per bucket, each

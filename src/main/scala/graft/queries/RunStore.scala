@@ -225,7 +225,7 @@ private[graft] object RunStore {
     add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}")
     val src = new Path(d)
     val fs = hadoopFs(s, src)
-    if (fs.exists(src)) add(listingDigest(fs, src))
+    if (fs.exists(src)) digestListing(fs, src, md)
     add("|" + frame.queryExecution.analyzed.canonicalized.toString)
     frame.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -241,23 +241,26 @@ private[graft] object RunStore {
 
   /** The ONE recursive `name:size:mtime` walk both fingerprint inputs
     * share (source dirs and sidecar-less upstream locations must never
-    * drift in what they hash). FULLY recursive: an in-place rewrite of
-    * a file nested under partition directories (d/table/date=.../
+    * drift in what they hash), streaming each entry straight into the
+    * digest — no materialized listing, so driver heap stays O(1) in
+    * the tree's file count. FULLY recursive: an in-place rewrite of a
+    * file nested under partition directories (d/table/date=.../
     * part.parquet) changes neither a shallow listing nor any parent
     * directory's mtime, so a bounded walk would serve stale derived
     * rows — the one direction the fingerprint exists to prevent. Cost
     * is one listing per directory, proportional to the tree's file
     * count, i.e. the same order as a build's own file listing.
     */
-  private def listingDigest(fs: FileSystem, root: Path): String = {
-    val sb = new StringBuilder
+  private def digestListing(fs: FileSystem, root: Path,
+      md: java.security.MessageDigest): Unit = {
     def walk(p: Path): Unit =
       fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-        sb.append(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        md.update(
+          s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+            .getBytes("UTF-8"))
         if (st.isDirectory) walk(st.getPath)
       }
     walk(root)
-    sb.toString
   }
 
   /** Fallback upstream fingerprint for a catalog table with no sidecar:
@@ -272,9 +275,11 @@ private[graft] object RunStore {
       case Some(loc) =>
         val fs = hadoopFs(s, loc)
         if (!fs.exists(loc)) "missing"
-        else java.security.MessageDigest.getInstance("MD5")
-          .digest(listingDigest(fs, loc).getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          digestListing(fs, loc, md)
+          md.digest().map("%02x".format(_)).mkString
+        }
     }
 
   /** The build's output data files (name:size, sorted) at `loc` —
@@ -316,9 +321,13 @@ private[graft] object RunStore {
     val out = fs.create(tmp, true)
     try props.store(out, "graft RunStore fingerprint") finally out.close()
     val dest = new Path(loc, SidecarName)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $dest")
+    // OVERWRITING rename: a delete-then-rename would open a no-sidecar
+    // crash window on every fold's manifest refresh, and the next
+    // process would read "no sidecar" as "stale" and rebuild — exactly
+    // the folded-admissions loss the sidecar machinery must prevent
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dest.toUri, fs.getConf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Re-list the CURRENT catalog location and rewrite the sidecar's
@@ -456,7 +465,7 @@ private[graft] object RunStore {
     * production analog is an open-table-format's commit protocol or a
     * catalog-level lock, not a filesystem flag.
     */
-  private def withBuildLock[T](s: SparkSession, t: String)(body: => T): T = {
+  private[graft] def withBuildLock[T](s: SparkSession, t: String)(body: => T): T = {
     val dir = new Path(s.conf.get("spark.sql.warehouse.dir"), "_graft_locks")
     val fs = hadoopFs(s, dir)
     fs.mkdirs(dir)

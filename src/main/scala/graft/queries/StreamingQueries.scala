@@ -102,7 +102,7 @@ object StreamingQueries {
     * convention).
     */
   private def runAdmission(s: SparkSession, tag: String, d: String,
-      delta: DataFrame, storeBands: DataFrame,
+      delta: DataFrame, storeBands: => DataFrame,
       admit: DataFrame => DataFrame => DataFrame,
       orderCol: String, nFiles: Int = 3): DataFrame = {
     val base = RunStore.tableName(s"graft_stream_$tag", d)

@@ -106,7 +106,13 @@ object StreamingAdmission {
     * CURRENT store — deliberately: the tier is stateless, and a
     * nightly fold must be visible to the next batch, so the store
     * scan (bucketed, window exchange-free) is a per-batch cost, never
-    * cached across batches into a stale view.
+    * cached across batches into a stale view. `storeBands` is taken
+    * BY NAME and re-evaluated at every trigger, so each batch
+    * re-resolves the store's catalog entry from scratch: a fold's
+    * appended files AND a compaction's `SET LOCATION` swap are both
+    * visible to the very next batch (a captured pre-analyzed frame
+    * would pin the pre-swap location's file index for the stream's
+    * lifetime and silently miss every post-swap fold).
     *
     * For the stream's LIFETIME, the catalog tables `storeBands` scans
     * are leased in [[graft.core.StoreLeases]] (acquired under a
@@ -117,7 +123,7 @@ object StreamingAdmission {
     * invisible to the reader, and deleting the old files out from
     * under its file index is the one hazard left (round-9 verdict #1).
     */
-  def admissionQuery(docs: DataFrame, storeBands: DataFrame,
+  def admissionQuery(docs: DataFrame, storeBands: => DataFrame,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       admit: DataFrame => DataFrame => DataFrame = admitBatch)(
       onVerdicts: (DataFrame, Long) => Unit): StreamingQuery = {

@@ -278,6 +278,93 @@ class RunStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a compaction under a live lease strips the retained old " +
+    "generation's SIDECAR at commit: post-swap folds land on the new " +
+    "generation and a fresh process revalidates THERE, never against " +
+    "the stale retained copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("runstore_ret")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "stable")
+    val store = new RunStore("graft_test_ret", 2, Seq("band", "bkey"),
+      (_, _) => Seq((1L, 0, "a"), (2L, 1, "b"))
+        .toDF("doc_id", "band", "bkey"))
+    val t = store.tableName(dir.toString)
+    def loc(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    val token = "pending:runstore-retained-spec"
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      val oldLoc = loc()
+      val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a pending-start lease (counts as live) forces the sweep deferral
+      graft.core.StoreLeases.acquire(token, Set(t))
+      DedupTextQueries.compactStore(spark, t)
+      assert(fs.exists(oldLoc), "the leased generation must be retained")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        oldLoc, "_graft_store.properties")),
+        "the retained dir must lose its sidecar at the swap's commit — " +
+          "a fresh process discovering it would miss every post-swap fold")
+      // a post-swap fold lands on the NEW generation only
+      DedupTextQueries.foldAdmittedVia(docs =>
+          docs.select(col("doc_id"), col("band"), col("bkey")))(
+        spark, t, Seq((9L, 2, "z")).toDF("doc_id", "band", "bkey"))
+      // fresh process: discovery must land on the folded generation
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "reused")
+      assert(store.table(spark, dir.toString).count() == 3,
+        "revalidation must serve the folded generation, not the stale copy")
+    } finally {
+      graft.core.StoreLeases.release(token)
+      RunStore.dropWithLocation(spark, t)
+      store.reset()
+    }
+  }
+
+  test("the cross-process build lock: a stale lock (older than the " +
+    "bound) is broken and the build proceeds; a fresh foreign lock " +
+    "delays the build until its holder releases; release only removes " +
+    "a lock the releaser still owns") {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "_graft_locks")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(wh)
+    val lock = new org.apache.hadoop.fs.Path(wh, "locked_store.lock")
+    def plant(content: String, ageMs: Long): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      fs.setTimes(lock, System.currentTimeMillis() - ageMs, -1)
+    }
+    try {
+      // stale: an 11-minute-old lock is presumed dead and broken
+      plant("999:dead-process", 11L * 60 * 1000)
+      var ran = false
+      RunStore.withBuildLock(spark, "locked_store") { ran = true }
+      assert(ran)
+      assert(!fs.exists(lock), "the broken+reacquired lock must be released")
+
+      // fresh: a live foreign lock delays until its holder releases
+      plant("998:live-process", 0L)
+      val releaser = new Thread(() => { Thread.sleep(700); fs.delete(lock, false); () })
+      releaser.start()
+      val t0 = System.nanoTime()
+      RunStore.withBuildLock(spark, "locked_store") { }
+      releaser.join()
+      assert((System.nanoTime() - t0) / 1e6 >= 500,
+        "the contender must wait for a fresh lock, not break it")
+      assert(!fs.exists(lock))
+
+      // ownership: a holder whose lock was usurped must not delete the
+      // successor's — simulate by planting a foreign token mid-body
+      RunStore.withBuildLock(spark, "locked_store") {
+        plant("997:usurper", 0L)
+      }
+      assert(fs.exists(lock),
+        "release must leave a lock the releaser no longer owns")
+    } finally { fs.delete(lock, false); () }
+  }
+
   test("foldAdmittedVia refuses a band frame whose key TYPES differ " +
     "from the store's (round-7 advisory: an unconditional cast would " +
     "silently truncate) — a cross-modality fold cannot corrupt a store") {

@@ -249,6 +249,20 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         q.processAllAvailable()
         assert(got.toSeq == before ++ before,
           s"verdicts must be unchanged across the swap: $got")
+
+        // and a POST-swap fold (which lands on the new generation —
+        // the current catalog location) is visible to the straddling
+        // stream's next batch: per-trigger re-resolution, not a plan
+        // pinned at the pre-swap location for the stream's lifetime
+        val novel = "post swap folds must reach the straddling " +
+          "stream's very next micro batch too"
+        graft.queries.DedupTextQueries.foldAdmitted(spark, "lease_store",
+          Seq((900077L, novel)).toDF("doc_id", "text"))
+        source.addData((900078L, novel))
+        q.processAllAvailable()
+        assert(got.toSeq.lastOption
+          .contains((900078L, true, 1L, 900077L)),
+          s"the post-swap fold must be visible across the swap: $got")
       } finally q.stop()
       // terminated stream: the lease no longer counts against the live
       // active set even before the async listener fires — the next
