@@ -427,6 +427,53 @@ object SimilarityQueries {
        |WHERE t.doc_a IS NULL
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q104 — SEMANTIC duplicate CLUSTERS: connected components over the
+    * q42 confirmed-cosine edge set — the embedding modality's member of
+    * the cluster triad (text q59, media q94). Pairwise verdicts
+    * under-merge exactly as q59's doc argues (A≈B, B≈C, A̸≈C keeps two
+    * of three); the cluster view keeps one representative (the min
+    * vec_id) per component — what a release pipeline ships when "same
+    * meaning" rather than "same bytes" is the dedup bar. Edges are
+    * dup-proportional (thresholded in-label pairs from the salted
+    * replicate join, never the corpus pair matrix), components run over
+    * the edge-touched subgraph only via
+    * [[graft.operators.ConnectedComponents]] (driver union-find while
+    * bounded, pointer-jumping propagation above), and untouched vectors
+    * join back ONCE as their own singleton clusters. q42 blocks by
+    * label, so clusters never span labels — on both engines, since the
+    * oracle walks the same in-label edge set with a recursive CTE to
+    * the same min-reachable-id fixpoint.
+    */
+  val q104SemanticDupClusters: Q = (s, d) => {
+    val edges = q42EmbedNearDup(s, d)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val labels = graft.operators.ConnectedComponents.labels(s, edges)
+    embeddings(s, d).select(col("vec_id").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        col("cluster_size"), col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  val q104Sql: String =
+    s"""WITH RECURSIVE $embPairsCteSql,
+       |edges AS (
+       | SELECT vec_a AS src, vec_b AS dst FROM emb_pairs
+       | UNION SELECT vec_b AS src, vec_a AS dst FROM emb_pairs),
+       |walk AS (
+       | SELECT vec_id, vec_id AS reach FROM embeddings
+       | UNION
+       | SELECT w.vec_id, e.dst AS reach FROM walk w JOIN edges e ON w.reach = e.src),
+       |comp AS (SELECT vec_id, MIN(reach) AS cluster FROM walk GROUP BY vec_id)
+       |SELECT vec_id, cluster,
+       | COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+       | vec_id = cluster AS is_canonical
+       |FROM comp ORDER BY vec_id""".stripMargin
+
   val q77Sql: String = {
     val cosAB = cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
     // window partitioned by (label, vec_id) — the Spark side groups by
@@ -1015,7 +1062,8 @@ object SimilarityQueries {
     "q77_pair_mining" -> q77PairMining,
     "q78_semantic_only_dups" -> q78SemanticOnlyDups,
     "q88_pruned_pair_mining" -> q88PrunedPairMining,
-    "q95_embedding_admission" -> q95EmbeddingAdmission
+    "q95_embedding_admission" -> q95EmbeddingAdmission,
+    "q104_semantic_dup_clusters" -> q104SemanticDupClusters
   )
 
   val oracle: Map[String, String] = Map(
@@ -1027,6 +1075,7 @@ object SimilarityQueries {
     "q77_pair_mining" -> q77Sql,
     "q78_semantic_only_dups" -> q78Sql,
     "q88_pruned_pair_mining" -> q88Sql,
-    "q95_embedding_admission" -> q95Sql
+    "q95_embedding_admission" -> q95Sql,
+    "q104_semantic_dup_clusters" -> q104Sql
   )
 }
