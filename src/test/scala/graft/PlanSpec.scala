@@ -299,6 +299,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("q104 semantic clusters: the dup-proportional label frame " +
+    "BROADCASTS onto the corpus scan (never a corpus-side shuffle for " +
+    "a tiny right side), one cluster-window exchange above it") {
+    val p = physical(
+      SimilarityQueries.queries("q104_semantic_dup_clusters")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("LeftOuter, BuildRight"), p.take(4000))
+  }
+
   test("q77 pair mining: salted shuffle join (no broadcast) and the " +
     "argmax reduces map-side — the pair matrix never crosses an exchange") {
     val p = physical(SimilarityQueries.queries("q77_pair_mining")(spark, sf))
