@@ -16,10 +16,15 @@ import scala.jdk.CollectionConverters._
   * [[graft.streaming.StreamingAdmission.admissionQuery]] acquires
   * under a transient `pending:` holder BEFORE the stream starts (so
   * the startup window is covered), re-keys the lease to the started
-  * query's id, and a termination listener releases it. Holders are
-  * checked against the live `spark.streams.active` set, so a
-  * terminated-but-unreleased entry (listener delivery is
-  * asynchronous) never defers a sweep.
+  * query's id, and a termination listener releases it. Each lease
+  * carries its own LIVENESS probe — the pending token is live until
+  * rekeyed or released, and a rekeyed lease answers with the streaming
+  * query handle's `isActive` — so a terminated-but-unreleased entry
+  * (listener delivery is asynchronous) never defers a sweep, and the
+  * check holds for streams started from ANY session in this JVM (the
+  * registry is JVM-global; judging liveness from one session's
+  * `streams.active` would silently drop a sibling `newSession()`
+  * stream's lease).
   *
   * Batch queries are deliberately NOT leased: they are run-then-read
   * (the driver executes and dumps), and `foldAdmitted`'s append is
@@ -28,35 +33,51 @@ import scala.jdk.CollectionConverters._
   * pinned reader still scans, and streams are the readers that can
   * straddle it.
   *
-  * SCOPE: the guard is per-SparkSession — `streams.active` only lists
-  * queries started from the session compaction runs in, so a stream
-  * on a sibling `newSession()` of the same catalog is not protected.
-  * This engine runs one session per process; at multi-writer scale
-  * the production analog is a catalog-level lock or an
-  * open-table-format's snapshot retention, not an in-JVM registry.
+  * SCOPE: the guard is per-JVM. A reader in another PROCESS is not
+  * protected; at multi-writer scale the production analog is a
+  * catalog-level lock or an open-table-format's snapshot retention,
+  * not an in-JVM registry.
   */
 object StoreLeases {
 
-  private val byHolder =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val byHolder = new java.util.concurrent.ConcurrentHashMap[
+    String, (Set[String], () => Boolean)]()
 
-  /** Lease `tables` under `holder`. No-op for an empty table set. */
-  def acquire(holder: String, tables: Set[String]): Unit =
-    if (tables.nonEmpty) { byHolder.put(holder, tables); () }
+  /** Lease `tables` under `holder`. `isLive` is consulted by
+    * [[liveHoldersOf]]; the default (always live) suits pending-start
+    * tokens, which are explicitly rekeyed or released. No-op for an
+    * empty table set.
+    */
+  def acquire(holder: String, tables: Set[String],
+      isLive: () => Boolean = () => true): Unit =
+    if (tables.nonEmpty) { byHolder.put(holder, (tables, isLive)); () }
 
-  /** Move a lease to a new holder id (pending token → started query id). */
-  def rekey(from: String, to: String): Unit = {
+  /** Move a lease to a new holder id (pending token → started query
+    * id), replacing its liveness probe with the started query's.
+    */
+  def rekey(from: String, to: String,
+      isLive: () => Boolean = () => true): Unit = {
     val t = byHolder.remove(from)
-    if (t != null) { byHolder.put(to, t); () }
+    if (t != null) { byHolder.put(to, (t._1, isLive)); () }
   }
 
   /** Drop every lease held by `holder`. */
   def release(holder: String): Unit = { byHolder.remove(holder); () }
 
-  /** All holders currently leasing `table` (pending tokens included). */
+  /** All holders currently leasing `table` (pending tokens included,
+    * liveness NOT consulted — diagnostics and specs).
+    */
   def holdersOf(table: String): Set[String] =
     byHolder.entrySet().asScala
-      .filter(_.getValue.contains(table)).map(_.getKey).toSet
+      .filter(_.getValue._1.contains(table)).map(_.getKey).toSet
+
+  /** The holders of `table` whose liveness probe still answers true —
+    * what gates a compaction's old-generation sweep.
+    */
+  def liveHoldersOf(table: String): Set[String] =
+    byHolder.entrySet().asScala
+      .filter(e => e.getValue._1.contains(table) && e.getValue._2())
+      .map(_.getKey).toSet
 
   /** Test hook. */
   private[graft] def reset(): Unit = byHolder.clear()

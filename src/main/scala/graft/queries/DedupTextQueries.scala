@@ -554,16 +554,15 @@ object DedupTextQueries {
       .getOrElse(throw new IllegalArgumentException(
         s"$tableName is not a bucketed table"))
 
-  /** Live streaming readers of `tableName`: pending-start tokens plus
-    * lease holders still in the ACTIVE query set (a terminated-but-
-    * unreleased lease — listener delivery is async — never counts).
+  /** Live streaming readers of `tableName` — each lease carries its
+    * own liveness probe (pending tokens live until rekeyed; started
+    * streams answer via their query handle's `isActive`), so a
+    * terminated-but-unreleased lease never counts and a sibling
+    * session's stream always does.
     */
   private def liveLeaseHolders(s: org.apache.spark.sql.SparkSession,
-      tableName: String): Set[String] = {
-    val active = s.streams.active.map(_.id.toString).toSet
-    graft.core.StoreLeases.holdersOf(tableName)
-      .filter(h => h.startsWith("pending:") || active.contains(h))
-  }
+      tableName: String): Set[String] =
+    graft.core.StoreLeases.liveHoldersOf(tableName)
 
   /** Compact a band-key signature store: every [[foldAdmitted]] appends
     * its own set of bucket files, so a store folded nightly accumulates
@@ -603,8 +602,10 @@ object DedupTextQueries {
     * also what keeps post-swap folds visible to a stream that
     * straddles the compaction — folds land on the CURRENT catalog
     * location, and so do the stream's subsequent scans.) Readers that
-    * don't lease — batch queries, sibling sessions — remain outside
-    * the guard, per StoreLeases' documented scope.
+    * don't lease — batch queries, and anything in another PROCESS —
+    * remain outside the guard, per StoreLeases' documented scope
+    * (admission streams from sibling sessions of this JVM are covered:
+    * the registry is JVM-global and liveness rides the query handle).
     *
     * The rewrite is SHUFFLE-FREE: with the auto-bucketed-scan
     * heuristic pinned off, the read is one partition per bucket, each

@@ -152,7 +152,11 @@ object StreamingAdmission {
       graft.core.StoreLeases.release(token); throw e
     }
     if (tables.nonEmpty) {
-      graft.core.StoreLeases.rekey(token, started.id.toString)
+      // the lease's liveness rides the query handle itself, so the
+      // sweep guard holds for streams from ANY session in this JVM —
+      // not just the one compaction happens to run in
+      graft.core.StoreLeases.rekey(token, started.id.toString,
+        () => started.isActive)
       val streams = docs.sparkSession.streams
       val listener = new StreamingQueryListener {
         override def onQueryStarted(

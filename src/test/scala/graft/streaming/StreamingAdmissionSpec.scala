@@ -277,6 +277,48 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("a SIBLING session's admission stream defers the sweep too: " +
+    "lease liveness rides the streaming query's own handle, so a " +
+    "compaction run from a different session of the same JVM still " +
+    "retains the generation that stream scans") {
+    val D = graft.queries.DedupTextQueries
+    def loc(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("sib_store")).location)
+    try {
+      D.writeSignatureStore(spark, sf,
+        "sib_store", org.apache.spark.sql.functions.lit(true))
+      val fs = loc().getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val oldLoc = loc()
+      val sibling = spark.newSession()
+      import sibling.implicits._
+      implicit val sqlCtx = sibling.sqlContext
+      val source = MemoryStream[(Long, String)]
+      val q = StreamingAdmission.admissionQuery(
+          source.toDS().toDF("doc_id", "text"), sibling.table("sib_store"),
+          java.nio.file.Files.createTempDirectory("sib_ckpt").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+        (verdicts, _) => verdicts.count(); ()
+      }
+      try {
+        source.addData((900001L, "a sibling session reader holds a lease"))
+        q.processAllAvailable()
+        // the sibling's query is NOT in the main session's active set —
+        // a session-scoped liveness check would read its lease as dead
+        assert(!spark.streams.active.exists(_.id == q.id))
+        D.compactStore(spark, "sib_store")
+        assert(fs.exists(oldLoc),
+          "the sibling stream's generation must be retained")
+      } finally q.stop()
+      D.compactStore(spark, "sib_store")
+      assert(!fs.exists(oldLoc),
+        "the retained generation must be swept once the sibling stops")
+    } finally {
+      graft.queries.RunStore.dropWithLocation(spark, "sib_store")
+      spark.sql("DROP TABLE IF EXISTS sib_store_compacting")
+    }
+  }
+
   test("media assets run the FULL admission lifecycle on the same " +
     "tier: streamed micro-batch verdicts (admitMediaBatch), nightly " +
     "foldAdmittedVia(mediaBandFrame), compaction — a truncated copy " +
