@@ -560,8 +560,7 @@ object DedupTextQueries {
     * terminated-but-unreleased lease never counts and a sibling
     * session's stream always does.
     */
-  private def liveLeaseHolders(s: org.apache.spark.sql.SparkSession,
-      tableName: String): Set[String] =
+  private def liveLeaseHolders(tableName: String): Set[String] =
     graft.core.StoreLeases.liveHoldersOf(tableName)
 
   /** Compact a band-key signature store: every [[foldAdmitted]] appends
@@ -642,7 +641,7 @@ object DedupTextQueries {
     // default dir left by a crashed or lease-deferred earlier run —
     // but only while no live reader could still be scanning them
     s.sql(s"DROP TABLE IF EXISTS $tmp")
-    if (liveLeaseHolders(s, tableName).isEmpty)
+    if (liveLeaseHolders(tableName).isEmpty)
       RunStore.staleStoreDirs(s, tableName, keep = oldLoc)
         .foreach(p => fs.delete(p, true))
     seam("swept")
@@ -679,7 +678,7 @@ object DedupTextQueries {
     seam("scaffold_dropped")
     // the old generation: gone now, or retained for any live pinned
     // reader and swept by a later compaction
-    if (liveLeaseHolders(s, tableName).isEmpty) { fs.delete(oldLoc, true); () }
+    if (liveLeaseHolders(tableName).isEmpty) { fs.delete(oldLoc, true); () }
   }
 
   /** q92 — the STORE LIFECYCLE as a driver-visible query (round-7
