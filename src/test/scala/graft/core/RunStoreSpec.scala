@@ -365,6 +365,29 @@ class RunStoreSpec extends AnyFunSuite {
     } finally { fs.delete(lock, false); () }
   }
 
+  test("a LIVE build outlasting the stale bound keeps its lock via the " +
+    "heartbeat: a contender waits for release instead of usurping the " +
+    "slow holder (only crashed holders' locks ever go stale)") {
+    val saved = RunStore.lockStaleMs
+    RunStore.lockStaleMs = 1200
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val slow = new Thread(() =>
+        RunStore.withBuildLock(spark, "hb_store") {
+          events.add("slow-start"); Thread.sleep(3000); events.add("slow-end")
+        })
+      slow.start()
+      // let the slow holder take the lock before contending
+      while (!events.contains("slow-start")) Thread.sleep(20)
+      RunStore.withBuildLock(spark, "hb_store") { events.add("contender") }
+      slow.join()
+      // without the heartbeat, the contender breaks the lock at ~1.2 s
+      // (mid-build) and "contender" lands before "slow-end"
+      assert(events.toArray.toSeq ==
+        Seq("slow-start", "slow-end", "contender"), events.toArray.toSeq)
+    } finally RunStore.lockStaleMs = saved
+  }
+
   test("foldAdmittedVia refuses a band frame whose key TYPES differ " +
     "from the store's (round-7 advisory: an unconditional cast would " +
     "silently truncate) — a cross-modality fold cannot corrupt a store") {
