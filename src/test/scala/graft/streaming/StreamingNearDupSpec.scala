@@ -178,6 +178,31 @@ class StreamingNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("finality mode property sweep: random duplicate multiplicities, " +
+    "random ts assignments WITH ties, random arrival shuffles and " +
+    "batch cuts — every case emits exactly the min-(ts, doc_id)-owner " +
+    "hits (the tie-break under disorder, not just distinct stamps)") {
+    val rnd = new scala.util.Random(42)
+    val texts = Seq(TextA, TextC, TextD)
+    (1 to 5).foreach { scenario =>
+      val n = 4 + rnd.nextInt(4)
+      // ts drawn from a SMALL minute pool so equal-ts claims in shared
+      // buckets are likely — finality must close the whole ts before
+      // judging, then break ties by doc_id
+      val docs = (1 to n).map(i =>
+        (10L + i, texts(rnd.nextInt(texts.size)), t(rnd.nextInt(4))))
+      val expected = minOwnerHits(docs)
+      val shuffled = rnd.shuffle(docs)
+      val cuts = (Seq(0, shuffled.size) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(shuffled.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+      val got = runFinality(batches, delay = "1 hour",
+        ttlMs = 60L * 60 * 1000, flushTs = t(0).getTime + 10L * 3600 * 1000)
+      assert(got == expected,
+        s"scenario $scenario (docs $docs, batches ${batches.map(_.size)}) diverged")
+    }
+  }
+
   test("finality mode horizon: buckets expire at the TTL like the " +
     "arrival mode — a copy arriving after the horizon claims silently, " +
     "a copy inside the fresh horizon blames the NEW owner") {
