@@ -54,11 +54,19 @@ object StoreLeases {
 
   /** Move a lease to a new holder id (pending token → started query
     * id), replacing its liveness probe with the started query's.
+    * PUT-then-REMOVE: the inverse order would leave a window with the
+    * table apparently unleased, in which a concurrent compaction's
+    * sweep could delete a generation the just-started stream is
+    * scanning — a momentary double entry is harmless to the guard.
     */
   def rekey(from: String, to: String,
       isLive: () => Boolean = () => true): Unit = {
-    val t = byHolder.remove(from)
-    if (t != null) { byHolder.put(to, (t._1, isLive)); () }
+    val t = byHolder.get(from)
+    if (t != null) {
+      byHolder.put(to, (t._1, isLive))
+      byHolder.remove(from)
+      ()
+    }
   }
 
   /** Drop every lease held by `holder`. */

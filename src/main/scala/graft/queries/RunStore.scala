@@ -490,22 +490,45 @@ private[graft] object RunStore {
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          val age = try
-            System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime
-          catch { case NonFatal(_) => 0L }  // vanished: retry create
-          if (age > lockStaleMs) {
-            System.err.println(s"[RunStore] breaking stale build lock " +
-              s"$lock (${age / 1000} s old, holder presumed dead)")
-            fs.delete(lock, false)
-          } else Thread.sleep(math.min(200, math.max(10, lockStaleMs / 6)))
+          val staleAt = try {
+            val st = fs.getFileStatus(lock)
+            val age = System.currentTimeMillis() - st.getModificationTime
+            if (age > lockStaleMs) Some(st.getModificationTime) else None
+          } catch { case NonFatal(_) => None }  // vanished: retry create
+          staleAt match {
+            case Some(m0) =>
+              // break only the INCARNATION we observed stale: if the
+              // lock's mtime moved since the measurement (a heartbeat,
+              // or another contender's break+recreate), someone is
+              // alive — back off instead of deleting a fresh lock
+              val m1 = try fs.getFileStatus(lock).getModificationTime
+              catch { case NonFatal(_) => -1L }
+              if (m1 == m0) {
+                System.err.println(s"[RunStore] breaking stale build " +
+                  s"lock $lock (holder presumed dead)")
+                fs.delete(lock, false)
+              }
+            case None =>
+              Thread.sleep(math.min(200, math.max(10, lockStaleMs / 6)))
+          }
       }
     }
     val heartbeat = new Thread(() => {
-      try while (true) {
-        Thread.sleep(math.max(10, lockStaleMs / 3))
-        fs.setTimes(lock, System.currentTimeMillis(), -1)
-      } catch { case _: InterruptedException => () case NonFatal(_) => () }
+      var live = true
+      while (live) {
+        try {
+          Thread.sleep(math.max(10, lockStaleMs / 3))
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+        } catch {
+          case _: InterruptedException => live = false
+          case NonFatal(e) =>
+            // a transient stamp failure must NOT kill the heartbeat —
+            // a frozen mtime is precisely what lets a contender usurp
+            // this live build; log and keep beating
+            System.err.println(
+              s"[RunStore] build-lock heartbeat for $lock: $e")
+        }
+      }
     }, s"graft-build-lock-heartbeat-$t")
     heartbeat.setDaemon(true)
     heartbeat.start()

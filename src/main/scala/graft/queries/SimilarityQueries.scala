@@ -188,7 +188,15 @@ object SimilarityQueries {
     */
   private val NearDupSimThreshold = 0.35
 
-  val q42EmbedNearDup: Q = (s, d) => {
+  /** The UNORDERED thresholded in-label pair set — the Spark analog of
+    * [[embPairsCteSql]]'s single rendering: q42 orders it for its dump,
+    * while the compositions (q78's anti-join leg, q104's edge source)
+    * consume it as-is — an inherited global ORDER BY would be a wasted
+    * range-exchange + sort on an input the consumer immediately
+    * re-shuffles or re-orders itself.
+    */
+  private def embNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val emb = embeddings(s, d)
     val a = emb
       .select(col("label"), col("vec_id").as("vec_a"),
@@ -203,8 +211,10 @@ object SimilarityQueries {
       .withColumn("sim", cosineSimilarity(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= NearDupSimThreshold)
       .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
-      .orderBy("vec_a", "vec_b")
   }
+
+  val q42EmbedNearDup: Q = (s, d) =>
+    embNearDupPairs(s, d).orderBy("vec_a", "vec_b")
 
   /** ONE rendering of the thresholded in-label embedding pair set —
     * the q42 oracle body, reused verbatim by the q78 composition so the
@@ -411,7 +421,7 @@ object SimilarityQueries {
     * bucket-local LSH shuffle).
     */
   val q78SemanticOnlyDups: Q = (s, d) =>
-    q42EmbedNearDup(s, d)
+    embNearDupPairs(s, d)
       .join(DedupTextQueries.nearDupPairs(s, d),
         col("vec_a") === col("doc_a") && col("vec_b") === col("doc_b"),
         "left_anti")
@@ -445,7 +455,7 @@ object SimilarityQueries {
     * the same min-reachable-id fixpoint.
     */
   val q104SemanticDupClusters: Q = (s, d) => {
-    val edges = q42EmbedNearDup(s, d)
+    val edges = embNearDupPairs(s, d)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val labels = graft.operators.ConnectedComponents.labels(s, edges)
     embeddings(s, d).select(col("vec_id").as("doc_id"))

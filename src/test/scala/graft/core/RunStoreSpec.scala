@@ -368,20 +368,22 @@ class RunStoreSpec extends AnyFunSuite {
   test("a LIVE build outlasting the stale bound keeps its lock via the " +
     "heartbeat: a contender waits for release instead of usurping the " +
     "slow holder (only crashed holders' locks ever go stale)") {
+    // bound 3 s / beat 1 s / body 5 s: generous to coarse (1 s) mtime
+    // granularity on some filesystems, still fast to run
     val saved = RunStore.lockStaleMs
-    RunStore.lockStaleMs = 1200
+    RunStore.lockStaleMs = 3000
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
       val slow = new Thread(() =>
         RunStore.withBuildLock(spark, "hb_store") {
-          events.add("slow-start"); Thread.sleep(3000); events.add("slow-end")
+          events.add("slow-start"); Thread.sleep(5000); events.add("slow-end")
         })
       slow.start()
       // let the slow holder take the lock before contending
       while (!events.contains("slow-start")) Thread.sleep(20)
       RunStore.withBuildLock(spark, "hb_store") { events.add("contender") }
       slow.join()
-      // without the heartbeat, the contender breaks the lock at ~1.2 s
+      // without the heartbeat, the contender breaks the lock at ~3 s
       // (mid-build) and "contender" lands before "slow-end"
       assert(events.toArray.toSeq ==
         Seq("slow-start", "slow-end", "contender"), events.toArray.toSeq)
