@@ -39,7 +39,7 @@ object Bench {
     // SPARK_GRAFT_REPEAT=3 times each query N times (warm-vs-cold /
     // wobble diagnosis); "queries" still reports run 1 so numbers stay
     // comparable with driver rounds, and every query's min/median land
-    // in the JSON's "repeats" (without the env var, only the 10 most
+    // in the JSON's "repeats" (without the env var, only the 15 most
     // expensive get extra runs — see repeatRuns below)
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
@@ -166,7 +166,9 @@ object Bench {
     // Repeat statistics (round-9 verdict #5): the load telemetry below
     // says WHETHER the machine was busy; per-query repeats say WHICH
     // reading to trust. With SPARK_GRAFT_REPEAT>1 every query's runs
-    // feed its stats; otherwise the 10 most expensive queries get two
+    // feed its stats; otherwise the 15 most expensive queries get two
+    // (round-10 verdict #7 raised 10→15: q34/q59/q33's single-shot
+    // numbers wobbled ±50% under load just outside the old cutoff)
     // extra timed runs here (outside "total" — the headline number
     // stays the comparable single-shot pass) so the driver artifact
     // always carries min/median where wobble matters most.
@@ -175,7 +177,7 @@ object Bench {
         results.collect { case (n, _, None, ts) if ts.size > 1 => (n, ts) }
       else {
         val fnOf = selected.toMap
-        results.filter(_._3.isEmpty).sortBy(-_._2).take(10).map {
+        results.filter(_._3.isEmpty).sortBy(-_._2).take(15).map {
           case (name, _, _, ts) =>
             val extra = (1 to 2).map(_ => timeOnce(name, fnOf(name)))
               .collect { case (t, None) => t }

@@ -22,17 +22,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy long mode) and
-    * floor-divide to microseconds — integer division, since the ns epoch
-    * (~1.7e18) overflows double precision. The driver data is µs-aligned
-    * (verified: no sub-µs components), so this matches DuckDB's native
-    * TIMESTAMP_NS reads exactly.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds
+    * 1-10) and plain TIMESTAMP(MICROS) (the round-11 regeneration) —
+    * handle either, keyed on the type the reader actually infers, so a
+    * testdata regeneration can never silently break the event family
+    * again.
+    *
+    *  - NANOS: Spark's vectorized reader rejects it outright; read as
+    *    raw nanos (legacy long mode) and floor-divide to microseconds —
+    *    integer division, since the ns epoch (~1.7e18) overflows double
+    *    precision. The driver data is µs-aligned (verified: no sub-µs
+    *    components), so this matches DuckDB's native TIMESTAMP_NS reads
+    *    exactly.
+    *  - MICROS: Spark reads it natively (TIMESTAMP_NTZ under the
+    *    session's UTC zone) — pass it through untouched; DuckDB reads
+    *    the same µs values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
@@ -76,6 +89,8 @@ object Tables {
       .getOrElse(placed)
       .mode("overwrite")
       .saveAsTable(tableName)
+    // every (re)write is a mutation cached readers must observe
+    StoreEpochs.bump(tableName)
   }
 
   /** The q30 ingest layout: documents with the exact-dedup fingerprint

@@ -535,6 +535,9 @@ object DedupTextQueries {
     // manifest so the next process's revalidation reads the appended
     // files as the build they are, not as external damage
     RunStore.refreshManifest(s, tableName)
+    // and tell cached readers (the admission streams' per-generation
+    // resolution) that the store moved — their next trigger re-resolves
+    graft.core.StoreEpochs.bump(tableName)
   }
 
   /** The bucket count of an existing bucketed table, read from the
@@ -668,6 +671,10 @@ object DedupTextQueries {
     // THE commit: one catalog operation re-points readers at the
     // compacted generation
     s.sql(s"ALTER TABLE $tableName SET LOCATION '$genLoc'")
+    // epoch bump BEFORE the seam hook: a crash injected at "committed"
+    // has already swapped the location, so cached readers must already
+    // know to re-resolve
+    graft.core.StoreEpochs.bump(tableName)
     seam("committed")
     // the old generation's files may be retained below for pinned
     // readers, but its SIDECAR goes now: post-swap folds land on the

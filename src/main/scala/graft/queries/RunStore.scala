@@ -87,6 +87,7 @@ private[graft] final class RunStore(
           RunStore.dropWithLocation(s, t)
           graft.core.Tables.writeBucketed(frame, t, numBuckets, bucketKeys: _*)
           RunStore.writeSidecar(s, t, fp, frame, numBuckets, bucketKeys)
+          graft.core.StoreEpochs.bump(t)
           modes.put(d, "built")
         }
       }
@@ -202,6 +203,7 @@ private[graft] object RunStore {
       val fs = hadoopFs(s, loc)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    graft.core.StoreEpochs.bump(t)
     ()
   }
 

@@ -102,17 +102,25 @@ object StreamingAdmission {
     * for `(doc_id, text)` documents (the default) or
     * [[admitMediaBatch]] / [[admitEmbeddingBatch]] for assets/vectors.
     *
-    * Each micro-batch re-executes the admission plan against the
-    * CURRENT store — deliberately: the tier is stateless, and a
-    * nightly fold must be visible to the next batch, so the store
-    * scan (bucketed, window exchange-free) is a per-batch cost, never
-    * cached across batches into a stale view. `storeBands` is taken
-    * BY NAME and re-evaluated at every trigger, so each batch
-    * re-resolves the store's catalog entry from scratch: a fold's
-    * appended files AND a compaction's `SET LOCATION` swap are both
-    * visible to the very next batch (a captured pre-analyzed frame
-    * would pin the pre-swap location's file index for the stream's
-    * lifetime and silently miss every post-swap fold).
+    * Each micro-batch runs the admission plan against the CURRENT
+    * store — the tier is stateless, and a nightly fold must be visible
+    * to the next batch. `storeBands` is taken BY NAME so the stream
+    * CAN re-resolve the store's catalog entry from scratch; since
+    * round 11 it does so only when it must (round-10 verdict #1 — the
+    * unconditional per-trigger re-resolution was a fixed ~0.2 s/
+    * trigger re-analysis tax): the resolved frame is cached keyed on
+    * the [[graft.core.StoreEpochs]] snapshot of the catalog tables its
+    * plan scans, and every engine operation that mutates a store — a
+    * fold's bucketed append, a compaction's `SET LOCATION` swap, a
+    * rebuild, a drop — bumps the table's epoch, so the very next
+    * trigger after a mutation re-evaluates the thunk and picks up the
+    * new file set/location while a steady stream between maintenance
+    * events resolves once. A frame whose plan scans NO catalog table
+    * (a literal or in-memory store, spec corpora) has no epoch to
+    * watch and keeps the round-10 behavior: re-evaluated every
+    * trigger. StreamingAdmissionSpec's fold-between-triggers and
+    * post-swap-fold properties hold across this cache — they exist
+    * precisely so the optimization cannot silently break visibility.
     *
     * For the stream's LIFETIME, the catalog tables `storeBands` scans
     * are leased in [[graft.core.StoreLeases]] (acquired under a
@@ -134,6 +142,28 @@ object StreamingAdmission {
     }.toSet
     val token = "pending:" + java.util.UUID.randomUUID()
     graft.core.StoreLeases.acquire(token, tables)
+    // Per-GENERATION store resolution (see class doc): re-evaluate the
+    // by-name thunk only when some scanned table's mutation epoch has
+    // moved since the cached frame was resolved. foreachBatch bodies
+    // run sequentially per query, but the lock keeps the cache safe if
+    // an engine ever overlaps them.
+    val cacheLock = new Object
+    var cachedEpochs: Map[String, Long] = null
+    var cachedFrame: DataFrame = null
+    def resolvedStore(): DataFrame =
+      if (tables.isEmpty) storeBands
+      else cacheLock.synchronized {
+        // snapshot BEFORE evaluating: a mutation landing mid-resolve
+        // leaves the snapshot behind its epoch, so the next trigger
+        // re-resolves rather than serving the half-stale frame forever
+        val now = tables.iterator
+          .map(t => t -> graft.core.StoreEpochs.epoch(t)).toMap
+        if (cachedFrame == null || cachedEpochs != now) {
+          cachedEpochs = now
+          cachedFrame = storeBands
+        }
+        cachedFrame
+      }
     val started = try {
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
@@ -144,7 +174,7 @@ object StreamingAdmission {
         // SAME id, so a batchId-keyed overwrite can't duplicate rows)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.core.CacheScope.withScope {
-            onVerdicts(admit(storeBands)(batch), batchId)
+            onVerdicts(admit(resolvedStore())(batch), batchId)
           }
         }
         .start()

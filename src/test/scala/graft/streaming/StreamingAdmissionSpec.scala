@@ -171,6 +171,67 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("the store resolution is CACHED per catalog generation (round-10 " +
+    "verdict #1): a steady stream resolves the store once across many " +
+    "triggers, and exactly one re-resolution follows a fold — without " +
+    "losing the fold's visibility to the very next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.queries.DedupTextQueries
+    val novel = "cached store resolutions must invalidate on the epoch " +
+      "bump a fold performs and never on an ordinary quiet trigger"
+    try {
+      D.writeSignatureStore(spark, sf, "epoch_store", lit(true))
+      val resolutions = new java.util.concurrent.atomic.AtomicInteger(0)
+      def countedStore(): org.apache.spark.sql.DataFrame = {
+        resolutions.incrementAndGet()
+        spark.table("epoch_store")
+      }
+      val source = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Long, Long)]
+      val q = StreamingAdmission.admissionQuery(
+          source.toDS().toDF("doc_id", "text"), countedStore(),
+          java.nio.file.Files.createTempDirectory("epoch_ckpt").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+        (verdicts, _) => got.synchronized { got ++= verdictRows(verdicts) }; ()
+      }
+      try {
+        // three quiet triggers: one evaluation to collect the leased
+        // tables at start + one to fill the cache on the first batch —
+        // and NOT one per trigger (the round-10 behavior this replaces)
+        (1 to 3).foreach { i =>
+          source.addData((900100L + i, novel))
+          q.processAllAvailable()
+        }
+        val quiet = resolutions.get()
+        assert(quiet == 2,
+          s"expected 2 resolutions (table collection + first batch), got $quiet")
+
+        // a fold bumps the store's epoch: exactly ONE re-resolution on
+        // the next trigger, and the folded row is already visible to it
+        D.foldAdmitted(spark, "epoch_store",
+          Seq((900101L, novel)).toDF("doc_id", "text"))
+        source.addData((900200L, novel))
+        q.processAllAvailable()
+        assert(resolutions.get() == quiet + 1,
+          s"a fold must trigger exactly one re-resolution, got " +
+            s"${resolutions.get()} (was $quiet)")
+        assert(got.toSeq.lastOption.contains((900200L, true, 1L, 900101L)),
+          s"the fold must be visible to the first post-bump batch: $got")
+
+        // quiet again: the re-resolved frame is itself cached
+        source.addData((900300L, "an entirely different quiet trigger " +
+          "document that shares no shingles with anything"))
+        q.processAllAvailable()
+        assert(resolutions.get() == quiet + 1,
+          "a quiet trigger after the re-resolution must hit the cache")
+      } finally q.stop()
+    } finally {
+      graft.queries.RunStore.dropWithLocation(spark, "epoch_store")
+    }
+  }
+
   test("compaction after repeated folds: contents and admission " +
     "verdicts unchanged, file count back to the bucket count") {
     import spark.implicits._
