@@ -33,10 +33,15 @@ import scala.jdk.CollectionConverters._
   * pinned reader still scans, and streams are the readers that can
   * straddle it.
   *
-  * SCOPE: the guard is per-JVM. A reader in another PROCESS is not
-  * protected; at multi-writer scale the production analog is a
-  * catalog-level lock or an open-table-format's snapshot retention,
-  * not an in-JVM registry.
+  * SCOPE: the LEASE guard is per-JVM. A reader in another PROCESS is
+  * covered by the complementary RETENTION WINDOW instead
+  * ([[graft.queries.RunStore.sweepGraceMs]], round-10 verdict #2): a
+  * compaction only sweeps a demoted generation once it has sat
+  * untouched longer than the window, so a cross-process reader that
+  * resolved the store before the swap has the whole window to finish
+  * scanning it. Together the two approximate an open-table-format's
+  * snapshot retention; at multi-writer scale the production shape is
+  * the catalog's own snapshot-expiry policy.
   */
 object StoreLeases {
 

@@ -605,9 +605,14 @@ object DedupTextQueries {
     * straddles the compaction — folds land on the CURRENT catalog
     * location, and so do the stream's subsequent scans.) Readers that
     * don't lease — batch queries, and anything in another PROCESS —
-    * remain outside the guard, per StoreLeases' documented scope
-    * (admission streams from sibling sessions of this JVM are covered:
-    * the registry is JVM-global and liveness rides the query handle).
+    * are covered by the RETENTION WINDOW instead (round-10 verdict
+    * #2): a demoted generation is only swept once it has sat untouched
+    * longer than [[RunStore.sweepGraceMs]], so any reader that
+    * resolved the store before the swap has the whole window to finish
+    * its scan — approximate snapshot retention, the open-table-format
+    * discipline. (Admission streams from sibling sessions of this JVM
+    * are under the lease guard proper: the registry is JVM-global and
+    * liveness rides the query handle.)
     *
     * The rewrite is SHUFFLE-FREE: with the auto-bucketed-scan
     * heuristic pinned off, the read is one partition per bucket, each
@@ -644,8 +649,13 @@ object DedupTextQueries {
     // default dir left by a crashed or lease-deferred earlier run —
     // but only while no live reader could still be scanning them
     s.sql(s"DROP TABLE IF EXISTS $tmp")
+    // sweep gate = no live lease in THIS JVM (streams) AND the
+    // generation has sat demoted longer than the retention window
+    // (readers in OTHER processes that resolved the store just before
+    // a swap — round-10 verdict #2; see RunStore.sweepGraceMs)
     if (liveLeaseHolders(tableName).isEmpty)
       RunStore.staleStoreDirs(s, tableName, keep = oldLoc)
+        .filter(p => RunStore.sweepable(fs, p))
         .foreach(p => fs.delete(p, true))
     seam("swept")
     val genLoc = RunStore.nextGenerationDir(s, tableName)
@@ -683,9 +693,13 @@ object DedupTextQueries {
     RunStore.deleteSidecarAt(s, oldLoc)
     s.sql(s"DROP TABLE $tmp")  // external scaffold: entry only, files stay
     seam("scaffold_dropped")
-    // the old generation: gone now, or retained for any live pinned
-    // reader and swept by a later compaction
-    if (liveLeaseHolders(tableName).isEmpty) { fs.delete(oldLoc, true); () }
+    // the old generation: retained for any live pinned reader AND for
+    // the retention window (its mtime was just stamped by the sidecar
+    // removal, so with a nonzero window the freshly demoted dir always
+    // survives this pass — a later compaction sweeps it once aged);
+    // gone immediately only when the window is pinned to 0 (specs)
+    if (liveLeaseHolders(tableName).isEmpty &&
+        RunStore.sweepable(fs, oldLoc)) { fs.delete(oldLoc, true); () }
   }
 
   /** q92 — the STORE LIFECYCLE as a driver-visible query (round-7

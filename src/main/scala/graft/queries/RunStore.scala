@@ -442,6 +442,33 @@ private[graft] object RunStore {
       case _ => false
     }
 
+  /** How long a DEMOTED store generation must sit untouched before a
+    * compaction may sweep its files (round-10 verdict #2). The in-JVM
+    * [[graft.core.StoreLeases]] guard protects this process's streams;
+    * a reader in another PROCESS that resolved the store shortly
+    * before a swap is what this window protects: its pinned file index
+    * scans the old generation for the duration of its (batch) read,
+    * and a sweep younger than the window could delete those files
+    * mid-scan. A generation's "demotion clock" is its directory mtime
+    * — the swap's sidecar removal stamps it at commit time, and
+    * post-swap folds land only on the new generation, so the mtime
+    * stops moving exactly when the generation stops being current.
+    * This is snapshot retention in miniature: the production analog is
+    * an open table format's snapshot-expiry window. (`var` is a test
+    * hook — specs exercising the sweep itself pin it to 0.)
+    */
+  @volatile private[graft] var sweepGraceMs: Long = 5L * 60 * 1000
+
+  /** True iff `p`'s last modification is older than [[sweepGraceMs]] —
+    * the age gate every generation sweep must pass in addition to the
+    * live-lease check. Unreadable status (dir vanished mid-check) is
+    * "not sweepable": another sweeper got it, nothing to do.
+    */
+  private[graft] def sweepable(fs: FileSystem, p: Path): Boolean =
+    try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime >
+      sweepGraceMs
+    catch { case NonFatal(_) => false }
+
   /** How old a build lock must be before a contender may presume its
     * holder dead and break it. A LIVE holder never reaches this age:
     * its heartbeat re-stamps the lock every third of the bound — only

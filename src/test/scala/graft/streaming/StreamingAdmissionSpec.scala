@@ -279,6 +279,10 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     def loc(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier("lease_store")).location)
+    // this spec exercises the LEASE gate in isolation — pin the
+    // retention window to 0 so sweeps happen the moment leases clear
+    val savedGrace = graft.queries.RunStore.sweepGraceMs
+    graft.queries.RunStore.sweepGraceMs = 0
     try {
       D.writeSignatureStore(spark, sf, "lease_store", lit(true))
       val fs = loc().getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -333,6 +337,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         "the retained generation must be swept once the lease is gone")
       assert(spark.table("lease_store").count() > 0)
     } finally {
+      graft.queries.RunStore.sweepGraceMs = savedGrace
       graft.queries.RunStore.dropWithLocation(spark, "lease_store")
       spark.sql("DROP TABLE IF EXISTS lease_store_compacting")
     }
@@ -346,6 +351,8 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     def loc(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier("sib_store")).location)
+    val savedGrace = graft.queries.RunStore.sweepGraceMs
+    graft.queries.RunStore.sweepGraceMs = 0
     try {
       D.writeSignatureStore(spark, sf,
         "sib_store", org.apache.spark.sql.functions.lit(true))
@@ -375,6 +382,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       assert(!fs.exists(oldLoc),
         "the retained generation must be swept once the sibling stops")
     } finally {
+      graft.queries.RunStore.sweepGraceMs = savedGrace
       graft.queries.RunStore.dropWithLocation(spark, "sib_store")
       spark.sql("DROP TABLE IF EXISTS sib_store_compacting")
     }
@@ -448,6 +456,10 @@ class StreamingAdmissionSpec extends AnyFunSuite {
     val novel = "atomically swapped compaction generations keep every " +
       "reader on a complete file set at all times"
     final class Killed extends RuntimeException("injected crash")
+    // debris absorption is asserted immediately — pin the retention
+    // window to 0 (the grace behavior has its own spec below)
+    val savedGrace = graft.queries.RunStore.sweepGraceMs
+    graft.queries.RunStore.sweepGraceMs = 0
     try {
       D.writeSignatureStore(spark, sf, "atomic_store", lit(true))
       D.foldAdmitted(spark, "atomic_store",
@@ -493,8 +505,57 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         .staleStoreDirs(spark, "atomic_store", cur).isEmpty,
         "every non-current generation must be swept")
     } finally {
+      graft.queries.RunStore.sweepGraceMs = savedGrace
       graft.queries.RunStore.dropWithLocation(spark, "atomic_store")
       spark.sql("DROP TABLE IF EXISTS atomic_store_compacting")
+    }
+  }
+
+  test("generation sweeps honor the RETENTION WINDOW (round-10 verdict " +
+    "#2): with zero live leases, a freshly demoted generation survives " +
+    "the compaction that demoted it AND the next one; once aged past " +
+    "the window it is swept — cross-process readers get a grace period " +
+    "the in-JVM lease registry cannot see") {
+    import spark.implicits._
+    val D = graft.queries.DedupTextQueries
+    def loc(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("grace_store")).location)
+    val savedGrace = graft.queries.RunStore.sweepGraceMs
+    graft.queries.RunStore.sweepGraceMs = 60L * 1000
+    try {
+      D.writeSignatureStore(spark, sf, "grace_store", lit(true))
+      val fs = loc().getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(graft.core.StoreLeases.liveHoldersOf("grace_store").isEmpty)
+
+      // demote generation 0: no leases anywhere, yet the dir survives —
+      // a cross-process reader that resolved pre-swap may still scan it
+      val gen0 = loc()
+      D.compactStore(spark, "grace_store")
+      val gen1 = loc()
+      assert(gen1.toString != gen0.toString)
+      assert(fs.exists(gen0),
+        "a freshly demoted generation must survive its own compaction")
+
+      // still young at the NEXT compaction's sweep: retained again
+      D.compactStore(spark, "grace_store")
+      assert(fs.exists(gen0),
+        "a generation younger than the window must survive later sweeps")
+
+      // age both demoted generations past the window: the next
+      // compaction's sweep takes them
+      val past = System.currentTimeMillis() -
+        graft.queries.RunStore.sweepGraceMs - 60L * 1000
+      Seq(gen0, gen1).foreach(p => fs.setTimes(p, past, -1))
+      D.compactStore(spark, "grace_store")
+      assert(!fs.exists(gen0) && !fs.exists(gen1),
+        "generations aged past the window must be swept")
+      // and the store is intact throughout
+      assert(spark.table("grace_store").count() > 0)
+    } finally {
+      graft.queries.RunStore.sweepGraceMs = savedGrace
+      graft.queries.RunStore.dropWithLocation(spark, "grace_store")
+      spark.sql("DROP TABLE IF EXISTS grace_store_compacting")
     }
   }
 
