@@ -29,6 +29,56 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(MediaPipeline.decodeMeta(media).filter(_.doc_id == 0).head() == m)
   }
 
+  test("a REAL PNG payload routes through the real javax.imageio codec: " +
+    "decoded dimensions are the encoded ones, not the stub formula") {
+    import spark.implicits._
+    val png = MediaPipeline.encodePng(13, 7)
+    val rows = Seq(MediaPipeline.MediaRow(1L, "image/png", png)).toDS()
+    val m = MediaPipeline.decodeMeta(rows).head()
+    assert((m.width, m.height, m.n_frames) == (13, 7, 1))
+    assert(m.header_hex == "89504E47", "PNG magic, not text bytes")
+    // the stub formula would have produced different dims for this size
+    assert(m.width != m.byte_len % 640 + 1 || m.height != (m.byte_len * 7) % 480 + 1)
+  }
+
+  test("the decode probe recovers the encoded pixel formula from the " +
+    "bytes (encoder -> binary column -> decoder roundtrip)") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaPipeline.MediaRow(5L, "image/png", MediaPipeline.encodePng(20, 11)),
+      MediaPipeline.MediaRow(6L, "image/png", MediaPipeline.encodePng(9, 16))
+    ).toDS()
+    val got = MediaPipeline.decodePngProbe(rows).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSeq
+    assert(got == Seq(
+      (5L, 20, 11, 1, 10 * 31 + 5 * 7),
+      (6L, 9, 16, 1, 4 * 31 + 8 * 7)))
+  }
+
+  test("an UNKNOWN mime is an explicit NotImplementedError — the codec " +
+    "seam is reachable only for mimes with no decoder, never a silent stub") {
+    import spark.implicits._
+    val rows = Seq(MediaPipeline.MediaRow(2L, "model/gltf+json",
+      Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaPipeline.decodeMeta(rows).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[NotImplementedError]),
+      s"expected a NotImplementedError cause, got $e")
+  }
+
+  test("a text-payload 'image/png' stand-in (no PNG magic) still takes " +
+    "the deterministic stub — the corpus fixtures keep their metadata") {
+    import spark.implicits._
+    val rows = Seq(MediaPipeline.MediaRow(3L, "image/png",
+      "not a png at all".getBytes("UTF-8"))).toDS()
+    val m = MediaPipeline.decodeMeta(rows).head()
+    assert(m.width == m.byte_len % 640 + 1, "stub formula expected")
+  }
+
   test("frame sampling yields frames only for video payloads") {
     val frames = MediaPipeline.sampleFrames(media, everyK = 16)
     assert(frames.count() > 0)
