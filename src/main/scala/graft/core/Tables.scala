@@ -81,6 +81,16 @@ object Tables {
       bucketKeys: Seq[String], sortKeys: Seq[String],
       path: Option[String] = None): Unit = {
     require(bucketKeys.nonEmpty, "bucketed layout needs at least one key")
+    // A fresh MANAGED store write owns its name's on-disk locations:
+    // since compaction retains demoted generations for the sweep
+    // retention window, a dropped-and-rewritten store can meet its own
+    // previous default dir (or generation dirs) as debris, and
+    // saveAsTable's CREATE refuses an existing location. Clearing
+    // catalog entry + default dir + generations here keeps "write a
+    // fresh store" meaning exactly that. External writes (compaction's
+    // write-aside scaffold) must NOT touch the main table's dirs.
+    if (path.isEmpty)
+      graft.queries.RunStore.dropWithLocation(df.sparkSession, tableName)
     val writer = df.write
       .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
     val placed = path.map(p => writer.option("path", p)).getOrElse(writer)

@@ -72,7 +72,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       // union still equals q64
       val (h1, h2) = deltaDocs.splitAt(deltaDocs.size / 2)
       assert(run(Seq(h1, h2)) == expected)
-    } finally spark.sql("DROP TABLE IF EXISTS adm_store")
+    } finally graft.queries.RunStore.dropWithLocation(spark, "adm_store")
   }
 
   test("fold-between-batches: a doc admitted on day 1 and folded into " +
@@ -118,7 +118,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       assert(day(Seq((900003L, "completely unrelated corpora graduate " +
         "through entirely different admission gates today"))) ==
         Seq((900003L, false, 0L, -1L)))
-    } finally spark.sql("DROP TABLE IF EXISTS fold_store")
+    } finally graft.queries.RunStore.dropWithLocation(spark, "fold_store")
   }
 
   test("per-batch store visibility INSIDE one stream (round-9 verdict " +
@@ -264,7 +264,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       }
       assert(verdicts == Seq((900009L, true, 1L, 900002L)), verdicts)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS cmp_store")
+      graft.queries.RunStore.dropWithLocation(spark, "cmp_store")
       spark.sql("DROP TABLE IF EXISTS cmp_store_compacting")
     }
   }
@@ -442,7 +442,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       assert(day(Seq((13L, "image/png", novel.dropRight(40)))) ==
         Seq((13L, true, 1L, 12L)))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS media_store")
+      graft.queries.RunStore.dropWithLocation(spark, "media_store")
       spark.sql("DROP TABLE IF EXISTS media_store_compacting")
     }
   }
@@ -582,7 +582,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       assert(spark.table("b4_store")
         .orderBy("doc_id", "band", "bkey").collect().toSeq == before.toSeq)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS b4_store")
+      graft.queries.RunStore.dropWithLocation(spark, "b4_store")
       spark.sql("DROP TABLE IF EXISTS b4_store_compacting")
     }
   }
@@ -676,7 +676,7 @@ class StreamingAdmissionSpec extends AnyFunSuite {
       assert(admit(Seq((601L, ortho))) == Seq((601L, true, 600L)))
       assert(admit(Seq((602L, dup))) == Seq((602L, true, 500L)))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS emb_fold_store")
+      graft.queries.RunStore.dropWithLocation(spark, "emb_fold_store")
       spark.sql("DROP TABLE IF EXISTS emb_fold_store_compacting")
     }
   }
