@@ -1347,58 +1347,6 @@ object DedupTextQueries {
        | doc_id = cluster AS is_canonical
        |FROM comp ORDER BY doc_id""".stripMargin
 
-  /** The MERGE step of incremental cluster maintenance (q105's engine,
-    * exposed so the spec can hold its frontier bound): given the
-    * PERSISTED base cluster labels (`doc_id, cluster` — yesterday's
-    * cluster-store state) and the DELTA-INCIDENT near-dup edges
-    * (`src, dst`, at least one endpoint new), compute the updated
-    * labels WITHOUT re-running connected components over the corpus:
-    *
-    *  1. CONTRACT: map each delta-edge endpoint through the base
-    *     labels (an endpoint inside a base component becomes that
-    *     component's representative; an endpoint outside any stays
-    *     itself). Each base component collapses to one node, so the
-    *     contracted graph is O(|delta edges| + touched components) —
-    *     the delta frontier, never the corpus.
-    *  2. MERGE: connected components over the contracted graph alone.
-    *     Because a base representative IS its component's min doc_id,
-    *     the min-id fixpoint over contracted ids equals the fixpoint
-    *     over all underlying member ids — contraction is exact, not
-    *     approximate.
-    *  3. RELABEL: base docs re-join through their old label (touched
-    *     components take the merged label, untouched keep theirs —
-    *     a dup-proportional join, O(|base labels|)); docs appearing
-    *     only in delta edges take their merged label directly.
-    *
-    * Returns (contracted edges, updated labels). The contracted frame
-    * is returned so IncrementalClustersSpec can assert the frontier
-    * bound as an executable property: its row count is exactly
-    * |delta edges|, whatever the corpus size.
-    */
-  private[graft] def incrementalClusterMerge(s: org.apache.spark.sql.SparkSession,
-      baseLabels: DataFrame, deltaEdges: DataFrame): (DataFrame, DataFrame) = {
-    val contracted = deltaEdges
-      .join(baseLabels.select(col("doc_id").as("src"),
-        col("cluster").as("src_c")), Seq("src"), "left")
-      .join(baseLabels.select(col("doc_id").as("dst"),
-        col("cluster").as("dst_c")), Seq("dst"), "left")
-      .select(coalesce(col("src_c"), col("src")).as("src"),
-        coalesce(col("dst_c"), col("dst")).as("dst"))
-    val merged = graft.operators.ConnectedComponents.labels(s, contracted)
-      .select(col("doc_id").as("node"), col("cluster").as("mcluster"))
-    val baseFinal = baseLabels
-      .join(merged, baseLabels("cluster") === merged("node"), "left")
-      .select(baseLabels("doc_id"),
-        coalesce(col("mcluster"), baseLabels("cluster")).as("cluster"))
-    // nodes of the contracted graph that are NOT base representatives
-    // or members: docs entering the cluster state through this delta
-    val directFinal = merged
-      .join(baseLabels.select(col("doc_id").as("node")), Seq("node"),
-        "left_anti")
-      .select(col("node").as("doc_id"), col("mcluster").as("cluster"))
-    (contracted, baseFinal.unionByName(directFinal))
-  }
-
   /** q105 — INCREMENTAL duplicate-cluster maintenance (round-10 verdict
     * #4): the cluster triad (q59/q94/q104) recomputes components from
     * scratch; an admission pipeline wants "this new doc joins, creates,
@@ -1406,15 +1354,17 @@ object DedupTextQueries {
     * corpus on q64's delta discipline (`doc_id % 10 = 0` arrives
     * today): the base labels — in production the persisted cluster
     * store, here derived once from the store-side edge set — are
-    * updated through [[incrementalClusterMerge]]'s contract→merge→
-    * relabel step using only the DELTA-INCIDENT edges. The oracle is
-    * the FROM-SCRATCH recursive-CTE walk over the combined edge set,
-    * so the hash gate holds the maintenance invariant that makes
-    * incremental clustering shippable at all: incremental ≡ recompute.
-    * (A contraction bug — e.g. relabeling through a non-minimal
-    * representative, or dropping a transitive merge when one delta doc
-    * bridges two base components — flips `cluster` for whole
-    * components and fails the gate.)
+    * updated through [[graft.operators.IncrementalClusters]]'s
+    * contract→merge→relabel step using only the DELTA-INCIDENT edges.
+    * The oracle is the FROM-SCRATCH recursive-CTE walk over the
+    * combined edge set, so the hash gate holds the maintenance
+    * invariant that makes incremental clustering shippable at all:
+    * incremental ≡ recompute. (A contraction bug — e.g. relabeling
+    * through a non-minimal representative, or dropping a transitive
+    * merge when one delta doc bridges two base components — flips
+    * `cluster` for whole components and fails the gate.) q107/q108 run
+    * the same engine over the embedding and media edge sets — the
+    * maintenance triad mirrors the cluster triad.
     *
     * Scale shape: the edge set is dup-proportional (the one BandStore
     * pair pass, shared with q32/q53/q59); the base partition of it
@@ -1426,16 +1376,10 @@ object DedupTextQueries {
     * id-bucketable at ingest).
     */
   val q105IncrementalClusters: Q = (s, d) => {
-    val deltaSide = (c: org.apache.spark.sql.Column) => c % 10 === 0
-    val pairs = nearDupPairs(s, d)
-    val baseEdges = pairs
-      .filter(!deltaSide(col("doc_a")) && !deltaSide(col("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val deltaEdges = pairs
-      .filter(deltaSide(col("doc_a")) || deltaSide(col("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val baseLabels = graft.operators.ConnectedComponents.labels(s, baseEdges)
-    val (_, labels) = incrementalClusterMerge(s, baseLabels, deltaEdges)
+    val labels = graft.operators.IncrementalClusters.maintain(s,
+      nearDupPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      _ % 10 === 0)
     documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))

@@ -548,7 +548,17 @@ object MultimodalQueries {
     * merge the driver corpus can't).
     */
   private[graft] def mediaDupClusters(s: org.apache.spark.sql.SparkSession,
-      profile: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      profile: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mediaClusterAssembly(profile,
+      graft.operators.ConnectedComponents.labels(s, mediaDupEdges(profile)))
+
+  /** The media duplicate EDGE set (exact content-hash canonicals +
+    * banded byte-window near-dups, both intra-mime) — q94 runs
+    * components over all of it; q108 maintains labels incrementally
+    * over its delta-incident part.
+    */
+  private def mediaDupEdges(profile: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val exactEdges = profile
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy("mime", "content_fp")))
@@ -556,8 +566,14 @@ object MultimodalQueries {
       .select(col("doc_id").as("src"), col("canonical_id").as("dst"))
     val nearEdges = mediaNearDupPairsFromSig(profile)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = graft.operators.ConnectedComponents.labels(s,
-      exactEdges.union(nearEdges))
+    exactEdges.union(nearEdges)
+  }
+
+  /** q94/q108's shared tail: every profiled asset joins its label
+    * (singletons coalesce to themselves), sized and flagged.
+    */
+  private def mediaClusterAssembly(profile: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     profile.select(col("doc_id"), col("mime"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
@@ -565,6 +581,23 @@ object MultimodalQueries {
         count(lit(1)).over(Window.partitionBy("cluster")))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy("doc_id")
+
+  /** q108 — INCREMENTAL media-cluster maintenance: the media member of
+    * the maintenance triad (text q105 / embedding q107 — one generic
+    * engine, [[graft.operators.IncrementalClusters]]). Today's asset
+    * delta (`doc_id % 10 = 0`, the q91 admission split) updates the
+    * persisted media clusters through contract→merge→relabel over the
+    * DELTA-INCIDENT exact+near edges only; the oracle is q94's
+    * from-scratch recursive-CTE SQL VERBATIM — incremental ≡ recompute
+    * on the media modality too. The edge pass is the profile store's
+    * (payload-free, dup-proportional); the maintenance step touches
+    * O(delta frontier) rows (IncrementalClustersSpec).
+    */
+  val q108IncrementalMediaClusters: Q = (s, d) => {
+    val profile = MediaSignatureStore.signatures(s, d)
+    mediaClusterAssembly(profile,
+      graft.operators.IncrementalClusters.maintain(s,
+        mediaDupEdges(profile), _ % 10 === 0))
   }
 
   val q94Sql: String =
@@ -643,7 +676,8 @@ object MultimodalQueries {
     "q91_media_admission" -> q91MediaAdmission,
     "q93_media_release" -> q93MediaRelease,
     "q94_media_dup_clusters" -> q94MediaDupClusters,
-    "q106_png_decode" -> q106PngDecode)
+    "q106_png_decode" -> q106PngDecode,
+    "q108_incremental_media_clusters" -> q108IncrementalMediaClusters)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
@@ -653,5 +687,7 @@ object MultimodalQueries {
     "q91_media_admission" -> q91Sql,
     "q93_media_release" -> q93Sql,
     "q94_media_dup_clusters" -> q94Sql,
-    "q106_png_decode" -> q106Sql)
+    "q106_png_decode" -> q106Sql,
+    // q94's SQL verbatim: incremental maintenance must equal recompute
+    "q108_incremental_media_clusters" -> q94Sql)
 }

@@ -469,6 +469,36 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** q107 — INCREMENTAL semantic-cluster maintenance: the embedding
+    * member of the maintenance triad (text q105 / media q108 — one
+    * generic engine, [[graft.operators.IncrementalClusters]]). Today's
+    * vector delta (`vec_id % 10 = 0`, the q95 admission discipline)
+    * updates the persisted semantic clusters through contract→merge→
+    * relabel over the DELTA-INCIDENT confirmed-cosine edges only; the
+    * oracle is q104's from-scratch recursive-CTE SQL VERBATIM, so the
+    * driver's hash gate holds incremental ≡ recompute on the embedding
+    * modality too. Scale shape: q42's edge derivation is the one
+    * dup-proportional pair pass (salted replicate join); the
+    * maintenance step itself touches O(delta frontier) rows
+    * (IncrementalClustersSpec), and the final assembly is q104's
+    * id-keyed join + window.
+    */
+  val q107IncrementalSemanticClusters: Q = (s, d) => {
+    val labels = graft.operators.IncrementalClusters.maintain(s,
+      embNearDupPairs(s, d)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      _ % 10 === 0)
+    embeddings(s, d).select(col("vec_id").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        col("cluster_size"), col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   val q104Sql: String =
     s"""WITH RECURSIVE $embPairsCteSql,
        |edges AS (
@@ -1073,7 +1103,8 @@ object SimilarityQueries {
     "q78_semantic_only_dups" -> q78SemanticOnlyDups,
     "q88_pruned_pair_mining" -> q88PrunedPairMining,
     "q95_embedding_admission" -> q95EmbeddingAdmission,
-    "q104_semantic_dup_clusters" -> q104SemanticDupClusters
+    "q104_semantic_dup_clusters" -> q104SemanticDupClusters,
+    "q107_incremental_semantic_clusters" -> q107IncrementalSemanticClusters
   )
 
   val oracle: Map[String, String] = Map(
@@ -1086,6 +1117,8 @@ object SimilarityQueries {
     "q78_semantic_only_dups" -> q78Sql,
     "q88_pruned_pair_mining" -> q88Sql,
     "q95_embedding_admission" -> q95Sql,
-    "q104_semantic_dup_clusters" -> q104Sql
+    "q104_semantic_dup_clusters" -> q104Sql,
+    // q104's SQL verbatim: incremental maintenance must equal recompute
+    "q107_incremental_semantic_clusters" -> q104Sql
   )
 }

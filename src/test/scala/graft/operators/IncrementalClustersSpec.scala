@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** q105's maintenance engine
-  * ([[graft.queries.DedupTextQueries.incrementalClusterMerge]]): the
+  * ([[IncrementalClusters.merge]]): the
   * incremental contract→merge→relabel step must (a) equal a
   * from-scratch connected-components run over the combined edge set —
   * the invariant the DuckDB oracle holds on the real corpus — and (b)
@@ -34,8 +34,7 @@ class IncrementalClustersSpec extends AnyFunSuite {
     val delta = edgeDF(Seq((100L, 2L), (200L, 11L), (200L, 21L),
       (300L, 301L)))
     val baseLabels = ConnectedComponents.labels(spark, base)
-    val (contracted, labels) = graft.queries.DedupTextQueries
-      .incrementalClusterMerge(spark, baseLabels, delta)
+    val (contracted, labels) = IncrementalClusters.merge(spark, baseLabels, delta)
 
     val expected = labelMap(
       ConnectedComponents.labels(spark, base.unionByName(delta)))
@@ -53,10 +52,8 @@ class IncrementalClustersSpec extends AnyFunSuite {
     def baseOf(n: Int) = edgeDF(
       (0 until n).map(i => (i * 10L, i * 10L + 1))) // n disjoint pairs
     val delta = edgeDF(Seq((5L, 0L), (7000L, 7001L)))
-    val small = graft.queries.DedupTextQueries.incrementalClusterMerge(
-      spark, ConnectedComponents.labels(spark, baseOf(10)), delta)
-    val large = graft.queries.DedupTextQueries.incrementalClusterMerge(
-      spark, ConnectedComponents.labels(spark, baseOf(1000)), delta)
+    val small = IncrementalClusters.merge(spark, ConnectedComponents.labels(spark, baseOf(10)), delta)
+    val large = IncrementalClusters.merge(spark, ConnectedComponents.labels(spark, baseOf(1000)), delta)
     assert(small._1.count() == 2 && large._1.count() == 2,
       "contracted size must not scale with the base component count")
     // and both are still exact
@@ -69,8 +66,7 @@ class IncrementalClustersSpec extends AnyFunSuite {
     val base = edgeDF(Seq((1L, 2L), (50L, 51L)))
     val delta = edgeDF(Seq((100L, 1L)))
     val baseLabels = ConnectedComponents.labels(spark, base)
-    val (_, labels) = graft.queries.DedupTextQueries
-      .incrementalClusterMerge(spark, baseLabels, delta)
+    val (_, labels) = IncrementalClusters.merge(spark, baseLabels, delta)
     val got = labelMap(labels)
     assert(got(50L) == 50L && got(51L) == 50L, "untouched component intact")
     assert(got(100L) == 1L && got(1L) == 1L && got(2L) == 1L)
