@@ -523,6 +523,106 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q109 — CLUSTER MAINTENANCE through the real streaming engine: the
+    * q105 incremental discipline run as a live pipeline. The base
+    * labels (store-side components) are materialized once; the delta's
+    * doc ids then arrive as THREE parquet-file micro-batches
+    * (`maxFilesPerTrigger=1`, `AvailableNow`, checkpointed), and each
+    * batch folds its INCIDENT edges into the label state through
+    * [[graft.operators.IncrementalClusters.merge]] — a chain of
+    * contract→merge→relabel steps, one per micro-batch.
+    *
+    * STATE is batchId-ADDRESSED parquet: batch `i` reads the labels
+    * written by batch `i−1` (batch 0 reads the base materialization)
+    * and overwrites its own `batch_<i>` directory — so a replayed
+    * epoch re-reads exactly the predecessor state and lands on its own
+    * path, giving exactly-once label evolution from at-least-once
+    * execution with NO driver-side mutable state (the addressing IS
+    * the checkpoint discipline). An edge incident to two batches is
+    * processed twice; a re-merged edge contracts to a self-loop and
+    * changes nothing, so duplicate delivery is harmless by
+    * construction — the algebra, not the plumbing, carries the
+    * exactly-once guarantee.
+    *
+    * Oracle: q105's from-scratch recursive-CTE SQL VERBATIM. The
+    * equality holds for ANY cut of the delta into micro-batches
+    * because each merge is exact under edge-set partition (the
+    * IncrementalClustersSpec bridge property) — a maintenance chain
+    * that dropped a cross-batch merge, re-read stale state, or leaked
+    * a replay double-merge would flip whole components and fail the
+    * hash gate.
+    *
+    * Scale shape: the edge set is the one dup-proportional BandStore
+    * pair pass, materialized once (never per batch); per batch the
+    * incident-edge semi-join broadcasts the batch's ids, the merge
+    * touches the O(delta frontier), and the label state is
+    * dup-proportional parquet. At 100 TB this is nightly cluster
+    * maintenance as a streaming job: label store in, label store out,
+    * corpus untouched.
+    */
+  val q109StreamingClusterMaintenance: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_clm", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_edges", "_labels").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val isDelta = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val pairs = DedupTextQueries.nearDupPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // materialize the dup-proportional artifacts ONCE: the delta's
+    // incident edges (what the batches consume) and the base labels
+    // (the persisted cluster store the maintenance starts from)
+    pairs.filter(isDelta(col("src")) || isDelta(col("dst")))
+      .write.parquet(path("_edges").toString)
+    graft.operators.ConnectedComponents.labels(s,
+        pairs.filter(!isDelta(col("src")) && !isDelta(col("dst"))))
+      .write.parquet(s"${path("_labels")}/base")
+    val deltaPath = path("_delta").toString
+    graft.core.Tables.documents(s, d).filter(isDelta(col("doc_id")))
+      .select(col("doc_id")).repartition(3).write.parquet(deltaPath)
+    val labelsOf = (id: Long) =>
+      if (id == 0L) s"${path("_labels")}/base"
+      else s"${path("_labels")}/batch_${id - 1}"
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      val q = stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.core.CacheScope.withScope {
+            val ids = batch.select(col("doc_id"))
+            val edges = s.read.parquet(path("_edges").toString)
+            val incident = edges.join(broadcast(ids),
+              edges("src") === ids("doc_id") || edges("dst") === ids("doc_id"),
+              "left_semi")
+            val prev = s.read.parquet(labelsOf(id))
+            graft.operators.IncrementalClusters.merge(s, prev, incident)._2
+              .write.mode("overwrite")
+              .parquet(s"${path("_labels")}/batch_$id")
+            lastBatch = math.max(lastBatch, id)
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    require(lastBatch >= 0, "the maintenance stream processed no batches")
+    val labels = s.read.parquet(s"${path("_labels")}/batch_$lastBatch")
+    graft.core.Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
@@ -530,7 +630,8 @@ object StreamingQueries {
     "q100_streaming_pattern_topk" -> q100StreamingPatternTopk,
     "q101_streaming_online_neardup" -> q101StreamingOnlineNeardup,
     "q102_streaming_neardup_disordered" -> q102StreamingNeardupDisordered,
-    "q103_streaming_store_lifecycle" -> q103StreamingStoreLifecycle)
+    "q103_streaming_store_lifecycle" -> q103StreamingStoreLifecycle,
+    "q109_streaming_cluster_maintenance" -> q109StreamingClusterMaintenance)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -543,5 +644,6 @@ object StreamingQueries {
     "q100_streaming_pattern_topk" -> EventQueries.q96Sql,
     "q101_streaming_online_neardup" -> DedupTextQueries.q101Sql,
     "q102_streaming_neardup_disordered" -> DedupTextQueries.q101Sql,
-    "q103_streaming_store_lifecycle" -> DedupTextQueries.q92Sql)
+    "q103_streaming_store_lifecycle" -> DedupTextQueries.q92Sql,
+    "q109_streaming_cluster_maintenance" -> DedupTextQueries.q105Sql)
 }

@@ -160,4 +160,75 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(new java.io.File(commitsDir, replayedId.toString).exists(),
       "the replayed batch must re-commit under the SAME id")
   }
+
+  test("q109 streaming cluster maintenance == from-scratch components " +
+    "(q105) across >= 3 checkpointed micro-batches, and a replayed " +
+    "epoch re-derives identical label state (batchId-addressed reads " +
+    "make the merge chain exactly-once by construction)") {
+    val got = graft.core.CacheScope.withScope {
+      rows(StreamingQueries.queries("q109_streaming_cluster_maintenance")(
+        spark, sf))
+    }
+    val batch = graft.core.CacheScope.withScope {
+      rows(DedupTextQueries.q105IncrementalClusters(spark, sf))
+    }
+    assert(got == batch,
+      "the streamed maintenance chain must equal the batch maintenance")
+    assert(commits("clm") >= 3,
+      "the run must genuinely span multiple micro-batches")
+
+    // replay the LAST epoch: drop its commit marker and restart from
+    // the checkpoint — the replayed batch re-reads its predecessor's
+    // label dir (never its own partial output) and overwrites its own,
+    // so the final labels are unchanged
+    val ckpt = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      RunStore.tableName("graft_stream_clm", sf) + "_ckpt")
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val latest = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    val replayedId = latest.getName.toLong
+    assert(latest.delete())
+    new java.io.File(commitsDir, s".$replayedId.crc").delete()
+
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val labelsRoot = new org.apache.hadoop.fs.Path(warehouse,
+      RunStore.tableName("graft_stream_clm", sf) + "_labels")
+    val deltaPath = new org.apache.hadoop.fs.Path(warehouse,
+      RunStore.tableName("graft_stream_clm", sf) + "_delta").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    import org.apache.spark.sql.functions._
+    stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.core.CacheScope.withScope {
+          val ids = batch.select(col("doc_id"))
+          val edges = spark.read.parquet(new org.apache.hadoop.fs.Path(
+            warehouse,
+            RunStore.tableName("graft_stream_clm", sf) + "_edges").toString)
+          val incident = edges.join(broadcast(ids),
+            edges("src") === ids("doc_id") || edges("dst") === ids("doc_id"),
+            "left_semi")
+          val prev = spark.read.parquet(
+            if (id == 0L) s"$labelsRoot/base" else s"$labelsRoot/batch_${id - 1}")
+          graft.operators.IncrementalClusters.merge(spark, prev, incident)._2
+            .write.mode("overwrite").parquet(s"$labelsRoot/batch_$id")
+        }
+      }
+      .start().awaitTermination()
+
+    val finalLabels = spark.read.parquet(s"$labelsRoot/batch_$replayedId")
+      .orderBy("doc_id")
+    val expected = graft.core.CacheScope.withScope {
+      rows(DedupTextQueries.q105IncrementalClusters(spark, sf))
+    }.map(r => (r(0), r(1))).toMap
+    val replayed = rows(finalLabels).map(r => (r(0), r(1))).toMap
+    // every edge-touched doc's label must match the batch answer
+    assert(replayed.forall { case (doc, c) => expected(doc) == c },
+      "a replayed epoch must re-derive identical label state")
+  }
 }
