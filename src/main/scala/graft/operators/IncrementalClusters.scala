@@ -72,8 +72,14 @@ object IncrementalClusters {
   def maintain(s: SparkSession, edges: DataFrame,
       isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
-    val baseEdges = edges.filter(!isDelta(col("src")) && !isDelta(col("dst")))
-    val deltaEdges = edges.filter(isDelta(col("src")) || isDelta(col("dst")))
+    // ONE evaluation of the (possibly expensive — LSH chains, cosine
+    // joins) edge derivation, shared by the base and delta branches:
+    // the edge set is dup-proportional, so the persist is tiny, while
+    // an unshared plan would re-run the derivation per branch
+    val e = graft.core.CacheScope.track(
+      edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val baseEdges = e.filter(!isDelta(col("src")) && !isDelta(col("dst")))
+    val deltaEdges = e.filter(isDelta(col("src")) || isDelta(col("dst")))
     val baseLabels = ConnectedComponents.labels(s, baseEdges)
     merge(s, baseLabels, deltaEdges)._2
   }
