@@ -61,6 +61,29 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(labelMap(large._2).get(5L) == Some(0L))
   }
 
+  test("randomized property sweep: incremental == recompute over seeded " +
+    "random graphs with random delta splits — including multi-way " +
+    "bridges, dense cliques, and deltas that touch nothing") {
+    val rnd = new scala.util.Random(11L) // deterministic: round-11 seed
+    (1 to 12).foreach { round =>
+      val nNodes = 8 + rnd.nextInt(40)
+      val nEdges = 4 + rnd.nextInt(60)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (a, if (a == b) a + 1 else b) // no self-loops from generation
+      }
+      val mod = 2 + rnd.nextInt(5)
+      val all = edgeDF(edges)
+      val got = labelMap(IncrementalClusters.maintain(spark, all,
+        _ % mod === 0))
+      val expected = labelMap(ConnectedComponents.labels(spark, all))
+      assert(got == expected,
+        s"round $round (nodes=$nNodes edges=$nEdges mod=$mod): " +
+          s"incremental diverged from recompute")
+    }
+  }
+
   test("untouched base components keep their labels verbatim; docs " +
     "absent from all edges never appear in the label frame") {
     val base = edgeDF(Seq((1L, 2L), (50L, 51L)))
