@@ -139,6 +139,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 incremental cluster maintenance: the returned plan is the " +
+    "ASSEMBLY only — one documents scan joined to the dup-proportional " +
+    "label frame (driver-built under the union-find threshold), with " +
+    "no text derivation and no band-keyed exchange anywhere; the edge " +
+    "derivation ran store-fed at construction (its shape is pinned by " +
+    "the q64/q32 band-store specs over the same shared derivation)") {
+    graft.core.CacheScope.withScope {
+      val df = DedupTextQueries.queries("q105_incremental_clusters")(spark, sf)
+      val p = physical(df)
+      assert(!p.toLowerCase.contains("wordshingles"), p.take(4000))
+      assert(!p.contains("Exchange hashpartitioning(band"), p.take(4000))
+      // corpus side: exactly ONE parquet scan (documents ids); the
+      // maintenance output joins in as a local/small relation — a
+      // second corpus scan appearing here is the regression
+      assert(p.split("Scan parquet ").length - 1 == 1, p.take(4000))
+    }
+  }
+
   test("q89 media near-dup reads the ON-DISK media signature store " +
     "(no payload re-signing — round-7 verdict #1) and plans with NO " +
     "join anywhere: candidate pairs are enumerated inside buckets " +
