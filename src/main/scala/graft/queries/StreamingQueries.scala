@@ -570,8 +570,13 @@ object StreamingQueries {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val isDelta = (c: org.apache.spark.sql.Column) => c % 10 === 0
-    val pairs = DedupTextQueries.nearDupPairs(s, d)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // ONE evaluation of the LSH pair chain feeds both the edge
+    // materialization and the base-label components (dup-proportional
+    // persist, released by the enclosing per-query scope)
+    val pairs = graft.core.CacheScope.track(
+      DedupTextQueries.nearDupPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // materialize the dup-proportional artifacts ONCE: the delta's
     // incident edges (what the batches consume) and the base labels
     // (the persisted cluster store the maintenance starts from)
