@@ -105,6 +105,58 @@ object MediaPipeline {
     }).toDF("doc_id", "width", "height", "n_frames", "center_px")
   }
 
+  /** REAL nearest-neighbor resize over a decoded image — integer
+    * source sampling (`srcX = x·w/ow`), so every output pixel is a
+    * pure function of the source pixels and the dimensions: exactly
+    * reproducible by a SQL oracle when the source is a formula image.
+    * A deliberate manual loop rather than `Graphics2D.drawImage`:
+    * rendering-hint defaults vary by platform, and the resize must be
+    * bit-deterministic across JVMs for the hash gate.
+    */
+  def resizeNearest(img: java.awt.image.BufferedImage,
+      ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y,
+          img.getRGB(x * img.getWidth / ow, y * img.getHeight / oh))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** q110's decode → RESIZE → feature-extract pass: each PNG payload is
+    * really decoded, really downsampled to (w/2, h/2) nearest-neighbor,
+    * and really aggregated pixel-by-pixel (the blue-channel sum — the
+    * per-channel-statistics shape an image-quality pipeline computes),
+    * plus the resized center pixel as the resampling probe. Same
+    * iterator-streamed `mapPartitions` discipline as [[decodeMeta]].
+    */
+  def resizeFeatureProbe(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: undecodable PNG payload")
+      val ow = math.max(img.getWidth / 2, 1)
+      val oh = math.max(img.getHeight / 2, 1)
+      val rz = resizeNearest(img, ow, oh)
+      var sumBlue = 0L
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) { sumBlue += rz.getRGB(x, y) & 0xFF; x += 1 }
+        y += 1
+      }
+      (r.doc_id, ow, oh, rz.getRGB(ow / 2, oh / 2) & 0xFFFFFF, sumBlue)
+    }).toDF("doc_id", "out_w", "out_h", "center_px", "sum_blue")
+  }
+
   /** The remaining unimplemented-codec seam: audio/video decoders are
     * genuinely absent from this container (no public ffmpeg binding on
     * the classpath), so an UNKNOWN mime is an explicit error — never a

@@ -667,6 +667,65 @@ object MultimodalQueries {
       |   AS INTEGER) AS center_px
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q110 — REAL image RESIZE + feature extraction through the codec
+    * (completes the brief's multimodal quartet: decode q106 /
+    * feature-extract+resize HERE / frame-sample q52). Every document's
+    * deterministic PNG (the q106 fixture: w = id%31+8, h = id%17+8,
+    * pixel (x,y) = x·31+y·7) is decoded, downsampled to (w/2, h/2) by
+    * REAL nearest-neighbor resampling
+    * ([[graft.multimodal.MediaPipeline.resizeNearest]] — integer
+    * source indexing, bit-deterministic), and the RESIZED pixels are
+    * aggregated: the blue-channel sum (per-channel statistics, the
+    * feature-extraction shape) and the resized center pixel (the
+    * resampling probe). The oracle recomputes every value in closed
+    * form — `src(x·w/ow, y·h/oh)` unrolled with `unnest(range(...))`
+    * in DuckDB — so the hash gate passes only if the actual
+    * decode→resample→aggregate pipeline ran over the actual pixels:
+    * a resize that used a different kernel, rounded differently, or
+    * read the source image directly flips `sum_blue`/`center_px`.
+    *
+    * Scale shape: identical to q106 — fixture generation stands in
+    * for the lake read; the real machinery is the partition-wise
+    * decode/resize/aggregate (one codec activation per row, streamed,
+    * narrow typed output; payload bytes never reach an exchange).
+    */
+  val q110PngResizeFeatures: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val media = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaPipeline.MediaRow(id, "image/png",
+          MediaPipeline.encodePng((id % 31 + 8).toInt, (id % 17 + 8).toInt))
+      })
+    MediaPipeline.resizeFeatureProbe(media).orderBy("doc_id")
+  }
+
+  val q110Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 31 + 8 AS BIGINT) AS w,
+      |    CAST(doc_id % 17 + 8 AS BIGINT) AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, w, h,
+      |    GREATEST(w // 2, 1) AS ow, GREATEST(h // 2, 1) AS oh
+      |  FROM dims),
+      |px AS (
+      |  SELECT o.doc_id,
+      |    ((t.x * o.w) // o.ow) * 31 + ((u.y * o.h) // o.oh) * 7 AS v
+      |  FROM o, unnest(range(0, o.ow)) AS t(x), unnest(range(0, o.oh)) AS u(y)),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(v % 256) AS BIGINT) AS sum_blue
+      |  FROM px GROUP BY doc_id)
+      |SELECT o.doc_id,
+      |  CAST(o.ow AS INTEGER) AS out_w,
+      |  CAST(o.oh AS INTEGER) AS out_h,
+      |  CAST((((o.ow // 2) * o.w) // o.ow) * 31
+      |     + (((o.oh // 2) * o.h) // o.oh) * 7 AS INTEGER) AS center_px,
+      |  a.sum_blue
+      |FROM o JOIN agg a ON o.doc_id = a.doc_id
+      |ORDER BY o.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
@@ -677,7 +736,8 @@ object MultimodalQueries {
     "q93_media_release" -> q93MediaRelease,
     "q94_media_dup_clusters" -> q94MediaDupClusters,
     "q106_png_decode" -> q106PngDecode,
-    "q108_incremental_media_clusters" -> q108IncrementalMediaClusters)
+    "q108_incremental_media_clusters" -> q108IncrementalMediaClusters,
+    "q110_png_resize_features" -> q110PngResizeFeatures)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
@@ -689,5 +749,6 @@ object MultimodalQueries {
     "q94_media_dup_clusters" -> q94Sql,
     "q106_png_decode" -> q106Sql,
     // q94's SQL verbatim: incremental maintenance must equal recompute
-    "q108_incremental_media_clusters" -> q94Sql)
+    "q108_incremental_media_clusters" -> q94Sql,
+    "q110_png_resize_features" -> q110Sql)
 }

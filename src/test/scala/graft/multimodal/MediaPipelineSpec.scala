@@ -56,6 +56,24 @@ class MediaPipelineSpec extends AnyFunSuite {
       (6L, 9, 16, 1, 4 * 31 + 8 * 7)))
   }
 
+  test("nearest-neighbor resize samples exactly src(x*w/ow, y*h/oh) — " +
+    "odd dimensions included — and the feature probe aggregates the " +
+    "RESIZED pixels, not the source") {
+    import spark.implicits._
+    // 13x7 source: ow=6, oh=3 — odd/even mix exercises the flooring
+    val rows = Seq(MediaPipeline.MediaRow(9L, "image/png",
+      MediaPipeline.encodePng(13, 7))).toDS()
+    val got = MediaPipeline.resizeFeatureProbe(rows).head()
+    assert((got.getInt(1), got.getInt(2)) == (6, 3))
+    def src(x: Int, y: Int) = (x * 13 / 6) * 31 + (y * 7 / 3) * 7
+    assert(got.getInt(3) == src(3, 1), "resized center must be the " +
+      "nearest-neighbor source pixel")
+    val expectedBlue = (for (y <- 0 until 3; x <- 0 until 6)
+      yield src(x, y) % 256).sum.toLong
+    assert(got.getLong(4) == expectedBlue,
+      "sum_blue must aggregate the resized image's pixels")
+  }
+
   test("an UNKNOWN mime is an explicit NotImplementedError — the codec " +
     "seam is reachable only for mimes with no decoder, never a silent stub") {
     import spark.implicits._
