@@ -157,10 +157,65 @@ object MediaPipeline {
     }).toDF("doc_id", "out_w", "out_h", "center_px", "sum_blue")
   }
 
-  /** The remaining unimplemented-codec seam: audio/video decoders are
+  /** ENCODE a deterministic 16-bit signed little-endian PCM WAV through
+    * the JDK's real `javax.sound.sampled` writer: sample i (interleaved
+    * across channels) = `(i·131 + 7) mod 4001 − 2000`. Like
+    * [[encodePng]], the point is that every decoded value is a pure
+    * function of (channels, rate, frames), so a SQL oracle can predict
+    * what [[decodeWavProbe]] must recover without parsing RIFF itself.
+    */
+  def encodeWav(channels: Int, rate: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val n = frames * channels
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i * 131 + 7) % 4001 - 2000).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** q111's REAL audio decode: each WAV payload is parsed by the JDK's
+    * `javax.sound.sampled` codec — container format (channels, sample
+    * rate, frame count) from the RIFF/fmt chunks AND the PCM samples
+    * themselves, summed as the roundtrip probe (metadata alone could be
+    * faked from the fixture formula; the sample sum can only come from
+    * the decoded frames). Same iterator-streamed `mapPartitions`
+    * discipline as [[decodeMeta]]/[[resizeFeatureProbe]].
+    */
+  def decodeWavProbe(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val f = ais.getFormat
+      val frames = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      val n = frames * f.getChannels
+      while (i < n) {
+        sum += ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (r.doc_id, f.getChannels, f.getSampleRate.toInt, frames, sum)
+    }).toDF("doc_id", "channels", "sample_rate", "n_frames", "sum_samples")
+  }
+
+  /** The remaining unimplemented-codec seam: video decoders are
     * genuinely absent from this container (no public ffmpeg binding on
-    * the classpath), so an UNKNOWN mime is an explicit error — never a
-    * silent stub.
+    * the classpath; PNG and WAV run the real JDK codecs — [[decodePng]]
+    * / [[decodeWavProbe]]), so an UNKNOWN mime is an explicit error —
+    * never a silent stub.
     */
   private def decodeReal(mime: String, payload: Array[Byte]): Nothing =
     throw new NotImplementedError(

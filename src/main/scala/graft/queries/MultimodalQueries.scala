@@ -726,6 +726,47 @@ object MultimodalQueries {
       |FROM o JOIN agg a ON o.doc_id = a.doc_id
       |ORDER BY o.doc_id""".stripMargin
 
+  /** q111 — REAL audio decode through the codec seam: the second
+    * modality running a genuine JDK codec (`javax.sound.sampled`,
+    * public API, headless — PNG was q106's). Every document gets a
+    * real PCM WAV with deterministic parameters (channels = id%2+1,
+    * rate = 8000+(id%5)·1000, frames = id%50+10; sample i =
+    * (i·131+7) mod 4001 − 2000) encoded distributively; the query
+    * returns what the real decoder parses back — container metadata
+    * AND the sum of the decoded PCM samples. The oracle recomputes
+    * everything in closed form (`unnest(range)` over the sample
+    * index), so the hash gate passes only if actual RIFF parsing and
+    * PCM frame reads ran; only video remains stubbed (no public
+    * ffmpeg binding in this container).
+    */
+  val q111WavDecode: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val media = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaPipeline.MediaRow(id, "audio/wav",
+          MediaPipeline.encodeWav((id % 2 + 1).toInt,
+            (8000 + (id % 5) * 1000).toInt, (id % 50 + 10).toInt))
+      })
+    MediaPipeline.decodeWavProbe(media).orderBy("doc_id")
+  }
+
+  val q111Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |    CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+      |    CAST(doc_id % 50 + 10 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT p.doc_id,
+      |    CAST(SUM((t.i * 131 + 7) % 4001 - 2000) AS BIGINT) AS sum_samples
+      |  FROM p, unnest(range(0, p.channels * p.n_frames)) AS t(i)
+      |  GROUP BY p.doc_id)
+      |SELECT p.doc_id, p.channels, p.sample_rate, p.n_frames, s.sum_samples
+      |FROM p JOIN s ON p.doc_id = s.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
@@ -737,7 +778,8 @@ object MultimodalQueries {
     "q94_media_dup_clusters" -> q94MediaDupClusters,
     "q106_png_decode" -> q106PngDecode,
     "q108_incremental_media_clusters" -> q108IncrementalMediaClusters,
-    "q110_png_resize_features" -> q110PngResizeFeatures)
+    "q110_png_resize_features" -> q110PngResizeFeatures,
+    "q111_wav_decode" -> q111WavDecode)
   val oracle: Map[String, String] = Map(
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
@@ -750,5 +792,6 @@ object MultimodalQueries {
     "q106_png_decode" -> q106Sql,
     // q94's SQL verbatim: incremental maintenance must equal recompute
     "q108_incremental_media_clusters" -> q94Sql,
-    "q110_png_resize_features" -> q110Sql)
+    "q110_png_resize_features" -> q110Sql,
+    "q111_wav_decode" -> q111Sql)
 }

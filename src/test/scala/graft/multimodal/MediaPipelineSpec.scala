@@ -74,6 +74,19 @@ class MediaPipelineSpec extends AnyFunSuite {
       "sum_blue must aggregate the resized image's pixels")
   }
 
+  test("a REAL WAV payload decodes through javax.sound.sampled: " +
+    "container metadata and the PCM sample sum both recovered from " +
+    "the bytes") {
+    import spark.implicits._
+    val rows = Seq(MediaPipeline.MediaRow(4L, "audio/wav",
+      MediaPipeline.encodeWav(channels = 2, rate = 9000, frames = 25))).toDS()
+    val got = MediaPipeline.decodeWavProbe(rows).head()
+    assert((got.getInt(1), got.getInt(2), got.getInt(3)) == (2, 9000, 25))
+    val expected = (0 until 50).map(i => (i * 131 + 7) % 4001 - 2000L).sum
+    assert(got.getLong(4) == expected,
+      "the sample sum must come from the decoded PCM frames")
+  }
+
   test("an UNKNOWN mime is an explicit NotImplementedError — the codec " +
     "seam is reachable only for mimes with no decoder, never a silent stub") {
     import spark.implicits._
