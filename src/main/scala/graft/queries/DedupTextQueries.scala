@@ -1838,6 +1838,54 @@ object DedupTextQueries {
     * construction; the verdict frames are per-doc booleans joined on the
     * id (sorts under the joins are eliminated by Catalyst).
     */
+  /** q112 — PII DETECTION + REDACTION: the scrubbing pass every
+    * training-data release runs before shipping text. The corpus
+    * carries no real PII, so each document is AUGMENTED with
+    * deterministic synthetic contacts (an email and a phone number
+    * derived from `doc_id` — both engines build the identical string),
+    * then the detectors count matches and the redactor replaces them;
+    * the gate hashes the match counts AND the md5 of the fully
+    * redacted text, so a pattern that under-matches, a replacement
+    * that misses an occurrence, or an engine regex divergence all
+    * fail. Patterns are deliberately RE2∩Java — character classes,
+    * `+`, escaped literals; no backreferences or lookarounds — so the
+    * two engines' leftmost-first semantics coincide.
+    *
+    * Scale shape: pure map-side codegen'd projection (regexp over each
+    * row, no shuffle but the dump's orderBy) — the same per-row cost
+    * profile as q35/q47; at 100 TB this is a streamed pass that never
+    * touches an exchange.
+    */
+  val q112PiiRedact: Q = (s, d) => {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "\\+64-21-[0-9]+"
+    val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
+      lit("@example.org or +64-21-"), (col("doc_id") * 7) % 10000000,
+      lit(" now"))
+    documents(s, d).select(col("doc_id"),
+        regexp_count(aug, lit(emailRe)).as("n_emails"),
+        regexp_count(aug, lit(phoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' reach user' || doc_id || '@example.org or +64-21-'
+      |      || (doc_id * 7) % 10000000 || ' now' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+'))
+      |    AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\+64-21-[0-9]+'))
+      |    AS INTEGER) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '\+64-21-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   val q57ReleaseVerdict: Q = (s, d) => {
     // The LSH dedup leg reads the on-disk SignatureStore (no shingle
     // re-derivation); the persisted distinct-shingle frame serves ONLY
@@ -1926,6 +1974,7 @@ object DedupTextQueries {
     "q53_dedup_verdict" -> q53DedupVerdict,
     "q59_dup_clusters" -> q59DupClusters,
     "q105_incremental_clusters" -> q105IncrementalClusters,
+    "q112_pii_redact" -> q112PiiRedact,
     "q54_stratified_sample" -> q54StratifiedSample,
     "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
@@ -1954,6 +2003,7 @@ object DedupTextQueries {
     "q53_dedup_verdict" -> q53Sql,
     "q59_dup_clusters" -> q59Sql,
     "q105_incremental_clusters" -> q105Sql,
+    "q112_pii_redact" -> q112Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_repetition" -> q55Sql,
     "q56_decontamination" -> q56Sql,
