@@ -1857,17 +1857,28 @@ object DedupTextQueries {
     * touches an exchange.
     */
   val q112PiiRedact: Q = (s, d) => {
-    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
-    val phoneRe = "\\+64-21-[0-9]+"
     val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
       lit("@example.org or +64-21-"), (col("doc_id") * 7) % 10000000,
       lit(" now"))
-    documents(s, d).select(col("doc_id"),
-        regexp_count(aug, lit(emailRe)).as("n_emails"),
-        regexp_count(aug, lit(phoneRe)).as("n_phones"),
-        md5(regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>")).as("redacted_fp"))
+    piiScrub(documents(s, d).select(col("doc_id"), aug.as("text")))
       .orderBy("doc_id")
+  }
+
+  /** The q112 engine over ANY `(doc_id, text)` frame — a pure map-side
+    * projection, so it is STREAM-READY by construction: the same
+    * Column expressions run per micro-batch under `readStream` with
+    * identical results (StreamReadyTransformsSpec pins batch ≡ stream,
+    * the q47/q65/q67 discipline) — scrub-on-ingest and
+    * scrub-on-release are the same operator.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "\\+64-21-[0-9]+"
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("redacted_fp"))
   }
 
   val q112Sql: String =

@@ -46,6 +46,38 @@ class StreamReadyTransformsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("piiScrub emits identical detector counts and redacted " +
+    "fingerprints on a batch frame and on a micro-batched stream — " +
+    "scrub-on-ingest and scrub-on-release are the same operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail me at alice.w@example.com or +64-21-5551234 today"),
+      (2L, "no contacts in this one at all"),
+      (3L, "two mails a@b.org c.d@e.net and +64-21-9 plus +64-21-77"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+    val batch = rows(graft.queries.DedupTextQueries
+      .piiScrub(docs.toDF("doc_id", "text")))
+    assert(batch.map(t => (t._1, t._2, t._3)) ==
+      Set((1L, 1, 1), (2L, 0, 0), (3L, 2, 2)))
+
+    val source = MemoryStream[(Long, String)]
+    val q = graft.queries.DedupTextQueries
+      .piiScrub(source.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii")
+      .outputMode("append").start()
+    try {
+      source.addData(docs(0))
+      q.processAllAvailable()
+      source.addData(docs(1), docs(2))
+      q.processAllAvailable()
+      assert(rows(spark.table("pii")) == batch)
+    } finally q.stop()
+  }
+
   test("qualityGate emits identical verdicts on a batch frame and on a " +
     "micro-batched stream of the same documents") {
     import spark.implicits._
