@@ -1856,13 +1856,19 @@ object DedupTextQueries {
     * profile as q35/q47; at 100 TB this is a streamed pass that never
     * touches an exchange.
     */
-  val q112PiiRedact: Q = (s, d) => {
-    val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
-      lit("@example.org or +64-21-"), (col("doc_id") * 7) % 10000000,
-      lit(" now"))
-    piiScrub(documents(s, d).select(col("doc_id"), aug.as("text")))
-      .orderBy("doc_id")
-  }
+  val q112PiiRedact: Q = (s, d) =>
+    piiScrub(piiAugmented(documents(s, d))).orderBy("doc_id")
+
+  /** The deterministic synthetic-contact augmentation q112's fixture is
+    * built from (the corpus carries no real PII) — shared VERBATIM with
+    * the streaming form (q114), so both engines scrub the identical
+    * text and one oracle serves both.
+    */
+  private[graft] def piiAugmented(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" reach user"), col("doc_id"),
+        lit("@example.org or +64-21-"), (col("doc_id") * 7) % 10000000,
+        lit(" now")).as("text"))
 
   /** The q112 engine over ANY `(doc_id, text)` frame — a pure map-side
     * projection, so it is STREAM-READY by construction: the same

@@ -560,6 +560,30 @@ object StreamingQueries {
     * maintenance as a streaming job: label store in, label store out,
     * corpus untouched.
     */
+  /** q109's per-micro-batch maintenance body — ONE definition shared by
+    * the registered query and StreamingQueriesSpec's epoch-replay leg
+    * (round-11 advice: the spec's inline copy of this logic would
+    * silently diverge from whatever q109 evolves into). Batch `id`
+    * reads the labels its predecessor wrote (`base` for batch 0),
+    * folds the batch's incident edges through the contracted merge,
+    * and overwrites its OWN batchId-addressed label dir — the
+    * exactly-once-from-at-least-once addressing q109's doc describes.
+    */
+  private[graft] def clusterMaintenanceBatch(s: SparkSession,
+      edgesPath: String, labelsRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val ids = batch.select(col("doc_id"))
+      val edges = s.read.parquet(edgesPath)
+      val incident = edges.join(broadcast(ids),
+        edges("src") === ids("doc_id") || edges("dst") === ids("doc_id"),
+        "left_semi")
+      val prev = s.read.parquet(
+        if (id == 0L) s"$labelsRoot/base" else s"$labelsRoot/batch_${id - 1}")
+      graft.operators.IncrementalClusters.merge(s, prev, incident)._2
+        .write.mode("overwrite").parquet(s"$labelsRoot/batch_$id")
+    }
+
   val q109StreamingClusterMaintenance: Q = (s, d) => {
     val base = RunStore.tableName("graft_stream_clm", d)
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
@@ -588,9 +612,6 @@ object StreamingQueries {
     val deltaPath = path("_delta").toString
     graft.core.Tables.documents(s, d).filter(isDelta(col("doc_id")))
       .select(col("doc_id")).repartition(3).write.parquet(deltaPath)
-    val labelsOf = (id: Long) =>
-      if (id == 0L) s"${path("_labels")}/base"
-      else s"${path("_labels")}/batch_${id - 1}"
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
       .option("maxFilesPerTrigger", 1)
@@ -601,18 +622,9 @@ object StreamingQueries {
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          graft.core.CacheScope.withScope {
-            val ids = batch.select(col("doc_id"))
-            val edges = s.read.parquet(path("_edges").toString)
-            val incident = edges.join(broadcast(ids),
-              edges("src") === ids("doc_id") || edges("dst") === ids("doc_id"),
-              "left_semi")
-            val prev = s.read.parquet(labelsOf(id))
-            graft.operators.IncrementalClusters.merge(s, prev, incident)._2
-              .write.mode("overwrite")
-              .parquet(s"${path("_labels")}/batch_$id")
-            lastBatch = math.max(lastBatch, id)
-          }
+          clusterMaintenanceBatch(s, path("_edges").toString,
+            path("_labels").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
         }
         .start()
       q.awaitTermination()
@@ -628,6 +640,57 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** q114 — STREAMING PII scrub through the real engine (round-11
+    * verdict #4): [[DedupTextQueries.piiScrub]] is stream-ready by
+    * construction (a pure map-side projection —
+    * StreamReadyTransformsSpec pins batch ≡ stream), and this makes
+    * that equivalence DRIVER-VISIBLE the way q97 did for admission:
+    * the q112 fixture (documents + synthetic contacts, the shared
+    * [[DedupTextQueries.piiAugmented]] augmentation) is spooled as
+    * three parquet files, streamed back one file per trigger under
+    * `AvailableNow` (checkpointed, ≥3 real micro-batches), scrubbed
+    * per batch, and the per-batch results land in the batchId-keyed
+    * idempotent sink. Oracle: q112's SQL VERBATIM — scrub-on-ingest
+    * must union to exactly scrub-on-release, which it can only do if
+    * the per-batch projection is the batch projection (no state, no
+    * cross-batch dependence, no regex divergence between engines).
+    *
+    * Scale shape: stateless stream-side scrub — no store, no shuffle,
+    * no streaming state at all; per trigger the cost is O(batch rows)
+    * of codegen'd regex work. At 100 TB this is the scrub running in
+    * the ingest stream itself rather than as a release-time batch
+    * pass — same operator, same verdicts, by the hash gate's proof.
+    */
+  val q114StreamingPiiScrub: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_pii", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    DedupTextQueries.piiAugmented(
+        graft.core.Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .repartition(3).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(DedupTextQueries.piiScrub(batch), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
@@ -636,7 +699,8 @@ object StreamingQueries {
     "q101_streaming_online_neardup" -> q101StreamingOnlineNeardup,
     "q102_streaming_neardup_disordered" -> q102StreamingNeardupDisordered,
     "q103_streaming_store_lifecycle" -> q103StreamingStoreLifecycle,
-    "q109_streaming_cluster_maintenance" -> q109StreamingClusterMaintenance)
+    "q109_streaming_cluster_maintenance" -> q109StreamingClusterMaintenance,
+    "q114_streaming_pii_scrub" -> q114StreamingPiiScrub)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -650,5 +714,6 @@ object StreamingQueries {
     "q101_streaming_online_neardup" -> DedupTextQueries.q101Sql,
     "q102_streaming_neardup_disordered" -> DedupTextQueries.q101Sql,
     "q103_streaming_store_lifecycle" -> DedupTextQueries.q92Sql,
-    "q109_streaming_cluster_maintenance" -> DedupTextQueries.q105Sql)
+    "q109_streaming_cluster_maintenance" -> DedupTextQueries.q105Sql,
+    "q114_streaming_pii_scrub" -> DedupTextQueries.q112Sql)
 }

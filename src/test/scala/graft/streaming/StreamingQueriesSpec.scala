@@ -161,6 +161,17 @@ class StreamingQueriesSpec extends AnyFunSuite {
       "the replayed batch must re-commit under the SAME id")
   }
 
+  test("q114 streaming PII scrub == batch q112 bit-for-bit across " +
+    ">= 3 checkpointed micro-batches (scrub-on-ingest == " +
+    "scrub-on-release, driver-visible)") {
+    val got = rows(StreamingQueries.q114StreamingPiiScrub(spark, sf))
+    val want = rows(DedupTextQueries.q112PiiRedact(spark, sf))
+    assert(got.nonEmpty && got == want)
+    assert(commits("pii") >= 3,
+      "the fixture was spooled as 3 files with maxFilesPerTrigger=1 — " +
+        "fewer than 3 commits means the stream collapsed to one batch")
+  }
+
   test("q109 streaming cluster maintenance == from-scratch components " +
     "(q105) across >= 3 checkpointed micro-batches, and a replayed " +
     "epoch re-derives identical label state (batchId-addressed reads " +
@@ -200,25 +211,17 @@ class StreamingQueriesSpec extends AnyFunSuite {
       .schema(spark.read.parquet(deltaPath).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(deltaPath)
-    import org.apache.spark.sql.functions._
+    // the replayed epoch runs q109's EXACT per-batch body (shared
+    // helper — round-11 advice: an inline copy here would silently
+    // diverge from the production query)
+    val edgesPath = new org.apache.hadoop.fs.Path(warehouse,
+      RunStore.tableName("graft_stream_clm", sf) + "_edges").toString
     stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        graft.core.CacheScope.withScope {
-          val ids = batch.select(col("doc_id"))
-          val edges = spark.read.parquet(new org.apache.hadoop.fs.Path(
-            warehouse,
-            RunStore.tableName("graft_stream_clm", sf) + "_edges").toString)
-          val incident = edges.join(broadcast(ids),
-            edges("src") === ids("doc_id") || edges("dst") === ids("doc_id"),
-            "left_semi")
-          val prev = spark.read.parquet(
-            if (id == 0L) s"$labelsRoot/base" else s"$labelsRoot/batch_${id - 1}")
-          graft.operators.IncrementalClusters.merge(spark, prev, incident)._2
-            .write.mode("overwrite").parquet(s"$labelsRoot/batch_$id")
-        }
-      }
+      .foreachBatch(
+        StreamingQueries.clusterMaintenanceBatch(
+          spark, edgesPath, labelsRoot.toString) _)
       .start().awaitTermination()
 
     val finalLabels = spark.read.parquet(s"$labelsRoot/batch_$replayedId")
