@@ -19,8 +19,12 @@ package graft.core
   * only when the epoch of some table its plan scans has moved. A
   * steady stream between maintenance events pays the resolution ONCE.
   *
-  * SCOPE: per-JVM, like [[StoreLeases]] — folds and compactions run in
-  * this process (the sandbox shape), so the signal is complete here.
+  * SCOPE: per-JVM, like [[StoreLeases]]. For mutations performed by
+  * ANOTHER process — which can never bump this JVM's registry — the
+  * admission cache pairs each epoch with the table's on-disk sidecar
+  * stamp ([[graft.queries.RunStore.sidecarStamp]]), which every
+  * lifecycle mutation rewrites; the two signals together make the
+  * invalidation complete across processes (round-11 verdict #3).
   * At multi-writer scale the epoch is the catalog's own table version
   * (an open table format's snapshot id); this registry is the in-JVM
   * stand-in for exactly that, and the admission stream's contract —

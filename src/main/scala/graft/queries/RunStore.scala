@@ -442,6 +442,30 @@ private[graft] object RunStore {
       case _ => false
     }
 
+  /** A cheap CROSS-PROCESS mutation signal for a store table: the
+    * sidecar file's (mtime, length) at the table's resolved location,
+    * folded into one Long (round-11 verdict #3). Every legitimate
+    * lifecycle mutation rewrites the sidecar — a fold's
+    * [[refreshManifest]], a rebuild's [[writeSidecar]], a compaction's
+    * [[copySidecar]]+[[deleteSidecarAt]] — so a mutation performed by
+    * ANOTHER process, invisible to this JVM's
+    * [[graft.core.StoreEpochs]], still moves the stamp. One
+    * `getFileStatus` per call: cheap enough for a streaming reader to
+    * probe every trigger. Absent/unreadable sidecar stamps as 0 —
+    * itself a state, so appearance and disappearance both register.
+    * The production analog is polling the catalog's table version
+    * (an open table format's snapshot id) instead of a file mtime.
+    */
+  private[graft] def sidecarStamp(s: SparkSession, t: String): Long = {
+    val loc = catalogLocation(s, t).getOrElse(defaultLocation(s, t))
+    try {
+      val st = hadoopFs(s, loc).getFileStatus(new Path(loc, SidecarName))
+      // mixed so that same-mtime rewrites with different manifest
+      // lengths (two folds inside one clock tick) still move the stamp
+      st.getModificationTime * 1048583L + st.getLen
+    } catch { case NonFatal(_) => 0L }
+  }
+
   /** How long a DEMOTED store generation must sit untouched before a
     * compaction may sweep its files (round-10 verdict #2). The in-JVM
     * [[graft.core.StoreLeases]] guard protects this process's streams;

@@ -115,7 +115,13 @@ object StreamingAdmission {
     * rebuild, a drop — bumps the table's epoch, so the very next
     * trigger after a mutation re-evaluates the thunk and picks up the
     * new file set/location while a steady stream between maintenance
-    * events resolves once. A frame whose plan scans NO catalog table
+    * events resolves once. Mutations from ANOTHER process can't bump
+    * this JVM's epochs, so the cache key also carries each table's
+    * sidecar stamp ([[graft.queries.RunStore.sidecarStamp]], probed
+    * every trigger — one `getFileStatus`): a child-process fold's
+    * manifest refresh moves the stamp and the very next trigger
+    * re-resolves (TwoJvmStoreRaceSpec proves it in two real JVMs).
+    * A frame whose plan scans NO catalog table
     * (a literal or in-memory store, spec corpora) has no epoch to
     * watch and keeps the round-10 behavior: re-evaluated every
     * trigger. StreamingAdmissionSpec's fold-between-triggers and
@@ -143,12 +149,18 @@ object StreamingAdmission {
     val token = "pending:" + java.util.UUID.randomUUID()
     graft.core.StoreLeases.acquire(token, tables)
     // Per-GENERATION store resolution (see class doc): re-evaluate the
-    // by-name thunk only when some scanned table's mutation epoch has
-    // moved since the cached frame was resolved. foreachBatch bodies
-    // run sequentially per query, but the lock keeps the cache safe if
-    // an engine ever overlaps them.
+    // by-name thunk only when some scanned table's mutation epoch OR
+    // its on-disk sidecar stamp has moved since the cached frame was
+    // resolved. The epoch covers every in-JVM mutation; the sidecar
+    // stamp (one getFileStatus per table per trigger) covers mutations
+    // performed by ANOTHER process, whose folds/compactions rewrite
+    // the sidecar but can never bump this JVM's StoreEpochs —
+    // round-11 verdict #3: without it, a long-running stream could
+    // read a stale resolution until its own process mutated something.
+    // foreachBatch bodies run sequentially per query, but the lock
+    // keeps the cache safe if an engine ever overlaps them.
     val cacheLock = new Object
-    var cachedEpochs: Map[String, Long] = null
+    var cachedKey: Map[String, (Long, Long)] = null
     var cachedFrame: DataFrame = null
     def resolvedStore(): DataFrame =
       if (tables.isEmpty) storeBands
@@ -156,10 +168,21 @@ object StreamingAdmission {
         // snapshot BEFORE evaluating: a mutation landing mid-resolve
         // leaves the snapshot behind its epoch, so the next trigger
         // re-resolves rather than serving the half-stale frame forever
+        val s = docs.sparkSession
         val now = tables.iterator
-          .map(t => t -> graft.core.StoreEpochs.epoch(t)).toMap
-        if (cachedFrame == null || cachedEpochs != now) {
-          cachedEpochs = now
+          .map(t => t -> (graft.core.StoreEpochs.epoch(t),
+            graft.queries.RunStore.sidecarStamp(s, t))).toMap
+        if (cachedFrame == null || cachedKey != now) {
+          // a STAMP move means another process mutated the store: this
+          // JVM's table-relation cache still holds the stale file
+          // index (an in-JVM mutation would have invalidated it
+          // itself) — refresh before re-resolving or the new plan
+          // re-reads the old listing
+          if (cachedKey != null) tables.foreach { t =>
+            if (cachedKey.get(t).map(_._2) != now.get(t).map(_._2))
+              s.catalog.refreshTable(t)
+          }
+          cachedKey = now
           cachedFrame = storeBands
         }
         cachedFrame

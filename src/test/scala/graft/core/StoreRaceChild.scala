@@ -20,6 +20,16 @@ private[core] object StoreRaceFixture {
         (col("doc_id") % 4).cast("int").as("band"),
         md5(col("text")).as("bkey")))
 
+  /** The cross-process FOLD fixture: a RunStore-managed (sidecar'd)
+    * signature store whose schema is exactly the text admission band
+    * derivation, so the parent can run a real admission stream against
+    * it while the CHILD process folds into it.
+    */
+  val foldStore = new RunStore("graft_xfold_spec", 4, Seq("band", "bkey"),
+    (s: SparkSession, d: String) =>
+      graft.queries.DedupTextQueries.textBandFrame(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
   /** Order-free digest of the store's served contents. */
   def contentHash(s: SparkSession, d: String): String = {
     val rows = store.table(s, d)
@@ -54,7 +64,8 @@ private[core] object StoreRaceFixture {
   */
 object StoreRaceChild {
   def main(args: Array[String]): Unit = {
-    val Array(warehouse, srcDir) = args
+    val warehouse = args(0)
+    val srcDir = args(1)
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-store-race-child")
@@ -64,6 +75,24 @@ object StoreRaceChild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.length > 2 && args(2) == "fold") {
+      // FOLD mode (round-11 verdict #3's done-bar): revalidate+register
+      // the parent-built store from its sidecar, then fold an admitted
+      // doc into it — a mutation the PARENT's StoreEpochs can never
+      // see; only the sidecar stamp carries it across the process
+      // boundary.
+      val Array(_, _, _, docId, text) = args
+      import spark.implicits._
+      val mode = StoreRaceFixture.foldStore.ensure(spark, srcDir)
+      println(s"CHILD_MODE:$mode")
+      graft.queries.DedupTextQueries.foldAdmitted(spark,
+        StoreRaceFixture.foldStore.tableName(srcDir),
+        Seq((docId.toLong, text)).toDF("doc_id", "text"))
+      println("CHILD_FOLDED")
+      Console.flush()
+      spark.stop()
+      return
+    }
     println("CHILD_READY")
     Console.flush()
     scala.io.StdIn.readLine() // the parent's GO
