@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_trigrams(text) - overlapping 3-character windows (code " +
           "points) in one pass (the language-ID primitive)"),
       arity("char_trigrams", 1)(es => graft.functions.CharTrigrams(es.head))))
+    ext.injectFunction((FunctionIdentifier("luhn_scrub"),
+      info("luhn_scrub",
+        "luhn_scrub(text) - struct(n_candidates, n_cards, redacted): " +
+          "maximal 16-digit runs are candidates, Luhn-valid candidates " +
+          "are cards and redact to <CARD>, in one codegen'd pass"),
+      arity("luhn_scrub", 1)(es => graft.functions.LuhnScrub(es.head))))
     ext.injectFunction((FunctionIdentifier("minhash_band_keys"),
       info("minhash_band_keys",
         "minhash_band_keys(text) - the full MinHash+LSH banding of one " +

@@ -1903,6 +1903,89 @@ object DedupTextQueries {
       |    '\+64-21-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** q115 — CHECKSUM-VALIDATED PII detection + redaction (round-11
+    * verdict #6): the release-scrub detector a regex alone cannot
+    * express. Each document is augmented with one deterministic
+    * synthetic 16-digit card number — digits 0-14 are
+    * `(doc_id·(i+3) + 7i) mod 10`, digit 15 is the CORRECT Luhn check
+    * digit for even doc_ids and an off-by-one (invalid) one for odd —
+    * and [[graft.functions.LuhnScrub]] scans the text in one native
+    * codegen'd pass: maximal 16-digit runs are candidates, only
+    * Luhn-valid candidates redact to `<CARD>`. The gate hashes the
+    * candidate count, the validated count AND the md5 of the redacted
+    * text, and the oracle recomputes the Luhn arithmetic digit-by-digit
+    * over `unnest(range(16))` in DuckDB — so an expression that
+    * validated nothing (redacting every candidate) or everything
+    * (redacting none) flips half the rows, and a checksum computed
+    * with the wrong doubling parity flips the valid set entirely.
+    *
+    * Scale shape: identical to q112 — a pure map-side projection, the
+    * scrub runs where the text lives and nothing crosses an exchange;
+    * the Luhn validator rides inside whole-stage codegen (a UDF would
+    * break the pipeline; this is a native expression like
+    * [[graft.functions.WordShingles]]).
+    */
+  val q115LuhnScrub: Q = (s, d) => {
+    val digit: Int => Column =
+      i => pmod(col("doc_id") * (i + 3) + lit(7 * i), lit(10))
+    // Luhn partial sum of digits 0-14: with the check digit at
+    // position 15 (rightmost), digits at EVEN index i sit an odd
+    // distance from the right and are the doubled ones
+    val partial = (0 until 15).map { i =>
+      val dd = digit(i)
+      if (i % 2 == 0) {
+        val two = dd * 2
+        when(two > 9, two - 9).otherwise(two)
+      } else dd
+    }.reduce(_ + _)
+    val checkValid = pmod(lit(10) - pmod(partial, lit(10)), lit(10))
+    val c15 = when(col("doc_id") % 2 === 0, checkValid)
+      .otherwise(pmod(checkValid + 1, lit(10)))
+    val card = concat(((0 until 15).map(digit) :+ c15)
+      .map(_.cast("string")): _*)
+    val aug = concat(col("text"), lit(" card "), card, lit(" ok"))
+    val scrub = graft.functions.LuhnScrub.luhnScrub(aug)
+    documents(s, d).select(col("doc_id"),
+      scrub.getField("n_candidates").as("n_candidates"),
+      scrub.getField("n_cards").as("n_cards"),
+      md5(scrub.getField("redacted")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus text carries no digits at all (asserted by the
+    * augmentation being the only candidate source: n_candidates is
+    * pinned to exactly 1 per row), so the oracle can reconstruct the
+    * redacted text with a plain `replace` of the one injected card.
+    */
+  val q115Sql: String =
+    """WITH dig AS (
+      |  SELECT doc_id, t.i AS i, (doc_id * (t.i + 3) + 7 * t.i) % 10 AS d
+      |  FROM documents, unnest(range(0, 15)) AS t(i)),
+      |agg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN i % 2 = 0
+      |        THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+      |        ELSE d END) AS p,
+      |    string_agg(CAST(d AS VARCHAR), '' ORDER BY i) AS d15
+      |  FROM dig GROUP BY doc_id),
+      |ck AS (
+      |  SELECT doc_id, p, d15,
+      |    CASE WHEN doc_id % 2 = 0 THEN (10 - p % 10) % 10
+      |         ELSE ((10 - p % 10) % 10 + 1) % 10 END AS c15
+      |  FROM agg),
+      |aug AS (
+      |  SELECT c.doc_id,
+      |    d.text || ' card ' || c.d15 || CAST(c.c15 AS VARCHAR) || ' ok' AS t,
+      |    c.d15 || CAST(c.c15 AS VARCHAR) AS card,
+      |    (c.p + c.c15) % 10 = 0 AS valid
+      |  FROM ck c JOIN documents d ON c.doc_id = d.doc_id)
+      |SELECT doc_id,
+      |  CAST(1 AS INTEGER) AS n_candidates,
+      |  CAST(CASE WHEN valid THEN 1 ELSE 0 END AS INTEGER) AS n_cards,
+      |  md5(CASE WHEN valid THEN replace(t, card, '<CARD>') ELSE t END)
+      |    AS redacted_fp
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   val q57ReleaseVerdict: Q = (s, d) => {
     // The LSH dedup leg reads the on-disk SignatureStore (no shingle
     // re-derivation); the persisted distinct-shingle frame serves ONLY
@@ -1992,6 +2075,7 @@ object DedupTextQueries {
     "q59_dup_clusters" -> q59DupClusters,
     "q105_incremental_clusters" -> q105IncrementalClusters,
     "q112_pii_redact" -> q112PiiRedact,
+    "q115_luhn_scrub" -> q115LuhnScrub,
     "q54_stratified_sample" -> q54StratifiedSample,
     "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
@@ -2021,6 +2105,7 @@ object DedupTextQueries {
     "q59_dup_clusters" -> q59Sql,
     "q105_incremental_clusters" -> q105Sql,
     "q112_pii_redact" -> q112Sql,
+    "q115_luhn_scrub" -> q115Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_repetition" -> q55Sql,
     "q56_decontamination" -> q56Sql,

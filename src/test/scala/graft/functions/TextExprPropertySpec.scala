@@ -94,6 +94,113 @@ class TextExprPropertySpec extends AnyFunSuite {
       "char_trigrams")
   }
 
+  // --- luhn_scrub (q115's validator — round-11 verdict #6) ---
+
+  /** Driver-side reference implementation: maximal digit runs via a
+    * plain regex scan, Luhn per 16-digit run — deliberately a different
+    * formulation from the expression's single-pass scan.
+    */
+  private def luhnRef(s: String): (Int, Int, String) = {
+    def valid(run: String): Boolean =
+      run.reverse.zipWithIndex.map { case (ch, pos) =>
+        val d = ch - '0'
+        if (pos % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    var nCand = 0
+    var nCards = 0
+    val out = new StringBuilder
+    val m = java.util.regex.Pattern.compile("[0-9]+").matcher(s)
+    var last = 0
+    while (m.find()) {
+      out.append(s.substring(last, m.start))
+      val run = m.group()
+      if (run.length == 16) {
+        nCand += 1
+        if (valid(run)) { nCards += 1; out.append("<CARD>") }
+        else out.append(run)
+      } else out.append(run)
+      last = m.end
+    }
+    out.append(s.substring(last))
+    (nCand, nCards, out.toString)
+  }
+
+  /** Digit-run-heavy corpus: valid 16-digit cards (random 15 + computed
+    * check digit), invalid ones (check digit off by one), runs of other
+    * lengths (15/17 — maximality must exclude them), digits at string
+    * boundaries, adjacency through non-digit glue.
+    */
+  private lazy val luhnCorpus: Seq[String] = {
+    def card(d15: String, ok: Boolean): String = {
+      val partial = d15.reverse.zipWithIndex.map { case (ch, pos) =>
+        val d = ch - '0'
+        // with the check digit appended at the right, these digits sit
+        // at reverse positions 1..15 — odd reverse positions double
+        if (pos % 2 == 0) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      val check = (10 - partial % 10) % 10
+      d15 + (if (ok) check else (check + 1) % 10)
+    }
+    val digits15 = Gen.stringOfN(15, Gen.numChar)
+    val atom: Gen[String] = Gen.frequency(
+      4 -> digits15.flatMap(d => Gen.oneOf(true, false).map(ok => card(d, ok))),
+      3 -> Gen.chooseNum(1, 20).flatMap(n => Gen.stringOfN(n, Gen.numChar)),
+      4 -> Gen.chooseNum(1, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaChar)),
+      3 -> Gen.oneOf(" ", ".", "-", "", " x "))
+    val g = Gen.listOfN(400,
+      Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, atom)).map(_.mkString))
+    g.pureApply(Gen.Parameters.default, Seed(1789L)) ++ Seq(
+      "", "no digits here", "4532015112830366", // a classic valid PAN
+      "4532015112830367",                       // same with a bad check
+      "04532015112830366",                      // 17 digits: NOT a candidate
+      "453201511283036",                        // 15 digits: NOT a candidate
+      "4532015112830366x4532015112830366",      // two maximal candidates
+      "a4532015112830366", "4532015112830366b")
+  }
+
+  test("luhn_scrub equals the regex-scan + per-run Luhn reference on a " +
+    "digit-run-heavy corpus (candidates = maximal 16-digit runs, cards " +
+    "= Luhn-valid ones, redaction replaces exactly the cards)") {
+    import spark.implicits._
+    val scrub = LuhnScrub.luhnScrub(col("text"))
+    val got = luhnCorpus.toDF("text").repartition(8)
+      .select(col("text"), scrub.getField("n_candidates"),
+        scrub.getField("n_cards"), scrub.getField("redacted"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+    val bad = got.filter { case (text, native) => native != luhnRef(text) }
+    assert(bad.isEmpty,
+      s"luhn_scrub diverges from the reference on:\n" +
+        bad.take(5).map { case (t, n) =>
+          s"text=$t native=$n ref=${luhnRef(t)}"
+        }.mkString("\n"))
+  }
+
+  test("luhn_scrub's candidate count equals the built-in " +
+    "regexp_extract_all formulation (the SQL-expressible slice of the " +
+    "semantics) on the digit corpus") {
+    import spark.implicits._
+    val bad = luhnCorpus.toDF("text").repartition(8)
+      .withColumn("native",
+        LuhnScrub.luhnScrub(col("text")).getField("n_candidates"))
+      .withColumn("builtin",
+        size(filter(expr("regexp_extract_all(text, '[0-9]+', 0)"),
+          x => length(x) === 16)).cast("int"))
+      .filter(col("native") =!= col("builtin"))
+      .collect()
+    assert(bad.isEmpty,
+      s"candidate counts diverge: ${bad.take(5).mkString("\n")}")
+  }
+
+  test("luhn corpus really exercises the hard cases") {
+    assert(luhnCorpus.exists(s => luhnRef(s)._2 > 0), "no valid cards")
+    assert(luhnCorpus.exists(s => luhnRef(s)._1 > luhnRef(s)._2),
+      "no invalid candidates")
+    assert(luhnCorpus.exists(s =>
+      java.util.regex.Pattern.compile("[0-9]{17,}").matcher(s).find()),
+      "no over-length digit runs")
+  }
+
   test("corpus really exercises the hard cases (guard against generator " +
     "drift silently weakening the property)") {
     assert(corpus.exists(_.exists(Character.isHighSurrogate)),
