@@ -269,10 +269,16 @@ object MediaPipeline {
     throw new NotImplementedError(
       s"no codec for mime '$mime' in this environment")
 
-  /** Deterministic stub for the KNOWN mimes whose codecs this container
-    * lacks (wav/mp4) and for the corpus's synthetic "image/png" rows
-    * whose payloads are UTF-8 text stand-ins, not PNG streams: metadata
-    * derived from payload size/header so tests and oracles are stable.
+  /** Deterministic stub with exactly ONE remaining client (round-11
+    * verdict #7): the corpus media table's payloads, which are UTF-8
+    * TEXT stand-ins by construction ([[toMediaRows]] — the q43/q52/
+    * q86-q94 oracle family computes byte-window signatures of that
+    * text in SQL, which no real codec bytes could reproduce). Every
+    * payload that IS a real stream reaches its real codec via the
+    * content sniff in [[decodeMeta]] — PNG, RIFF/WAVE and RIFF/AVI all
+    * have real decoders now — so this formula runs only for known-mime
+    * rows whose payloads match no magic: metadata derived from payload
+    * size/header, stable for tests and oracles.
     */
   private def decodeStub(r: MediaRow): MediaMeta = {
     val n = r.payload.length

@@ -187,22 +187,38 @@ private[graft] object RunStore {
   }
 
   /** Drop a catalog table AND its warehouse locations — the orphan-file
-    * cleanup every store rebuild needs. The location is resolved from
-    * the catalog when the entry exists; the lowercased default path and
-    * any compaction generation dirs are always also cleared so a
-    * previous process's orphan (files on disk, nothing in this JVM's
-    * in-memory catalog) cannot block the CREATE TABLE or be
-    * rediscovered later.
+    * cleanup every store rebuild needs. The CURRENT location (catalog
+    * entry, which may be a compaction generation) and the lowercased
+    * default path are always cleared: a rebuild replaces their
+    * contents by definition, and an orphaned default dir would block
+    * the CREATE TABLE. DEMOTED generation dirs, however, honor the
+    * SAME guards as the compaction sweep (round-11 advice: an
+    * unconditional delete here bypassed both) — a live in-JVM lease
+    * defers them entirely, and a demoted generation younger than
+    * [[sweepGraceMs]] is retained for the cross-process readers the
+    * retention window exists for; an aged, unleased one goes now. A
+    * retained dir carries no sidecar (the swap deleted it), so it can
+    * never be rediscovered as the store — it is debris the next
+    * compaction sweep clears once aged.
     */
   private[graft] def dropWithLocation(s: SparkSession, t: String): Unit = {
-    val locs = (catalogLocation(s, t).toSeq ++
-        (defaultLocation(s, t) +: generationDirs(s, t)))
+    val mandatory = (catalogLocation(s, t).toSeq :+ defaultLocation(s, t))
       .distinctBy(p => hadoopFs(s, p).makeQualified(p).toString)
+    val mandatoryQ = mandatory
+      .map(p => hadoopFs(s, p).makeQualified(p).toString).toSet
+    val demoted = generationDirs(s, t)
+      .filterNot(p => mandatoryQ.contains(
+        hadoopFs(s, p).makeQualified(p).toString))
     s.sql(s"DROP TABLE IF EXISTS $t")
-    locs.foreach { loc =>
+    mandatory.foreach { loc =>
       val fs = hadoopFs(s, loc)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    if (graft.core.StoreLeases.liveHoldersOf(t).isEmpty)
+      demoted.foreach { loc =>
+        val fs = hadoopFs(s, loc)
+        if (sweepable(fs, loc) && fs.exists(loc)) fs.delete(loc, true)
+      }
     graft.core.StoreEpochs.bump(t)
     ()
   }

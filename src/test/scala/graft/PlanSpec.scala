@@ -247,6 +247,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p.take(4000))
   }
 
+  test("q115 Luhn scrub is a pure map-side codegen'd projection: the " +
+    "native expression rides WholeStageCodegen, no hash exchange " +
+    "anywhere (only the presentation sort)") {
+    val df = DedupTextQueries.q115LuhnScrub(spark, sf)
+    val p = physical(df)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+    assert(p.contains("luhnscrub"), p.take(4000))
+    df.collect() // let AQE finalize, then inspect the executed plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // `*(N)` prefixes mark whole-stage-codegen spans: the scrub's
+    // Project must sit inside one (no eval fallback)
+    assert(finalPlan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.matches("""^.*\*\(\d+\) Project.*$""")),
+      finalPlan.take(3000))
+  }
+
+  test("q116 mixed-modality metadata: one partition-wise decode pass, " +
+    "no exchange before the presentation sort — payload bytes never " +
+    "shuffle") {
+    val p = physical(MultimodalQueries.q116MediaMetaDispatch(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions") ||
+      p.contains("SerializeFromObject"), p.take(4000))
+  }
+
   test("q46 reads the ON-DISK hyperplane band store: six precomputed " +
     "ints explode per vector, ZERO hyperplane dot-products in the " +
     "plan (round-7 verdict #5: q46 and q88 each ran the 36-plane " +
