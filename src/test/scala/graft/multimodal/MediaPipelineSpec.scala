@@ -122,6 +122,19 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("AviCodec even-padding: ODD-length frame bodies round-trip " +
+    "byte-for-byte and the pad byte never leaks into the next chunk") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7),
+      Array[Byte](8))
+    val parsed = AviCodec.parse(AviCodec.encodeAvi(3, 3, frames))
+    assert(parsed.frames.length == 3)
+    parsed.frames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want),
+        s"frame bodies must round-trip exactly: " +
+          s"${got.toSeq} vs ${want.toSeq}")
+    }
+  }
+
   test("a REAL AVI payload routes through the container parser in " +
     "decodeMeta: dimensions and frame count from the avih walk") {
     import spark.implicits._
