@@ -845,10 +845,18 @@ object MultimodalQueries {
     * lake runs — one partition-wise decode, metadata out as narrow
     * typed columns, payload bytes stay columnar and never shuffle.
     */
-  val q116MediaMetaDispatch: Q = (s, d) => {
+  /** The q116/q117 fixture: a mixed media table where every payload is
+    * a REAL encoded stream — PNG (q106 params), WAV (q111 params) and
+    * AVI (q113 params) by `doc_id % 3` — built distributively. One
+    * definition, shared by the batch (q116) and streaming (q117)
+    * metadata queries so both engines profile identical bytes.
+    */
+  private[graft] def mixedRealMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[
+      graft.multimodal.MediaPipeline.MediaRow] = {
     import s.implicits._
     import graft.multimodal.{AviCodec, MediaPipeline}
-    val media = documents(s, d).select(col("doc_id")).as[Long]
+    documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         (id % 3) match {
           case 0 => MediaPipeline.MediaRow(id, "image/png",
@@ -865,13 +873,22 @@ object MultimodalQueries {
               AviCodec.encodeAvi(w, h, frames))
         }
       })
-    // byte_len is real but not closed-form (deflate-dependent): project
-    // the oracle-predictable metadata columns
-    MediaPipeline.decodeMeta(media).toDF()
-      .select(col("doc_id"), col("mime"), col("header_hex"), col("width"),
-        col("height"), col("n_frames"), col("channels"), col("sample_rate"))
-      .orderBy("doc_id")
   }
+
+  /** The oracle-predictable slice of a decoded metadata frame —
+    * byte_len is real but deflate-dependent, so q116/q117 project it
+    * away; ONE definition keeps the batch and streaming outputs
+    * column-identical.
+    */
+  private[graft] def metaProjection(
+      meta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    meta.select(col("doc_id"), col("mime"), col("header_hex"), col("width"),
+      col("height"), col("n_frames"), col("channels"), col("sample_rate"))
+
+  val q116MediaMetaDispatch: Q = (s, d) =>
+    metaProjection(
+      graft.multimodal.MediaPipeline.decodeMeta(mixedRealMedia(s, d)).toDF())
+      .orderBy("doc_id")
 
   val q116Sql: String =
     """SELECT doc_id,

@@ -691,6 +691,62 @@ object StreamingQueries {
     readSink(s, outPath).orderBy("doc_id")
   }
 
+  /** q117 — DECODE-ON-INGEST through the real engine: the round-12
+    * content-dispatched codec path (q116) run per checkpointed
+    * micro-batch. The mixed ALL-REAL media fixture
+    * ([[MultimodalQueries.mixedRealMedia]] — genuine PNG/WAV/AVI
+    * streams) is spooled as three parquet files of `(doc_id, mime,
+    * payload)` rows, streamed back one file per trigger under
+    * `AvailableNow`, and each batch runs the SAME partition-wise
+    * [[graft.multimodal.MediaPipeline.decodeMeta]] pass the batch
+    * query runs — real codecs inside foreachBatch — into the
+    * batchId-keyed idempotent sink. Oracle: q116's SQL VERBATIM, so
+    * the gate proves decode-on-ingest ≡ decode-on-release: per-row
+    * metadata depends only on the payload bytes (no state, no batch
+    * composition dependence), so ANY cut into micro-batches unions to
+    * the batch profile — and a codec that behaved differently under
+    * the streaming engine (thread-locality, cache state) would flip
+    * rows.
+    *
+    * Scale shape: the ingest-side profiling pass of a media lake —
+    * payload bytes stay columnar in the spool, each trigger decodes
+    * its batch where the bytes are and ships only narrow typed
+    * metadata; no streaming state, no exchange at any scale.
+    */
+  val q117StreamingMediaDecode: Q = (s, d) => {
+    import s.implicits._
+    val base = RunStore.tableName("graft_stream_dec", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    MultimodalQueries.mixedRealMedia(s, d).toDF()
+      .repartition(3).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(
+            MultimodalQueries.metaProjection(
+              graft.multimodal.MediaPipeline.decodeMeta(
+                batch.as[graft.multimodal.MediaPipeline.MediaRow]).toDF()),
+            outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
@@ -700,7 +756,8 @@ object StreamingQueries {
     "q102_streaming_neardup_disordered" -> q102StreamingNeardupDisordered,
     "q103_streaming_store_lifecycle" -> q103StreamingStoreLifecycle,
     "q109_streaming_cluster_maintenance" -> q109StreamingClusterMaintenance,
-    "q114_streaming_pii_scrub" -> q114StreamingPiiScrub)
+    "q114_streaming_pii_scrub" -> q114StreamingPiiScrub,
+    "q117_streaming_media_decode" -> q117StreamingMediaDecode)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -715,5 +772,6 @@ object StreamingQueries {
     "q102_streaming_neardup_disordered" -> DedupTextQueries.q101Sql,
     "q103_streaming_store_lifecycle" -> DedupTextQueries.q92Sql,
     "q109_streaming_cluster_maintenance" -> DedupTextQueries.q105Sql,
-    "q114_streaming_pii_scrub" -> DedupTextQueries.q112Sql)
+    "q114_streaming_pii_scrub" -> DedupTextQueries.q112Sql,
+    "q117_streaming_media_decode" -> MultimodalQueries.q116Sql)
 }

@@ -172,6 +172,17 @@ class StreamingQueriesSpec extends AnyFunSuite {
         "fewer than 3 commits means the stream collapsed to one batch")
   }
 
+  test("q117 streaming media decode == batch q116 bit-for-bit across " +
+    ">= 3 checkpointed micro-batches (decode-on-ingest == " +
+    "decode-on-release through the real codecs)") {
+    val got = rows(StreamingQueries.q117StreamingMediaDecode(spark, sf))
+    val want = rows(MultimodalQueries.q116MediaMetaDispatch(spark, sf))
+    assert(got.nonEmpty && got == want)
+    assert(commits("dec") >= 3,
+      "the fixture was spooled as 3 files with maxFilesPerTrigger=1 — " +
+        "fewer than 3 commits means the stream collapsed to one batch")
+  }
+
   test("q109 streaming cluster maintenance == from-scratch components " +
     "(q105) across >= 3 checkpointed micro-batches, and a replayed " +
     "epoch re-derives identical label state (batchId-addressed reads " +
