@@ -78,6 +78,45 @@ class StreamReadyTransformsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("luhn_scrub emits identical candidate/card counts and redacted " +
+    "text on a batch frame and on a micro-batched stream — the " +
+    "checksum-validated scrub is the same operator on ingest and " +
+    "release (q115's engine)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "pay 4532015112830366 by friday"),        // Luhn-valid card
+      (2L, "order 4532015112830367 is not a card"),  // candidate, invalid
+      (3L, "no digits in this document at all"),
+      (4L, "serial 04532015112830366 is 17 digits")) // not a candidate
+    def scrubbed(df: org.apache.spark.sql.DataFrame) = {
+      val s = graft.functions.LuhnScrub.luhnScrub(col("text"))
+      df.select(col("doc_id"), s.getField("n_candidates").as("nc"),
+        s.getField("n_cards").as("nk"), s.getField("redacted").as("r"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+    val batch = rows(scrubbed(docs.toDF("doc_id", "text")))
+    assert(batch.map(t => (t._1, t._2, t._3)) ==
+      Set((1L, 1, 1), (2L, 1, 0), (3L, 0, 0), (4L, 0, 0)))
+    assert(batch.find(_._1 == 1L).get._4 == "pay <CARD> by friday")
+
+    val source = MemoryStream[(Long, String)]
+    val q = scrubbed(source.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("luhn")
+      .outputMode("append").start()
+    try {
+      source.addData(docs(0))
+      q.processAllAvailable()
+      source.addData(docs(1), docs(2), docs(3))
+      q.processAllAvailable()
+      assert(rows(spark.table("luhn")) == batch)
+    } finally q.stop()
+  }
+
   test("qualityGate emits identical verdicts on a batch frame and on a " +
     "micro-batched stream of the same documents") {
     import spark.implicits._
