@@ -135,6 +135,41 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG-in-AVI works through the same container machinery: " +
+    "JPEG-compressed frames round-trip the chunk walk byte-for-byte " +
+    "and decode to the right dimensions (q113 ships Motion-PNG only " +
+    "because the hash oracle needs lossless pixels — the container is " +
+    "codec-agnostic)") {
+    import spark.implicits._
+    def jpegFrame(w: Int, h: Int, f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 7 + f * 13) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = (0 until 4).map(f => jpegFrame(16, 12, f))
+    val avi = AviCodec.encodeAvi(16, 12, frames)
+    val parsed = AviCodec.parse(avi)
+    assert(parsed.frames.length == 4)
+    parsed.frames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want),
+        "JPEG frame streams must survive the container byte-for-byte")
+    }
+    // the extraction path decodes JPEG frames too (ImageIO sniffs the
+    // stream); dims and stride are exact — only pixel VALUES are
+    // lossy, which is why the oracle-gated q113 uses PNG frames
+    val rows = Seq(MediaPipeline.MediaRow(21L, "video/avi", avi)).toDS()
+    val got = MediaPipeline.sampleAviFrames(rows, everyK = 2)
+      .orderBy("frame_no").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq((0, 16, 12), (2, 16, 12)),
+      s"JPEG frames must decode through the same extraction path " +
+        s"(even-indexed frames, true dimensions): $got")
+  }
+
   test("a REAL AVI payload routes through the container parser in " +
     "decodeMeta: dimensions and frame count from the avih walk") {
     import spark.implicits._
