@@ -1925,12 +1925,15 @@ object DedupTextQueries {
     * break the pipeline; this is a native expression like
     * [[graft.functions.WordShingles]]).
     */
-  val q115LuhnScrub: Q = (s, d) => {
+  /** The q115/q118 synthetic card as a Column: digits 0-14 are
+    * `(doc_id·(i+3) + 7i) mod 10`, digit 15 the CORRECT Luhn check
+    * digit for even doc_ids and an off-by-one (invalid) one for odd.
+    * With the check digit rightmost, digits at EVEN index i sit an odd
+    * distance from the right and are the doubled ones.
+    */
+  private def syntheticCard: Column = {
     val digit: Int => Column =
       i => pmod(col("doc_id") * (i + 3) + lit(7 * i), lit(10))
-    // Luhn partial sum of digits 0-14: with the check digit at
-    // position 15 (rightmost), digits at EVEN index i sit an odd
-    // distance from the right and are the doubled ones
     val partial = (0 until 15).map { i =>
       val dd = digit(i)
       if (i % 2 == 0) {
@@ -1941,9 +1944,11 @@ object DedupTextQueries {
     val checkValid = pmod(lit(10) - pmod(partial, lit(10)), lit(10))
     val c15 = when(col("doc_id") % 2 === 0, checkValid)
       .otherwise(pmod(checkValid + 1, lit(10)))
-    val card = concat(((0 until 15).map(digit) :+ c15)
-      .map(_.cast("string")): _*)
-    val aug = concat(col("text"), lit(" card "), card, lit(" ok"))
+    concat(((0 until 15).map(digit) :+ c15).map(_.cast("string")): _*)
+  }
+
+  val q115LuhnScrub: Q = (s, d) => {
+    val aug = concat(col("text"), lit(" card "), syntheticCard, lit(" ok"))
     val scrub = graft.functions.LuhnScrub.luhnScrub(aug)
     documents(s, d).select(col("doc_id"),
       scrub.getField("n_candidates").as("n_candidates"),
@@ -1985,6 +1990,81 @@ object DedupTextQueries {
       |  md5(CASE WHEN valid THEN replace(t, card, '<CARD>') ELSE t END)
       |    AS redacted_fp
       |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** q118 — the COMPOSED release scrub: every PII detector in the
+    * engine run as ONE map-side pass over a fixture carrying all
+    * their targets (q112's synthetic email + phone AND q115's
+    * synthetic card). Stage 1 is the q112 regex engine (emails and
+    * phones counted on the raw text, then redacted); stage 2 runs
+    * [[graft.functions.LuhnScrub]] over the regex-redacted text —
+    * the composition order a real release pipeline uses (pattern
+    * detectors first, checksum validators over what remains). The
+    * gate hashes all three detector counts AND the md5 of the fully
+    * scrubbed text, and the oracle replays the identical two-stage
+    * composition in SQL — so a detector that stopped composing (a
+    * regex eating the card's digits, a Luhn scan seeing pre-redaction
+    * text) flips rows.
+    *
+    * Scale shape: still a single codegen'd projection — composition
+    * adds expressions, not passes or exchanges; at 100 TB the full
+    * scrub remains one streamed map over the corpus.
+    */
+  val q118ReleaseScrub: Q = (s, d) => {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "\\+64-21-[0-9]+"
+    val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
+      lit("@example.org or +64-21-"), (col("doc_id") * 7) % 10000000,
+      lit(" pay "), syntheticCard, lit(" now"))
+    val regexRedacted = regexp_replace(
+      regexp_replace(aug, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    val scrub = graft.functions.LuhnScrub.luhnScrub(regexRedacted)
+    documents(s, d).select(col("doc_id"),
+      regexp_count(aug, lit(emailRe)).as("n_emails"),
+      regexp_count(aug, lit(phoneRe)).as("n_phones"),
+      scrub.getField("n_cards").as("n_cards"),
+      md5(scrub.getField("redacted")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q118Sql: String =
+    """WITH dig AS (
+      |  SELECT doc_id, t.i AS i, (doc_id * (t.i + 3) + 7 * t.i) % 10 AS d
+      |  FROM documents, unnest(range(0, 15)) AS t(i)),
+      |agg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN i % 2 = 0
+      |        THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+      |        ELSE d END) AS p,
+      |    string_agg(CAST(d AS VARCHAR), '' ORDER BY i) AS d15
+      |  FROM dig GROUP BY doc_id),
+      |ck AS (
+      |  SELECT doc_id, p, d15,
+      |    CASE WHEN doc_id % 2 = 0 THEN (10 - p % 10) % 10
+      |         ELSE ((10 - p % 10) % 10 + 1) % 10 END AS c15
+      |  FROM agg),
+      |aug AS (
+      |  SELECT c.doc_id,
+      |    d.text || ' reach user' || c.doc_id || '@example.org or +64-21-'
+      |      || (c.doc_id * 7) % 10000000 || ' pay '
+      |      || c.d15 || CAST(c.c15 AS VARCHAR) || ' now' AS t,
+      |    c.d15 || CAST(c.c15 AS VARCHAR) AS card,
+      |    (c.p + c.c15) % 10 = 0 AS valid
+      |  FROM ck c JOIN documents d ON c.doc_id = d.doc_id),
+      |rr AS (
+      |  SELECT doc_id, card, valid,
+      |    CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+'))
+      |      AS INTEGER) AS n_emails,
+      |    CAST(len(regexp_extract_all(t, '\+64-21-[0-9]+'))
+      |      AS INTEGER) AS n_phones,
+      |    regexp_replace(regexp_replace(t,
+      |      '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '\+64-21-[0-9]+', '<PHONE>', 'g') AS r
+      |  FROM aug)
+      |SELECT doc_id, n_emails, n_phones,
+      |  CAST(CASE WHEN valid THEN 1 ELSE 0 END AS INTEGER) AS n_cards,
+      |  md5(CASE WHEN valid THEN replace(r, card, '<CARD>') ELSE r END)
+      |    AS redacted_fp
+      |FROM rr ORDER BY doc_id""".stripMargin
 
   val q57ReleaseVerdict: Q = (s, d) => {
     // The LSH dedup leg reads the on-disk SignatureStore (no shingle
@@ -2076,6 +2156,7 @@ object DedupTextQueries {
     "q105_incremental_clusters" -> q105IncrementalClusters,
     "q112_pii_redact" -> q112PiiRedact,
     "q115_luhn_scrub" -> q115LuhnScrub,
+    "q118_release_scrub" -> q118ReleaseScrub,
     "q54_stratified_sample" -> q54StratifiedSample,
     "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
@@ -2106,6 +2187,7 @@ object DedupTextQueries {
     "q105_incremental_clusters" -> q105Sql,
     "q112_pii_redact" -> q112Sql,
     "q115_luhn_scrub" -> q115Sql,
+    "q118_release_scrub" -> q118Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_repetition" -> q55Sql,
     "q56_decontamination" -> q56Sql,
