@@ -263,6 +263,21 @@ class PlanSpec extends AnyFunSuite {
       finalPlan.take(3000))
   }
 
+  test("q118 composed release scrub stays ONE map-side projection: " +
+    "regex + Luhn composition adds expressions, never passes or " +
+    "exchanges") {
+    val df = DedupTextQueries.q118ReleaseScrub(spark, sf)
+    val p = physical(df)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+    assert(p.contains("luhnscrub") && p.contains("regexp_replace"),
+      p.take(4000))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.matches("""^.*\*\(\d+\) Project.*$""")),
+      finalPlan.take(3000))
+  }
+
   test("q116 mixed-modality metadata: one partition-wise decode pass, " +
     "no exchange before the presentation sort — payload bytes never " +
     "shuffle") {
