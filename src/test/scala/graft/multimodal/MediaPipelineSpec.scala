@@ -135,6 +135,27 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("AviCodec roundtrip PROPERTY: random dimension/frame-count/" +
+    "frame-size combinations (empty videos, 1x1 frames, odd sizes) all " +
+    "survive encode -> parse byte-for-byte") {
+    val rnd = new scala.util.Random(1942)
+    (0 until 50).foreach { _ =>
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(30) + 1
+      val n = rnd.nextInt(8) // 0 frames included
+      val frames = (0 until n).map { _ =>
+        Array.fill[Byte](rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte)
+      }
+      val parsed = AviCodec.parse(AviCodec.encodeAvi(w, h, frames))
+      assert((parsed.width, parsed.height, parsed.totalFrames) == (w, h, n))
+      assert(parsed.frames.length == n)
+      parsed.frames.zip(frames).foreach { case (got, want) =>
+        assert(java.util.Arrays.equals(got, want),
+          s"${w}x$h n=$n: frame bodies must round-trip exactly")
+      }
+    }
+  }
+
   test("MJPEG-in-AVI works through the same container machinery: " +
     "JPEG-compressed frames round-trip the chunk walk byte-for-byte " +
     "and decode to the right dimensions (q113 ships Motion-PNG only " +
