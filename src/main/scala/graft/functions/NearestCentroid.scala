@@ -124,37 +124,46 @@ case class NearestCentroid(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val matRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
-    val getter = if (isFloat) "(double) %s.getFloat(i)" else "%s.getDouble(i)"
+    // freshName'd locals — two instances of this expression in one
+    // codegen scope (or a sibling declaring `i`/`n`) must not collide
+    // and silently demote the function to the interpreted path.
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val n = ctx.freshName("n"); val c = ctx.freshName("c")
+    val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+    val dist = ctx.freshName("dist"); val diff = ctx.freshName("diff")
+    val nrm = ctx.freshName("nrm"); val inv = ctx.freshName("inv")
+    val x = ctx.freshName("x")
+    val getter = if (isFloat) s"(double) %s.getFloat($i)" else s"%s.getDouble($i)"
     nullSafeCodeGen(ctx, ev, v => {
       // normalizeInput is static per expression: the two paths emit
       // different source, so the non-normalized loop carries no
       // normalization arithmetic at all
       val (normCode, xExpr) = if (normalizeInput) (
         s"""
-           |double nrm = 0.0;
-           |for (int i = 0; i < $v.numElements(); i++) {
-           |  double x = ${getter.format(v)};
-           |  nrm += x * x;
+           |double $nrm = 0.0;
+           |for (int $i = 0; $i < $v.numElements(); $i++) {
+           |  double $x = ${getter.format(v)};
+           |  $nrm += $x * $x;
            |}
-           |double inv = 1.0 / java.lang.Math.sqrt(nrm);
+           |double $inv = 1.0 / java.lang.Math.sqrt($nrm);
          """.stripMargin,
-        s"${getter.format(v)} * inv")
+        s"${getter.format(v)} * $inv")
       else ("", getter.format(v))
       s"""
-         |int best = 0;
-         |double bestD = Double.MAX_VALUE;
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
          |$normCode
-         |for (int j = 0; j < $matRef.length; j++) {
-         |  double[] c = $matRef[j];
-         |  double dist = 0.0;
-         |  int n = java.lang.Math.min($v.numElements(), c.length);
-         |  for (int i = 0; i < n; i++) {
-         |    double diff = $xExpr - c[i];
-         |    dist += diff * diff;
+         |for (int $j = 0; $j < $matRef.length; $j++) {
+         |  double[] $c = $matRef[$j];
+         |  double $dist = 0.0;
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = $xExpr - $c[$i];
+         |    $dist += $diff * $diff;
          |  }
-         |  if (dist < bestD) { bestD = dist; best = j; }
+         |  if ($dist < $bestD) { $bestD = $dist; $best = $j; }
          |}
-         |${ev.value} = best;
+         |${ev.value} = $best;
        """.stripMargin
     })
   }

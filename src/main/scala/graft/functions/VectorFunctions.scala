@@ -66,23 +66,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Every local is freshName'd: two instances of this expression can
+    // land in ONE codegen scope (e.g. an ADC score and an exact re-rank
+    // score in the same projection) — fixed names would collide and
+    // silently demote the whole function to the interpreted path.
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx")
+    val yy = ctx.freshName("yy")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val denom = ctx.freshName("denom")
     def getter(v: String, t: DataType) = t match {
-      case FloatType => s"(double) $v.getFloat(i)"
-      case _ => s"$v.getDouble(i)"
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _ => s"$v.getDouble($i)"
     }
     val lt = elemType(left); val rt = elemType(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double xy = 0.0, xx = 0.0, yy = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = ${getter(a, lt)};
-         |  double y = ${getter(b, rt)};
-         |  xy += x * y; xx += x * x; yy += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $xy = 0.0, $xx = 0.0, $yy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(a, lt)};
+         |  double $y = ${getter(b, rt)};
+         |  $xy += $x * $y; $xx += $x * $x; $yy += $y * $y;
          |}
-         |double denom = java.lang.Math.sqrt(xx) * java.lang.Math.sqrt(yy);
-         |if (denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = xy / denom; }
+         |double $denom = java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $xy / $denom; }
        """.stripMargin
     })
   }
@@ -116,20 +125,23 @@ case class L2Distance(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName'd locals — see CosineSimilarity.doGenCode.
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val s = ctx.freshName("s"); val d = ctx.freshName("d")
     def getter(v: String, t: DataType) = t match {
-      case FloatType => s"(double) $v.getFloat(i)"
-      case _ => s"$v.getDouble(i)"
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _ => s"$v.getDouble($i)"
     }
     val lt = elemType(left); val rt = elemType(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = ${getter(a, lt)} - ${getter(b, rt)};
-         |  s += d * d;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(a, lt)} - ${getter(b, rt)};
+         |  $s += $d * $d;
          |}
-         |${ev.value} = java.lang.Math.sqrt(s);
+         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
   }
@@ -179,19 +191,22 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName'd locals — see CosineSimilarity.doGenCode.
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val xy = ctx.freshName("xy")
     def getter(v: String, t: DataType) = t match {
-      case FloatType => s"(double) $v.getFloat(i)"
-      case _ => s"$v.getDouble(i)"
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _ => s"$v.getDouble($i)"
     }
     val lt = elemType(left); val rt = elemType(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double xy = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  xy += ${getter(a, lt)} * ${getter(b, rt)};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $xy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $xy += ${getter(a, lt)} * ${getter(b, rt)};
          |}
-         |${ev.value} = xy;
+         |${ev.value} = $xy;
        """.stripMargin
     })
   }
