@@ -1092,6 +1092,131 @@ object SimilarityQueries {
        |ORDER BY m.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q119
+
+  /** q119 — scalar-quantized (int8) ANN: the compressed-index path.
+    *
+    * Full-precision fp32 embeddings are 256 bytes/vector at dim 64; at
+    * 100 TB of vectors the ANN scan is IO-bound, and the standard fix is
+    * scalar quantization — one byte per dimension against a per-dimension
+    * [min,max] grid, a 4× smaller scan with asymmetric distance
+    * computation (ADC: full-precision query vs dequantized candidates),
+    * then an exact re-rank of the shortlist. Three stages, each with the
+    * shape you want at scale:
+    *
+    *  1. GRID (index build, once per corpus): per-dimension min/max via
+    *     `posexplode` + partial-agg'd min/max — the shuffle carries 64
+    *     keys × partial rows, never the corpus; folded to ONE broadcast
+    *     row of `mins[]`/`spans[]` (span = (max−min)/256).
+    *  2. CODES (index build): a map-side `transform` with the broadcast
+    *     grid — `code[d] = clamp₀²⁵⁵⌊(x[d]−mn[d])/span[d]⌋`, stored
+    *     int8-ranged. No exchange; in production the codes land in a
+    *     bucketed store beside [[IvfIndexStore]] (cell-clustered codes =
+    *     IVF-ADC serving: probe cells, scan their codes only).
+    *  3. ADC + RERANK (serve): dequantize candidates to the bin CENTER
+    *     (`mn + (code+0.5)·span` — halves the worst-case error vs the
+    *     bin floor), score against the full-precision query with the
+    *     codegen'd [[graft.functions.CosineSimilarity]], keep the ADC
+    *     top-50 (`TakeOrderedAndProject` — k·partitions rows move, not
+    *     the corpus), then re-rank those 50 with exact full-precision
+    *     cosine via a broadcast join back to the fp32 table — the only
+    *     point where full vectors are touched at serve time.
+    *
+    * Every arithmetic step is IEEE double in index order on both engines
+    * (floats widen exactly; min/max are order-independent; codes are
+    * integers; the dequantized list is assembled `ORDER BY dim` in the
+    * oracle), so ADC similarities — not just ranks — are bit-identical
+    * and the hash gate holds with no rounding.
+    */
+  /** The per-dimension scalar-quantization grid over any `(vec_id,
+    * embedding)` frame, folded to ONE row: `mins[]` and `spans[]` with
+    * span = (max−min)/256. One partial-agg'd corpus pass; min/max are
+    * order-independent, so the grid is bit-deterministic under any
+    * partitioning.
+    */
+  private[graft] def sqGrid(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("g"))
+      .select(
+        transform(col("g"), x => x.getField("mn")).as("mins"),
+        transform(col("g"), x => (x.getField("mx") - x.getField("mn")) / lit(256.0))
+          .as("spans"))
+
+  /** int8 codes for every vector against the broadcast grid: a pure
+    * map-side transform — `code[d] = clamp₀²⁵⁵⌊(x[d]−mn[d])/span[d]⌋`
+    * (zero-span dimensions code to 0). Keeps `mins`/`spans` on the frame
+    * so a dequantizing consumer needs no second join.
+    */
+  private[graft] def sqCodes(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb
+      .crossJoin(broadcast(sqGrid(emb)))
+      .select(col("vec_id"), col("mins"), col("spans"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val sp = element_at(col("spans"), i + 1)
+          when(sp === 0.0, 0)
+            .otherwise(least(lit(255),
+              greatest(lit(0), floor((x.cast("double") - mn) / sp).cast("int"))))
+        }).as("codes"))
+
+  /** Bin-center dequantization of a codes column against the frame's
+    * `mins`/`spans`: `mn + (code+0.5)·span` — the standard estimator,
+    * halving the worst-case error vs the bin floor.
+    */
+  private[graft] def sqDequant(codes: Column): Column =
+    transform(codes, (c, i) =>
+      element_at(col("mins"), i + 1) +
+        (c.cast("double") + 0.5) * element_at(col("spans"), i + 1))
+
+  val q119QuantKnn: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val codes = sqCodes(emb).filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // ADC over dequantized bin centers → top-50 shortlist
+    val shortlist = codes
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("q_emb"), sqDequant(col("codes"))).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(50)
+    // exact re-rank of the shortlist against the fp32 vectors
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q119Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |x AS (SELECT vec_id, emb, unnest(range(len(emb))) AS dim FROM e),
+       |vals AS (SELECT vec_id, dim, emb[dim + 1] AS v FROM x),
+       |g AS (SELECT dim, MIN(v) AS mn, (MAX(v) - MIN(v)) / 256.0 AS sp
+       |      FROM vals GROUP BY dim),
+       |codes AS (
+       |  SELECT v.vec_id, v.dim, g.mn, g.sp,
+       |    CASE WHEN g.sp = 0 THEN 0
+       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |    END AS code
+       |  FROM vals v JOIN g USING (dim) WHERE v.vec_id <> 0),
+       |recon AS (
+       |  SELECT vec_id, list(mn + (code + 0.5) * sp ORDER BY dim) AS r
+       |  FROM codes GROUP BY vec_id),
+       |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT vec_id, ${cosSql("qe", "r")} AS adc_sim FROM recon, q),
+       |cand AS (SELECT * FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+       |SELECT c.vec_id, c.adc_sim, ${cosSql("qe", "e.emb")} AS sim
+       |FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+       |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
@@ -1104,7 +1229,8 @@ object SimilarityQueries {
     "q88_pruned_pair_mining" -> q88PrunedPairMining,
     "q95_embedding_admission" -> q95EmbeddingAdmission,
     "q104_semantic_dup_clusters" -> q104SemanticDupClusters,
-    "q107_incremental_semantic_clusters" -> q107IncrementalSemanticClusters
+    "q107_incremental_semantic_clusters" -> q107IncrementalSemanticClusters,
+    "q119_quant_knn" -> q119QuantKnn
   )
 
   val oracle: Map[String, String] = Map(
@@ -1119,6 +1245,7 @@ object SimilarityQueries {
     "q95_embedding_admission" -> q95Sql,
     "q104_semantic_dup_clusters" -> q104Sql,
     // q104's SQL verbatim: incremental maintenance must equal recompute
-    "q107_incremental_semantic_clusters" -> q104Sql
+    "q107_incremental_semantic_clusters" -> q104Sql,
+    "q119_quant_knn" -> q119Sql
   )
 }

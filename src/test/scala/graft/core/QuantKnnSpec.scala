@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.SimilarityQueries
+
+/** q119's scalar-quantization machinery: code range, dequantization error
+  * bound, and end-to-end search quality (ADC shortlist + exact re-rank
+  * recovers the exact top-10 on the driver's embeddings — with 8-bit
+  * codes the per-dimension reconstruction error is ≤ span/2 ≈ 0.2% of
+  * the value range, far below the corpus' similarity gaps).
+  */
+class QuantKnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("codes are int in [0,255]; bin-center dequantization is within " +
+    "span/2 of the original value on every dimension") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = SimilarityQueries.sqCodes(emb)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val stats = codes.select(
+      explode(arrays_zip(
+        col("codes"),
+        SimilarityQueries.sqDequant(col("codes")).as("recon"),
+        col("embedding").cast("array<double>").as("orig"),
+        col("spans"))).as("z"))
+      .select(
+        col("z.codes").as("code"), col("z.recon").as("recon"),
+        col("z.orig").as("orig"), col("z.spans").as("span"))
+    val bad = stats.filter(col("code") < 0 || col("code") > 255).count()
+    assert(bad == 0, "codes outside [0,255]")
+    // |orig - recon| <= span/2 (+ tiny fp slack); zero-span dims exact
+    val offGrid = stats.filter(
+      abs(col("orig") - col("recon")) > col("span") / 2 + lit(1e-12)).count()
+    assert(offGrid == 0, "dequantized value farther than half a bin")
+  }
+
+  test("q119 ADC + re-rank returns the exact brute-force top-10 on the " +
+    "driver's embeddings, with adc_sim tracking exact sim") {
+    val exact = SimilarityQueries.q40KnnBrute(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val got = SimilarityQueries.q119QuantKnn(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == exact,
+      "quantized search diverged from exact top-10")
+    got.foreach { r =>
+      val adc = r.getAs[Double]("adc_sim"); val sim = r.getAs[Double]("sim")
+      assert(math.abs(adc - sim) < 0.05,
+        s"ADC estimate $adc far from exact $sim")
+    }
+  }
+}
