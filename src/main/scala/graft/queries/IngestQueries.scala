@@ -232,6 +232,105 @@ object IngestQueries {
        |FROM per_doc GROUP BY chunk_fp HAVING COUNT(*) > 1
        |ORDER BY chunk_fp""".stripMargin
 
+  /** q120's window width: dense (stride-1) 8-token windows — fine-grained
+    * enough to catch a repeated sentence, wide enough that a common
+    * 3-token phrase is not a "duplicated span".
+    */
+  private val ScrubW = 8
+
+  /** q120 — duplicated-span SCRUB: the removal half of substring-level
+    * dedup. q76 detects text reused between documents at 64-token chunk
+    * granularity; this operator does what the Lee et al. pipeline does
+    * next — cut the duplicated spans out of every document, keeping the
+    * unique remainder (document-level dedup drops whole near-duplicate
+    * docs; this recovers the unique part of documents that merely SHARE
+    * a passage). A dense stride-1 window of [[ScrubW]] tokens is
+    * "duplicated" when its fingerprint occurs more than once in the
+    * corpus (across documents or repeated within one — both are the
+    * same memorization risk); a token is scrubbed when ANY duplicated
+    * window covers it, so overlapping duplicated windows merge into one
+    * scrubbed span exactly as interval union would.
+    *
+    * Scale shape: tokenize once; explode dense window starts (n rows per
+    * n-token doc — the same order of work as tokenizing); ONE
+    * partial-agg'd groupBy on the 16-byte fingerprint to find repeated
+    * windows (`HAVING count > 1` — output is duplication-proportional);
+    * join windows back to the repeated set (broadcastable in the common
+    * low-duplication regime) and fold each doc's duplicated starts into
+    * one sorted array; then the scrub itself is a pure map-side
+    * `filter(w, (tok, i) => !exists(starts, p => p ≤ i ≤ p+W−1))` —
+    * per-doc work bounded by n·(dup starts), no exchange. Output hashes
+    * the scrubbed text (md5) rather than shipping it, so the gate holds
+    * byte-exactly without corpus-sized result rows.
+    */
+  val q120SpanScrub: Q = (s, d) => spanScrub(documents(s, d))
+
+  /** The q120 scrub over any `(doc_id, text)` frame — see [[q120SpanScrub]]. */
+  private[graft] def spanScrub(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docsTok = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+    val wins = docsTok.filter(col("n") >= ScrubW)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("n") - ScrubW)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("w"), col("p") + 1, lit(ScrubW)))).as("fp"))
+    val dup = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select("fp")
+    val dupStarts = wins.join(dup, "fp")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("n_dup_windows"))
+    docsTok.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("ps0", coalesce(col("ps"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("w"), (tok, i) =>
+        !exists(col("ps0"), p => p <= i && i <= p + lit(ScrubW - 1))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (col("n") - size(col("kept"))).cast("long").as("n_scrubbed"),
+        md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q120Sql: String = {
+    val w = ScrubW
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |s AS (SELECT doc_id, w, len(w) AS n FROM t),
+       |wins AS (
+       |  SELECT doc_id, unnest(range(0, n - ${w - 1})) AS p, w
+       |  FROM s WHERE n >= $w),
+       |fps AS (
+       |  SELECT doc_id, p,
+       |    md5(array_to_string(list_slice(w, p + 1, p + $w), ' ')) AS fp
+       |  FROM wins),
+       |dup AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1),
+       |ds AS (
+       |  SELECT doc_id, list(p ORDER BY p) AS ps, COUNT(*) AS n_dup
+       |  FROM fps JOIN dup USING (fp) GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id, unnest(range(len(w))) AS i, w FROM s),
+       |keep AS (
+       |  SELECT tok.doc_id, i, w[i + 1] AS x
+       |  FROM tok LEFT JOIN ds ON tok.doc_id = ds.doc_id
+       |  WHERE ds.ps IS NULL
+       |     OR len(list_filter(ds.ps, p -> p <= i AND i <= p + ${w - 1})) = 0),
+       |ka AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(x, ' ' ORDER BY i) AS kept_text
+       |  FROM keep GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |  s.n AS n_tokens,
+       |  COALESCE(ds.n_dup, 0) AS n_dup_windows,
+       |  s.n - COALESCE(ka.n_kept, 0) AS n_scrubbed,
+       |  md5(COALESCE(ka.kept_text, '')) AS scrub_md5
+       |FROM s LEFT JOIN ds USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Docs kept per language by q68. */
   private val FixedPerLang = 50
 
@@ -282,7 +381,8 @@ object IngestQueries {
     "q66_training_manifest" -> q66TrainingManifest,
     "q67_token_chunks" -> q67TokenChunks,
     "q68_fixed_stratified" -> q68FixedStratified,
-    "q76_repeated_windows" -> q76RepeatedWindows
+    "q76_repeated_windows" -> q76RepeatedWindows,
+    "q120_span_scrub" -> q120SpanScrub
   )
 
   val oracle: Map[String, String] = Map(
@@ -290,6 +390,7 @@ object IngestQueries {
     "q66_training_manifest" -> q66Sql,
     "q67_token_chunks" -> q67Sql,
     "q68_fixed_stratified" -> q68Sql,
-    "q76_repeated_windows" -> q76Sql
+    "q76_repeated_windows" -> q76Sql,
+    "q120_span_scrub" -> q120Sql
   )
 }
