@@ -119,7 +119,9 @@ object Bench {
       "emb_admission_bandstore_build" ->
         (() => graft.queries.SimilarityQueries.EmbAdmissionBandStore.ensure(spark, sfDir)),
       "ivf_index_build" ->
-        (() => graft.queries.SimilarityQueries.IvfIndexStore.ensure(spark, sfDir)))
+        (() => graft.queries.SimilarityQueries.IvfIndexStore.ensure(spark, sfDir)),
+      "sq_index_build" ->
+        (() => graft.queries.SimilarityQueries.QuantIndexStore.ensure(spark, sfDir)))
     val setupTimes: Seq[(String, Double, Either[String, String])] =
       setups.map { case (name, run) =>
         val t0 = System.nanoTime()

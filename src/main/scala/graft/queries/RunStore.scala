@@ -58,7 +58,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] final class RunStore(
     prefix: String, numBuckets: Int, bucketKeys: Seq[String],
-    build: (SparkSession, String) => DataFrame) {
+    build: (SparkSession, String) => DataFrame,
+    metaBuild: (SparkSession, String) => Map[String, String] =
+      RunStore.NoMeta,
+    metaVersion: String = "") {
 
   private val built = new ConcurrentHashMap[String, String]()
   private val modes = new ConcurrentHashMap[String, String]()
@@ -77,7 +80,8 @@ private[graft] final class RunStore(
       // upstream stores the derivation reads are themselves
       // validated/built first — their fingerprints feed this one's
       val frame = build(s, d)
-      val fp = RunStore.fingerprint(s, d, prefix, numBuckets, bucketKeys, frame)
+      val fp = RunStore.fingerprint(s, d, prefix, numBuckets, bucketKeys,
+        frame, metaVersion)
       if (RunStore.revalidate(s, t, fp)) modes.put(d, "reused")
       else RunStore.withBuildLock(s, t) {
         // the lock wait may have been another process finishing this
@@ -86,7 +90,14 @@ private[graft] final class RunStore(
         else {
           RunStore.dropWithLocation(s, t)
           graft.core.Tables.writeBucketed(frame, t, numBuckets, bucketKeys: _*)
-          RunStore.writeSidecar(s, t, fp, frame, numBuckets, bucketKeys)
+          // index metadata (quantization grids, coarse centroids, ...)
+          // is derived at build time and persisted IN the sidecar, so a
+          // reusing process — or a probe — reads it without any corpus
+          // pass; metaVersion is part of the fingerprint, so changing
+          // the metadata derivation rebuilds the store like any other
+          // derivation change
+          RunStore.writeSidecar(s, t, fp, frame, numBuckets, bucketKeys,
+            metaBuild(s, d))
           graft.core.StoreEpochs.bump(t)
           modes.put(d, "built")
         }
@@ -113,6 +124,20 @@ private[graft] final class RunStore(
     * build/revalidation.
     */
   private[graft] def reset(): Unit = { built.clear(); modes.clear() }
+
+  /** The store's build-time metadata (`metaBuild`'s map), read back
+    * from the sidecar at the CURRENT location — on the reuse path this
+    * is one small-file read, NO corpus pass, which is the point: index
+    * hyperparameters (a quantization grid, coarse centroids) ride the
+    * store the way an open table format rides table properties on its
+    * snapshot metadata. Ensures the store first, so the map is always
+    * the one matching the data being served (folds and compactions
+    * carry sidecar properties forward verbatim).
+    */
+  def metadata(s: SparkSession, d: String): Map[String, String] = {
+    table(s, d)
+    RunStore.readMetadata(s, tableName(d))
+  }
 }
 
 private[graft] object RunStore {
@@ -237,10 +262,11 @@ private[graft] object RunStore {
     * from it).
     */
   private def fingerprint(s: SparkSession, d: String, prefix: String,
-      numBuckets: Int, bucketKeys: Seq[String], frame: DataFrame): String = {
+      numBuckets: Int, bucketKeys: Seq[String], frame: DataFrame,
+      metaVersion: String = ""): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def add(x: String): Unit = md.update(x.getBytes("UTF-8"))
-    add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}")
+    add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}|$metaVersion")
     val src = new Path(d)
     val fs = hadoopFs(s, src)
     if (fs.exists(src)) digestListing(fs, src, md)
@@ -321,7 +347,8 @@ private[graft] object RunStore {
     * that parses.
     */
   private[graft] def writeSidecar(s: SparkSession, t: String, fp: String,
-      frame: DataFrame, numBuckets: Int, bucketKeys: Seq[String]): Unit = {
+      frame: DataFrame, numBuckets: Int, bucketKeys: Seq[String],
+      meta: Map[String, String] = Map.empty): Unit = {
     val loc = catalogLocation(s, t).getOrElse(defaultLocation(s, t))
     val fs = hadoopFs(s, loc)
     val props = new java.util.Properties()
@@ -330,8 +357,29 @@ private[graft] object RunStore {
     props.setProperty("numBuckets", numBuckets.toString)
     props.setProperty("bucketKeys", bucketKeys.mkString(","))
     props.setProperty("manifest", manifestOf(fs, loc))
+    meta.foreach { case (k, v) => props.setProperty(s"meta.$k", v) }
     storeSidecar(fs, loc, props)
   }
+
+  /** No-op metadata derivation (the default for stores that carry none). */
+  private[graft] val NoMeta: (SparkSession, String) => Map[String, String] =
+    (_, _) => Map.empty
+
+  /** Read back `meta.*` sidecar properties for `t` (empty when the
+    * store has no sidecar or carries no metadata). Mutating lifecycle
+    * operations — [[refreshManifest]], [[copySidecar]] — rewrite the
+    * whole property set, so metadata survives folds and compactions.
+    */
+  private[graft] def readMetadata(s: SparkSession, t: String)
+      : Map[String, String] =
+    discoverSidecar(s, t) match {
+      case Some((_, _, props)) =>
+        import scala.jdk.CollectionConverters._
+        props.stringPropertyNames().asScala.toSeq
+          .filter(_.startsWith("meta."))
+          .map(k => k.stripPrefix("meta.") -> props.getProperty(k)).toMap
+      case None => Map.empty
+    }
 
   private def storeSidecar(fs: FileSystem, loc: Path,
       props: java.util.Properties): Unit = {

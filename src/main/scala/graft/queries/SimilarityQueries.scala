@@ -1217,6 +1217,162 @@ object SimilarityQueries {
        |FROM cand c JOIN e ON c.vec_id = e.vec_id, q
        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+
+  /** The SERVED compressed index: int8 codes stored CLUSTERED BY CELL
+    * (the [[IvfIndexStore]] layout applied to quantized vectors), with
+    * the index hyperparameters — quantization grid and coarse centroids
+    * — persisted as sidecar METADATA at build time. A probe therefore
+    * touches NO corpus-sized frame at all: centroids and grid come from
+    * one small sidecar read, the scan is a literal `cell IN (…)` over
+    * bucketed-sorted codes (row-group pruning engages), and full fp32
+    * vectors are fetched only for the shortlist. This is the IVF-ADC
+    * serving shape: at 100 TB the per-query cost is two cells' worth of
+    * int8 codes (4× smaller than the fp32 cells q41 scans) plus a
+    * 20-row point-lookup re-rank.
+    *
+    * `metaVersion` fingerprints the metadata derivation: editing the
+    * grid or centroid recipe rebuilds the store like any frame change.
+    */
+  private[graft] val QuantIndexStore = new RunStore("graft_sqidx", 8,
+    Seq("cell"),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      ivfAssignments(emb).select(col("vec_id"), col("cell"))
+        .join(sqCodes(emb).select(col("vec_id"), col("codes")), "vec_id")
+        .select(col("cell"), col("vec_id"), col("codes"))
+    },
+    metaBuild = (s, d) => {
+      val emb = embeddings(s, d)
+      val g = sqGrid(emb).head()
+      val cents = ivfCentroids(emb).collect().map { r =>
+        val id = r.getAs[Number]("c_id").longValue
+        id -> r.getSeq[Float](1)
+      }.sortBy(_._1)
+      // Double.toString / Float.toString round-trip exactly, so the
+      // parsed-back grid is bit-identical to the built one
+      Map(
+        "mins" -> g.getSeq[Double](0).map(_.toString).mkString(","),
+        "spans" -> g.getSeq[Double](1).map(_.toString).mkString(","),
+        "centroids" -> cents.map { case (id, v) =>
+          s"$id:${v.map(_.toString).mkString(",")}"
+        }.mkString(";"))
+    },
+    metaVersion = "sq-v1")
+
+  /** Parsed [[QuantIndexStore]] metadata. */
+  private[graft] final case class SqIndexMeta(
+      mins: Array[Double], spans: Array[Double],
+      centroids: Array[(Long, Array[Float])])
+
+  private[graft] def sqIndexMeta(
+      s: org.apache.spark.sql.SparkSession, d: String): SqIndexMeta = {
+    val m = QuantIndexStore.metadata(s, d)
+    SqIndexMeta(
+      m("mins").split(",").map(_.toDouble),
+      m("spans").split(",").map(_.toDouble),
+      m("centroids").split(";").map { c =>
+        val Array(id, vs) = c.split(":", 2)
+        id.toLong -> vs.split(",").map(_.toFloat)
+      })
+  }
+
+  /** Index-ordered double cosine on the driver — the same accumulation
+    * [[graft.functions.CosineSimilarity]] and the oracle's
+    * `list_dot_product` perform, so probe-cell selection is
+    * bit-identical across all three evaluation sites.
+    */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      xy += x * y; xx += x * x; yy += y * y; i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  /** q121 — IVF-ADC serving from the stored compressed index: probe
+    * cells from SIDECAR centroids, ADC over the probed cells' int8
+    * codes dequantized against the SIDECAR grid, exact re-rank of the
+    * top-20 shortlist. See [[QuantIndexStore]] for the scale shape —
+    * the only Spark jobs a probe runs are the query-vector point
+    * lookup, the pruned code scan, and the 20-row re-rank join.
+    */
+  val q121IvfAdcServe: Q = (s, d) => {
+    val meta = sqIndexMeta(s, d)
+    val emb = embeddings(s, d)
+    val qArr = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probeCells = meta.centroids
+      .map { case (id, v) => (cosLocal(v, qArr), id) }
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(2).map(_._2).toSeq
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val minsL = typedLit(meta.mins.toSeq)
+    val spansL = typedLit(meta.spans.toSeq)
+    val shortlist = QuantIndexStore.table(s, d)
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("q_emb"),
+          transform(col("codes"), (c, i) =>
+            element_at(minsL, i + 1) +
+              (c.cast("double") + 0.5) * element_at(spansL, i + 1)))
+          .as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(20)
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q121Sql: String = {
+    val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    val cosCQ = cosSql("c.c_emb", "qe")
+    s"""WITH $qVecSql,
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
+       |           FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probe AS (SELECT c.c_id AS cell FROM cent c CROSS JOIN q
+       |          ORDER BY $cosCQ DESC, c.c_id LIMIT 2),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |x AS (SELECT vec_id, emb, unnest(range(len(emb))) AS dim FROM e2),
+       |vals AS (SELECT vec_id, dim, emb[dim + 1] AS v FROM x),
+       |g AS (SELECT dim, MIN(v) AS mn, (MAX(v) - MIN(v)) / 256.0 AS sp
+       |      FROM vals GROUP BY dim),
+       |codes AS (
+       |  SELECT v.vec_id, v.dim, g.mn, g.sp,
+       |    CASE WHEN g.sp = 0 THEN 0
+       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |    END AS code
+       |  FROM vals v JOIN g USING (dim)),
+       |recon AS (
+       |  SELECT vec_id, list(mn + (code + 0.5) * sp ORDER BY dim) AS r
+       |  FROM codes GROUP BY vec_id),
+       |adc AS (
+       |  SELECT recon.vec_id, ${cosSql("qe", "r")} AS adc_sim
+       |  FROM recon
+       |   JOIN cells ON recon.vec_id = cells.vec_id
+       |   JOIN probe ON cells.cell = probe.cell
+       |   CROSS JOIN q
+       |  WHERE recon.vec_id <> 0),
+       |cand AS (SELECT * FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 20)
+       |SELECT c.vec_id, c.adc_sim, ${cosSql("qe", "e2.emb")} AS sim
+       |FROM cand c JOIN e2 ON c.vec_id = e2.vec_id, q
+       |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
@@ -1230,7 +1386,8 @@ object SimilarityQueries {
     "q95_embedding_admission" -> q95EmbeddingAdmission,
     "q104_semantic_dup_clusters" -> q104SemanticDupClusters,
     "q107_incremental_semantic_clusters" -> q107IncrementalSemanticClusters,
-    "q119_quant_knn" -> q119QuantKnn
+    "q119_quant_knn" -> q119QuantKnn,
+    "q121_ivf_adc_serve" -> q121IvfAdcServe
   )
 
   val oracle: Map[String, String] = Map(
@@ -1246,6 +1403,7 @@ object SimilarityQueries {
     "q104_semantic_dup_clusters" -> q104Sql,
     // q104's SQL verbatim: incremental maintenance must equal recompute
     "q107_incremental_semantic_clusters" -> q104Sql,
-    "q119_quant_knn" -> q119Sql
+    "q119_quant_knn" -> q119Sql,
+    "q121_ivf_adc_serve" -> q121Sql
   )
 }

@@ -350,6 +350,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Scan parquet").length - 1 == 2, p.take(4000))
   }
 
+  test("q121 serves from the stored compressed index: literal cell-IN " +
+    "pushed to the code scan, grid/centroids from the SIDECAR — no " +
+    "corpus-wide grid aggregation or assignment subtree in the plan") {
+    val p = physical(SimilarityQueries.queries("q121_ivf_adc_serve")(spark, sf))
+    assert(p.contains("graft_sqidx"), p.take(4000))
+    assert(p.contains("In(cell"), p.take(4000))
+    // four scans: pruned code probe, 2 query-vector point lookups, and
+    // the 20-row re-rank's fp32 fetch — NO grid posexplode/groupBy and
+    // no n x 16 assignment crossjoin survive to serve time
+    assert(p.split("Scan parquet").length - 1 == 4, p.take(4000))
+    assert(!p.contains("Generate"), p.take(4000))
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))

@@ -51,4 +51,30 @@ class QuantKnnSpec extends AnyFunSuite {
         s"ADC estimate $adc far from exact $sim")
     }
   }
+
+  test("q121's sidecar metadata parses back to the exact built grid " +
+    "and centroids — bit-identical to a recompute from the corpus") {
+    val meta = SimilarityQueries.sqIndexMeta(spark, sf)
+    assert(meta.mins.length == 64 && meta.spans.length == 64)
+    assert(meta.centroids.length == 16)
+    val g = SimilarityQueries.sqGrid(Tables.embeddings(spark, sf)).head()
+    assert(meta.mins.toSeq == g.getSeq[Double](0))
+    assert(meta.spans.toSeq == g.getSeq[Double](1))
+    meta.centroids.foreach { case (_, v) => assert(v.length == 64) }
+  }
+
+  test("q121 returns 10 rows with ADC tracking exact sim; candidates " +
+    "are members of the two probed cells only") {
+    val got = SimilarityQueries.q121IvfAdcServe(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("adc_sim") - r.getAs[Double]("sim")) < 0.05)
+    }
+    // every returned vec must live in one of the 2 probed cells
+    val cells = SimilarityQueries.QuantIndexStore.table(spark, sf)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val memberCells = got.map(r => cells(r.getAs[Long]("vec_id"))).toSet
+    assert(memberCells.size <= 2, s"results from ${memberCells.size} cells")
+  }
 }

@@ -410,4 +410,41 @@ class RunStoreSpec extends AnyFunSuite {
       assert(spark.table("typed_store").count() > 0)
     } finally spark.sql("DROP TABLE IF EXISTS typed_store")
   }
+
+  test("sidecar metadata: round-trips through the build, is served " +
+    "from the sidecar on the reuse path (no rebuild), and a " +
+    "metaVersion change invalidates the fingerprint like any " +
+    "derivation change") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("runstore_meta")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "stable")
+    val meta = Map("mins" -> "0.25,-1.5", "note" -> "built by spec")
+    def mkStore(mv: String) = new RunStore("graft_test_meta", 2, Seq("k"),
+      (_, _) => Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      metaBuild = (_, _) => meta, metaVersion = mv)
+    val store = mkStore("v1")
+    val t = store.tableName(dir.toString)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      assert(store.metadata(spark, dir.toString) == meta)
+      // fresh memo, untouched source: REUSED, metadata from the sidecar
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "reused")
+      assert(store.metadata(spark, dir.toString) == meta)
+      // a metadata-derivation version bump rebuilds
+      assert(mkStore("v2").ensure(spark, dir.toString) == "built")
+      // a store with no metaBuild reports no metadata
+      val bare = new RunStore("graft_test_meta_bare", 2, Seq("k"),
+        (_, _) => Seq((1L, "a")).toDF("k", "v"))
+      try {
+        assert(bare.metadata(spark, dir.toString).isEmpty)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS ${bare.tableName(dir.toString)}")
+        bare.reset()
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      store.reset()
+    }
+  }
 }
