@@ -1373,6 +1373,138 @@ object SimilarityQueries {
        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------------------------ q122/q123
+
+  /** The sidecar centroids as a 16-row frame (`c_id`, `c_emb`) — float
+    * values round-trip the metadata serialization exactly, so in-plan
+    * probe-cell cosines are bit-identical to a from-corpus derivation.
+    */
+  private[graft] def quantCentroidFrame(
+      s: org.apache.spark.sql.SparkSession, meta: SqIndexMeta)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    meta.centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("c_id", "c_emb")
+  }
+
+  /** BATCH ANN serving over the stored compressed index: the whole
+    * `(q_id, q_emb)` query set served in ONE pass. Where q121 is the
+    * single-probe shape (literal cell-IN, row-group pruning), this is
+    * the throughput shape: probe cells are selected IN-PLAN (queries ×
+    * 16 sidecar centroids — a |Q|·16-row frame, never the corpus),
+    * broadcast onto ONE scan of the code store, ADC-scored, reduced to
+    * a per-query top-20 by the native [[graft.functions.TopKAggregate]]
+    * (map-side partials: the shuffle carries ≤ 20·partitions rows per
+    * query, not candidate sets), and exact-re-ranked over a broadcast
+    * fetch of the |Q|·20 fp32 rows. At 100 TB: one index scan amortized
+    * over the entire query batch, every per-query structure bounded by
+    * k — the standard batch-serving layout of an IVF-ADC system.
+    */
+  private[graft] def serveQuantBatch(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val meta = sqIndexMeta(s, d)
+    val minsL = typedLit(meta.mins.toSeq)
+    val spansL = typedLit(meta.spans.toSeq)
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val probe = queries
+      .crossJoin(broadcast(quantCentroidFrame(s, meta)))
+      .withColumn("p_sim", cosineSimilarity(col("c_emb"), col("q_emb")))
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(col("p_sim").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+    val shortlist = QuantIndexStore.table(s, d)
+      .join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"),
+          transform(col("codes"), (c, i) =>
+            element_at(minsL, i + 1) +
+              (c.cast("double") + 0.5) * element_at(spansL, i + 1)))
+          .as("adc_sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("vec_id"), col("adc_sim"), 20).as("topk"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("q_id"), col("topk")))
+      .select(col("group").as("q_id"), col("id").as("vec_id"),
+        col("score").as("adc_sim"))
+    embeddings(s, d).join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("adc_sim"), col("sim"))
+  }
+
+  /** q122 — every 10th vector as a query, served in one batch pass. */
+  val q122BatchAnnServe: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    serveQuantBatch(s, d,
+      emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .orderBy("q_id", "rank")
+  }
+
+  val q122Sql: String = {
+    val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    val cosCQ = cosSql("c.c_emb", "q.qe")
+    s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id % 10 = 0),
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
+       |           FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probe AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.c_id AS cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $cosCQ DESC, c.c_id) AS rn
+       |  FROM cent c CROSS JOIN qs q) WHERE rn <= 2),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |x AS (SELECT vec_id, emb, unnest(range(len(emb))) AS dim FROM e2),
+       |vals AS (SELECT vec_id, dim, emb[dim + 1] AS v FROM x),
+       |g AS (SELECT dim, MIN(v) AS mn, (MAX(v) - MIN(v)) / 256.0 AS sp
+       |      FROM vals GROUP BY dim),
+       |codes AS (
+       |  SELECT v.vec_id, v.dim, g.mn, g.sp,
+       |    CASE WHEN g.sp = 0 THEN 0
+       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |    END AS code
+       |  FROM vals v JOIN g USING (dim)),
+       |recon AS (
+       |  SELECT vec_id, list(mn + (code + 0.5) * sp ORDER BY dim) AS r
+       |  FROM codes GROUP BY vec_id),
+       |adc AS (
+       |  SELECT p.q_id, recon.vec_id, ${cosSql("qs.qe", "recon.r")} AS adc_sim
+       |  FROM recon
+       |   JOIN cells ON recon.vec_id = cells.vec_id
+       |   JOIN probe p ON cells.cell = p.cell
+       |   JOIN qs ON qs.q_id = p.q_id
+       |  WHERE recon.vec_id <> p.q_id),
+       |short AS (SELECT q_id, vec_id, adc_sim FROM (
+       |  SELECT adc.*,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 20),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id, s.adc_sim, ${cosSql("qs.qe", "e2.emb")} AS sim
+       |  FROM short s
+       |   JOIN e2 ON s.vec_id = e2.vec_id
+       |   JOIN qs ON s.q_id = qs.q_id)
+       |SELECT q_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, adc_sim, sim
+       |FROM rr
+       |QUALIFY rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
@@ -1387,7 +1519,8 @@ object SimilarityQueries {
     "q104_semantic_dup_clusters" -> q104SemanticDupClusters,
     "q107_incremental_semantic_clusters" -> q107IncrementalSemanticClusters,
     "q119_quant_knn" -> q119QuantKnn,
-    "q121_ivf_adc_serve" -> q121IvfAdcServe
+    "q121_ivf_adc_serve" -> q121IvfAdcServe,
+    "q122_batch_ann_serve" -> q122BatchAnnServe
   )
 
   val oracle: Map[String, String] = Map(
@@ -1404,6 +1537,7 @@ object SimilarityQueries {
     // q104's SQL verbatim: incremental maintenance must equal recompute
     "q107_incremental_semantic_clusters" -> q104Sql,
     "q119_quant_knn" -> q119Sql,
-    "q121_ivf_adc_serve" -> q121Sql
+    "q121_ivf_adc_serve" -> q121Sql,
+    "q122_batch_ann_serve" -> q122Sql
   )
 }

@@ -747,7 +747,62 @@ object StreamingQueries {
     readSink(s, outPath).orderBy("doc_id")
   }
 
+  /** q123 — streaming ANN SERVE: query vectors arriving on a stream,
+    * answered per checkpointed micro-batch against the STORED
+    * compressed index (q121/q122's [[SimilarityQueries.QuantIndexStore]]
+    * — codes clustered by cell, grid + centroids in the sidecar). The
+    * q122 query set (every 10th vector) is spooled as three parquet
+    * files of `(q_id, q_emb)`, streamed back one file per trigger under
+    * `AvailableNow`, and each batch runs the SAME
+    * [[SimilarityQueries.serveQuantBatch]] the batch query runs —
+    * probe-cell selection, ADC over one store scan, top-20 partial-agg
+    * shortlist, exact re-rank — into the batchId-keyed idempotent sink.
+    * Oracle: q122's SQL VERBATIM. Per-query results depend only on
+    * (query, store), so ANY cut of the query stream into micro-batches
+    * unions to the batch answer — serve-on-arrival ≡ serve-in-batch,
+    * which is precisely the guarantee an online ANN service needs when
+    * it also runs nightly batch re-scoring.
+    *
+    * Scale shape: the store side reads its once-per-run index (sidecar
+    * metadata resolved once per JVM, store scan per trigger bounded by
+    * the probed cells of THAT batch's queries); per-trigger state is
+    * zero; the only cross-node traffic is each batch's |Q|·20-row
+    * shortlist.
+    */
+  val q123StreamingAnnServe: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_ann", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    graft.core.Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .repartition(3).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(
+            SimilarityQueries.serveQuantBatch(s, d, batch), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath).orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_streaming_ann_serve" -> q123StreamingAnnServe,
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
     "q99_streaming_embedding_admission" -> q99StreamingEmbeddingAdmission,
@@ -764,6 +819,7 @@ object StreamingQueries {
     * batch semantics exactly.
     */
   val oracle: Map[String, String] = Map(
+    "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
     "q99_streaming_embedding_admission" -> SimilarityQueries.q95Sql,

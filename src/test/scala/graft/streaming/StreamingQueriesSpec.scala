@@ -183,6 +183,17 @@ class StreamingQueriesSpec extends AnyFunSuite {
         "fewer than 3 commits means the stream collapsed to one batch")
   }
 
+  test("q123 streaming ANN serve == batch q122 bit-for-bit across >= 3 " +
+    "checkpointed micro-batches (serve-on-arrival == serve-in-batch " +
+    "against the stored compressed index)") {
+    val got = rows(StreamingQueries.q123StreamingAnnServe(spark, sf))
+    val want = rows(SimilarityQueries.q122BatchAnnServe(spark, sf))
+    assert(got.nonEmpty && got == want)
+    assert(commits("ann") >= 3,
+      "the query set was spooled as 3 files with maxFilesPerTrigger=1 — " +
+        "fewer than 3 commits means the stream collapsed to one batch")
+  }
+
   test("q109 streaming cluster maintenance == from-scratch components " +
     "(q105) across >= 3 checkpointed micro-batches, and a replayed " +
     "epoch re-derives identical label state (batchId-addressed reads " +
