@@ -121,7 +121,9 @@ object Bench {
       "ivf_index_build" ->
         (() => graft.queries.SimilarityQueries.IvfIndexStore.ensure(spark, sfDir)),
       "sq_index_build" ->
-        (() => graft.queries.SimilarityQueries.QuantIndexStore.ensure(spark, sfDir)))
+        (() => graft.queries.SimilarityQueries.QuantIndexStore.ensure(spark, sfDir)),
+      "dupwin_store_build" ->
+        (() => graft.queries.IngestQueries.DupWindowStore.ensure(spark, sfDir)))
     val setupTimes: Seq[(String, Double, Either[String, String])] =
       setups.map { case (name, run) =>
         val t0 = System.nanoTime()

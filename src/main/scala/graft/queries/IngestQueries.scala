@@ -265,22 +265,35 @@ object IngestQueries {
     */
   val q120SpanScrub: Q = (s, d) => spanScrub(documents(s, d))
 
-  /** The q120 scrub over any `(doc_id, text)` frame — see [[q120SpanScrub]]. */
-  private[graft] def spanScrub(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val docsTok = docs
-      .select(col("doc_id"), tokens(col("text")).as("w"))
+  /** Tokenized `(doc_id, w, n)` view of a `(doc_id, text)` frame. */
+  private def tokenized(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("n", size(col("w")))
-    val wins = docsTok.filter(col("n") >= ScrubW)
+
+  /** Dense stride-1 [[ScrubW]]-token window fingerprints of a
+    * [[tokenized]] frame: `(doc_id, p, fp)` — the shared derivation of
+    * the batch scrub (q120), the duplicated-window store build and the
+    * incremental scrub's delta side (q124), so no consumer can drift
+    * from the store's fingerprint recipe.
+    */
+  private[graft] def windowFps(docsTok: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docsTok.filter(col("n") >= ScrubW)
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), col("n") - ScrubW)).as("p"))
       .select(col("doc_id"), col("p"),
         md5(concat_ws(" ", slice(col("w"), col("p") + 1, lit(ScrubW)))).as("fp"))
-    val dup = wins.groupBy("fp")
-      .agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > 1)
-      .select("fp")
-    val dupStarts = wins.join(dup, "fp")
+
+  /** The scrub assembly shared by q120 and q124: fold each doc's
+    * duplicated starts (`wins` rows whose `fp` is in `dupFps`) into one
+    * sorted array, then cut every covered token map-side.
+    */
+  private def scrubAssembly(docsTok: org.apache.spark.sql.DataFrame,
+      wins: org.apache.spark.sql.DataFrame,
+      dupFps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dupStarts = wins.join(dupFps, "fp")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("ps"),
         count(lit(1)).as("n_dup_windows"))
@@ -296,8 +309,27 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
-  val q120Sql: String = {
+  /** The q120 scrub over any `(doc_id, text)` frame — see [[q120SpanScrub]]. */
+  private[graft] def spanScrub(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docsTok = tokenized(docs)
+    val wins = windowFps(docsTok)
+    val dup = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select("fp")
+    scrubAssembly(docsTok, wins, dup)
+  }
+
+  /** The scrub oracle, parameterized by an output-doc predicate:
+    * duplication is ALWAYS judged corpus-wide (the `fps`/`dup` CTEs
+    * never filter), only the scrubbed output set narrows — which is
+    * exactly the incremental contract q124's store path must reproduce.
+    */
+  private def spanScrubSql(docPred: String): String = {
     val w = ScrubW
+    val w1 = if (docPred.isEmpty) "" else s" WHERE $docPred"
+    val w2 = if (docPred.isEmpty) "" else s"\nWHERE s.$docPred"
     s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
        |s AS (SELECT doc_id, w, len(w) AS n FROM t),
        |wins AS (
@@ -312,7 +344,7 @@ object IngestQueries {
        |  SELECT doc_id, list(p ORDER BY p) AS ps, COUNT(*) AS n_dup
        |  FROM fps JOIN dup USING (fp) GROUP BY doc_id),
        |tok AS (
-       |  SELECT doc_id, unnest(range(len(w))) AS i, w FROM s),
+       |  SELECT doc_id, unnest(range(len(w))) AS i, w FROM s$w1),
        |keep AS (
        |  SELECT tok.doc_id, i, w[i + 1] AS x
        |  FROM tok LEFT JOIN ds ON tok.doc_id = ds.doc_id
@@ -327,9 +359,59 @@ object IngestQueries {
        |  COALESCE(ds.n_dup, 0) AS n_dup_windows,
        |  s.n - COALESCE(ka.n_kept, 0) AS n_scrubbed,
        |  md5(COALESCE(ka.kept_text, '')) AS scrub_md5
-       |FROM s LEFT JOIN ds USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |FROM s LEFT JOIN ds USING (doc_id) LEFT JOIN ka USING (doc_id)$w2
        |ORDER BY s.doc_id""".stripMargin
   }
+
+  val q120Sql: String = spanScrubSql("")
+
+  /** The corpus-side duplicated-window artifact: every dense window
+    * fingerprint of the BASE corpus (`doc_id % 10 <> 0` — the q64/q97
+    * store-vs-delta convention) with its occurrence count, bucketed by
+    * the 16-byte fp. The scrub analog of [[SignatureStore]]: built once
+    * per corpus generation, and every later ingest batch scrubs against
+    * it without re-fingerprinting the base.
+    */
+  private[graft] val DupWindowStore = new RunStore("graft_dupwin", 8,
+    Seq("fp"),
+    (s, d) => windowFps(tokenized(
+        documents(s, d).filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"))))
+      .groupBy("fp").agg(count(lit(1)).as("n_base")))
+
+  /** q124 — INCREMENTAL span scrub (scrub-on-ingest): the delta slice
+    * (`doc_id % 10 = 0`) scrubbed against the [[DupWindowStore]]
+    * instead of a corpus-wide re-fingerprint. A delta window is
+    * duplicated iff its store count plus its delta count reaches 2 —
+    * algebraically identical to "corpus-wide count ≥ 2 restricted to
+    * delta docs", so the oracle is the BATCH scrub's SQL with only the
+    * output set narrowed (the q105/q107/q108 incremental ≡ recompute
+    * discipline, applied to span scrubbing): a store count that
+    * drifted from the base fingerprints, or a delta-side derivation
+    * diverging from the store build's, would flip a scrub and fail the
+    * hash.
+    *
+    * Scale shape: the base corpus is NEVER tokenized at ingest time —
+    * its windows live pre-counted in the fp-bucketed store; the delta
+    * side derives O(delta tokens) window rows, its per-fp counts
+    * broadcast onto the store's bucket layout (no store-side
+    * exchange), and the scrub itself is the same map-side assembly as
+    * q120 over delta docs only.
+    */
+  val q124IncrementalSpanScrub: Q = (s, d) => {
+    val store = DupWindowStore.table(s, d)
+    val deltaTok = tokenized(
+      documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")))
+    val wins = windowFps(deltaTok)
+    val deltaCounts = wins.groupBy("fp").agg(count(lit(1)).as("n_delta"))
+    val dupFps = deltaCounts.join(store, Seq("fp"), "left")
+      .filter(coalesce(col("n_base"), lit(0L)) + col("n_delta") >= 2)
+      .select("fp")
+    scrubAssembly(deltaTok, wins, dupFps)
+  }
+
+  val q124Sql: String = spanScrubSql("doc_id % 10 = 0")
 
   /** Docs kept per language by q68. */
   private val FixedPerLang = 50
@@ -382,7 +464,8 @@ object IngestQueries {
     "q67_token_chunks" -> q67TokenChunks,
     "q68_fixed_stratified" -> q68FixedStratified,
     "q76_repeated_windows" -> q76RepeatedWindows,
-    "q120_span_scrub" -> q120SpanScrub
+    "q120_span_scrub" -> q120SpanScrub,
+    "q124_incremental_span_scrub" -> q124IncrementalSpanScrub
   )
 
   val oracle: Map[String, String] = Map(
@@ -391,6 +474,9 @@ object IngestQueries {
     "q67_token_chunks" -> q67Sql,
     "q68_fixed_stratified" -> q68Sql,
     "q76_repeated_windows" -> q76Sql,
-    "q120_span_scrub" -> q120Sql
+    "q120_span_scrub" -> q120Sql,
+    // the batch scrub's SQL with only the output set narrowed:
+    // incremental scrub must equal recompute
+    "q124_incremental_span_scrub" -> q124Sql
   )
 }

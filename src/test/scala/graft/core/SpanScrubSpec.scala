@@ -53,6 +53,19 @@ class SpanScrubSpec extends AnyFunSuite {
     assert(out(7L) == ((0L, 0L, 0L, md5hex(""))))
   }
 
+  test("q124 incremental scrub against the DupWindowStore == the batch " +
+    "scrub restricted to the delta slice (incremental == recompute, " +
+    "executable)") {
+    import org.apache.spark.sql.functions.col
+    val sf = TestSpark.Sf0001
+    val want = IngestQueries.queries("q120_span_scrub")(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .collect().map(_.toSeq).toSeq
+    val got = IngestQueries.queries("q124_incremental_span_scrub")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("a corpus with no duplication is returned verbatim") {
     val out = run(Seq(
       10L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",
