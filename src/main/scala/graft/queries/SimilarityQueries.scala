@@ -1505,6 +1505,118 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q125
+
+  /** q125 — PRODUCT quantization (PQ): the 8×-compression tier below
+    * q119's int8 grid. The 64-dim vector splits into 8 contiguous
+    * 8-dim subspaces; each subspace is coded as the index (0..15, 4
+    * bits) of its nearest codeword, so a vector becomes 8 nibbles —
+    * 4 bytes against 256 for fp32. Codewords here are the md5-sampled
+    * deterministic quantizer shared with the IVF family ([[ivfCentroids]]
+    * — codeword j of subspace s is sample j's s-th sub-vector), so the
+    * codebook derivation is order-independent and oracle-expressible;
+    * a production build would Lloyd-refine per subspace exactly as q45
+    * refines q41's coarse quantizer.
+    *
+    *  - ASSIGNMENT (build): one map-side pass — each vector × 16
+    *    broadcast samples computes 8 per-subspace L2 distances with the
+    *    codegen'd [[graft.functions.L2Distance]] over array slices, and
+    *    8 partial-agg'd `min(struct(dist, ix))` fold the argmins (ties
+    *    to the smaller codeword index on both engines).
+    *  - ADC (serve): reconstruct from the FLAT literal codebook
+    *    (`cb[code(d div 8)·64 + d]` — sub-vector slices of the 16
+    *    samples), score against the full-precision query, keep top-50,
+    *    exact re-rank to 10. With a 16-entry sampled codebook the ADC
+    *    estimate is coarse — the oracle replays the same approximation,
+    *    so the gate checks the MACHINERY bit-exactly, not a recall
+    *    claim (QuantKnnSpec pins recall for the int8 tier, and the
+    *    shortlist-then-rerank shape bounds what coarseness can cost).
+    *
+    * Scale: codes are 16× smaller than the int8 tier's; assignment is
+    * one broadcast pass; the serve-side scan reads 4-byte codes. The
+    * distance arithmetic is index-ordered IEEE double on both engines
+    * (L2Distance ↔ DuckDB `list_distance`), so even near-tie argmins
+    * agree bitwise.
+    */
+  val q125PqKnn: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    // the 16 deterministic samples, re-indexed 0..15 in c_id order;
+    // driver-side collect is the bounded index-build class (16 rows)
+    val samples = ivfCentroids(emb).collect()
+      .map(r => (r.getAs[Number]("c_id").longValue, r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val cbFlat: Seq[Double] = samples.flatMap(_._2.map(_.toDouble)).toSeq
+    val cbFlatL = typedLit(cbFlat)
+    val centFrame = {
+      import s.implicits._
+      samples.zipWithIndex.toSeq
+        .map { case ((_, v), ix) => (ix, v) }.toDF("c_ix", "c_emb")
+    }
+    val subDists = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(centFrame))
+    val argmins = (0 until 8).map { sub =>
+      min(struct(
+        graft.functions.VectorFunctions.l2Distance(
+          slice(col("embedding"), sub * 8 + 1, 8),
+          slice(col("c_emb"), sub * 8 + 1, 8)).as("dist"),
+        col("c_ix"))).as(s"m$sub")
+    }
+    val codes = subDists.groupBy("vec_id")
+      .agg(argmins.head, argmins.tail: _*)
+      .select(col("vec_id"),
+        array((0 until 8).map(sub => col(s"m$sub.c_ix")): _*).as("codes"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val shortlist = codes
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("q_emb"),
+          transform(sequence(lit(0), lit(63)), dd =>
+            element_at(cbFlatL,
+              element_at(col("codes"), (dd / 8).cast("int") + 1) * 64 + dd + 1)))
+          .as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(50)
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q125Sql: String =
+    s"""WITH $qVecSql,
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS c_ix, c_emb
+       |         FROM cent0),
+       |pairs AS (
+       |  SELECT e.vec_id, c.c_ix, sub.s,
+       |    list_distance(list_slice(e.emb, sub.s * 8 + 1, sub.s * 8 + 8),
+       |                  list_slice(c.c_emb, sub.s * 8 + 1, sub.s * 8 + 8)) AS dist
+       |  FROM e2 e
+       |   CROSS JOIN cent c
+       |   CROSS JOIN (SELECT unnest(range(8)) AS s) sub
+       |  WHERE e.vec_id <> 0),
+       |codes AS (
+       |  SELECT vec_id, s, c_ix AS code FROM (
+       |    SELECT vec_id, s, c_ix,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c_ix) AS rn
+       |    FROM pairs) WHERE rn = 1),
+       |recon AS (
+       |  SELECT v.vec_id, list(c.c_emb[v.dim + 1] ORDER BY v.dim) AS r
+       |  FROM (SELECT vec_id, unnest(range(64)) AS dim FROM e2 WHERE vec_id <> 0) v
+       |   JOIN codes k ON k.vec_id = v.vec_id AND k.s = v.dim // 8
+       |   JOIN cent c ON c.c_ix = k.code
+       |  GROUP BY v.vec_id),
+       |adc AS (
+       |  SELECT vec_id, ${cosSql("qe", "r")} AS adc_sim FROM recon, q),
+       |cand AS (SELECT * FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+       |SELECT c.vec_id, c.adc_sim, ${cosSql("qe", "e2.emb")} AS sim
+       |FROM cand c JOIN e2 ON c.vec_id = e2.vec_id, q
+       |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
@@ -1520,7 +1632,8 @@ object SimilarityQueries {
     "q107_incremental_semantic_clusters" -> q107IncrementalSemanticClusters,
     "q119_quant_knn" -> q119QuantKnn,
     "q121_ivf_adc_serve" -> q121IvfAdcServe,
-    "q122_batch_ann_serve" -> q122BatchAnnServe
+    "q122_batch_ann_serve" -> q122BatchAnnServe,
+    "q125_pq_knn" -> q125PqKnn
   )
 
   val oracle: Map[String, String] = Map(
@@ -1538,6 +1651,7 @@ object SimilarityQueries {
     "q107_incremental_semantic_clusters" -> q104Sql,
     "q119_quant_knn" -> q119Sql,
     "q121_ivf_adc_serve" -> q121Sql,
-    "q122_batch_ann_serve" -> q122Sql
+    "q122_batch_ann_serve" -> q122Sql,
+    "q125_pq_knn" -> q125Sql
   )
 }
