@@ -11,7 +11,13 @@ import org.apache.spark.sql.types._
 
 /** `NearestCentroid(vec)` — index of the closest centroid by squared L2,
   * ties to the smaller index. The coarse-quantizer assignment of IVF
-  * (q45) and each Lloyd iteration of [[graft.ml.KMeans]].
+  * (q45), each Lloyd iteration of [[graft.ml.KMeans]], and (with
+  * `sqrtDist = true`) the per-subspace codeword assignment of PQ (q125):
+  * the sqrt makes the compared quantity BITWISE identical to the
+  * oracle's `list_distance`, so even rounding-collapsed near-ties (two
+  * sums whose square roots round to the same double) break to the same
+  * index on both engines — ordering under plain squared L2 is the same
+  * except for exactly that edge.
   *
   * With `normalizeInput = true` the input vector is L2-normalized on the
   * fly (one extra pass over the elements, no allocation) before the
@@ -44,7 +50,8 @@ import org.apache.spark.sql.types._
   */
 case class NearestCentroid(child: Expression,
     centroids: Array[Array[Double]],
-    normalizeInput: Boolean = false) extends UnaryExpression {
+    normalizeInput: Boolean = false,
+    sqrtDist: Boolean = false) extends UnaryExpression {
 
   require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
   require(centroids.forall(_.length == centroids.head.length),
@@ -67,6 +74,7 @@ case class NearestCentroid(child: Expression,
   override def equals(other: Any): Boolean = other match {
     case that: NearestCentroid =>
       child == that.child && normalizeInput == that.normalizeInput &&
+        sqrtDist == that.sqrtDist &&
         centroids.length == that.centroids.length &&
         centroids.indices.forall(i =>
           JArrays.equals(centroids(i), that.centroids(i)))
@@ -74,7 +82,8 @@ case class NearestCentroid(child: Expression,
   }
 
   override def hashCode(): Int = {
-    var h = child.hashCode() * 31 + normalizeInput.hashCode()
+    var h = (child.hashCode() * 31 + normalizeInput.hashCode()) * 31 +
+      sqrtDist.hashCode()
     centroids.foreach(c => h = h * 31 + JArrays.hashCode(c))
     h
   }
@@ -116,7 +125,8 @@ case class NearestCentroid(child: Expression,
         dist += diff * diff
         i += 1
       }
-      if (dist < bestD) { bestD = dist; best = j }
+      val cmp = if (sqrtDist) math.sqrt(dist) else dist
+      if (cmp < bestD) { bestD = cmp; best = j }
       j += 1
     }
     best
@@ -161,6 +171,7 @@ case class NearestCentroid(child: Expression,
          |    double $diff = $xExpr - $c[$i];
          |    $dist += $diff * $diff;
          |  }
+         |  ${if (sqrtDist) s"$dist = java.lang.Math.sqrt($dist);" else ""}
          |  if ($dist < $bestD) { $bestD = $dist; $best = $j; }
          |}
          |${ev.value} = $best;
@@ -184,4 +195,12 @@ object NearestCentroid {
     ExpressionUtils.column(
       NearestCentroid(ExpressionUtils.expression(vec), centroids,
         normalizeInput = true))
+
+  /** Argmin over EUCLIDEAN (sqrt'd) distance — see the class doc for
+    * why PQ assignment compares the rooted value.
+    */
+  def nearestCentroidSqrt(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      NearestCentroid(ExpressionUtils.expression(vec), centroids,
+        sqrtDist = true))
 }

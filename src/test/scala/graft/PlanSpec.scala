@@ -363,6 +363,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(4000))
   }
 
+  test("q122 batch serving scans the code store ONCE with the probe " +
+    "set broadcast onto it, and the per-query top-20 aggregates over " +
+    "InternalRow (ObjectHashAggregate, map-side partials)") {
+    val p = physical(SimilarityQueries.queries("q122_batch_ann_serve")(spark, sf))
+    assert(p.split("graft_sqidx").length - 1 >= 1, p.take(4000))
+    // the store side is never broadcast; the probe pairs are
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+  }
+
+  test("q125 PQ assignment is a pure map-side projection: 8 codegen'd " +
+    "NearestCentroid argmins, NO shuffle exchange and NO sort-aggregate " +
+    "anywhere (the groupBy(min(struct)) formulation shuffles the corpus " +
+    "to fold 16 already-co-located rows)") {
+    val p = physical(SimilarityQueries.queries("q125_pq_knn")(spark, sf))
+    assert(!p.contains("SortAggregate"), p.take(4000))
+    assert(!p.replace("BroadcastExchange", "BX").contains("Exchange"),
+      p.take(4000))
+  }
+
+  test("q126 serves over the FOLDED lifecycle store: literal cell-IN " +
+    "on the bucketed table, frozen grid as literals — no grid or " +
+    "assignment subtree at serve time") {
+    val p = physical(SimilarityQueries.queries("q126_quant_index_fold")(spark, sf))
+    assert(p.contains("graft_sq_lifecycle"), p.take(4000))
+    assert(p.contains("In(cell"), p.take(4000))
+    assert(!p.contains("Generate"), p.take(4000))
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))

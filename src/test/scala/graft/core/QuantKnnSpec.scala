@@ -77,4 +77,24 @@ class QuantKnnSpec extends AnyFunSuite {
     val memberCells = got.map(r => cells(r.getAs[Long]("vec_id"))).toSet
     assert(memberCells.size <= 2, s"results from ${memberCells.size} cells")
   }
+
+  test("frozen-quantizer coding (q126's ingest path): out-of-grid delta " +
+    "values saturate to the edge bins instead of shifting stored codes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (10L, Array(5.0f, -3.0f)),   // above max / below min
+      (11L, Array(0.5f, 1.5f)))    // in-grid
+    .toDF("vec_id", "embedding")
+    val grid = SimilarityQueries.sqGrid(base)
+    val codes = SimilarityQueries.sqCodesAgainst(delta, grid)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](3)).toMap
+    assert(codes(10L) == Seq(255, 0), s"clamp failed: ${codes(10L)}")
+    assert(codes(11L).forall(c => c >= 0 && c <= 255))
+    // in-grid midpoint lands mid-scale, not at an edge
+    assert(codes(11L).forall(c => c > 0 && c < 255))
+  }
 }
