@@ -469,7 +469,116 @@ object CorpusStatsQueries {
        |FROM c WHERE prior_tokens < ${BudgetTokens / PackShards}
        |ORDER BY doc_id""".stripMargin
 
+  /** Learned merges for q127 — small enough that the unrolled oracle
+    * stays readable, large enough that later merges build ON earlier
+    * merge symbols (merge-of-merged, the property that makes BPE BPE).
+    */
+  private val BpeIters = 8
+
+  /** Private-use-area stand-in for merge token `i` — a single BMP char
+    * on both engines, so `substr`/`length`/`replace` character
+    * semantics agree and merged symbols can themselves pair.
+    */
+  private def mergeSym(i: Int): String = (0xE000 + i).toChar.toString
+
+  /** q127 — BPE merge TRAINING (the Sennrich-style tokenizer-building
+    * loop): repeatedly find the corpus' most frequent adjacent
+    * character pair (never across whitespace), replace every
+    * occurrence with a fresh merge symbol, and repeat — [[BpeIters]]
+    * rounds. Output is the learned merge table `(it, pair, n_pair)`;
+    * later rounds' pairs legitimately CONTAIN earlier merge symbols,
+    * which is the algorithm's whole point. Ties (equal counts) break
+    * to the binary-smaller pair on both engines.
+    *
+    * Scale shape — the canonical distributed BPE trainer: each round
+    * is ONE corpus pass whose pair counting is partial-agg'd (the
+    * shuffle carries the pair DOMAIN, bounded by alphabet², never the
+    * corpus), the winner is a vocabulary-grain driver reduction (ONE
+    * row — the same bounded-collect class as a k-means centroid
+    * update), and the merge applies map-side as a literal `replace` in
+    * the next round's scan. K rounds = K passes; each round's text
+    * persists so round k reads the previous merge's output instead of
+    * replaying k−1 replaces (CacheScope-tracked, released per Verify's
+    * scope). At 100 TB this is exactly how production BPE training
+    * jobs are shaped — iterative full scans with a tiny reduced state.
+    *
+    * The oracle unrolls the same K rounds as chained CTE stages, each
+    * stage's `replace` keyed by the previous stage's scalar winner —
+    * bit-exact across engines because pair extraction (`substr`),
+    * whitespace exclusion, counting, tie order and replacement are all
+    * integer/string operations.
+    */
+  val q127BpeMerges: Q = (s, d) => bpeMerges(s, documents(s, d))
+
+  /** The q127 trainer over any `(doc_id, text)` frame. */
+  private[graft] def bpeMerges(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // ONE up-front spread of the text across the cluster: a small
+    // corpus file arrives as a single scan partition, and without this
+    // every one of the K training passes would run its explode+count
+    // on ONE core (measured: 2.5 s/round single-task vs ~0.4 s spread
+    // at sf0.1). The persisted per-round texts inherit the layout, so
+    // the shuffle is paid once, not per round.
+    var texts = docs.select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var it = 0
+    var exhausted = false
+    while (it < BpeIters && !exhausted) {
+      val winner = texts
+        .filter(length(col("text")) >= 2)
+        .select(col("text"),
+          explode(sequence(lit(1), length(col("text")) - 1)).as("p"))
+        .selectExpr("substr(text, p, 2) AS pair")
+        .filter(!col("pair").rlike("\\s"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (winner.isEmpty) exhausted = true
+      else {
+        val pair = winner(0).getAs[String]("pair")
+        merges += ((it, pair, winner(0).getAs[Long]("n_pair")))
+        texts = graft.core.CacheScope.track(
+          texts.withColumn("text",
+            org.apache.spark.sql.functions.replace(
+              col("text"), lit(pair), lit(mergeSym(it))))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        it += 1
+      }
+    }
+    merges.toSeq.toDF("it", "pair", "n_pair").orderBy("it")
+  }
+
+  val q127Sql: String = {
+    val stages = (0 until BpeIters).map { i =>
+      s"""p$i AS (
+         |  SELECT substr(text, p, 2) AS pair
+         |  FROM (SELECT text, unnest(range(1, length(text))) AS p
+         |        FROM t$i WHERE length(text) >= 2)),
+         |w$i AS (
+         |  SELECT $i AS it, pair, COUNT(*) AS n_pair
+         |  FROM p$i WHERE NOT regexp_matches(pair, '\\s')
+         |  GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 1),
+         |t${i + 1} AS (
+         |  SELECT doc_id,
+         |    replace(text, (SELECT pair FROM w$i), '${mergeSym(i)}') AS text
+         |  FROM t$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until BpeIters)
+      .map(i => s"SELECT it, pair, n_pair FROM w$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+       |$stages
+       |$union
+       |ORDER BY it""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q127_bpe_merges" -> q127BpeMerges,
     "q61_length_quantiles" -> q61LengthQuantiles,
     "q62_token_packing" -> q62TokenPacking,
     "q63_token_rarity" -> q63TokenRarity,
@@ -481,6 +590,7 @@ object CorpusStatsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q127_bpe_merges" -> q127Sql,
     "q61_length_quantiles" -> q61Sql,
     "q62_token_packing" -> q62Sql,
     "q63_token_rarity" -> q63Sql,
