@@ -392,6 +392,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(4000))
   }
 
+  test("q128 BPE encode is ONE map-side projection over ONE scan: the " +
+    "trained merges chain as nested literal replaces — no join, no " +
+    "re-derivation of the merged corpus") {
+    val p = physical(CorpusStatsQueries.queries("q128_bpe_encode")(spark, sf))
+    assert(p.split("Scan parquet").length - 1 == 1, p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+  }
+
   test("q42 near-dup joins on (label, salt) with no broadcast of the " +
     "embeddings table (round-1 audit: full-table broadcast)") {
     val p = physical(SimilarityQueries.q42EmbedNearDup(spark, sf))

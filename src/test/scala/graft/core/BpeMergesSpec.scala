@@ -39,4 +39,16 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(got(1)._2.head == m0 && got.map(_._1) == Seq(0, 1, 2))
     assert(m1 == 0xE001.toChar) // (documents the symbol progression)
   }
+
+  test("q128 encode compresses: every doc's BPE symbol count is at most " +
+    "its raw character count, and the corpus strictly shrank") {
+    val rows = CorpusStatsQueries.queries("q128_bpe_encode")(
+      spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe") <= r.getAs[Long]("n_chars"))
+    }
+    assert(rows.map(_.getAs[Long]("n_bpe")).sum <
+      rows.map(_.getAs[Long]("n_chars")).sum)
+  }
 }
