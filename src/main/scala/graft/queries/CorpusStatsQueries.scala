@@ -631,15 +631,22 @@ object CorpusStatsQueries {
     * codegen'd projection — no join, no loop, no second corpus
     * derivation; both counts come off the same scan.
     */
-  val q128BpeEncode: Q = (s, d) => {
-    val merges = trainedMerges(s, d)
+  val q128BpeEncode: Q = (s, d) =>
+    bpeEncodeCounts(documents(s, d), trainedMerges(s, d)).orderBy("doc_id")
+
+  /** The encode pass over any `(doc_id, text)` frame given a trained
+    * merge table — pure map-side, so it is STREAM-READY as-is
+    * (StreamReadyTransformsSpec pins batch == stream): tokenize-on-
+    * ingest with a shipped tokenizer artifact.
+    */
+  private[graft] def bpeEncodeCounts(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(Int, String, Long)]): org.apache.spark.sql.DataFrame = {
     val encodedText = merges.foldLeft(col("text")) { case (c, (i, pair, _)) =>
       org.apache.spark.sql.functions.replace(c, lit(pair), lit(mergeSym(i)))
     }
-    documents(s, d).select(col("doc_id"),
+    docs.select(col("doc_id"),
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"),
       length(regexp_replace(encodedText, "\\s", "")).cast("long").as("n_bpe"))
-      .orderBy("doc_id")
   }
 
   val q128Sql: String =

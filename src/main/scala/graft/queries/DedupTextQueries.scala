@@ -279,6 +279,53 @@ object DedupTextQueries {
        |$pairsCtesSql
        |SELECT doc_a, doc_b, n_shared_bands FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q129 — EDIT-DISTANCE confirmation of the LSH near-dup candidates:
+    * the exact-ish tier a dedup pipeline runs where signature evidence
+    * alone is too coarse to delete on. MinHash/Jaccard treats a
+    * document as a shingle SET (order- and count-blind); Levenshtein
+    * sees every insertion/substitution, so a candidate pair is
+    * `confirmed` only when the full edit distance stays within 20% of
+    * the longer document — as integer arithmetic (`dist·5 ≤ max_len`),
+    * never a float ratio, so the boundary is engine-exact. Both
+    * engines' `levenshtein` is the standard character-level DP — equal
+    * integers everywhere, no tolerance needed.
+    *
+    * Scale shape: the O(len²)-per-pair DP is affordable ONLY because
+    * it runs strictly AFTER the LSH cut — the candidate set is
+    * duplication-proportional and bucket-capped (never O(n²)), and the
+    * two text fetches broadcast the pair frame onto the corpus scan
+    * (the pair side never shuffles, the corpus never self-joins).
+    */
+  val q129EditConfirm: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    nearDupPairs(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("max_len"))
+      .withColumn("confirmed", col("edit_dist") * 5 <= col("max_len"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q129Sql: String =
+    s"""WITH $shingleRowsSql,
+       |$pairsCtesSql,
+       |sel AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_bands >= 2),
+       |scored AS (
+       | SELECT s.doc_a, s.doc_b,
+       |   levenshtein(da.text, db.text) AS edit_dist,
+       |   GREATEST(length(da.text), length(db.text)) AS max_len
+       | FROM sel s
+       |  JOIN documents da ON s.doc_a = da.doc_id
+       |  JOIN documents db ON s.doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, edit_dist, max_len,
+       |  edit_dist * 5 <= max_len AS confirmed
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+
   /** q72 — signature-estimated Jaccard for every LSH candidate pair: the
     * fraction of the P=16 minhash components on which the two signatures
     * agree — an unbiased estimator of the true shingle-set Jaccard
@@ -2162,6 +2209,7 @@ object DedupTextQueries {
     "q30_dedup_exact" -> q30DedupExact,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
+    "q129_edit_confirm" -> q129EditConfirm,
     "q64_incremental_neardup" -> q64IncrementalNeardup,
     "q72_minhash_jaccard" -> q72MinhashJaccard,
     "q75_contamination_frac" -> q75ContaminationFrac,
@@ -2195,6 +2243,7 @@ object DedupTextQueries {
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
+    "q129_edit_confirm" -> q129Sql,
     "q64_incremental_neardup" -> q64Sql,
     "q72_minhash_jaccard" -> q72Sql,
     "q75_contamination_frac" -> q75Sql,

@@ -1180,9 +1180,14 @@ object SimilarityQueries {
         transform(col("embedding"), (x, i) => {
           val mn = element_at(col("mins"), i + 1)
           val sp = element_at(col("spans"), i + 1)
+          // clamp BEFORE the int cast: an out-of-distribution value
+          // (frozen-grid coding of a wild delta) drives floor() beyond
+          // Int range, and under ANSI the cast would throw instead of
+          // saturating — QuantPropertySpec pins the edge-bin behavior
           when(sp === 0.0, 0)
-            .otherwise(least(lit(255),
-              greatest(lit(0), floor((x.cast("double") - mn) / sp).cast("int"))))
+            .otherwise(least(lit(255L),
+              greatest(lit(0L), floor((x.cast("double") - mn) / sp)))
+              .cast("int"))
         }).as("codes"))
 
   /** Bin-center dequantization of a codes column against the frame's
@@ -1223,7 +1228,7 @@ object SimilarityQueries {
        |codes AS (
        |  SELECT v.vec_id, v.dim, g.mn, g.sp,
        |    CASE WHEN g.sp = 0 THEN 0
-       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |         ELSE CAST(LEAST(255, GREATEST(0, FLOOR((v.v - g.mn) / g.sp))) AS INTEGER)
        |    END AS code
        |  FROM vals v JOIN g USING (dim) WHERE v.vec_id <> 0),
        |recon AS (
@@ -1374,7 +1379,7 @@ object SimilarityQueries {
        |codes AS (
        |  SELECT v.vec_id, v.dim, g.mn, g.sp,
        |    CASE WHEN g.sp = 0 THEN 0
-       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |         ELSE CAST(LEAST(255, GREATEST(0, FLOOR((v.v - g.mn) / g.sp))) AS INTEGER)
        |    END AS code
        |  FROM vals v JOIN g USING (dim)),
        |recon AS (
@@ -1495,7 +1500,7 @@ object SimilarityQueries {
        |codes AS (
        |  SELECT v.vec_id, v.dim, g.mn, g.sp,
        |    CASE WHEN g.sp = 0 THEN 0
-       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |         ELSE CAST(LEAST(255, GREATEST(0, FLOOR((v.v - g.mn) / g.sp))) AS INTEGER)
        |    END AS code
        |  FROM vals v JOIN g USING (dim)),
        |recon AS (
@@ -1740,7 +1745,7 @@ object SimilarityQueries {
        |codes AS (
        |  SELECT v.vec_id, v.dim, g.mn, g.sp,
        |    CASE WHEN g.sp = 0 THEN 0
-       |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR((v.v - g.mn) / g.sp) AS INTEGER)))
+       |         ELSE CAST(LEAST(255, GREATEST(0, FLOOR((v.v - g.mn) / g.sp))) AS INTEGER)
        |    END AS code
        |  FROM vals v JOIN g USING (dim)),
        |recon AS (

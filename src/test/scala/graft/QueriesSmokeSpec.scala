@@ -25,7 +25,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // core operators must produce rows even at the smallest SF
       val mustBeNonEmpty = !Set("q32_minhash_pairs", "q34_ngram_jaccard",
         "q42_embed_neardup", "q06_anti_join", "q12_except",
-        "q101_streaming_online_neardup").contains(name)
+        "q101_streaming_online_neardup",
+        // downstream of q32's candidate set — empty whenever it is
+        "q129_edit_confirm").contains(name)
       if (mustBeNonEmpty) assert(n > 0, s"$name returned no rows")
     }
   }

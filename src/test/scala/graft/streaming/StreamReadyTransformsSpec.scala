@@ -117,6 +117,33 @@ class StreamReadyTransformsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bpeEncodeCounts with a FIXED merge table emits identical symbol " +
+    "counts on a batch frame and on a micro-batched stream — " +
+    "tokenize-on-ingest with a shipped tokenizer artifact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Seq((0, "ab", 4L), (1, "", 2L), (2, "cd", 1L))
+    val docs = Seq((1L, "abab cd"), (2L, "abab"), (3L, "xyz"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = rows(graft.queries.CorpusStatsQueries
+      .bpeEncodeCounts(docs.toDF("doc_id", "text"), merges))
+    // "abab cd" -> "m1 m2": 6 raw symbols -> 2 BPE symbols
+    assert(batch == Set((1L, 6L, 2L), (2L, 4L, 1L), (3L, 3L, 3L)))
+    val source = MemoryStream[(Long, String)]
+    val q = graft.queries.CorpusStatsQueries
+      .bpeEncodeCounts(source.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_enc")
+      .outputMode("append").start()
+    try {
+      source.addData(docs(0))
+      q.processAllAvailable()
+      source.addData(docs(1), docs(2))
+      q.processAllAvailable()
+      assert(rows(spark.table("bpe_enc")) == batch)
+    } finally q.stop()
+  }
+
   test("qualityGate emits identical verdicts on a batch frame and on a " +
     "micro-batched stream of the same documents") {
     import spark.implicits._
