@@ -30,6 +30,7 @@ object SparkEntry {
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
       StreamingQueries.queries ++
+      GraphQueries.queries ++
       QuakeQueries.queries
 
   /** Dev-loop subset filter shared by Bench and Verify: parse
@@ -64,5 +65,6 @@ object SparkEntry {
       SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++
       StreamingQueries.oracle ++
+      GraphQueries.oracle ++
       QuakeQueries.oracle
 }

@@ -532,7 +532,7 @@ object CorpusStatsQueries {
   private val bpeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, Long)]]()
 
-  private def trainedMerges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def trainedMerges(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(Int, String, Long)] =
     bpeMemo.computeIfAbsent(d, _ => bpeTrain(s, documents(s, d))._1)
 

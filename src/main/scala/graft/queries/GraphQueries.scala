@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+
+/** Graph ranking over the document corpus — the link-analysis tier of a
+  * training-data pipeline (rank pages/documents by reference structure
+  * before sampling; the classic web-corpus quality prior).
+  *
+  * A production crawl arrives with a real link table; here the edge set
+  * is DERIVED deterministically from the corpus (each doc links to
+  * [[GraphQueries.OutDeg]] md5-chosen targets — the same synthetic-
+  * fixture discipline as q106's generated PNGs), so both engines build
+  * bit-identical graphs and the oracle can replay the walk.
+  *
+  * FIXED-POINT INTEGER arithmetic throughout: ranks are BIGINTs scaled
+  * by 10¹², contributions are integer divisions, damping is
+  * `(85 · x) div 100`. Integer addition is exact and commutative, so
+  * Spark's parallel partial sums and DuckDB's serial sum agree
+  * bit-for-bit — the float-PageRank sum-order hazard (different
+  * reduction trees → different last bits → hash mismatch) is designed
+  * out, exactly as the money aggregates use DECIMAL. Overflow headroom:
+  * total mass stays ≤ n·10¹² (5·10¹⁵ at sf0.1), and the damping
+  * product peaks at 85·n·10¹² ≈ 4·10¹⁷ < 2⁶³.
+  *
+  * Scale shape (the point at 100 TB): the edge table is built once and
+  * persisted; each of the [[GraphQueries.Iters]] rounds is ONE join
+  * (ranks ⋈ edges on src — both sides hash-partitioned on the same
+  * key, so AQE reuses the layout) plus ONE partial-aggregated
+  * groupBy(dst) whose shuffle carries a single BIGINT per (dst,
+  * partition), never the edge list. No driver-side state: the loop is
+  * a fixed, data-independent unrolling (the q127 BPE-trainer class,
+  * minus even the scalar collect). Dangling nodes cannot arise — every
+  * node emits exactly OutDeg edges by construction.
+  */
+object GraphQueries {
+
+  /** Out-degree of every node in the derived graph. */
+  private val OutDeg = 3
+
+  /** Power-iteration rounds (fixed unrolling, both engines). */
+  private val Iters = 5
+
+  /** Rank scale: 10¹² fixed-point units per unit of PageRank mass. */
+  private val Scale = 1000000000000L
+
+  /** `(15 · Scale) div 100` — the per-node teleport term. */
+  private val Teleport = Scale * 15L / 100L
+
+  /** The derived edge list: `doc_id → md5('pr:'‖doc_id‖':'‖j) mod n`
+    * for j ∈ [0, OutDeg). Self-loops are kept (standard PageRank is
+    * well-defined on them; both engines keep identical ones).
+    */
+  private def edgeFrame(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    val targets = (0 until OutDeg).map { j =>
+      pmod(
+        conv(substring(md5(concat(lit("pr:"), col("doc_id").cast("string"),
+          lit(s":$j"))), 1, 15), 16, 10).cast("long"),
+        col("n"))
+    }
+    docs.select(col("doc_id")).crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), explode(array(targets: _*)).as("dst"))
+  }
+
+  /** q130 — damped PageRank (d = 0.85, 5 rounds) over the derived doc
+    * graph, in exact fixed-point arithmetic. Output: every doc with its
+    * final scaled rank — the quality-prior column a sampler would join.
+    */
+  val q130PageRank: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"))
+    val edges = graft.core.CacheScope.track(
+      edgeFrame(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = docs.select(col("doc_id"), lit(Scale).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(expr(s"rank div $OutDeg")).as("c"))
+      // ranks_{k-1} feeds BOTH the contribution join and the carry-all
+      // left join — without a per-round persist the lineage doubles
+      // every round (2^Iters plan copies, 32 corpus scans at the tail).
+      // The persist truncates each round to one cached frame, exactly
+      // like checkpointing in a production power-iteration job;
+      // PlanSpec pins the final plan at zero parquet scans.
+      ranks = graft.core.CacheScope.track(ranks
+        .join(contrib, ranks("doc_id") === contrib("dst"), "left")
+        .select(ranks("doc_id"),
+          (lit(Teleport) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    ranks.orderBy("doc_id")
+  }
+
+  /** The oracle unrolls the same five rounds as chained CTEs. DuckDB's
+    * `//` is BIGINT division like Spark's `div`; `SUM(BIGINT)` widens
+    * to HUGEINT, so the per-round sum is cast back (package contract).
+    */
+  val q130Sql: String = {
+    val hash =
+      "('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':' || " +
+        "CAST(j AS VARCHAR)), 1, 15))::BIGINT % nn.n"
+    val rounds = (1 to Iters).map { k =>
+      s"""r$k AS (SELECT d.doc_id,
+         |  $Teleport + (85 * COALESCE(c.s, 0)) // 100 AS rank
+         |FROM documents d LEFT JOIN (
+         |  SELECT e.dst, CAST(SUM(r.rank // $OutDeg) AS BIGINT) AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.doc_id
+         |  GROUP BY e.dst) c ON d.doc_id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |e AS (SELECT d.doc_id AS src, $hash AS dst
+       |      FROM documents d CROSS JOIN nn
+       |      CROSS JOIN (SELECT unnest(range($OutDeg)) AS j)),
+       |r0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS rank FROM documents),
+       |$rounds
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r$Iters
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q130_pagerank" -> q130PageRank
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q130_pagerank" -> q130Sql
+  )
+}

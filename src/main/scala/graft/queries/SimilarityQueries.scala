@@ -1475,10 +1475,15 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  val q122Sql: String = {
+  /** The q122 serving pipeline as a WITH-body (through `rr`, the
+    * re-ranked shortlist) — shared VERBATIM by q122/q123's final top-10
+    * select and q131's recall evaluation, so the evaluated index can
+    * never drift from the served one.
+    */
+  private val serveQuantCtesSql: String = {
     val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
     val cosCQ = cosSql("c.c_emb", "q.qe")
-    s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+    s"""qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
        |           FROM embeddings WHERE vec_id % 10 = 0),
        |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
        |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
@@ -1521,13 +1526,153 @@ object SimilarityQueries {
        |  SELECT s.q_id, s.vec_id, s.adc_sim, ${cosSql("qs.qe", "e2.emb")} AS sim
        |  FROM short s
        |   JOIN e2 ON s.vec_id = e2.vec_id
-       |   JOIN qs ON s.q_id = qs.q_id)
+       |   JOIN qs ON s.q_id = qs.q_id)""".stripMargin
+  }
+
+  val q122Sql: String =
+    s"""WITH $serveQuantCtesSql
        |SELECT q_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
        |  vec_id, adc_sim, sim
        |FROM rr
        |QUALIFY rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q131
+
+  /** q131 — recall@10 evaluation of the compressed index: the quality
+    * gate every ANN deployment runs before switching traffic. The
+    * APPROX side is q122's serving pipeline (same code path —
+    * [[serveQuantBatch]] — so the measured index is the shipped one);
+    * the EXACT side is ground-truth brute force: the query set
+    * broadcast onto ONE corpus scan, per-query top-10 via the bounded
+    * [[graft.functions.TopKAggregate]] (map-side partials, shuffle
+    * carries ≤ 10 rows per query per partition — never the |Q|·n score
+    * matrix). Per-query hit counts are pure integers, so the hash gate
+    * is exact by construction.
+    *
+    * 100 TB shape: ground truth is the expensive leg by design (one
+    * full scan amortized over the whole query batch); a production run
+    * points the same code at a sampled query set. Recall is counted,
+    * not averaged in floats — aggregate recall is a downstream
+    * `sum(hits) / (10·|Q|)` the caller takes at whatever grain it
+    * wants.
+    */
+  val q131AnnRecall: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val approx = serveQuantBatch(s, d, qs)
+      .select(col("q_id"), col("vec_id"))
+    val exact = emb
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("vec_id"), col("sim"), 10).as("topk"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("q_id"), col("topk")))
+      .select(col("group").as("q_id"), col("id").as("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    qs.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) * 10).as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  /** Approx leg = the shared serving CTEs VERBATIM (q122's final cut);
+    * exact leg = windowed brute force; hits are integer counts.
+    */
+  val q131Sql: String =
+    s"""WITH $serveQuantCtesSql,
+       |approx AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM rr) WHERE rank <= 10),
+       |exact AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |     ORDER BY ${cosSql("q.qe", "e.emb")} DESC, e.vec_id) AS rn
+       |  FROM e2 e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+       |h AS (SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |      FROM exact x JOIN approx a USING (q_id, vec_id)
+       |      GROUP BY x.q_id)
+       |SELECT qs.q_id, COALESCE(h.hits, 0) AS hits,
+       |  COALESCE(h.hits, 0) * 10 AS recall_pct
+       |FROM qs LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+
+  /** q132 — SemDeDup-style semantic pruning: coarse-cluster the corpus,
+    * elect a per-cluster MEDOID (the member most similar to its cell's
+    * centroid), and drop every member within the near-dup cosine bar of
+    * its medoid. This is the cluster-then-prune semantic dedup tier
+    * (Abbas et al.'s SemDeDup shape) — where q104 FINDS semantic
+    * duplicate groups, q132 decides what a release KEEPS.
+    *
+    * Scale shape: the members frame is the persisted IVF store (vectors
+    * already clustered by cell — the assignment cost was paid at
+    * ingest), centroids and medoids are cluster-grain (16 rows) and
+    * broadcast; every cosine is map-side; the only aggregation groups
+    * 16 cells. No corpus-grain exchange anywhere — the whole prune is
+    * one bucketed store scan.
+    */
+  val q132SemdedupPrune: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val cents = ivfCentroids(emb)
+      .select(col("c_id").as("cell"), col("c_emb"))
+    val members = IvfIndexStore.table(s, d)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        cosineSimilarity(col("embedding"), col("c_emb")).as("cent_sim"))
+    // medoid election: ties on cent_sim break to the LARGER vec_id
+    // (max(struct) lexicographic order — mirrored in the oracle window)
+    val medoids = members
+      .groupBy("cell")
+      .agg(max(struct(col("cent_sim"), col("vec_id"))).as("m"))
+      .select(col("cell"), col("m.vec_id").as("med_id"))
+    val medEmb = medoids.join(
+      emb.select(col("vec_id").as("med_id"), col("embedding").as("med_emb")),
+      "med_id")
+    members.join(broadcast(medEmb), "cell")
+      .select(col("vec_id"), col("cell"), col("med_id"),
+        cosineSimilarity(col("embedding"), col("med_emb")).as("med_sim"))
+      .withColumn("keep",
+        col("vec_id") === col("med_id") ||
+          col("med_sim") <= lit(NearDupSimThreshold))
+      .orderBy("vec_id")
+  }
+
+  val q132Sql: String = {
+    val cosEC = cosSql("e.emb", "c.c_emb")
+    val cosEM = cosSql("e.emb", "me.emb")
+    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
+       |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.cell, $cosEC AS c_sim
+       |           FROM e2 e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, cell, c_sim AS cent_sim FROM (
+       |  SELECT vec_id, cell, c_sim,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |med AS (SELECT cell, vec_id AS med_id FROM (
+       |  SELECT cell, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cent_sim DESC, vec_id DESC) AS rn
+       |  FROM cells) WHERE rn = 1),
+       |sc AS (SELECT m.vec_id, m.cell, md.med_id, $cosEM AS med_sim
+       |       FROM cells m
+       |        JOIN med md USING (cell)
+       |        JOIN e2 e ON m.vec_id = e.vec_id
+       |        JOIN e2 me ON md.med_id = me.vec_id)
+       |SELECT vec_id, cell, med_id, med_sim,
+       |  (vec_id = med_id OR med_sim <= $NearDupSimThreshold) AS keep
+       |FROM sc
+       |ORDER BY vec_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q125
@@ -1780,6 +1925,8 @@ object SimilarityQueries {
     "q119_quant_knn" -> q119QuantKnn,
     "q121_ivf_adc_serve" -> q121IvfAdcServe,
     "q122_batch_ann_serve" -> q122BatchAnnServe,
+    "q131_ann_recall" -> q131AnnRecall,
+    "q132_semdedup_prune" -> q132SemdedupPrune,
     "q125_pq_knn" -> q125PqKnn,
     "q126_quant_index_fold" -> q126QuantIndexFold
   )
@@ -1800,6 +1947,8 @@ object SimilarityQueries {
     "q119_quant_knn" -> q119Sql,
     "q121_ivf_adc_serve" -> q121Sql,
     "q122_batch_ann_serve" -> q122Sql,
+    "q131_ann_recall" -> q131Sql,
+    "q132_semdedup_prune" -> q132Sql,
     "q125_pq_knn" -> q125Sql,
     "q126_quant_index_fold" -> q126Sql
   )

@@ -691,6 +691,56 @@ object StreamingQueries {
     readSink(s, outPath).orderBy("doc_id")
   }
 
+  /** q133 — TOKENIZE-ON-INGEST through the real engine: q128's BPE
+    * encode run per checkpointed micro-batch with a SHIPPED tokenizer
+    * artifact. The merge table is resolved ONCE, before the stream
+    * starts ([[CorpusStatsQueries.trainedMerges]] — training never
+    * happens inside a trigger; the stream consumes the artifact the
+    * way production ingest consumes a published tokenizer), then each
+    * micro-batch applies the same map-side chain of literal replaces
+    * into the batchId-keyed idempotent sink. Oracle: q128's SQL
+    * VERBATIM — encode-on-ingest must union to exactly
+    * encode-on-release, which holds iff the encode projection is
+    * stateless and batch-composition-independent (it is: per-row
+    * string rewriting, no aggregation).
+    *
+    * Scale shape: the artifact is vocabulary-grain (8 rows) and rides
+    * the closure; per trigger the cost is O(batch rows) of codegen'd
+    * string work — no store, no shuffle, no streaming state. At 100 TB
+    * this is the tokenizer running in the ingest stream, with the
+    * hash gate proving it produces the release tokenization.
+    */
+  val q133StreamingBpeEncode: Q = (s, d) => {
+    val merges = CorpusStatsQueries.trainedMerges(s, d)
+    val base = RunStore.tableName("graft_stream_bpe", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(
+            CorpusStatsQueries.bpeEncodeCounts(batch, merges), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath).orderBy("doc_id")
+  }
+
   /** q117 — DECODE-ON-INGEST through the real engine: the round-12
     * content-dispatched codec path (q116) run per checkpointed
     * micro-batch. The mixed ALL-REAL media fixture
@@ -812,7 +862,8 @@ object StreamingQueries {
     "q103_streaming_store_lifecycle" -> q103StreamingStoreLifecycle,
     "q109_streaming_cluster_maintenance" -> q109StreamingClusterMaintenance,
     "q114_streaming_pii_scrub" -> q114StreamingPiiScrub,
-    "q117_streaming_media_decode" -> q117StreamingMediaDecode)
+    "q117_streaming_media_decode" -> q117StreamingMediaDecode,
+    "q133_streaming_bpe_encode" -> q133StreamingBpeEncode)
 
   /** The batch tiers' oracles VERBATIM — the whole point: the streaming
     * engine's union of per-micro-batch results must hash-match the
@@ -829,5 +880,7 @@ object StreamingQueries {
     "q103_streaming_store_lifecycle" -> DedupTextQueries.q92Sql,
     "q109_streaming_cluster_maintenance" -> DedupTextQueries.q105Sql,
     "q114_streaming_pii_scrub" -> DedupTextQueries.q112Sql,
-    "q117_streaming_media_decode" -> MultimodalQueries.q116Sql)
+    "q117_streaming_media_decode" -> MultimodalQueries.q116Sql,
+    // q128's SQL verbatim: encode-on-ingest must equal encode-on-release
+    "q133_streaming_bpe_encode" -> CorpusStatsQueries.q128Sql)
 }

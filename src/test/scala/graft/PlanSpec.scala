@@ -392,6 +392,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(4000))
   }
 
+  test("q130 PageRank: per-round persists truncate the iteration " +
+    "lineage — the final plan reads ONE cached frame, zero parquet " +
+    "scans (the unpersisted formulation doubles the plan every round: " +
+    "2^5 corpus scans at the tail)") {
+    graft.core.CacheScope.withScope {
+      // the rendered string re-prints every InMemoryRelation's cached
+      // BUILD plan (so a fully truncated lineage still "shows" dozens
+      // of scans), and AdaptiveSparkPlanExec hides its subtree from
+      // collect() — assert on the top-level section instead: everything
+      // ABOVE the first cache boundary must be scan-free
+      val p = physical(GraphQueries.queries("q130_pagerank")(spark, sf))
+      val top = p.split("InMemoryRelation")(0)
+      assert(top.contains("InMemoryTableScan"), p.take(2000))
+      assert(!top.contains("Scan parquet"), p.take(2000))
+    }
+  }
+
+  test("q131 recall eval: ground truth aggregates through the bounded " +
+    "top-k buffer (ObjectHashAggregate — the shuffle carries k rows per " +
+    "query per partition, never the |Q|·n score matrix) and the index " +
+    "leg reads the same stored codes q122 serves from") {
+    val p = physical(SimilarityQueries.queries("q131_ann_recall")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    assert(p.contains("graft_sqidx"), p.take(4000))
+  }
+
+  test("q132 SemDeDup prune: the corpus never meets itself — members " +
+    "scan the IVF store, centroids and medoids broadcast (cluster-grain " +
+    "frames), no sort-merge join anywhere") {
+    val p = physical(SimilarityQueries.queries("q132_semdedup_prune")(spark, sf))
+    assert(p.contains("graft_ivfstore"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
   test("q128 BPE encode is ONE map-side projection over ONE scan: the " +
     "trained merges chain as nested literal replaces — no join, no " +
     "re-derivation of the merged corpus") {
