@@ -75,21 +75,23 @@ object GraphQueries {
       edgeFrame(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var ranks = docs.select(col("doc_id"), lit(Scale).as("rank"))
     for (_ <- 1 to Iters) {
+      // ONE exchange per round: contribution rows union a zero row per
+      // node (so nodes with no in-links survive with sum 0 — the
+      // groupBy replaces the left-join-back-to-nodes formulation,
+      // which paid a second exchange to carry them), then a single
+      // partial-aggregated sum by target.
       val contrib = edges
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy("dst")
-        .agg(sum(expr(s"rank div $OutDeg")).as("c"))
-      // ranks_{k-1} feeds BOTH the contribution join and the carry-all
-      // left join — without a per-round persist the lineage doubles
-      // every round (2^Iters plan copies, 32 corpus scans at the tail).
-      // The persist truncates each round to one cached frame, exactly
-      // like checkpointing in a production power-iteration job;
-      // PlanSpec pins the final plan at zero parquet scans.
-      ranks = graft.core.CacheScope.track(ranks
-        .join(contrib, ranks("doc_id") === contrib("dst"), "left")
-        .select(ranks("doc_id"),
-          (lit(Teleport) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
+        .select(col("dst").as("doc_id"), expr(s"rank div $OutDeg").as("c"))
+        .union(ranks.select(col("doc_id"), lit(0L).as("c")))
+      // without a per-round persist the lineage doubles every round
+      // (2^Iters plan copies, 32 corpus scans at the tail). The persist
+      // truncates each round to one cached frame, exactly like
+      // checkpointing in a production power-iteration job; PlanSpec
+      // pins the final plan at zero parquet scans.
+      ranks = graft.core.CacheScope.track(contrib
+        .groupBy("doc_id")
+        .agg((lit(Teleport) + expr("(85 * sum(c)) div 100")).as("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     ranks.orderBy("doc_id")
