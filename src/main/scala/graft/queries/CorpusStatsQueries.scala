@@ -657,9 +657,61 @@ object CorpusStatsQueries {
        |FROM t0 JOIN t$BpeIters USING (doc_id)
        |ORDER BY t0.doc_id""".stripMargin
 
+  /** q135 — vocabulary DRIFT between the corpus base and the ingest
+    * delta (q64's slice discipline: `doc_id % 10 = 0` is the arriving
+    * delta): the distribution-shift monitor an ingest pipeline runs
+    * before trusting frozen artifacts (tokenizer merges, quantizer
+    * grids, quality cutoffs) on new data. Per token, the divergence is
+    * the CROSS-MULTIPLIED rate difference
+    * `|c_base·n_delta − c_delta·n_base|` — exactly zero iff the token's
+    * rate is identical in both slices, monotone in the rate gap, and
+    * pure BIGINT (the float KL/JS alternatives hit the sum-order
+    * hazard; cross-multiplication compares the same rationals without
+    * ever dividing). Top-20 by divergence.
+    *
+    * Scale shape: ONE tokenize pass with a boolean slice tag, one
+    * partial-aggregated groupBy(token) (shuffle bounded by the
+    * vocabulary, not the corpus), scalar totals broadcast, and the cut
+    * is TakeOrderedAndProject — no global sort.
+    */
+  val q135TokenDrift: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select((col("doc_id") % 10 === 0).as("is_delta"),
+        explode(tokens(col("text"))).as("tok"))
+    // vocabulary-grain and consumed TWICE (totals + final projection) —
+    // persisted so the corpus is tokenized once, not once per consumer
+    val counts = graft.core.CacheScope.track(toks.groupBy("tok").agg(
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("c_delta"),
+      sum(when(col("is_delta"), 0L).otherwise(1L)).as("c_base"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.agg(
+      sum("c_delta").as("n_delta"), sum("c_base").as("n_base"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("c_base"), col("c_delta"),
+        abs(col("c_base") * col("n_delta") - col("c_delta") * col("n_base"))
+          .as("divergence"))
+      .orderBy(col("divergence").desc, col("tok"))
+      .limit(20)
+  }
+
+  val q135Sql: String =
+    s"""WITH t AS (SELECT doc_id % 10 = 0 AS is_delta, unnest($tokensSql) AS tok
+       |           FROM documents),
+       |c AS (SELECT tok,
+       |  CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS c_delta,
+       |  CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS c_base
+       |  FROM t GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c_delta) AS BIGINT) AS n_delta,
+       |             CAST(SUM(c_base) AS BIGINT) AS n_base FROM c)
+       |SELECT tok, c_base, c_delta,
+       |  abs(c_base * n_delta - c_delta * n_base) AS divergence
+       |FROM c CROSS JOIN n
+       |ORDER BY divergence DESC, tok LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q127_bpe_merges" -> q127BpeMerges,
     "q128_bpe_encode" -> q128BpeEncode,
+    "q135_token_drift" -> q135TokenDrift,
     "q61_length_quantiles" -> q61LengthQuantiles,
     "q62_token_packing" -> q62TokenPacking,
     "q63_token_rarity" -> q63TokenRarity,
@@ -673,6 +725,7 @@ object CorpusStatsQueries {
   val oracle: Map[String, String] = Map(
     "q127_bpe_merges" -> q127Sql,
     "q128_bpe_encode" -> q128Sql,
+    "q135_token_drift" -> q135Sql,
     "q61_length_quantiles" -> q61Sql,
     "q62_token_packing" -> q62Sql,
     "q63_token_rarity" -> q63Sql,

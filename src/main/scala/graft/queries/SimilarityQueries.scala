@@ -1606,6 +1606,77 @@ object SimilarityQueries {
        |FROM qs LEFT JOIN h USING (q_id)
        |ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+
+  /** q134 — HYBRID retrieval: the dense shortlist re-ranked lexically.
+    * The semantic leg is q122's serving pipeline verbatim (top-10 per
+    * query from the stored compressed index); the lexical leg joins
+    * each (query, candidate) pair to the `documents` table (the
+    * corpus-wide id alignment: `vec_id` n is document n's embedding)
+    * and scores DISTINCT-token overlap — an integer, so the fusion
+    * rank `(lex_score DESC, sim DESC, vec_id)` is engine-exact even
+    * where the dense scores tie. This is the standard two-tower +
+    * lexical-rerank retrieval stack (the RAG serving shape) as one
+    * declarative plan.
+    *
+    * Scale shape: the shortlist is k-bounded (|Q|·10 rows) and rides
+    * BROADCAST onto two pruned scans of `documents` (candidate texts,
+    * then query texts) — the corpus never joins itself; token sets are
+    * computed only for rows the shortlist touches, map-side. The final
+    * window partitions by q_id over |Q|·10 rows.
+    */
+  val q134HybridRetrieval: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val shortlist = serveQuantBatch(s, d, qs)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val withCand = docs
+      .join(broadcast(shortlist), docs("doc_id") === shortlist("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("toks").as("cand_toks"))
+    val scored = docs
+      .join(broadcast(withCand), docs("doc_id") === withCand("q_id"))
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        size(array_intersect(col("toks"), col("cand_toks")))
+          .cast("long").as("lex_score"))
+    scored
+      .withColumn("hrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("lex_score").desc, col("sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("hrank") <= 5)
+      .select(col("q_id"), col("hrank"), col("vec_id"),
+        col("lex_score"), col("sim"))
+      .orderBy("q_id", "hrank")
+  }
+
+  /** Shortlist = the shared serving CTEs verbatim; lexical scores via
+    * `list_intersect` over distinct token lists (both engines dedup,
+    * and only the SIZE is compared, so element order is irrelevant).
+    */
+  val q134Sql: String =
+    s"""WITH $serveQuantCtesSql,
+       |short10 AS (SELECT q_id, vec_id, sim FROM (
+       |  SELECT q_id, vec_id, sim,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM rr) WHERE rk <= 10),
+       |dt AS (SELECT doc_id, list_distinct($tokensSql) AS toks FROM documents),
+       |sc AS (SELECT s.q_id, s.vec_id, s.sim,
+       |  CAST(len(list_intersect(qd.toks, cd.toks)) AS BIGINT) AS lex_score
+       |  FROM short10 s
+       |   JOIN dt qd ON s.q_id = qd.doc_id
+       |   JOIN dt cd ON s.vec_id = cd.doc_id)
+       |SELECT q_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY lex_score DESC, sim DESC, vec_id) AS BIGINT) AS hrank,
+       |  vec_id, lex_score, sim
+       |FROM sc
+       |QUALIFY hrank <= 5
+       |ORDER BY q_id, hrank""".stripMargin
+
   // ---------------------------------------------------------------- q132
 
   /** q132 — SemDeDup-style semantic pruning: coarse-cluster the corpus,
@@ -1927,6 +1998,7 @@ object SimilarityQueries {
     "q122_batch_ann_serve" -> q122BatchAnnServe,
     "q131_ann_recall" -> q131AnnRecall,
     "q132_semdedup_prune" -> q132SemdedupPrune,
+    "q134_hybrid_retrieval" -> q134HybridRetrieval,
     "q125_pq_knn" -> q125PqKnn,
     "q126_quant_index_fold" -> q126QuantIndexFold
   )
@@ -1949,6 +2021,7 @@ object SimilarityQueries {
     "q122_batch_ann_serve" -> q122Sql,
     "q131_ann_recall" -> q131Sql,
     "q132_semdedup_prune" -> q132Sql,
+    "q134_hybrid_retrieval" -> q134Sql,
     "q125_pq_knn" -> q125Sql,
     "q126_quant_index_fold" -> q126Sql
   )

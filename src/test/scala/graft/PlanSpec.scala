@@ -427,6 +427,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("q134 hybrid retrieval: the k-bounded shortlist broadcasts onto " +
+    "the documents scans — the corpus never sort-merge-joins itself for " +
+    "a |Q|*10-pair lexical re-rank") {
+    val p = physical(SimilarityQueries.queries("q134_hybrid_retrieval")(spark, sf))
+    assert(p.contains("graft_sqidx"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("q135 token drift: the corpus is tokenized ONCE (vocab-grain " +
+    "counts persisted for both consumers), totals broadcast, and the " +
+    "top-20 cut is TakeOrderedAndProject — no global sort") {
+    graft.core.CacheScope.withScope {
+      val p = physical(CorpusStatsQueries.queries("q135_token_drift")(spark, sf))
+      val top = p.split("InMemoryRelation")(0)
+      assert(!top.contains("Scan parquet"), p.take(4000))
+      assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    }
+  }
+
   test("q128 BPE encode is ONE map-side projection over ONE scan: the " +
     "trained merges chain as nested literal replaces — no join, no " +
     "re-derivation of the merged corpus") {
