@@ -486,7 +486,62 @@ object EventQueries {
        |ORDER BY sim DESC, user_id, end_ms, event_id LIMIT 20""".stripMargin
   }
 
+  /** q136 — Z-ORDER layout keys: the multi-dimensional clustering
+    * operator behind `OPTIMIZE ZORDER` (Delta) / sort-order rewrites
+    * (Iceberg). Each event's (user_id, event-time) pair is normalized
+    * onto a 16-bit grid (min/max folded to ONE broadcast row — the
+    * sqGrid discipline) and the two coordinates BIT-INTERLEAVE into a
+    * single BIGINT `zkey`; writing the table sorted by zkey gives
+    * row-group min/max pruning on BOTH dimensions at once — a
+    * time-range scan of one user's tile touches the tile's row groups,
+    * not the timeline (ZOrderSpec demonstrates the pushdown on a
+    * zkey-sorted file). `shard` = the top 4 bits: the 16 space-filling
+    * tiles a writer would range-partition by.
+    *
+    * All arithmetic is integer (grid division is BIGINT `div`,
+    * interleave is shifts/masks), so the hash gate is exact; the
+    * key assignment itself is pure map-side after the 1-row grid
+    * broadcast — at 100 TB the layout pass is one scan + one
+    * range-partitioned write.
+    */
+  val q136ZorderLayout: Q = (s, d) => {
+    val ev = events(s, d)
+    val grid = ev.agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(unix_millis(col("ts"))).as("tmin"),
+      max(unix_millis(col("ts"))).as("tmax"))
+    val zexpr = (0 until 16).map(i =>
+      s"shiftleft(shiftright(bx, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(by, $i) & 1, ${2 * i + 1})").mkString(" + ")
+    ev.crossJoin(broadcast(grid))
+      .select(col("event_id"),
+        expr("CAST((user_id - umin) * 65535 div greatest(umax - umin, 1) AS BIGINT)")
+          .as("bx"),
+        expr("CAST((unix_millis(ts) - tmin) * 65535 div greatest(tmax - tmin, 1) AS BIGINT)")
+          .as("by"))
+      .select(col("event_id"), col("bx"), col("by"),
+        expr(s"CAST($zexpr AS BIGINT)").as("zkey"))
+      .withColumn("shard", expr("zkey div 268435456")) // 2^28: top-4-bit tile
+      .orderBy("event_id")
+  }
+
+  val q136Sql: String = {
+    val zexpr = (0 until 16).map(i =>
+      s"(((bx >> $i) & 1) << ${2 * i}) + (((by >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH g AS (SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+       |  MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax FROM events),
+       |b AS (SELECT event_id,
+       |  CAST((user_id - umin) * 65535 // GREATEST(umax - umin, 1) AS BIGINT) AS bx,
+       |  CAST((epoch_ms(ts) - tmin) * 65535 // GREATEST(tmax - tmin, 1) AS BIGINT) AS by
+       |  FROM events CROSS JOIN g)
+       |SELECT event_id, bx, by, zkey, zkey // 268435456 AS shard
+       |FROM (SELECT event_id, bx, by, CAST($zexpr AS BIGINT) AS zkey FROM b)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_zorder_layout" -> q136ZorderLayout,
     "q96_pattern_topk" -> q96PatternTopk,
     "q14_filter_age" -> q14FilterAge,
     "q15_filter_quality" -> q15FilterQuality,
@@ -506,6 +561,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_zorder_layout" -> q136Sql,
     "q96_pattern_topk" -> q96Sql,
     "q14_filter_age" -> q14Sql,
     "q15_filter_quality" -> q15Sql,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.EventQueries
+
+/** q136's bit-interleave must be the textbook Morton code, and the
+  * layout it exists for must actually engage: a zkey predicate over a
+  * zkey-sorted file reaches the parquet reader as a pushed filter (the
+  * row-group min/max pruning that makes Z-ordering worth a rewrite).
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def morton(bx: Long, by: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((bx >> i) & 1L) << (2 * i)
+      z |= ((by >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("q136 zkey equals the scalar Morton interleave of its own " +
+    "(bx, by), shard is the top 4 bits, and both dims de-interleave " +
+    "back exactly") {
+    val rows = EventQueries.queries("q136_zorder_layout")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val (bx, by, z, sh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(z == morton(bx, by), s"event ${r.getLong(0)}")
+      assert(sh == (z >> 28))
+      // de-interleave: even bits back to bx, odd bits to by
+      var (dx, dy) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == bx && dy == by)
+    }
+  }
+
+  test("a zkey range predicate over the zkey-sorted layout reaches the " +
+    "parquet reader (PushedFilters) — the scan shape row-group pruning " +
+    "needs") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    EventQueries.queries("q136_zorder_layout")(spark, TestSpark.Sf0001)
+      .orderBy("zkey")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+      .filter(col("zkey") >= 1000000L && col("zkey") < 2000000L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(zkey,1000000)"), plan.take(2000))
+  }
+}
