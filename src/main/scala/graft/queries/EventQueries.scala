@@ -540,8 +540,137 @@ object EventQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** q137 — ordered FUNNEL analysis (view → click → purchase): per
+    * user, each step's timestamp is the earliest qualifying event
+    * STRICTLY AFTER the previous step — the sequential-dependency
+    * semantics product analytics means by "funnel", not three
+    * independent mins. Expressed as three user-grain aggregations,
+    * each folded to a (distinct-user)-sized frame that BROADCASTS onto
+    * the next corpus scan: the event stream is never joined to itself
+    * at event grain, so the plan survives arbitrarily many events per
+    * user. Timestamps are epoch-ms BIGINTs (package contract);
+    * `reached` counts completed steps.
+    */
+  val q137Funnel: Q = (s, d) => {
+    val ev = graft.core.CacheScope.track(
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val users = ev.select("user_id").distinct()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("s1_ms"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ms") > col("s1_ms"))
+      .groupBy("user_id").agg(min(col("ms")).as("s2_ms"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ms") > col("s2_ms"))
+      .groupBy("user_id").agg(min(col("ms")).as("s3_ms"))
+    users
+      .join(broadcast(s1), Seq("user_id"), "left")
+      .join(broadcast(s2), Seq("user_id"), "left")
+      .join(broadcast(s3), Seq("user_id"), "left")
+      .withColumn("reached",
+        when(col("s3_ms").isNotNull, 3L)
+          .when(col("s2_ms").isNotNull, 2L)
+          .when(col("s1_ms").isNotNull, 1L).otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  val q137Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, MIN(ms) AS s1_ms FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(ms) AS s2_ms FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ms > s1_ms GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(ms) AS s3_ms FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ms > s2_ms GROUP BY 1)
+      |SELECT u.user_id, s1_ms, s2_ms, s3_ms,
+      |  CAST(CASE WHEN s3_ms IS NOT NULL THEN 3
+      |            WHEN s2_ms IS NOT NULL THEN 2
+      |            WHEN s1_ms IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |       LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** q138 — COHORT retention: users grouped by first-activity day, a
+    * cell per (cohort, day-offset) counting how many came back. The
+    * cohort map is user-grain and broadcasts onto one event scan; day
+    * arithmetic is integer epoch-day division, counts are exact
+    * distinct users — the classic retention triangle, hash-exact.
+    */
+  val q138CohortRetention: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    e.join(broadcast(first), "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  val q138Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1)
+      |SELECT f.cohort, e.day - f.cohort AS offset_days,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q139 — session PATH mining: the top-20 most common in-session
+    * event-type sequences. Sessions are q21's 30-minute-gap session
+    * windows; within a session the path is the '>'-joined type
+    * sequence in `(ts, event_id)` order (event_id breaks timestamp
+    * ties — a total order, so `collect_list` nondeterminism is sorted
+    * away before the join). Path frequencies aggregate partial-side
+    * (the shuffle carries distinct paths, not sessions) and the cut is
+    * a top-k, not a global sort.
+    */
+  val q139SessionPaths: Q = (s, d) => {
+    val paths = events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(
+            unix_millis(col("ts")).as("ms"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val q139Sql: String =
+    """WITH flagged AS (
+      | SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      | SELECT user_id, ts, event_id, event_type,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM flagged
+      |), paths AS (
+      | SELECT user_id, sid,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      | FROM sess GROUP BY user_id, sid
+      |)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q136_zorder_layout" -> q136ZorderLayout,
+    "q137_funnel" -> q137Funnel,
+    "q138_cohort_retention" -> q138CohortRetention,
+    "q139_session_paths" -> q139SessionPaths,
     "q96_pattern_topk" -> q96PatternTopk,
     "q14_filter_age" -> q14FilterAge,
     "q15_filter_quality" -> q15FilterQuality,
@@ -562,6 +691,9 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q136_zorder_layout" -> q136Sql,
+    "q137_funnel" -> q137Sql,
+    "q138_cohort_retention" -> q138Sql,
+    "q139_session_paths" -> q139Sql,
     "q96_pattern_topk" -> q96Sql,
     "q14_filter_age" -> q14Sql,
     "q15_filter_quality" -> q15Sql,

@@ -447,6 +447,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 funnel: every step joins the event scan against a " +
+    "BROADCAST user-grain frame — the event stream never joins itself " +
+    "at event grain, whatever the per-user event count") {
+    graft.core.CacheScope.withScope {
+      val p = physical(EventQueries.queries("q137_funnel")(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p.take(4000))
+      assert(!p.contains("SortMergeJoin"), p.take(4000))
+    }
+  }
+
+  test("q139 session paths: path frequencies partial-aggregate (the " +
+    "shuffle carries distinct paths, not sessions) and the cut is " +
+    "TakeOrderedAndProject") {
+    val p = physical(EventQueries.queries("q139_session_paths")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000))
+  }
+
   test("q128 BPE encode is ONE map-side projection over ONE scan: the " +
     "trained merges chain as nested literal replaces — no join, no " +
     "re-derivation of the merged corpus") {
