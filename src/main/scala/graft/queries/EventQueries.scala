@@ -504,7 +504,8 @@ object EventQueries {
     * broadcast — at 100 TB the layout pass is one scan + one
     * range-partitioned write.
     */
-  val q136ZorderLayout: Q = (s, d) => {
+  private def zorderFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val ev = events(s, d)
     val grid = ev.agg(
       min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
@@ -522,10 +523,15 @@ object EventQueries {
       .select(col("event_id"), col("bx"), col("by"),
         expr(s"CAST($zexpr AS BIGINT)").as("zkey"))
       .withColumn("shard", expr("zkey div 268435456")) // 2^28: top-4-bit tile
-      .orderBy("event_id")
   }
 
-  val q136Sql: String = {
+  val q136ZorderLayout: Q = (s, d) => zorderFrame(s, d).orderBy("event_id")
+
+  /** The z-key derivation as a SQL fragment shared by q136 (the layout
+    * pass) and q140 (serving over the written layout) — the served
+    * table can never drift from the computed keys.
+    */
+  private def zorderSql(where: String): String = {
     val zexpr = (0 until 16).map(i =>
       s"(((bx >> $i) & 1) << ${2 * i}) + (((by >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
@@ -537,8 +543,45 @@ object EventQueries {
        |  FROM events CROSS JOIN g)
        |SELECT event_id, bx, by, zkey, zkey // 268435456 AS shard
        |FROM (SELECT event_id, bx, by, CAST($zexpr AS BIGINT) AS zkey FROM b)
+       |$where
        |ORDER BY event_id""".stripMargin
   }
+
+  val q136Sql: String = zorderSql("")
+
+  /** q140 — SERVING over the written Z-order layout: the layout pass
+    * (q136's frame) is materialized ONCE per source dir as a
+    * shard-bucketed table sorted by `(shard, zkey)` — the physical
+    * product of an `OPTIMIZE ZORDER` rewrite — and a tile query reads
+    * it back with a LITERAL zkey range (half of tile 5). The predicate
+    * reaches the parquet reader (PlanSpec pins `PushedFilters` with
+    * the zkey bounds), and because every bucket file is zkey-sorted,
+    * row-group min/max statistics skip everything outside the range —
+    * at 100 TB a 2-D tile scan is a contiguous read of its row
+    * groups, not a timeline scan. Write is memoized per dir (the
+    * layout is an ingest artifact; serving it is the query).
+    */
+  val q140ZorderServe: Q = (s, d) => {
+    val tname = RunStore.tableName("graft_zstore", d)
+    zstoreMemo.computeIfAbsent(d, _ => {
+      graft.core.Tables.writeBucketedSorted(
+        zorderFrame(s, d), tname, 8, Seq("shard"), Seq("shard", "zkey"))
+      tname
+    })
+    s.table(tname)
+      .filter(col("zkey") >= ZServeLo && col("zkey") < ZServeHi)
+      .orderBy("event_id")
+  }
+
+  private val zstoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Served tile: the lower half of shard 5 — [5·2²⁸, 5·2²⁸ + 2²⁷). */
+  private val ZServeLo = 5L * 268435456L
+  private val ZServeHi = ZServeLo + 134217728L
+
+  val q140Sql: String =
+    zorderSql(s"WHERE zkey >= $ZServeLo AND zkey < $ZServeHi")
 
   /** q137 — ordered FUNNEL analysis (view → click → purchase): per
     * user, each step's timestamp is the earliest qualifying event
@@ -668,6 +711,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q136_zorder_layout" -> q136ZorderLayout,
+    "q140_zorder_serve" -> q140ZorderServe,
     "q137_funnel" -> q137Funnel,
     "q138_cohort_retention" -> q138CohortRetention,
     "q139_session_paths" -> q139SessionPaths,
@@ -691,6 +735,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q136_zorder_layout" -> q136Sql,
+    "q140_zorder_serve" -> q140Sql,
     "q137_funnel" -> q137Sql,
     "q138_cohort_retention" -> q138Sql,
     "q139_session_paths" -> q139Sql,

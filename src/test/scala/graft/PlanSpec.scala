@@ -447,6 +447,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 zorder serve: the literal zkey range reaches the parquet " +
+    "reader of the (shard, zkey)-sorted store — the pushdown that makes " +
+    "the layout a contiguous tile read") {
+    val p = physical(EventQueries.queries("q140_zorder_serve")(spark, sf))
+    assert(p.contains("graft_zstore"), p.take(4000))
+    assert(p.contains("PushedFilters"), p.take(4000))
+    assert(p.contains("GreaterThanOrEqual(zkey"), p.take(4000))
+  }
+
   test("q137 funnel: every step joins the event scan against a " +
     "BROADCAST user-grain frame — the event stream never joins itself " +
     "at event grain, whatever the per-user event count") {
