@@ -561,20 +561,25 @@ object EventQueries {
     * groups, not a timeline scan. Write is memoized per dir (the
     * layout is an ingest artifact; serving it is the query).
     */
-  val q140ZorderServe: Q = (s, d) => {
-    val tname = RunStore.tableName("graft_zstore", d)
-    zstoreMemo.computeIfAbsent(d, _ => {
-      graft.core.Tables.writeBucketedSorted(
-        zorderFrame(s, d), tname, 8, Seq("shard"), Seq("shard", "zkey"))
-      tname
-    })
-    s.table(tname)
+  val q140ZorderServe: Q = (s, d) =>
+    ZStore.table(s, d)
       .filter(col("zkey") >= ZServeLo && col("zkey") < ZServeHi)
       .orderBy("event_id")
-  }
 
-  private val zstoreMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The written Z-order layout as a first-class [[RunStore]] instance
+    * (round-12 advisory: the former raw per-JVM memo + direct write
+    * bypassed the cross-process build lock and fingerprint
+    * revalidation — two concurrent JVMs could race the same CREATE,
+    * and every fresh JVM re-paid the layout write even when a valid
+    * build sat on disk). As a store it gets the build lock, the
+    * fingerprint sidecar, cross-process reuse, and a visible Bench
+    * setup metric like every other ingest artifact; the independent
+    * `(shard, zkey)` sort spec — the whole point of the layout — rides
+    * the store's `sortKeys` and is part of its fingerprint.
+    */
+  private[graft] val ZStore = new RunStore("graft_zstore", 8, Seq("shard"),
+    build = (s, d) => zorderFrame(s, d),
+    sortKeys = Seq("shard", "zkey"))
 
   /** Served tile: the lower half of shard 5 — [5·2²⁸, 5·2²⁸ + 2²⁷). */
   private val ZServeLo = 5L * 268435456L
@@ -587,12 +592,26 @@ object EventQueries {
     * user, each step's timestamp is the earliest qualifying event
     * STRICTLY AFTER the previous step — the sequential-dependency
     * semantics product analytics means by "funnel", not three
-    * independent mins. Expressed as three user-grain aggregations,
-    * each folded to a (distinct-user)-sized frame that BROADCASTS onto
-    * the next corpus scan: the event stream is never joined to itself
-    * at event grain, so the plan survives arbitrarily many events per
-    * user. Timestamps are epoch-ms BIGINTs (package contract);
-    * `reached` counts completed steps.
+    * independent mins.
+    *
+    * Scale shape: the event projection is cached ONCE and every step
+    * aggregation folds its `min` MAP-SIDE (partial_min before the
+    * exchange), so each step's shuffle carries per-partition USER-grain
+    * partials — never the event stream — and the event stream is never
+    * joined to itself at event grain. The round-12 shape instead
+    * `broadcast()`-hinted the per-user step frames — but their
+    * cardinality is distinct USERS, which grows with the data
+    * (10⁸-10⁹ in a real event lake), so the forced hint bypassed
+    * `autoBroadcastJoinThreshold` and turned into an executor/driver
+    * OOM at 100× users. No hints now: the planner may still broadcast
+    * a genuinely small side (size-based, so it degrades to a shuffle
+    * join as users grow — graceful, where the hint was fatal). An
+    * explicit `repartition(user_id)` layout was tried and rejected:
+    * the cached plan is AQE-wrapped, so `InMemoryTableScan` reports
+    * unknown partitioning and downstream ops re-exchange anyway — the
+    * layout pass would be one full event-grain shuffle of pure waste.
+    * Timestamps are epoch-ms BIGINTs (package contract); `reached`
+    * counts completed steps.
     */
   val q137Funnel: Q = (s, d) => {
     val ev = graft.core.CacheScope.track(
@@ -604,17 +623,17 @@ object EventQueries {
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ms")).as("s1_ms"))
     val s2 = ev.filter(col("event_type") === "click")
-      .join(broadcast(s1), "user_id")
+      .join(s1, "user_id")
       .filter(col("ms") > col("s1_ms"))
       .groupBy("user_id").agg(min(col("ms")).as("s2_ms"))
     val s3 = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(s2), "user_id")
+      .join(s2, "user_id")
       .filter(col("ms") > col("s2_ms"))
       .groupBy("user_id").agg(min(col("ms")).as("s3_ms"))
     users
-      .join(broadcast(s1), Seq("user_id"), "left")
-      .join(broadcast(s2), Seq("user_id"), "left")
-      .join(broadcast(s3), Seq("user_id"), "left")
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
       .withColumn("reached",
         when(col("s3_ms").isNotNull, 3L)
           .when(col("s2_ms").isNotNull, 2L)
@@ -640,16 +659,27 @@ object EventQueries {
       |ORDER BY user_id""".stripMargin
 
   /** q138 — COHORT retention: users grouped by first-activity day, a
-    * cell per (cohort, day-offset) counting how many came back. The
-    * cohort map is user-grain and broadcasts onto one event scan; day
+    * cell per (cohort, day-offset) counting how many came back. Day
     * arithmetic is integer epoch-day division, counts are exact
     * distinct users — the classic retention triangle, hash-exact.
+    *
+    * Scale shape: same discipline as q137 — the (user_id, day)
+    * projection is cached once; the cohort-map aggregation folds its
+    * `min` map-side so its shuffle is user-grain partials, and the
+    * events⋈cohort join is planner-chosen with NO hint (the cohort
+    * map is user-grain; round 12 force-broadcast it, an OOM at 100×
+    * users — see q137). Past that, the exact-distinct count's
+    * exchanges carry distinct (cohort, offset, user) triples with
+    * map-side partials — how an exact retention triangle must
+    * shuffle.
     */
   val q138CohortRetention: Q = (s, d) => {
-    val e = events(s, d)
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val e = graft.core.CacheScope.track(
+      events(s, d)
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
-    e.join(broadcast(first), "user_id")
+    e.join(first, "user_id")
       .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_days"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort", "offset_days")
@@ -688,21 +718,31 @@ object EventQueries {
       .limit(20)
   }
 
+  /** The oracle orders on `epoch_ms(ts)` — the SAME millisecond grain
+    * the Spark side's sort struct carries (round-12 advisory: ordering
+    * by full-precision ts here while Spark orders by `unix_millis`
+    * would flip the serialized path for two same-session events
+    * differing only in sub-millisecond components; the fixture is
+    * currently ms-coarse, but a testdata regeneration at µs resolution
+    * has happened once already). The 30-minute GAP test stays on full
+    * ts — that matches Spark's `session_window`, whose merge-by-gap is
+    * order-independent, so only the serialization order needs pinning.
+    */
   val q139Sql: String =
     """WITH flagged AS (
       | SELECT user_id, ts, event_id, event_type,
       |  CASE WHEN LAG(ts) OVER w IS NULL
       |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
       | FROM events
-      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |), sess AS (
       | SELECT user_id, ts, event_id, event_type,
-      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
       |                   ROWS UNBOUNDED PRECEDING) AS sid
       | FROM flagged
       |), paths AS (
       | SELECT user_id, sid,
-      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  string_agg(event_type, '>' ORDER BY epoch_ms(ts), event_id) AS path
       | FROM sess GROUP BY user_id, sid
       |)
       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions

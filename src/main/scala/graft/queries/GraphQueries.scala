@@ -52,6 +52,16 @@ object GraphQueries {
   /** The derived edge list: `doc_id → md5('pr:'‖doc_id‖':'‖j) mod n`
     * for j ∈ [0, OutDeg). Self-loops are kept (standard PageRank is
     * well-defined on them; both engines keep identical ones).
+    *
+    * Edges are ANCHORED on the docs frame: a target id that names no
+    * real document is dropped here, once, at build time — the exact
+    * rows the oracle's documents-anchored LEFT JOIN discards per
+    * round. Without this the parity silently depended on doc_id being
+    * contiguous in [0, n) (round-12 advisory): a sparse id space would
+    * have let phantom targets accumulate rank rows on the Spark side
+    * (self-sustaining via the per-round union) that the oracle never
+    * emits. The semi-join costs one edge-grain exchange, paid once and
+    * persisted with the edges; the per-round loop is unchanged.
     */
   private def edgeFrame(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n"))
@@ -63,6 +73,7 @@ object GraphQueries {
     }
     docs.select(col("doc_id")).crossJoin(broadcast(n))
       .select(col("doc_id").as("src"), explode(array(targets: _*)).as("dst"))
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "semi")
   }
 
   /** q130 — damped PageRank (d = 0.85, 5 rounds) over the derived doc

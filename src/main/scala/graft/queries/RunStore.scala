@@ -61,7 +61,16 @@ private[graft] final class RunStore(
     build: (SparkSession, String) => DataFrame,
     metaBuild: (SparkSession, String) => Map[String, String] =
       RunStore.NoMeta,
-    metaVersion: String = "") {
+    metaVersion: String = "",
+    sortKeys: Seq[String] = Nil) {
+
+  /** Per-file sort spec of the written layout: `sortKeys` when given
+    * (may be a strict superset of the bucket columns — the Z-order
+    * store sorts `(shard, zkey)` inside `shard` buckets), else the
+    * bucket columns (the default every pre-round-13 store used).
+    */
+  private val effectiveSortKeys: Seq[String] =
+    if (sortKeys.isEmpty) bucketKeys else sortKeys
 
   private val built = new ConcurrentHashMap[String, String]()
   private val modes = new ConcurrentHashMap[String, String]()
@@ -81,7 +90,7 @@ private[graft] final class RunStore(
       // validated/built first — their fingerprints feed this one's
       val frame = build(s, d)
       val fp = RunStore.fingerprint(s, d, prefix, numBuckets, bucketKeys,
-        frame, metaVersion)
+        frame, metaVersion, effectiveSortKeys)
       if (RunStore.revalidate(s, t, fp)) modes.put(d, "reused")
       else RunStore.withBuildLock(s, t) {
         // the lock wait may have been another process finishing this
@@ -89,7 +98,8 @@ private[graft] final class RunStore(
         if (RunStore.revalidate(s, t, fp)) modes.put(d, "reused")
         else {
           RunStore.dropWithLocation(s, t)
-          graft.core.Tables.writeBucketed(frame, t, numBuckets, bucketKeys: _*)
+          graft.core.Tables.writeBucketedSorted(frame, t, numBuckets,
+            bucketKeys, effectiveSortKeys)
           // index metadata (quantization grids, coarse centroids, ...)
           // is derived at build time and persisted IN the sidecar, so a
           // reusing process — or a probe — reads it without any corpus
@@ -263,10 +273,15 @@ private[graft] object RunStore {
     */
   private def fingerprint(s: SparkSession, d: String, prefix: String,
       numBuckets: Int, bucketKeys: Seq[String], frame: DataFrame,
-      metaVersion: String = ""): String = {
+      metaVersion: String = "", sortKeys: Seq[String] = Nil): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def add(x: String): Unit = md.update(x.getBytes("UTF-8"))
     add(s"$prefix|$numBuckets|${bucketKeys.mkString(",")}|$metaVersion")
+    // a sort spec distinct from the bucket keys is part of the layout
+    // contract (changing it must rebuild); appended conditionally so
+    // every pre-existing store's fingerprint is unchanged
+    if (sortKeys.nonEmpty && sortKeys != bucketKeys)
+      add(s"|sort=${sortKeys.mkString(",")}")
     val src = new Path(d)
     val fs = hadoopFs(s, src)
     if (fs.exists(src)) digestListing(fs, src, md)

@@ -456,13 +456,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(zkey"), p.take(4000))
   }
 
-  test("q137 funnel: every step joins the event scan against a " +
-    "BROADCAST user-grain frame — the event stream never joins itself " +
-    "at event grain, whatever the per-user event count") {
+  // The real q137/q138 invariant (round-12 verdict #1): the former pin
+  // asserted BroadcastHashJoin — but the step frames are USER-grain
+  // (cardinality grows with the data), so the broadcast()-hint that
+  // forced it was an OOM at 100× users. What must hold instead: (a) no
+  // forced broadcast of a user-grain frame — the planner may still
+  // size-pick one, which degrades to a shuffle join as users grow
+  // (graceful, where the hint was fatal); (b) the event source is
+  // scanned exactly ONCE, into the cached projection — the event
+  // stream never self-joins at event grain against a fresh scan;
+  // (c) every step aggregation folds MAP-SIDE (partial_min before its
+  // exchange), so step shuffles carry user-grain partials, never the
+  // event stream.
+  test("q137 funnel: no broadcast() hint of a user-grain frame, the " +
+    "event source scans once (into the cache), and step mins fold " +
+    "map-side so every step shuffle is user-grain partials") {
     graft.core.CacheScope.withScope {
-      val p = physical(EventQueries.queries("q137_funnel")(spark, sf))
-      assert(p.contains("BroadcastHashJoin"), p.take(4000))
-      assert(!p.contains("SortMergeJoin"), p.take(4000))
+      val df = EventQueries.queries("q137_funnel")(spark, sf)
+      val opt = df.queryExecution.optimizedPlan
+      assert(!opt.toString.contains("strategy=broadcast"),
+        opt.toString.take(4000))
+      val leaves = opt.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        leaves.map(_.getClass.getName).mkString(","))
+      assert(physical(df).contains("partial_min"), physical(df).take(6000))
+    }
+  }
+
+  test("q138 cohort retention: no broadcast() hint of the user-grain " +
+    "cohort map, one event scan (into the cache), map-side partials on " +
+    "both the cohort min and the distinct count") {
+    graft.core.CacheScope.withScope {
+      val df = EventQueries.queries("q138_cohort_retention")(spark, sf)
+      val opt = df.queryExecution.optimizedPlan
+      assert(!opt.toString.contains("strategy=broadcast"),
+        opt.toString.take(4000))
+      val leaves = opt.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        leaves.map(_.getClass.getName).mkString(","))
+      val p = physical(df)
+      assert(p.contains("partial_min"), p.take(6000))
+      assert(p.contains("partial_count"), p.take(6000))
     }
   }
 
