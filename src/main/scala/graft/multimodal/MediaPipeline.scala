@@ -165,6 +165,68 @@ object MediaPipeline {
     }).toDF("doc_id", "width", "height", "n_frames", "center_px")
   }
 
+  /** ENCODE a PNG whose every pixel is `px(x, y) & 0xFF` replicated
+    * across R, G and B (a grayscale formula image): the q141 perceptual
+    * fixture generator. Like [[encodePng]], the point is that the pixel
+    * content is a pure function a SQL oracle can replay — but the
+    * FUNCTION is caller-supplied, so a pair of documents can carry
+    * pixel-identical content at different dimensions/encodings (the
+    * re-encode class of near-duplicate that byte-level fingerprints
+    * provably cannot pair).
+    */
+  def encodePngGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(x, y) & 0xFF
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit PERCEPTUAL dHash over real decoded images: decode →
+    * [[resizeNearest]] to a 9×8 grayscale grid → bit (y·8+x) set iff
+    * `gray(x+1, y) > gray(x, y)` — the classic difference hash, every
+    * step bit-deterministic (integer nearest-neighbor sampling, blue
+    * channel as gray — the encoder replicates gray across channels).
+    * Two images whose PIXELS match at the 9×8 sample grid hash
+    * identically whatever their byte encoding or resolution; a
+    * brightness-shifted copy also survives (adjacent-pixel comparisons
+    * are shift-invariant). Same partition-wise iterator shape as
+    * [[decodeMeta]]: one codec activation per row, narrow (doc_id,
+    * BIGINT) output — at 100 TB the payload bytes never reach an
+    * exchange, only 8 bytes of hash per image do.
+    */
+  def dhash64(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: undecodable PNG payload")
+      val g = resizeNearest(img, 9, 8)
+      var dh = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if ((g.getRGB(x + 1, y) & 0xFF) > (g.getRGB(x, y) & 0xFF))
+            dh |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      (r.doc_id, dh)
+    }).toDF("doc_id", "dh")
+  }
+
   /** REAL nearest-neighbor resize over a decoded image — integer
     * source sampling (`srcX = x·w/ow`), so every output pixel is a
     * pure function of the source pixels and the dimensions: exactly

@@ -913,7 +913,131 @@ object MultimodalQueries {
       |    ELSE 0 END AS INTEGER) AS sample_rate
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q141 — PIXEL-SPACE perceptual image near-dup (dHash): the tier
+    * byte-level media near-dup (q89's byte-window MinHash) cannot
+    * reach — two images that are the same PICTURE but different BYTES
+    * (re-encoded, rescaled) share no byte windows, yet their 64-bit
+    * difference hashes are identical. The pipeline: REAL PNG decode →
+    * real 9×8 nearest-neighbor grayscale downsample (the q110 loop) →
+    * adjacent-pixel comparison bits → [[graft.multimodal.MediaPipeline
+    * .dhash64]]; candidates via 4×16-bit band buckets (q89's LSH
+    * banding discipline applied to the hash), confirmed on Hamming
+    * distance ≤ 4 (`bit_count(xor)` — codegen'd integer ops).
+    *
+    * Fixture: documents pair up as (2g, 2g+1) — both render the SAME
+    * md5-derived base image (gray(sx,sy) = first byte of
+    * md5('dh:g:sx:sy')), the odd one at 2× resolution (every pixel
+    * duplicated). The payloads are byte-disjoint (different dimensions
+    * → different IDAT streams), so exact/byte-window dedup provably
+    * misses every pair (DHashSpec asserts it), while the floor
+    * arithmetic of nearest-neighbor sampling makes the two 9×8 grids
+    * EXACTLY equal: `(⌊2a⌋)⌊/2⌋ = ⌊a⌋`, so Hamming = 0 by
+    * construction. The oracle replays grid, bits, bands and Hamming in
+    * closed form (`unnest(range)` + DuckDB md5).
+    *
+    * Scale shape: payload bytes stay partition-local (decode emits 8
+    * bytes of hash per image); the band self-join is over a doc-grain
+    * 4-rows-per-doc frame, collision buckets are 16-bit (≈ n²/2¹⁶
+    * candidate pairs per band — at real scale the band width grows
+    * with log n, exactly like q89's text bands), and the Hamming
+    * confirm is one codegen'd expression per candidate, no re-decode.
+    */
+  /** The q141 fixture: doc pair (2g, 2g+1) renders the SAME md5-derived
+    * base image, the odd member at 2× resolution — same picture,
+    * byte-disjoint PNG payloads. Shared with DHashSpec, which proves
+    * the byte-window tier (q89's engine) pairs NONE of them.
+    */
+  private[graft] def dhashFixtureMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[
+        graft.multimodal.MediaPipeline.MediaRow] = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val g = id / 2
+          val scale = (id % 2 + 1).toInt
+          val bw = (g % 13 + 12).toInt
+          val bh = (g % 7 + 10).toInt
+          // base-resolution gray values, one md5 per BASE cell (the
+          // scaled variant replicates them pixel-for-pixel, no new
+          // hashing) — both variants of a pair are the same picture
+          val base = Array.tabulate(bw, bh) { (sx, sy) =>
+            md.digest(s"dh:$g:$sx:$sy".getBytes("UTF-8"))(0) & 0xFF
+          }
+          MediaPipeline.MediaRow(id, "image/png",
+            MediaPipeline.encodePngGray(bw * scale, bh * scale,
+              (x, y) => base(x / scale)(y / scale)))
+        }
+      }
+  }
+
+  val q141PerceptualNearDup: Q = (s, d) => {
+    import graft.multimodal.MediaPipeline
+    val media = dhashFixtureMedia(s, d)
+    val bands = graft.core.CacheScope.track(
+      MediaPipeline.dhash64(media)
+        .select(col("doc_id"), col("dh"),
+          explode(expr(
+            "array(0, 1, 2, 3)")).as("band"))
+        .withColumn("bval",
+          expr("shiftright(dh, band * 16) & 65535"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dh").as("dh_a"), col("b.dh").as("dh_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(dh_a ^ dh_b) AS BIGINT)"))
+      .filter(col("hamming") <= 4)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q141Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 + 1 AS scale
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, g, scale,
+      |    (g % 13 + 12) * scale AS w, (g % 7 + 10) * scale AS h
+      |  FROM p),
+      |grid AS (
+      |  SELECT m.doc_id, t.x, u.y,
+      |    ('0x' || substr(md5('dh:' || CAST(m.g AS VARCHAR) || ':' ||
+      |       CAST(((t.x * m.w) // 9) // m.scale AS VARCHAR) || ':' ||
+      |       CAST(((u.y * m.h) // 8) // m.scale AS VARCHAR)), 1, 2))::INTEGER AS v
+      |  FROM dims m, unnest(range(0, 9)) AS t(x), unnest(range(0, 8)) AS u(y)),
+      |bits AS (
+      |  SELECT g1.doc_id, g1.y * 8 + g1.x AS i,
+      |    CASE WHEN g2.v > g1.v THEN 1 ELSE 0 END AS bit
+      |  FROM grid g1 JOIN grid g2
+      |    ON g1.doc_id = g2.doc_id AND g2.x = g1.x + 1 AND g2.y = g1.y
+      |  WHERE g1.x < 8),
+      |bands AS (
+      |  SELECT doc_id, i // 16 AS band,
+      |    CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS bval
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM cand c
+      |  JOIN bits ba ON ba.doc_id = c.doc_a
+      |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q141_perceptual_neardup" -> q141PerceptualNearDup,
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
     "q86_media_dedup" -> q86MediaDedup,
@@ -929,6 +1053,7 @@ object MultimodalQueries {
     "q113_avi_frame_sample" -> q113AviFrameSample,
     "q116_media_meta_dispatch" -> q116MediaMetaDispatch)
   val oracle: Map[String, String] = Map(
+    "q141_perceptual_neardup" -> q141Sql,
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
     "q86_media_dedup" -> q86Sql,
