@@ -125,7 +125,9 @@ object Bench {
       "dupwin_store_build" ->
         (() => graft.queries.IngestQueries.DupWindowStore.ensure(spark, sfDir)),
       "zstore_build" ->
-        (() => graft.queries.EventQueries.ZStore.ensure(spark, sfDir)))
+        (() => graft.queries.EventQueries.ZStore.ensure(spark, sfDir)),
+      "ivfpq_index_build" ->
+        (() => graft.queries.SimilarityQueries.IvfPqIndexStore.ensure(spark, sfDir)))
     val setupTimes: Seq[(String, Double, Either[String, String])] =
       setups.map { case (name, run) =>
         val t0 = System.nanoTime()

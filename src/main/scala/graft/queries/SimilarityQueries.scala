@@ -1412,6 +1412,31 @@ object SimilarityQueries {
       .toDF("c_id", "c_emb")
   }
 
+  /** The FIXED-SIZE serving/eval query set shared by q122/q123/q131/
+    * q134/q142/q143: 32 md5-sampled vectors (the q49 hash-split
+    * discipline). Round 12 used "every 10th vector" — corpus-
+    * PROPORTIONAL, so the broadcast shortlists and per-query windows
+    * grew with the data, the opposite of the bounded-batch shape a
+    * serving system actually has (round-12 verdict #6). |Q| is now a
+    * constant across scale factors: the q·k broadcasts are genuinely
+    * bounded, and the recall gate reads the same number of queries at
+    * every SF.
+    */
+  private[graft] val AnnQueryCount = 32
+
+  private[graft] def annQuerySet(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb.orderBy(md5(concat(lit("annq:"), col("vec_id").cast("string"))))
+      .limit(AnnQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** The same sample as a CTE body (columns `q_id`, `qe` DOUBLE[]). */
+  private[graft] val annQuerySetSql: String =
+    s"""SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings
+       |           ORDER BY md5('annq:' || CAST(vec_id AS VARCHAR))
+       |           LIMIT $AnnQueryCount""".stripMargin
+
   /** BATCH ANN serving over the stored compressed index: the whole
     * `(q_id, q_emb)` query set served in ONE pass. Where q121 is the
     * single-probe shape (literal cell-IN, row-group pruning), this is
@@ -1466,14 +1491,10 @@ object SimilarityQueries {
         col("adc_sim"), col("sim"))
   }
 
-  /** q122 — every 10th vector as a query, served in one batch pass. */
-  val q122BatchAnnServe: Q = (s, d) => {
-    val emb = embeddings(s, d)
-    serveQuantBatch(s, d,
-      emb.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+  /** q122 — the fixed md5-sampled query set, served in one batch pass. */
+  val q122BatchAnnServe: Q = (s, d) =>
+    serveQuantBatch(s, d, annQuerySet(embeddings(s, d)))
       .orderBy("q_id", "rank")
-  }
 
   /** The q122 serving pipeline as a WITH-body (through `rr`, the
     * re-ranked shortlist) — shared VERBATIM by q122/q123's final top-10
@@ -1483,8 +1504,7 @@ object SimilarityQueries {
   private val serveQuantCtesSql: String = {
     val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
     val cosCQ = cosSql("c.c_emb", "q.qe")
-    s"""qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-       |           FROM embeddings WHERE vec_id % 10 = 0),
+    s"""qs AS ($annQuerySetSql),
        |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
        |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
        |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
@@ -1560,8 +1580,7 @@ object SimilarityQueries {
     */
   val q131AnnRecall: Q = (s, d) => {
     val emb = embeddings(s, d)
-    val qs = emb.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qs = annQuerySet(emb)
     val approx = serveQuantBatch(s, d, qs)
       .select(col("q_id"), col("vec_id"))
     val exact = emb
@@ -1627,8 +1646,7 @@ object SimilarityQueries {
     */
   val q134HybridRetrieval: Q = (s, d) => {
     val emb = embeddings(s, d)
-    val qs = emb.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qs = annQuerySet(emb)
     val shortlist = serveQuantBatch(s, d, qs)
       .select(col("q_id"), col("vec_id"), col("sim"))
     val docs = graft.core.Tables.documents(s, d)
@@ -1980,7 +1998,531 @@ object SimilarityQueries {
        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q142
+
+  /** The flattened 16×64 RESIDUAL codebook shared by the IVF-PQ build
+    * and serve paths: codeword j is the residual (vector − its cell's
+    * midrange ANCHOR, IEEE double subtraction) of the j-th vector in
+    * `md5('pq:'‖vec_id)` sample order, re-indexed 0..15 by vec_id.
+    * Residual-space codewords are the whole point of IVF-PQ: after the
+    * coarse tier removes the cell center, the residual distribution
+    * is tighter than the raw vectors, so the same 4-bit budget buys a
+    * smaller ADC error (the FAISS `IndexIVFPQ` shape — IvfPqSpec pins
+    * it against flat PQ). The salt makes the sample DISJOINT from the
+    * centroid sample — a centroid's residual against itself would be
+    * degenerate. Driver-side derivation is the bounded index-build
+    * class (16 + 16 rows); every arithmetic step is replayed verbatim
+    * by the oracle's `rres` CTE.
+    */
+  private[graft] final case class PqCodebook(flat: Seq[Double]) {
+    /** Subspace `s`'s 16×8 slice for the map-side argmin. */
+    def sub(s: Int): Array[Array[Double]] =
+      Array.tabulate(16)(j =>
+        flat.slice(j * 64 + s * 8, j * 64 + s * 8 + 8).toArray)
+  }
+
+  /** Per-cell reconstruction ANCHORS: each dimension's `(min+max)/2`
+    * midrange over the cell's members. The anchor is what the residual
+    * is taken against — a robust cell center that, unlike a float
+    * MEAN, is order-independent (exact min/max, one IEEE add+divide),
+    * so the whole residual pipeline stays bit-exact under any
+    * partitioning; a mean's partial-sum order would break the hash
+    * gate. Midrange anchors are what make residual coding actually
+    * beat flat PQ on this corpus (IvfPqSpec): anchoring at the SAMPLED
+    * centroid vector leaves residuals as spread as the raw space
+    * (cosine cells ignore magnitude), and measured reconstruction
+    * error was WORSE than flat PQ — 530 vs 382 at sf0.001 — while
+    * midrange anchors reach 375. One partial-agg'd corpus pass at
+    * build time; 16 rows thereafter.
+    */
+  private[graft] def ivfCellAnchors(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    ivfAssignments(embeddings(s, d))
+      .select(col("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(((min(col("v")) + max(col("v"))) / 2.0).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("g"))
+      .select(col("cell"), transform(col("g"), x => x.getField("m")).as("cd"))
+
+  private[graft] def pqResidualCodebook(
+      s: org.apache.spark.sql.SparkSession, d: String): PqCodebook = {
+    val emb = embeddings(s, d)
+    val anchors = ivfCellAnchors(s, d).collect()
+      .map(r => r.getAs[Number]("cell").longValue -> r.getSeq[Double](1).toArray)
+      .toMap
+    val cents = ivfCentroids(emb).collect()
+      .map(r => (r.getAs[Number]("c_id").longValue, r.getSeq[Float](1).toArray))
+    val samples = emb
+      .orderBy(md5(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .limit(16)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val flat = samples.toSeq.flatMap { case (_, v) =>
+      // the sample's cell via the SAME argmax the corpus assignment
+      // uses: max cosine, ties to the LARGER centroid id — then the
+      // residual against that cell's midrange anchor
+      val (cid, _) = cents.maxBy { case (id, ce) => (cosLocal(ce, v), id) }
+      val a = anchors(cid)
+      v.indices.map(i => v(i).toDouble - a(i))
+    }
+    PqCodebook(flat)
+  }
+
+  /** q142 — IVF-PQ with RESIDUAL coding: q121's inverted cells composed
+    * with q125's subspace codebooks, quantizing the RESIDUAL
+    * (vector − cell centroid) — the production FAISS `IndexIVFPQ`
+    * layout. The ON-DISK store holds `(cell, vec_id, codes)` with
+    * codes = 8 four-bit nibbles per vector (16× smaller than fp32),
+    * bucketed and sorted by cell; centroids and the residual codebook
+    * persist as sidecar METADATA, so a probe touches no corpus-sized
+    * frame: 2 probed cells' nibble codes + a |Q|·20-row exact re-rank.
+    *
+    * Build: cell assignment (map-side argmax), the residual against
+    * the cell's midrange anchor ([[ivfCellAnchors]] — one partial-
+    * agg'd pass) via a broadcast 16-row join + `zip_with` subtraction,
+    * then 8 codegen'd [[graft.functions.NearestCentroid]] argmins over
+    * the residual's subspace slices (the q125 map-side discipline: NO
+    * exchange in the coding itself).
+    *
+    * Serve ([[serveIvfPqBatch]], the [[serveQuantBatch]] shape): probe
+    * cells in-plan (|Q|×16 sidecar-centroid cosines), broadcast onto
+    * ONE store scan, ADC against `centroid + codeword` reconstruction
+    * (both terms from broadcast/literal metadata — every arithmetic
+    * step index-ordered IEEE double, bit-identical to the oracle),
+    * per-query top-20 via bounded [[graft.functions.TopKAggregate]]
+    * partials, exact re-rank to 10. q143 gates the recall of all three
+    * quantization tiers on the same queries.
+    */
+  private[graft] val IvfPqIndexStore = new RunStore("graft_ivfpq", 8,
+    Seq("cell"),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cb = pqResidualCodebook(s, d)
+      ivfAssignments(emb)
+        .join(broadcast(ivfCellAnchors(s, d)), "cell")
+        .select(col("cell"), col("vec_id"),
+          zip_with(col("embedding").cast("array<double>"),
+            col("cd"), (a, b) => a - b).as("resid"))
+        .select(col("cell"), col("vec_id"),
+          array((0 until 8).map(sub =>
+            graft.functions.NearestCentroid.nearestCentroidSqrt(
+              slice(col("resid"), sub * 8 + 1, 8), cb.sub(sub))): _*)
+            .as("codes"))
+    },
+    metaBuild = (s, d) => {
+      val cb = pqResidualCodebook(s, d)
+      val cents = ivfCentroids(embeddings(s, d)).collect().map { r =>
+        r.getAs[Number]("c_id").longValue -> r.getSeq[Float](1)
+      }.sortBy(_._1)
+      val anchors = ivfCellAnchors(s, d).collect().map { r =>
+        r.getAs[Number]("cell").longValue -> r.getSeq[Double](1)
+      }.sortBy(_._1)
+      Map(
+        "pq_cb" -> cb.flat.map(_.toString).mkString(","),
+        "centroids" -> cents.map { case (id, v) =>
+          s"$id:${v.map(_.toString).mkString(",")}"
+        }.mkString(";"),
+        "anchors" -> anchors.map { case (id, v) =>
+          s"$id:${v.map(_.toString).mkString(",")}"
+        }.mkString(";"))
+    },
+    metaVersion = "ivfpq-v2")
+
+  /** Parsed [[IvfPqIndexStore]] metadata: probe centroids (coarse,
+    * float), per-cell reconstruction anchors (midrange, double), and
+    * the flat residual codebook.
+    */
+  private[graft] final case class IvfPqMeta(
+      cbFlat: Array[Double], centroids: Array[(Long, Array[Float])],
+      anchors: Array[(Long, Array[Double])])
+
+  private[graft] def ivfPqMeta(
+      s: org.apache.spark.sql.SparkSession, d: String): IvfPqMeta = {
+    val m = IvfPqIndexStore.metadata(s, d)
+    IvfPqMeta(
+      m("pq_cb").split(",").map(_.toDouble),
+      m("centroids").split(";").map { c =>
+        val Array(id, vs) = c.split(":", 2)
+        id.toLong -> vs.split(",").map(_.toFloat)
+      },
+      m("anchors").split(";").map { c =>
+        val Array(id, vs) = c.split(":", 2)
+        id.toLong -> vs.split(",").map(_.toDouble)
+      })
+  }
+
+  /** Batch serving over the stored IVF-PQ index — [[serveQuantBatch]]'s
+    * shape with `centroid + residual-codeword` ADC reconstruction: the
+    * 16-row double-precision centroid frame broadcasts onto the pruned
+    * store scan, the codebook rides as a flat literal, and everything
+    * after the ADC is identical to the int8 path (bounded top-k
+    * partials, broadcast |Q|·20 exact re-rank).
+    */
+  private[graft] def serveIvfPqBatch(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val meta = ivfPqMeta(s, d)
+    val cbFlatL = typedLit(meta.cbFlat.toSeq)
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val centF = meta.centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("c_id", "c_emb")
+    val centD = meta.anchors.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cd")
+    val probe = queries
+      .crossJoin(broadcast(centF))
+      .withColumn("p_sim", cosineSimilarity(col("c_emb"), col("q_emb")))
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(col("p_sim").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+    val shortlist = IvfPqIndexStore.table(s, d)
+      .join(broadcast(probe), "cell")
+      .join(broadcast(centD), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"),
+          transform(sequence(lit(0), lit(63)), dd =>
+            element_at(col("cd"), dd + 1) +
+              element_at(cbFlatL,
+                element_at(col("codes"), (dd / 8).cast("int") + 1) * 64 + dd + 1)))
+          .as("adc_sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("vec_id"), col("adc_sim"), 20).as("topk"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("q_id"), col("topk")))
+      .select(col("group").as("q_id"), col("id").as("vec_id"),
+        col("score").as("adc_sim"))
+    embeddings(s, d).join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("adc_sim"), col("sim"))
+  }
+
+  val q142IvfPqServe: Q = (s, d) =>
+    serveIvfPqBatch(s, d, annQuerySet(embeddings(s, d)))
+      .orderBy("q_id", "rank")
+
+  /** The IVF-PQ pipeline as a WITH-body through `pqrecon` (every
+    * vector's `centroid + residual-codeword` reconstruction) — shared
+    * by q142's serve and q143's tier eval.
+    */
+  private val ivfPqCtesSql: String = {
+    val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    s"""qs AS ($annQuerySetSql),
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
+       |           FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |vall AS (SELECT e.vec_id, d.dim, e.emb[d.dim + 1] AS v
+       |         FROM e2 e CROSS JOIN (SELECT unnest(range(64)) AS dim) d),
+       |anch AS (SELECT cell, list(m ORDER BY dim) AS cd FROM (
+       |    SELECT cl.cell, va.dim, (MIN(va.v) + MAX(va.v)) / 2.0 AS m
+       |    FROM vall va JOIN cells cl USING (vec_id)
+       |    GROUP BY cl.cell, va.dim)
+       |  GROUP BY cell),
+       |rs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |       ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |rsx AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r_ix, vec_id, emb
+       |        FROM rs),
+       |rres AS (SELECT r.r_ix,
+       |    list(r.emb[d.dim + 1] - a.cd[d.dim + 1] ORDER BY d.dim) AS res
+       |  FROM rsx r JOIN cells cl ON r.vec_id = cl.vec_id
+       |   JOIN anch a ON a.cell = cl.cell
+       |   CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+       |  GROUP BY r.r_ix),
+       |eres AS (SELECT e.vec_id,
+       |    list(e.emb[d.dim + 1] - a.cd[d.dim + 1] ORDER BY d.dim) AS res
+       |  FROM e2 e JOIN cells cl USING (vec_id) JOIN anch a ON a.cell = cl.cell
+       |   CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+       |  GROUP BY e.vec_id),
+       |pqpairs AS (SELECT er.vec_id, rr2.r_ix, sub.s,
+       |    list_distance(list_slice(er.res, sub.s * 8 + 1, sub.s * 8 + 8),
+       |                  list_slice(rr2.res, sub.s * 8 + 1, sub.s * 8 + 8)) AS dist
+       |  FROM eres er CROSS JOIN rres rr2
+       |   CROSS JOIN (SELECT unnest(range(8)) AS s) sub),
+       |pqcodes AS (SELECT vec_id, s, r_ix AS code FROM (
+       |    SELECT vec_id, s, r_ix,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, r_ix) AS rn
+       |    FROM pqpairs) WHERE rn = 1),
+       |pqrecon AS (SELECT v.vec_id,
+       |    list(a.cd[v.dim + 1] + rr2.res[v.dim + 1] ORDER BY v.dim) AS r
+       |  FROM (SELECT vec_id, unnest(range(64)) AS dim FROM e2) v
+       |   JOIN cells cl ON cl.vec_id = v.vec_id
+       |   JOIN anch a ON a.cell = cl.cell
+       |   JOIN pqcodes k ON k.vec_id = v.vec_id AND k.s = v.dim // 8
+       |   JOIN rres rr2 ON rr2.r_ix = k.code
+       |  GROUP BY v.vec_id)""".stripMargin
+  }
+
+  val q142Sql: String = {
+    val cosCQ = cosSql("c.c_emb", "q.qe")
+    s"""WITH $ivfPqCtesSql,
+       |probe AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.c_id AS cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $cosCQ DESC, c.c_id) AS rn
+       |  FROM cent c CROSS JOIN qs q) WHERE rn <= 2),
+       |adc AS (
+       |  SELECT p.q_id, pr.vec_id, ${cosSql("qs.qe", "pr.r")} AS adc_sim
+       |  FROM pqrecon pr
+       |   JOIN cells cl ON pr.vec_id = cl.vec_id
+       |   JOIN probe p ON cl.cell = p.cell
+       |   JOIN qs ON qs.q_id = p.q_id
+       |  WHERE pr.vec_id <> p.q_id),
+       |short AS (SELECT q_id, vec_id, adc_sim FROM (
+       |  SELECT adc.*,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 20),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id, s.adc_sim, ${cosSql("qs.qe", "e2.emb")} AS sim
+       |  FROM short s
+       |   JOIN e2 ON s.vec_id = e2.vec_id
+       |   JOIN qs ON s.q_id = qs.q_id)
+       |SELECT q_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, adc_sim, sim
+       |FROM rr
+       |QUALIFY rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q143
+
+  /** FLAT product quantization served in batch — q125's codebook and
+    * coding generalized from one query to a query frame: the ADC is a
+    * full code scan per batch BY DESIGN (no inverted file — this is
+    * the tier q143 exists to compare against), everything else is the
+    * shared batch shape (bounded top-k partials, broadcast re-rank).
+    */
+  private[graft] def servePqFlatBatch(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = embeddings(s, d)
+    val samples = ivfCentroids(emb).collect()
+      .map(r => (r.getAs[Number]("c_id").longValue, r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val cbFlat: Seq[Double] = samples.toSeq.flatMap(_._2.map(_.toDouble))
+    val cbFlatL = typedLit(cbFlat)
+    val subCb: Int => Array[Array[Double]] = sub =>
+      samples.map { case (_, v) =>
+        v.slice(sub * 8, sub * 8 + 8).map(_.toDouble).toArray
+      }.toArray
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val codes = emb.select(col("vec_id"),
+      array((0 until 8).map(sub =>
+        graft.functions.NearestCentroid.nearestCentroidSqrt(
+          slice(col("embedding"), sub * 8 + 1, 8), subCb(sub))): _*)
+        .as("codes"))
+    val shortlist = codes
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"),
+          transform(sequence(lit(0), lit(63)), dd =>
+            element_at(cbFlatL,
+              element_at(col("codes"), (dd / 8).cast("int") + 1) * 64 + dd + 1)))
+          .as("adc_sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("vec_id"), col("adc_sim"), 20).as("topk"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("q_id"), col("topk")))
+      .select(col("group").as("q_id"), col("id").as("vec_id"),
+        col("score").as("adc_sim"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("adc_sim"), col("sim"))
+  }
+
+  /** q143 — the recall@10 gate across ALL THREE quantization tiers on
+    * the SAME fixed query set: int8 scalar (q119/q122's served index),
+    * flat 4-bit PQ (q125's codebook), and IVF-PQ residual (q142's
+    * served index). One brute-force ground-truth pass (the expensive
+    * leg, amortized over the batch and shared by all tiers), one
+    * per-tier hit count — integers, hash-exact. This is the table an
+    * ANN deployment reads before picking a compression tier.
+    *
+    * Reading it honestly: the flat-PQ tier FULL-SCANS the corpus while
+    * both IVF tiers probe 2 of 16 cells, so tier recall mixes
+    * candidate-pool coverage with quantizer quality (on this fixture
+    * flat PQ's full scan wins recall; within the probed pool the
+    * 8-bit SQ codes beat the 4-bit residual codes, as the bit budgets
+    * predict). The quantizer-quality claim residual coding actually
+    * makes — smaller ADC reconstruction error than flat PQ at the
+    * SAME 4-bit budget — is pinned deterministically by IvfPqSpec
+    * over the whole corpus, where candidate pools can't confound it.
+    */
+  val q143RecallTiers: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val qs = annQuerySet(emb)
+    val exact = graft.core.CacheScope.track(emb
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("vec_id"), col("sim"), 10).as("topk"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("q_id"), col("topk")))
+      .select(col("group").as("q_id"), col("id").as("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
+      exact.join(approx.select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as(name))
+    qs.select("q_id")
+      .join(hits(serveQuantBatch(s, d, qs), "sq_hits"), Seq("q_id"), "left")
+      .join(hits(servePqFlatBatch(s, d, qs), "pq_hits"), Seq("q_id"), "left")
+      .join(hits(serveIvfPqBatch(s, d, qs), "ivfpq_hits"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("sq_hits"), lit(0L)).as("sq_hits"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+        coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"))
+      .orderBy("q_id")
+  }
+
+  /** Three approximate top-10s + one exact top-10, all as windowed
+    * CTEs; the SQ tier is the shared serving CTEs' `rr` verbatim, the
+    * IVF-PQ tier is the q142 CTEs verbatim, flat PQ replays q125's
+    * codebook per query. Hits are integer counts.
+    */
+  val q143Sql: String = {
+    val cosCQ = cosSql("c.c_emb", "q.qe")
+    s"""WITH $ivfPqCtesSql,
+       |probe AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.c_id AS cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $cosCQ DESC, c.c_id) AS rn
+       |  FROM cent c CROSS JOIN qs q) WHERE rn <= 2),
+       |x AS (SELECT vec_id, emb, unnest(range(len(emb))) AS dim FROM e2),
+       |vals AS (SELECT vec_id, dim, emb[dim + 1] AS v FROM x),
+       |g AS (SELECT dim, MIN(v) AS mn, (MAX(v) - MIN(v)) / 256.0 AS sp
+       |      FROM vals GROUP BY dim),
+       |sqcodes AS (
+       |  SELECT v.vec_id, v.dim, g.mn, g.sp,
+       |    CASE WHEN g.sp = 0 THEN 0
+       |         ELSE CAST(LEAST(255, GREATEST(0, FLOOR((v.v - g.mn) / g.sp))) AS INTEGER)
+       |    END AS code
+       |  FROM vals v JOIN g USING (dim)),
+       |sqrecon AS (
+       |  SELECT vec_id, list(mn + (code + 0.5) * sp ORDER BY dim) AS r
+       |  FROM sqcodes GROUP BY vec_id),
+       |sqadc AS (
+       |  SELECT p.q_id, sr.vec_id, ${cosSql("qs.qe", "sr.r")} AS adc_sim
+       |  FROM sqrecon sr
+       |   JOIN cells cl ON sr.vec_id = cl.vec_id
+       |   JOIN probe p ON cl.cell = p.cell
+       |   JOIN qs ON qs.q_id = p.q_id
+       |  WHERE sr.vec_id <> p.q_id),
+       |sq10 AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, sim,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM (
+       |    SELECT a.q_id, a.vec_id, ${cosSql("qs.qe", "e2.emb")} AS sim
+       |    FROM (SELECT q_id, vec_id FROM (
+       |      SELECT sqadc.*,
+       |       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rn
+       |      FROM sqadc) WHERE rn <= 20) a
+       |     JOIN e2 ON a.vec_id = e2.vec_id
+       |     JOIN qs ON a.q_id = qs.q_id)) WHERE rk <= 10),
+       |fpairs AS (SELECT e.vec_id, c2.r_ix, sub.s,
+       |    list_distance(list_slice(e.emb, sub.s * 8 + 1, sub.s * 8 + 8),
+       |                  list_slice(c2.c_emb, sub.s * 8 + 1, sub.s * 8 + 8)) AS dist
+       |  FROM e2 e
+       |   CROSS JOIN (SELECT ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS r_ix, c_emb
+       |               FROM cent) c2
+       |   CROSS JOIN (SELECT unnest(range(8)) AS s) sub),
+       |fcodes AS (SELECT vec_id, s, r_ix AS code FROM (
+       |    SELECT vec_id, s, r_ix,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, r_ix) AS rn
+       |    FROM fpairs) WHERE rn = 1),
+       |frecon AS (
+       |  SELECT v.vec_id, list(c2.c_emb[v.dim + 1] ORDER BY v.dim) AS r
+       |  FROM (SELECT vec_id, unnest(range(64)) AS dim FROM e2) v
+       |   JOIN fcodes k ON k.vec_id = v.vec_id AND k.s = v.dim // 8
+       |   JOIN (SELECT ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS r_ix, c_emb
+       |         FROM cent) c2 ON c2.r_ix = k.code
+       |  GROUP BY v.vec_id),
+       |fadc AS (
+       |  SELECT qs.q_id, fr.vec_id, ${cosSql("qs.qe", "fr.r")} AS adc_sim
+       |  FROM frecon fr CROSS JOIN qs
+       |  WHERE fr.vec_id <> qs.q_id),
+       |pq10 AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, sim,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM (
+       |    SELECT a.q_id, a.vec_id, ${cosSql("qs.qe", "e2.emb")} AS sim
+       |    FROM (SELECT q_id, vec_id FROM (
+       |      SELECT fadc.*,
+       |       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rn
+       |      FROM fadc) WHERE rn <= 20) a
+       |     JOIN e2 ON a.vec_id = e2.vec_id
+       |     JOIN qs ON a.q_id = qs.q_id)) WHERE rk <= 10),
+       |ivadc AS (
+       |  SELECT p.q_id, pr.vec_id, ${cosSql("qs.qe", "pr.r")} AS adc_sim
+       |  FROM pqrecon pr
+       |   JOIN cells cl ON pr.vec_id = cl.vec_id
+       |   JOIN probe p ON cl.cell = p.cell
+       |   JOIN qs ON qs.q_id = p.q_id
+       |  WHERE pr.vec_id <> p.q_id),
+       |iv10 AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, sim,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM (
+       |    SELECT a.q_id, a.vec_id, ${cosSql("qs.qe", "e2.emb")} AS sim
+       |    FROM (SELECT q_id, vec_id FROM (
+       |      SELECT ivadc.*,
+       |       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rn
+       |      FROM ivadc) WHERE rn <= 20) a
+       |     JOIN e2 ON a.vec_id = e2.vec_id
+       |     JOIN qs ON a.q_id = qs.q_id)) WHERE rk <= 10),
+       |exact AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |     ORDER BY ${cosSql("q.qe", "e.emb")} DESC, e.vec_id) AS rn
+       |  FROM e2 e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+       |hs AS (SELECT x2.q_id, CAST(COUNT(*) AS BIGINT) AS sq_hits
+       |       FROM exact x2 JOIN sq10 USING (q_id, vec_id) GROUP BY x2.q_id),
+       |hp AS (SELECT x2.q_id, CAST(COUNT(*) AS BIGINT) AS pq_hits
+       |       FROM exact x2 JOIN pq10 USING (q_id, vec_id) GROUP BY x2.q_id),
+       |hv AS (SELECT x2.q_id, CAST(COUNT(*) AS BIGINT) AS ivfpq_hits
+       |       FROM exact x2 JOIN iv10 USING (q_id, vec_id) GROUP BY x2.q_id)
+       |SELECT qs.q_id,
+       |  COALESCE(hs.sq_hits, 0) AS sq_hits,
+       |  COALESCE(hp.pq_hits, 0) AS pq_hits,
+       |  COALESCE(hv.ivfpq_hits, 0) AS ivfpq_hits
+       |FROM qs
+       | LEFT JOIN hs USING (q_id)
+       | LEFT JOIN hp USING (q_id)
+       | LEFT JOIN hv USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_ivfpq_serve" -> q142IvfPqServe,
+    "q143_recall_tiers" -> q143RecallTiers,
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
     "q42_embed_neardup" -> q42EmbedNearDup,
@@ -2019,6 +2561,8 @@ object SimilarityQueries {
     "q119_quant_knn" -> q119Sql,
     "q121_ivf_adc_serve" -> q121Sql,
     "q122_batch_ann_serve" -> q122Sql,
+    "q142_ivfpq_serve" -> q142Sql,
+    "q143_recall_tiers" -> q143Sql,
     "q131_ann_recall" -> q131Sql,
     "q132_semdedup_prune" -> q132Sql,
     "q134_hybrid_retrieval" -> q134Sql,

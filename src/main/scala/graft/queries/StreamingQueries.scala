@@ -801,8 +801,9 @@ object StreamingQueries {
     * answered per checkpointed micro-batch against the STORED
     * compressed index (q121/q122's [[SimilarityQueries.QuantIndexStore]]
     * — codes clustered by cell, grid + centroids in the sidecar). The
-    * q122 query set (every 10th vector) is spooled as three parquet
-    * files of `(q_id, q_emb)`, streamed back one file per trigger under
+    * q122 query set ([[SimilarityQueries.annQuerySet]] — 32 md5-sampled
+    * vectors, |Q| constant across scale factors) is spooled as three
+    * parquet files of `(q_id, q_emb)`, streamed back one file per trigger under
     * `AvailableNow`, and each batch runs the SAME
     * [[SimilarityQueries.serveQuantBatch]] the batch query runs —
     * probe-cell selection, ADC over one store scan, top-20 partial-agg
@@ -830,9 +831,7 @@ object StreamingQueries {
     }
     val deltaPath = path("_delta").toString
     val outPath = path("_out").toString
-    graft.core.Tables.embeddings(s, d)
-      .filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    SimilarityQueries.annQuerySet(graft.core.Tables.embeddings(s, d))
       .repartition(3).write.parquet(deltaPath)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)

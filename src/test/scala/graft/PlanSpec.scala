@@ -373,6 +373,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(4000))
   }
 
+  test("q142 IVF-PQ serving scans the nibble-code store ONCE with the " +
+    "probe set and anchors broadcast onto it — centroids, anchors and " +
+    "codebook all from sidecar metadata (no corpus-grain assignment or " +
+    "anchor subtree in the serve plan), top-20 via ObjectHashAggregate") {
+    val p = physical(SimilarityQueries.queries("q142_ivfpq_serve")(spark, sf))
+    assert(p.split("graft_ivfpq").length - 1 >= 1, p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    // serve-time plan rebuilds neither the assignment argmax nor the
+    // midrange anchors: no min/max grid aggregation over the corpus,
+    // no NearestCentroid coding subtree (the only explode is the
+    // k-bounded topk one)
+    assert(!p.contains("partial_min"), p.take(4000))
+    assert(!p.contains("partial_max"), p.take(4000))
+    assert(!p.contains("nearest_centroid"), p.take(4000))
+  }
+
   test("q125 PQ assignment is a pure map-side projection: 8 codegen'd " +
     "NearestCentroid argmins, NO shuffle exchange and NO sort-aggregate " +
     "anywhere (the groupBy(min(struct)) formulation shuffles the corpus " +
