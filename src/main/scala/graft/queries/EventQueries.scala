@@ -613,12 +613,13 @@ object EventQueries {
     * Timestamps are epoch-ms BIGINTs (package contract); `reached`
     * counts completed steps.
     */
-  val q137Funnel: Q = (s, d) => {
-    val ev = graft.core.CacheScope.track(
-      events(s, d)
-        .select(col("user_id"), col("event_type"),
-          unix_millis(col("ts")).as("ms"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** The funnel aggregation over any `(user_id, event_type, ms)`
+    * frame — q137's body, shared with q144's per-micro-batch streaming
+    * evaluation so the two can never diverge. Callers pass an
+    * already-persisted frame (it is scanned four times).
+    */
+  private[graft] def funnelFrame(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val users = ev.select("user_id").distinct()
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ms")).as("s1_ms"))
@@ -638,7 +639,15 @@ object EventQueries {
         when(col("s3_ms").isNotNull, 3L)
           .when(col("s2_ms").isNotNull, 2L)
           .when(col("s1_ms").isNotNull, 1L).otherwise(0L))
-      .orderBy("user_id")
+  }
+
+  val q137Funnel: Q = (s, d) => {
+    val ev = graft.core.CacheScope.track(
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    funnelFrame(ev).orderBy("user_id")
   }
 
   val q137Sql: String =

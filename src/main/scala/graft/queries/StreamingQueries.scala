@@ -850,7 +850,110 @@ object StreamingQueries {
     readSink(s, outPath).orderBy("q_id", "rank")
   }
 
+  /** q144's per-micro-batch body: batch `id` reads its predecessor's
+    * funnel state, folds the batch's events in, PRUNES what can never
+    * matter again, and overwrites its own batchId-addressed state dir
+    * (the q109 exactly-once-from-at-least-once addressing).
+    *
+    * State = distinct `(user_id, event_type, ms)` rows, pruned
+    * LOSSLESSLY per fold. Why each prune is safe (the funnel's
+    * monotonicity): s1 = min view only ever DECREASES as events
+    * arrive, so the admissible-click set `{c : c > s1}` only GROWS and
+    * s2 = min admissible click only decreases — a click above the
+    * CURRENT s2 can never become the minimum later (s2 itself stays
+    * admissible: `s2 > s1_now ≥ s1_future`), so clicks > s2 drop;
+    * likewise purchases > s3. Views other than the minimum are never
+    * read at all; non-funnel types matter only for user presence, so
+    * one row per (user, type) survives. What CANNOT be pruned: clicks
+    * at or below s2 — a yet-unseen earlier view can lower s1 and make
+    * a smaller click admissible — which is why an exact unwindowed
+    * funnel must retain them (a production deployment bounds this
+    * with the funnel's time window; the window is the ONLY thing that
+    * makes funnel state finite, not cleverness).
+    */
+  private[graft] def funnelStateBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val prev =
+        if (id == 0L) batch.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      val merged = graft.core.CacheScope.track(
+        prev.unionByName(batch).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val fun = EventQueries.funnelFrame(merged)
+        .select("user_id", "s1_ms", "s2_ms", "s3_ms")
+      val funnelTypes = Seq("view", "click", "purchase")
+      val others = merged
+        .filter(!col("event_type").isin(funnelTypes: _*))
+        .groupBy("user_id", "event_type").agg(min(col("ms")).as("ms"))
+        .select("user_id", "event_type", "ms")
+      val pruned = merged
+        .filter(col("event_type").isin(funnelTypes: _*))
+        .join(fun, Seq("user_id"), "left")
+        .filter(
+          (col("event_type") === "view" && col("ms") === col("s1_ms")) ||
+            (col("event_type") === "click" &&
+              (col("s2_ms").isNull || col("ms") <= col("s2_ms"))) ||
+            (col("event_type") === "purchase" &&
+              (col("s3_ms").isNull || col("ms") <= col("s3_ms"))))
+        .select("user_id", "event_type", "ms")
+      pruned.unionByName(others)
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q144 — the FUNNEL through the real streaming engine: the classic
+    * "right in batch, subtly wrong online" analytics query (round-12
+    * verdict #5), run per checkpointed micro-batch over a 3-file spool
+    * of the event projection, with user-grain step state evolved
+    * batchId-addressed ([[funnelStateBatch]]) and the FINAL state fed
+    * through the SAME [[EventQueries.funnelFrame]] the batch query
+    * uses. Oracle: q137's SQL VERBATIM — funnel-on-ingest must equal
+    * funnel-on-release for ANY cut of the stream into batches, which
+    * holds only if the state fold is order-independent (distinct-set
+    * union is) and the pruning is lossless (the monotonicity argument
+    * on [[funnelStateBatch]]); a replayed trigger rewrites its own
+    * state dir byte-identically, so at-least-once execution serves
+    * exactly-once results. Inherits q137's round-13 scale-safe joins —
+    * no forced user-grain broadcast anywhere in the per-batch plan.
+    */
+  val q144StreamingFunnel: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_funnel", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .repartition(3).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          funnelStateBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the funnel stream processed no batches")
+    val state = graft.core.CacheScope.track(
+      s.read.parquet(s"${path("_state")}/batch_$lastBatch")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    EventQueries.funnelFrame(state).orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
     "q98_streaming_media_admission" -> q98StreamingMediaAdmission,
@@ -869,6 +972,8 @@ object StreamingQueries {
     * batch semantics exactly.
     */
   val oracle: Map[String, String] = Map(
+    // q137's SQL verbatim: funnel-on-ingest must equal funnel-on-release
+    "q144_streaming_funnel" -> EventQueries.q137Sql,
     "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
