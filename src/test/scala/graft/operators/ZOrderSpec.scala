@@ -58,4 +58,45 @@ class ZOrderSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"), plan.take(2000))
     assert(plan.contains("GreaterThanOrEqual(zkey,1000000)"), plan.take(2000))
   }
+
+  test("the pruning is QUANTITATIVE, not just a plan shape: a tile read " +
+    "over the zkey-sorted layout scans a small fraction of the store's " +
+    "rows (row-group min/max skipping measured via the scan's " +
+    "numOutputRows metric)") {
+    // small row groups over the sf0.01 layout make skipping observable
+    // at test scale — a production 128 MB block is bigger than the
+    // whole fixture, and sf0.001's 1000 rows span only ~3 groups
+    // (40% granularity floor); 10k rows give ~25
+    val dir = java.nio.file.Files.createTempDirectory("zorder_m").toString
+    EventQueries.queries("q136_zorder_layout")(spark, "/root/testdata/sf0.01")
+      .orderBy("shard", "zkey")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024)
+      .parquet(dir)
+    val total = spark.read.parquet(dir).count()
+    // the q140 tile: the lower half of shard 5's key space
+    val lo = 5L * 268435456L
+    val hi = lo + 134217728L
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec, hiding the
+    // scan node from collect — disable it for this one metric read
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val tile = spark.read.parquet(dir)
+        .filter(col("zkey") >= lo && col("zkey") < hi)
+      val kept = tile.count()
+      tile.collect()
+      val scanned = tile.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      info(s"zorder tile scan: $scanned of $total rows " +
+        f"(${100.0 * scanned / total}%.1f%%), $kept in-tile")
+      assert(scanned >= kept)
+      // the layout's reason to exist: the scan reads the tile's row
+      // groups, not the store — under 20% of rows cross the reader
+      assert(scanned * 5 < total, s"scanned=$scanned total=$total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
