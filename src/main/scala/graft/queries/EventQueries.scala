@@ -585,6 +585,88 @@ object EventQueries {
   private val ZServeLo = 5L * 268435456L
   private val ZServeHi = ZServeLo + 134217728L
 
+  /** Z-keys for any event slice against an EXPLICIT (frozen) grid —
+    * the q126 frozen-quantizer path applied to the layout: an ingest
+    * delta keys with the grid the store was built with, and
+    * out-of-grid coordinates CLAMP to the edge tiles (the 16-bit
+    * analog of the int8 coder's edge-bin saturation) instead of
+    * shifting every stored key. q136's own path needs no clamp only
+    * because its grid is derived from the same rows it keys.
+    */
+  private[graft] def zorderKeysAgainst(ev: org.apache.spark.sql.DataFrame,
+      grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val zexpr = (0 until 16).map(i =>
+      s"shiftleft(shiftright(bx, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(by, $i) & 1, ${2 * i + 1})").mkString(" + ")
+    ev.crossJoin(broadcast(grid))
+      .select(col("event_id"),
+        expr("CAST(least(65535, greatest(0, " +
+          "(user_id - umin) * 65535 div greatest(umax - umin, 1))) AS BIGINT)")
+          .as("bx"),
+        expr("CAST(least(65535, greatest(0, " +
+          "(unix_millis(ts) - tmin) * 65535 div greatest(tmax - tmin, 1))) AS BIGINT)")
+          .as("by"))
+      .select(col("event_id"), col("bx"), col("by"),
+        expr(s"CAST($zexpr AS BIGINT)").as("zkey"))
+      .withColumn("shard", expr("zkey div 268435456"))
+  }
+
+  /** q146 — the Z-order layout LIFECYCLE (q92/q126's discipline on the
+    * physical-layout store): build the layout on the BASE events
+    * (`event_id % 10 ≠ 0`), FREEZE the normalization grid, key an
+    * ingest delta with the frozen grid ([[zorderKeysAgainst]] —
+    * out-of-grid events saturate to the edge tiles, stored keys never
+    * shift), append under the store's own bucket+sort spec via the
+    * generic schema-checked fold, then serve the q140 tile over the
+    * FOLDED store — delta rows inside the tile are visible
+    * immediately. The oracle replays the frozen-grid algebra (grid
+    * from the base slice, clamped keys for everyone). Like q92/q126
+    * the lifecycle runs at construction on its own non-memoized
+    * table, dropped and rebuilt each run. At 100 TB this is how an
+    * `OPTIMIZE ZORDER` table ingests between rewrites: new files
+    * carry frozen-grid keys (possibly edge-saturated), and the next
+    * full rewrite re-derives the grid.
+    */
+  val q146ZstoreLifecycle: Q = (s, d) => {
+    val t = RunStore.tableName("graft_z_lifecycle", d)
+    RunStore.dropWithLocation(s, t)
+    val ev = events(s, d)
+    val isBase = col("event_id") % 10 =!= 0
+    // day 0: freeze the grid on the base slice
+    val grid = ev.filter(isBase).agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(unix_millis(col("ts"))).as("tmin"),
+      max(unix_millis(col("ts"))).as("tmax"))
+    def layoutRows(slice: org.apache.spark.sql.DataFrame) =
+      zorderKeysAgainst(slice, grid)
+    graft.core.Tables.writeBucketedSorted(
+      layoutRows(ev.filter(isBase)), t, 8, Seq("shard"), Seq("shard", "zkey"))
+    DedupTextQueries.foldAdmittedVia(layoutRows)(s, t, ev.filter(!isBase))
+    s.table(t)
+      .filter(col("zkey") >= ZServeLo && col("zkey") < ZServeHi)
+      .orderBy("event_id")
+  }
+
+  val q146Sql: String = {
+    val zexpr = (0 until 16).map(i =>
+      s"(((bx >> $i) & 1) << ${2 * i}) + (((by >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH g AS (SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+       |  MIN(epoch_ms(ts)) AS tmin, MAX(epoch_ms(ts)) AS tmax
+       |  FROM events WHERE event_id % 10 <> 0),
+       |b AS (SELECT event_id,
+       |  LEAST(65535, GREATEST(0,
+       |    (user_id - umin) * 65535 // GREATEST(umax - umin, 1))) AS bx,
+       |  LEAST(65535, GREATEST(0,
+       |    (epoch_ms(ts) - tmin) * 65535 // GREATEST(tmax - tmin, 1))) AS by
+       |  FROM events CROSS JOIN g)
+       |SELECT event_id, bx, by, zkey, zkey // 268435456 AS shard
+       |FROM (SELECT event_id, bx, by, CAST($zexpr AS BIGINT) AS zkey FROM b)
+       |WHERE zkey >= $ZServeLo AND zkey < $ZServeHi
+       |ORDER BY event_id""".stripMargin
+  }
+
   val q140Sql: String =
     zorderSql(s"WHERE zkey >= $ZServeLo AND zkey < $ZServeHi")
 
@@ -649,6 +731,72 @@ object EventQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     funnelFrame(ev).orderBy("user_id")
   }
+
+  /** The funnel's conversion WINDOW: steps count only within 6 hours
+    * of the user's first view. Shared by q145's Spark and SQL sides.
+    */
+  private[graft] val FunnelWindowMs = 6L * 3600L * 1000L
+
+  /** q145 — WINDOWED funnel: q137's sequential-dependency semantics
+    * with the conversion window every product-analytics funnel
+    * actually has (steps must land within [[FunnelWindowMs]] of the
+    * first view). Same scale-safe shape as q137 — cached projection,
+    * map-side step partials, no broadcast hint — plus one literal
+    * predicate per step. The window is ALSO what bounds streaming
+    * funnel state (q144's scaladoc): with it, events older than
+    * `watermark − W` can never change any step, so per-user state is
+    * O(events in W), finite — the unwindowed q144 deliberately keeps
+    * the harder unbounded-state contract to prove the fold lossless.
+    */
+  val q145WindowedFunnel: Q = (s, d) => {
+    val ev = graft.core.CacheScope.track(
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val users = ev.select("user_id").distinct()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("s1_ms"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ms") > col("s1_ms") &&
+        col("ms") <= col("s1_ms") + FunnelWindowMs)
+      .groupBy("user_id").agg(min(col("ms")).as("s2_ms"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s1.join(s2, "user_id"), "user_id")
+      .filter(col("ms") > col("s2_ms") &&
+        col("ms") <= col("s1_ms") + FunnelWindowMs)
+      .groupBy("user_id").agg(min(col("ms")).as("s3_ms"))
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .withColumn("reached",
+        when(col("s3_ms").isNotNull, 3L)
+          .when(col("s2_ms").isNotNull, 2L)
+          .when(col("s1_ms").isNotNull, 1L).otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  val q145Sql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |u AS (SELECT DISTINCT user_id FROM e),
+       |s1 AS (SELECT user_id, MIN(ms) AS s1_ms FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, MIN(ms) AS s2_ms FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click' AND ms > s1_ms
+       |         AND ms <= s1_ms + $FunnelWindowMs GROUP BY 1),
+       |s3 AS (SELECT e.user_id, MIN(ms) AS s3_ms
+       |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase' AND ms > s2_ms
+       |         AND ms <= s1_ms + $FunnelWindowMs GROUP BY 1)
+       |SELECT u.user_id, s1_ms, s2_ms, s3_ms,
+       |  CAST(CASE WHEN s3_ms IS NOT NULL THEN 3
+       |            WHEN s2_ms IS NOT NULL THEN 2
+       |            WHEN s1_ms IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |       LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
 
   val q137Sql: String =
     """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
@@ -761,7 +909,9 @@ object EventQueries {
   val queries: Map[String, Q] = Map(
     "q136_zorder_layout" -> q136ZorderLayout,
     "q140_zorder_serve" -> q140ZorderServe,
+    "q146_zstore_lifecycle" -> q146ZstoreLifecycle,
     "q137_funnel" -> q137Funnel,
+    "q145_windowed_funnel" -> q145WindowedFunnel,
     "q138_cohort_retention" -> q138CohortRetention,
     "q139_session_paths" -> q139SessionPaths,
     "q96_pattern_topk" -> q96PatternTopk,
@@ -785,7 +935,9 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "q136_zorder_layout" -> q136Sql,
     "q140_zorder_serve" -> q140Sql,
+    "q146_zstore_lifecycle" -> q146Sql,
     "q137_funnel" -> q137Sql,
+    "q145_windowed_funnel" -> q145Sql,
     "q138_cohort_retention" -> q138Sql,
     "q139_session_paths" -> q139Sql,
     "q96_pattern_topk" -> q96Sql,

@@ -99,4 +99,34 @@ class ZOrderSpec extends AnyFunSuite {
       assert(scanned * 5 < total, s"scanned=$scanned total=$total")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("frozen-grid keying (q146's fold path) SATURATES out-of-grid " +
+    "events to the edge tiles instead of shifting keys — the 16-bit " +
+    "analog of the int8 coder's edge-bin clamp") {
+    import spark.implicits._
+    // grid frozen at users [100, 200], ts [1e12, 1e12 + 1e9]
+    val grid = Seq((100L, 200L, 1000000000000L, 1000001000000L))
+      .toDF("umin", "umax", "tmin", "tmax")
+    val ev = Seq(
+      (1L, 50L, 1000000500000L),    // user BELOW the grid
+      (2L, 999L, 1000000500000L),   // user ABOVE the grid
+      (3L, 150L, 999999999000L),    // ts below
+      (4L, 150L, 2000000000000L),   // ts above
+      (5L, 150L, 1000000500000L))   // in-grid
+      .toDF("event_id", "user_id", "ms")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ms")).as("ts"))
+    val rows = EventQueries.zorderKeysAgainst(ev, grid)
+      .orderBy("event_id").collect()
+    val bx = rows.map(_.getLong(1))
+    val by = rows.map(_.getLong(2))
+    assert(bx(0) == 0L && bx(1) == 65535L)
+    assert(by(2) == 0L && by(3) == 65535L)
+    assert(bx(4) > 0L && bx(4) < 65535L && by(4) > 0L && by(4) < 65535L)
+    // keys stay inside the 32-bit Morton space → shard ∈ [0, 15]
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 32))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 15L)
+    }
+  }
 }
