@@ -70,6 +70,41 @@ class RunStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("an independent sortKeys spec is part of the layout contract: " +
+    "the written files are sorted by it, an unchanged spec reuses " +
+    "across reset(), and CHANGING the sort spec rebuilds (round-13: " +
+    "the z-store's (shard, zkey) sort is what row-group pruning " +
+    "stands on — a silently unsorted rebuild must be impossible)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("runstore_sort")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "v1")
+    def mkStore(sort: Seq[String]) = new RunStore("graft_test_sort", 2,
+      Seq("k"),
+      (_, _) => Seq((1L, 5L, "a"), (1L, 3L, "b"), (2L, 9L, "c"),
+        (2L, 1L, "d")).toDF("k", "z", "v"),
+      sortKeys = sort)
+    val store = mkStore(Seq("k", "z"))
+    val t = store.tableName(dir.toString)
+    try {
+      assert(store.ensure(spark, dir.toString) == "built")
+      // the catalog spec carries the independent sort columns
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      assert(cat.bucketSpec.get.sortColumnNames == Seq("k", "z"))
+      // same spec, fresh memo: fingerprint-valid reuse
+      store.reset()
+      assert(store.ensure(spark, dir.toString) == "reused")
+      // different sort spec, same data/derivation: must rebuild — the
+      // on-disk ORDER is the product being served
+      assert(mkStore(Seq("k")).ensure(spark, dir.toString) == "built")
+      store.reset()
+      assert(mkStore(Seq("k", "z")).ensure(spark, dir.toString) == "built")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      store.reset()
+    }
+  }
+
   test("a fresh JVM (empty in-memory catalog, fingerprint-valid files " +
     "on disk) re-registers the location with its bucket spec instead " +
     "of rebuilding") {
