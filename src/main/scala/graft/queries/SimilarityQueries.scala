@@ -2302,6 +2302,203 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q147
+
+  /** [[ivfCellAnchors]] against EXPLICIT centroids over an explicit
+    * member slice — the frozen-quantizer path: q147 freezes anchors on
+    * the BASE corpus. Cells with no members in the slice fall back to
+    * the centroid vector itself (a delta can land in a cell no base
+    * member reached; its anchor must still exist and never shift).
+    */
+  private[graft] def ivfCellAnchorsAgainst(
+      emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mid = ivfAssignmentsAgainst(emb, cents)
+      .select(col("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(((min(col("v")) + max(col("v"))) / 2.0).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("g"))
+      .select(col("cell"), transform(col("g"), x => x.getField("m")).as("cd0"))
+    cents.select(col("c_id").as("cell"), col("c_emb"))
+      .join(mid, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("cd0"), col("c_emb").cast("array<double>")).as("cd"))
+  }
+
+  /** [[pqResidualCodebook]] with every ingredient frozen to an explicit
+    * slice: the 16 salted samples come from `baseEmb`, their cells from
+    * the explicit centroids, their residuals from the explicit anchors.
+    */
+  private[graft] def pqResidualCodebookAgainst(
+      baseEmb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      anchors: org.apache.spark.sql.DataFrame): PqCodebook = {
+    val anchorMap = anchors.collect()
+      .map(r => r.getAs[Number]("cell").longValue -> r.getSeq[Double](1).toArray)
+      .toMap
+    val centArr = cents.collect()
+      .map(r => (r.getAs[Number]("c_id").longValue, r.getSeq[Float](1).toArray))
+    val samples = baseEmb
+      .orderBy(md5(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .limit(16)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val flat = samples.toSeq.flatMap { case (_, v) =>
+      val (cid, _) = centArr.maxBy { case (id, ce) => (cosLocal(ce, v), id) }
+      val a = anchorMap(cid)
+      v.indices.map(i => v(i).toDouble - a(i))
+    }
+    PqCodebook(flat)
+  }
+
+  /** q147 — the IVF-PQ index LIFECYCLE (q126's discipline on the
+    * residual index): build on the base corpus, FREEZE every quantizer
+    * tier — coarse centroids, per-cell midrange anchors, the residual
+    * codebook — fold an ingest delta's nibble codes in, serve over the
+    * folded store. The delta assigns with the frozen centroids, takes
+    * residuals against the frozen anchors (a cell no base member
+    * reached anchors at its centroid — [[ivfCellAnchorsAgainst]]'s
+    * fallback — so even that anchor exists and never shifts), and
+    * codes with the frozen codebook; nothing already stored is
+    * rewritten, the fold is O(delta). The query vector is itself a
+    * delta row, so a fold that dropped or re-coded rows flips the
+    * result. The oracle replays the frozen algebra (every freeze
+    * filtered to `vec_id % 10 ≠ 0`). Like q92/q126/q146 the lifecycle
+    * runs at construction on its own non-memoized table.
+    */
+  val q147IvfPqIndexFold: Q = (s, d) => {
+    val t = RunStore.tableName("graft_ivfpq_lifecycle", d)
+    RunStore.dropWithLocation(s, t)
+    val emb = embeddings(s, d)
+    val isBase = col("vec_id") % 10 =!= 0
+    val base = emb.filter(isBase)
+    val cents = ivfCentroids(base)
+    val anchors = ivfCellAnchorsAgainst(base, cents)
+    val cb = pqResidualCodebookAgainst(base, cents, anchors)
+    def indexRows(part: org.apache.spark.sql.DataFrame) =
+      ivfAssignmentsAgainst(part, cents)
+        .join(broadcast(anchors), "cell")
+        .select(col("cell"), col("vec_id"),
+          zip_with(col("embedding").cast("array<double>"),
+            col("cd"), (a, b) => a - b).as("resid"))
+        .select(col("cell"), col("vec_id"),
+          array((0 until 8).map(sub =>
+            graft.functions.NearestCentroid.nearestCentroidSqrt(
+              slice(col("resid"), sub * 8 + 1, 8), cb.sub(sub))): _*)
+            .as("codes"))
+    graft.core.Tables.writeBucketed(indexRows(base), t, 8, "cell")
+    DedupTextQueries.foldAdmittedVia(indexRows)(s, t, emb.filter(!isBase))
+    val qArr = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probeCells = cents.collect()
+      .map(r => (cosLocal(r.getSeq[Float](1).toArray, qArr),
+        r.getAs[Number]("c_id").longValue))
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(2).map(_._2).toSeq
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val cbFlatL = typedLit(cb.flat)
+    val shortlist = s.table(t)
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(anchors), "cell")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("q_emb"),
+          transform(sequence(lit(0), lit(63)), dd =>
+            element_at(col("cd"), dd + 1) +
+              element_at(cbFlatL,
+                element_at(col("codes"), (dd / 8).cast("int") + 1) * 64 + dd + 1)))
+          .as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(20)
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc_sim"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q147Sql: String = {
+    val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    val cosCQ = cosSql("c.c_emb", "qe")
+    s"""WITH $qVecSql,
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |         FROM embeddings WHERE vec_id % 10 <> 0
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
+       |           FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probe AS (SELECT c.c_id AS cell FROM cent c CROSS JOIN q
+       |          ORDER BY $cosCQ DESC, c.c_id LIMIT 2),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |vallb AS (SELECT e.vec_id, d.dim, e.emb[d.dim + 1] AS v
+       |          FROM e2 e CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+       |          WHERE e.vec_id % 10 <> 0),
+       |mid0 AS (SELECT cl.cell, va.dim, (MIN(va.v) + MAX(va.v)) / 2.0 AS m
+       |         FROM vallb va JOIN cells cl USING (vec_id)
+       |         GROUP BY cl.cell, va.dim),
+       |anch AS (SELECT c.c_id AS cell,
+       |    list(COALESCE(m.m, c.c_emb[d.dim + 1]) ORDER BY d.dim) AS cd
+       |  FROM cent c
+       |   CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+       |   LEFT JOIN mid0 m ON m.cell = c.c_id AND m.dim = d.dim
+       |  GROUP BY c.c_id),
+       |rs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |       WHERE vec_id % 10 <> 0
+       |       ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |rsx AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r_ix, vec_id, emb
+       |        FROM rs),
+       |rres AS (SELECT r.r_ix,
+       |    list(r.emb[d.dim + 1] - a.cd[d.dim + 1] ORDER BY d.dim) AS res
+       |  FROM rsx r JOIN cells cl ON r.vec_id = cl.vec_id
+       |   JOIN anch a ON a.cell = cl.cell
+       |   CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+       |  GROUP BY r.r_ix),
+       |eres AS (SELECT e.vec_id,
+       |    list(e.emb[d.dim + 1] - a.cd[d.dim + 1] ORDER BY d.dim) AS res
+       |  FROM e2 e JOIN cells cl USING (vec_id) JOIN anch a ON a.cell = cl.cell
+       |   CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+       |  GROUP BY e.vec_id),
+       |pqpairs AS (SELECT er.vec_id, rr2.r_ix, sub.s,
+       |    list_distance(list_slice(er.res, sub.s * 8 + 1, sub.s * 8 + 8),
+       |                  list_slice(rr2.res, sub.s * 8 + 1, sub.s * 8 + 8)) AS dist
+       |  FROM eres er CROSS JOIN rres rr2
+       |   CROSS JOIN (SELECT unnest(range(8)) AS s) sub),
+       |pqcodes AS (SELECT vec_id, s, r_ix AS code FROM (
+       |    SELECT vec_id, s, r_ix,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, r_ix) AS rn
+       |    FROM pqpairs) WHERE rn = 1),
+       |pqrecon AS (SELECT v.vec_id,
+       |    list(a.cd[v.dim + 1] + rr2.res[v.dim + 1] ORDER BY v.dim) AS r
+       |  FROM (SELECT vec_id, unnest(range(64)) AS dim FROM e2) v
+       |   JOIN cells cl ON cl.vec_id = v.vec_id
+       |   JOIN anch a ON a.cell = cl.cell
+       |   JOIN pqcodes k ON k.vec_id = v.vec_id AND k.s = v.dim // 8
+       |   JOIN rres rr2 ON rr2.r_ix = k.code
+       |  GROUP BY v.vec_id),
+       |adc AS (
+       |  SELECT pr.vec_id, ${cosSql("qe", "pr.r")} AS adc_sim
+       |  FROM pqrecon pr
+       |   JOIN cells cl ON pr.vec_id = cl.vec_id
+       |   JOIN probe p ON cl.cell = p.cell
+       |   CROSS JOIN q
+       |  WHERE pr.vec_id <> 0),
+       |cand AS (SELECT * FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 20)
+       |SELECT c.vec_id, c.adc_sim, ${cosSql("qe", "e2.emb")} AS sim
+       |FROM cand c JOIN e2 ON c.vec_id = e2.vec_id, q
+       |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q143
 
   /** FLAT product quantization served in batch — q125's codebook and
@@ -2523,6 +2720,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "q142_ivfpq_serve" -> q142IvfPqServe,
     "q143_recall_tiers" -> q143RecallTiers,
+    "q147_ivfpq_index_fold" -> q147IvfPqIndexFold,
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_ivf" -> q41KnnIvf,
     "q42_embed_neardup" -> q42EmbedNearDup,
@@ -2563,6 +2761,7 @@ object SimilarityQueries {
     "q122_batch_ann_serve" -> q122Sql,
     "q142_ivfpq_serve" -> q142Sql,
     "q143_recall_tiers" -> q143Sql,
+    "q147_ivfpq_index_fold" -> q147Sql,
     "q131_ann_recall" -> q131Sql,
     "q132_semdedup_prune" -> q132Sql,
     "q134_hybrid_retrieval" -> q134Sql,
