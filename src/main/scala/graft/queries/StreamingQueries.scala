@@ -952,7 +952,83 @@ object StreamingQueries {
     EventQueries.funnelFrame(state).orderBy("user_id")
   }
 
+  /** q148 — the WINDOWED funnel through the real STATEFUL engine:
+    * where q144 evolves batchId-addressed state in `foreachBatch`,
+    * this runs q145's semantics inside the engine's own keyed state —
+    * [[graft.streaming.StreamingFunnel]]'s `flatMapGroupsWithState`
+    * machine, whose per-user state is BOUNDED at O(conversion window +
+    * in-flight disorder) by the retention proof (the conversion window
+    * is what makes funnel state finite — q144's scaladoc makes the
+    * converse argument for the unwindowed case). The events table is
+    * spooled as three ROUND-ROBIN files (maximally disordered — every
+    * batch carries events from all over the timeline), watermark
+    * delay/TTL/sentinels derive from the observed span (the q100
+    * discipline: two trailing sentinel files advance the watermark and
+    * fire every user's event-time timeout, flushing final verdicts
+    * before `AvailableNow` terminates). Oracle: q145's SQL VERBATIM —
+    * the state machine must reproduce the batch windowed funnel
+    * bit-for-bit under full-span disorder.
+    */
+  val q148StreamingWindowedFunnel: Q = (s, d) => {
+    val dayMs = 24L * 3600 * 1000
+    val base = RunStore.tableName("graft_stream_wfunnel", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    ev.repartition(3).write.parquet(deltaPath)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
+    stampOrder(fs, path("_delta"), stamped, epoch)
+    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
+      .head()
+    val (minTs, maxTs) =
+      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
+    val sentinelUid = span.getLong(2) - 1
+    val delayMs = maxTs - minTs + dayMs
+    val ttlMs = 2L * (maxTs - minTs) + 2 * dayMs
+    val sentinel1 = maxTs + ttlMs + delayMs + dayMs
+    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
+            "sentinel")), ev.schema)
+        .write.mode("append").parquet(deltaPath)
+      epoch += 1000
+      stampOrder(fs, path("_delta"), stamped, epoch)
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingFunnel
+        .funnel(stream, EventQueries.FunnelWindowMs,
+          s"$delayMs milliseconds", stateTtlMs = ttlMs)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.FunnelRow],
+              batchId: Long) =>
+            writeBatch(batch.toDF(), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("user_id") =!= lit(sentinelUid))
+      .select("user_id", "s1_ms", "s2_ms", "s3_ms", "reached")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
     "q97_streaming_text_admission" -> q97StreamingTextAdmission,
@@ -974,6 +1050,9 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // q137's SQL verbatim: funnel-on-ingest must equal funnel-on-release
     "q144_streaming_funnel" -> EventQueries.q137Sql,
+    // q145's SQL verbatim: the bounded-state machine must reproduce the
+    // batch windowed funnel under full-span disorder
+    "q148_streaming_windowed_funnel" -> EventQueries.q145Sql,
     "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,

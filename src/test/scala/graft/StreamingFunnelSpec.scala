@@ -56,4 +56,47 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(state.count() < ev.distinct().count())
     fs.delete(root, true)
   }
+
+  test("q148's retention rule is LOSSLESS for any disorder consistent " +
+    "with the watermark: 500 randomized trials of batched arrivals with " +
+    "a nondecreasing watermark that never outruns a future event — the " +
+    "pruned state's verdict equals the full-set verdict every time") {
+    import graft.streaming.StreamingFunnel
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 500) {
+      val n = 1 + rnd.nextInt(30)
+      val events = Seq.fill(n)(
+        (rnd.nextInt(1000).toLong + 1L, rnd.nextInt(4)))
+      val w = 50L + rnd.nextInt(300)
+      val views = events.collect { case (t, 0) => t }
+      val clicks = events.collect { case (t, 1) => t }
+      val purch = events.collect { case (t, 2) => t }
+      val s1Full = if (views.isEmpty) Long.MaxValue else views.min
+      val expect = StreamingFunnel.verdict(7L, s1Full, clicks, purch, w)
+      // random arrival order, random batch cuts; the watermark before
+      // each batch is anything ≤ every future event's ts (the engine's
+      // no-late-arrivals premise), nondecreasing
+      val order = rnd.shuffle(events)
+      val cuts = order.grouped(1 + rnd.nextInt(5)).toSeq
+      var wm = Long.MinValue
+      var s1 = Long.MaxValue
+      var rc = Seq.empty[Long]
+      var rp = Seq.empty[Long]
+      cuts.zipWithIndex.foreach { case (batch, i) =>
+        val future = cuts.drop(i).flatten
+        val bound = if (future.isEmpty) Long.MaxValue else future.map(_._1).min
+        wm = math.max(wm, bound - rnd.nextInt(3))
+        batch.foreach {
+          case (t, 0) => s1 = math.min(s1, t)
+          case (t, 1) => rc = rc :+ t
+          case (t, 2) => rp = rp :+ t
+          case _ => ()
+        }
+        rc = StreamingFunnel.retain(rc, s1, wm, w)
+        rp = StreamingFunnel.retain(rp, s1, wm, w)
+      }
+      val got = StreamingFunnel.verdict(7L, s1, rc, rp, w)
+      assert(got == expect, s"w=$w events=$events order=$order")
+    }
+  }
 }
