@@ -708,7 +708,112 @@ object CorpusStatsQueries {
        |FROM c CROSS JOIN n
        |ORDER BY divergence DESC, tok LIMIT 20""".stripMargin
 
+  /** Count-min sketch geometry shared by q149/q150 and both oracles:
+    * `CmsDepth` md5-derived hash rows over `CmsWidth` buckets, and a
+    * fixed [[CmsQueryCount]]-token md5-sampled query set (the q49/
+    * annQuerySet discipline — |queries| constant across scale factors).
+    */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 512
+  private[graft] val CmsQueryCount = 50
+
+  /** The d×w sketch over a token stream: one corpus pass, the shuffle
+    * carries (row, bucket) partials — at most d·w groups whatever the
+    * corpus size. The bucket hash is the repo's standard md5-uniform
+    * construction, so DuckDB replays it bit-for-bit.
+    */
+  private[graft] def cmsSketch(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"), col("tok"))
+      .select(col("i"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("tok"))), 1, 15), 16, 10).cast("long") % CmsWidth).as("bucket"))
+      .groupBy("i", "bucket")
+      .agg(count(lit(1)).as("c"))
+
+  /** The fixed md5-sampled token query set over a token stream. */
+  private[graft] def cmsQuerySet(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks.select("tok").distinct()
+      .orderBy(md5(concat(lit("cms:"), col("tok"))))
+      .limit(CmsQueryCount)
+
+  /** Point estimates for a key set against a sketch frame: each key
+    * probes its `CmsDepth` buckets, the estimate is the MIN count.
+    */
+  private[graft] def cmsEstimates(qset: org.apache.spark.sql.DataFrame,
+      sketch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    qset
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"))
+      .select(col("tok"), col("i"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("tok"))), 1, 15), 16, 10).cast("long") % CmsWidth).as("bucket"))
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy("tok")
+      .agg(min(col("c")).as("cms_n"))
+
+  /** q149 — COUNT-MIN SKETCH over the corpus token stream: the
+    * deterministic-sketch tier beyond q26's HLL — and unlike HLL,
+    * fully ORACLE-CHECKABLE, because the whole sketch (d md5-derived
+    * hash rows × w buckets of exact integer counts) is a pure function
+    * of the data that DuckDB replays bit-for-bit. Output: the fixed
+    * 50-token query set with each token's EXACT count beside its CMS
+    * estimate — the overestimate-only contract (`cms_n ≥ exact_n`,
+    * CmsSpec) visible in the result itself.
+    *
+    * Scale shape: the sketch build is one token pass whose shuffle
+    * carries at most d·w = 2048 partial-agg'd groups regardless of
+    * corpus size — the whole point of a sketch; the exact side (one
+    * vocab-grain count, here for the comparison) is what the sketch
+    * exists to avoid at 100 TB. Probes are a 50×4-row frame joined to
+    * a 2048-row sketch — broadcast class.
+    */
+  val q149CountMinSketch: Q = (s, d) => {
+    val toks = graft.core.CacheScope.track(
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qset = cmsQuerySet(toks)
+    val exact = toks.join(qset, Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    cmsEstimates(qset, cmsSketch(toks))
+      .join(exact, "tok")
+      .select(col("tok"), col("exact_n"), col("cms_n"))
+      .orderBy("tok")
+  }
+
+  val q149Sql: String = cmsSqlFor("documents")
+
+  /** The q149 derivation over any document relation — q150 reuses it
+    * verbatim (the fold must reproduce the batch sketch exactly).
+    */
+  private def cmsSqlFor(rel: String): String =
+    s"""WITH tk AS (SELECT unnest($tokensSql) AS tok FROM $rel),
+       |qs AS (SELECT tok FROM (SELECT DISTINCT tok FROM tk)
+       |       ORDER BY md5('cms:' || tok) LIMIT $CmsQueryCount),
+       |hh AS (SELECT unnest(range($CmsDepth)) AS i),
+       |sk AS (SELECT hh.i,
+       |    ('0x' || substr(md5(CAST(hh.i AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+       |      % $CmsWidth AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tk CROSS JOIN hh GROUP BY 1, 2),
+       |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |       FROM tk JOIN qs USING (tok) GROUP BY 1),
+       |est AS (SELECT q.tok, CAST(MIN(s.c) AS BIGINT) AS cms_n
+       |  FROM qs q CROSS JOIN hh
+       |  JOIN sk s ON s.i = hh.i AND s.bucket =
+       |    ('0x' || substr(md5(CAST(hh.i AS VARCHAR) || ':' || q.tok), 1, 15))::BIGINT
+       |      % $CmsWidth
+       |  GROUP BY q.tok)
+       |SELECT qs.tok, ex.exact_n, est.cms_n
+       |FROM qs JOIN ex USING (tok) JOIN est USING (tok)
+       |ORDER BY tok""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_count_min_sketch" -> q149CountMinSketch,
     "q127_bpe_merges" -> q127BpeMerges,
     "q128_bpe_encode" -> q128BpeEncode,
     "q135_token_drift" -> q135TokenDrift,
@@ -726,6 +831,7 @@ object CorpusStatsQueries {
     "q127_bpe_merges" -> q127Sql,
     "q128_bpe_encode" -> q128Sql,
     "q135_token_drift" -> q135Sql,
+    "q149_count_min_sketch" -> q149Sql,
     "q61_length_quantiles" -> q61Sql,
     "q62_token_packing" -> q62Sql,
     "q63_token_rarity" -> q63Sql,

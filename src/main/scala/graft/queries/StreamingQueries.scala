@@ -1027,7 +1027,82 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q150's per-micro-batch body: the count-min sketch is a MONOID
+    * (bucket-wise integer addition), so batch `id` folds its own
+    * sketch into its predecessor's and overwrites its batchId-
+    * addressed state dir — exactly-once from at-least-once, and the
+    * state is d·w rows whatever the stream has carried. This is the
+    * sketch's whole reason to exist online: the fold commutes with
+    * ANY batching, which the q149-verbatim oracle enforces.
+    */
+  private[graft] def cmsFoldBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val bs = CorpusStatsQueries.cmsSketch(
+        batch.select(explode(tokens(col("text"))).as("tok")))
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      prev.unionByName(bs)
+        .groupBy("i", "bucket").agg(sum(col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q150 — SKETCH-ON-INGEST: q149's count-min sketch maintained
+    * through the real streaming engine, one monoid fold per
+    * checkpointed micro-batch ([[cmsFoldBatch]]); the final folded
+    * d·w-row state serves the SAME fixed query set through the SAME
+    * probe code as the batch query. Oracle: q149's SQL VERBATIM —
+    * sketch-on-ingest must equal sketch-on-release for any batching,
+    * which holds exactly because bucket counts form a commutative
+    * monoid (the property every production streaming sketch leans
+    * on). Per-trigger state is 2048 integer rows however much data
+    * has streamed — contrast q144's event-proportional funnel state.
+    */
+  val q150StreamingCmsFold: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_cms", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(deltaPath)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          cmsFoldBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the sketch stream processed no batches")
+    val sketch = s.read.parquet(s"${path("_state")}/batch_$lastBatch")
+    val toks = graft.core.CacheScope.track(
+      s.read.parquet(deltaPath)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qset = CorpusStatsQueries.cmsQuerySet(toks)
+    val exact = toks.join(qset, Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    CorpusStatsQueries.cmsEstimates(qset, sketch)
+      .join(exact, "tok")
+      .select(col("tok"), col("exact_n"), col("cms_n"))
+      .orderBy("tok")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_streaming_cms_fold" -> q150StreamingCmsFold,
     "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
@@ -1053,6 +1128,8 @@ object StreamingQueries {
     // q145's SQL verbatim: the bounded-state machine must reproduce the
     // batch windowed funnel under full-span disorder
     "q148_streaming_windowed_funnel" -> EventQueries.q145Sql,
+    // q149's SQL verbatim: the monoid fold commutes with any batching
+    "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
     "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
