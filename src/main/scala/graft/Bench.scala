@@ -127,7 +127,9 @@ object Bench {
       "zstore_build" ->
         (() => graft.queries.EventQueries.ZStore.ensure(spark, sfDir)),
       "ivfpq_index_build" ->
-        (() => graft.queries.SimilarityQueries.IvfPqIndexStore.ensure(spark, sfDir)))
+        (() => graft.queries.SimilarityQueries.IvfPqIndexStore.ensure(spark, sfDir)),
+      "posting_store_build" ->
+        (() => graft.queries.SearchQueries.PostingStore.ensure(spark, sfDir)))
     val setupTimes: Seq[(String, Double, Either[String, String])] =
       setups.map { case (name, run) =>
         val t0 = System.nanoTime()

@@ -31,6 +31,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       StreamingQueries.queries ++
       GraphQueries.queries ++
+      SearchQueries.queries ++
       QuakeQueries.queries
 
   /** Dev-loop subset filter shared by Bench and Verify: parse
@@ -66,5 +67,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       StreamingQueries.oracle ++
       GraphQueries.oracle ++
+      SearchQueries.oracle ++
       QuakeQueries.oracle
 }

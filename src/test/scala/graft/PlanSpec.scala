@@ -390,6 +390,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("nearest_centroid"), p.take(4000))
   }
 
+  test("q151 boolean search probes the term-bucketed posting store " +
+    "with a LITERAL term-IN — the predicate reaches the parquet reader " +
+    "of the term-sorted bucket files (posting-list reads, not a corpus " +
+    "scan) and the ranked cut is TakeOrderedAndProject") {
+    val p = physical(SearchQueries.queries("q151_boolean_search")(spark, sf))
+    assert(p.contains("graft_postings"), p.take(4000))
+    assert(p.contains("PushedFilters"), p.take(4000))
+    assert(p.contains("In(term"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("q125 PQ assignment is a pure map-side projection: 8 codegen'd " +
     "NearestCentroid argmins, NO shuffle exchange and NO sort-aggregate " +
     "anywhere (the groupBy(min(struct)) formulation shuffles the corpus " +
