@@ -148,11 +148,114 @@ object SearchQueries {
        |WHERE len(list_intersect(pos_a, list_transform(pos_b, x -> x - 1))) > 0
        |ORDER BY pa.doc_id""".stripMargin
 
+  /** Fixed-size term query batch: 16 md5-sampled DISTINCT terms (the
+    * annQuerySet discipline — |Q| constant across scale factors).
+    */
+  private[graft] val TermQueryCount = 16
+
+  /** q153 — BATCH multi-query retrieval: the whole term-query batch
+    * served off ONE posting-store scan (q122's batch-serving shape
+    * applied to text): the 16-term query frame broadcasts onto the
+    * store, each term's top-5 documents fold through the bounded
+    * [[graft.functions.TopKAggregate]] — map-side partials, the
+    * shuffle carries ≤ 5·partitions rows per term, never the posting
+    * lists. Ranking is `(tf DESC, doc_id ASC)`; TopKAggregate orders
+    * by `(score DESC, id ASC)`, so the id tiebreak matches the SQL
+    * window exactly. At 100 TB: one index scan amortized over the
+    * query batch — a search cluster's batch-lookup path.
+    */
+  val q153BatchTermServe: Q = (s, d) => {
+    val store = PostingStore.table(s, d)
+    val qterms = store.select("term").distinct()
+      .orderBy(md5(concat(lit("tq:"), col("term"))))
+      .limit(TermQueryCount)
+    store
+      .join(broadcast(qterms), "term")
+      .groupBy("term")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("doc_id"), col("tf").cast("double"), 5).as("topk"))
+      .transform(df => graft.functions.TopKAggregate
+        .explodeTopK(df, col("term"), col("topk")))
+      .select(col("group").as("term"), col("id").as("doc_id"),
+        col("score").cast("long").as("tf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")
+          .orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      .select("term", "rank", "doc_id", "tf")
+      .orderBy("term", "rank")
+  }
+
+  val q153Sql: String =
+    s"""WITH $postingsCteSql,
+       |qs AS (SELECT term FROM (SELECT DISTINCT term FROM post)
+       |       ORDER BY md5('tq:' || term) LIMIT $TermQueryCount)
+       |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, tf FROM (
+       |  SELECT p.term, p.doc_id, p.tf,
+       |    ROW_NUMBER() OVER (PARTITION BY p.term
+       |      ORDER BY p.tf DESC, p.doc_id) AS rank
+       |  FROM post p JOIN qs USING (term))
+       |WHERE rank <= 5
+       |ORDER BY term, rank""".stripMargin
+
+  /** q154 — LEXICAL-then-DENSE hybrid retrieval: the reverse of
+    * q134's dense-then-lexical — the standard "BM25-candidates,
+    * embedding re-rank" RAG baseline. Candidates come from the REAL
+    * index (q151's boolean AND hits over the posting store, a pruned
+    * literal-IN scan); the dense re-rank joins the candidate set
+    * (bounded, broadcast) to the embeddings table and orders by exact
+    * cosine against a fixed query vector (vec 0 — the corpus-wide
+    * id alignment: `vec_id` n is document n's embedding). Fusion rank
+    * `(sim DESC, doc_id)` ties break on the integer id, and only the
+    * top-10 emit — the output carries BOTH the lexical score and the
+    * dense sim, the trace a production reranker logs.
+    */
+  val q154LexicalDenseHybrid: Q = (s, d) => {
+    val Seq(ta, tb) = topDfTerms(s, d, 2)
+    val cands = PostingStore.table(s, d)
+      .filter(col("term").isin(ta, tb))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("lex_score"))
+      .filter(col("n_terms") === 2)
+      .select(col("doc_id"), col("lex_score"))
+    val emb = graft.core.Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    emb.join(broadcast(cands), emb("vec_id") === cands("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("lex_score"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("q_emb"), col("embedding"))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q154Sql: String =
+    s"""WITH $postingsCteSql,
+       |ta AS (SELECT term FROM qt WHERE rk = 1),
+       |tb AS (SELECT term FROM qt WHERE rk = 2),
+       |cands AS (
+       |  SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS lex_score
+       |  FROM post p CROSS JOIN ta CROSS JOIN tb
+       |  WHERE p.term IN (ta.term, tb.term)
+       |  GROUP BY p.doc_id
+       |  HAVING COUNT(*) = 2),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       |      WHERE vec_id = 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       |SELECT c.doc_id, c.lex_score,
+       |  ${SimilarityQueries.cosSql("qe", "e.emb")} AS sim
+       |FROM cands c JOIN e ON c.doc_id = e.vec_id CROSS JOIN q
+       |ORDER BY sim DESC, c.doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q151_boolean_search" -> q151BooleanSearch,
-    "q152_phrase_search" -> q152PhraseSearch)
+    "q152_phrase_search" -> q152PhraseSearch,
+    "q153_batch_term_serve" -> q153BatchTermServe,
+    "q154_lexical_dense_hybrid" -> q154LexicalDenseHybrid)
 
   val oracle: Map[String, String] = Map(
     "q151_boolean_search" -> q151Sql,
-    "q152_phrase_search" -> q152Sql)
+    "q152_phrase_search" -> q152Sql,
+    "q153_batch_term_serve" -> q153Sql,
+    "q154_lexical_dense_hybrid" -> q154Sql)
 }

@@ -32,7 +32,7 @@ object SimilarityQueries {
   /** DuckDB rendering of the same cosine arithmetic (double accumulation
     * in index order).
     */
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   private val qVecSql =
