@@ -88,6 +88,24 @@ case class NearestCentroid(child: Expression,
     h
   }
 
+  // The case-class default renders the matrix by JVM IDENTITY
+  // (`[[D@1f2e...`): two processes — or two constructions in ONE
+  // process — then print the SAME expression differently, and anything
+  // fingerprinting a plan that embeds this node (RunStore's sidecar
+  // canonicalized-plan digest) sees a "derivation change" on every
+  // restart and silently rebuilds the store (round-13: the IVF-PQ
+  // index re-paid its build in every JVM). Render a deterministic
+  // contents digest instead — compact, content-faithful, stable.
+  override def toString: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    centroids.foreach(_.foreach { v =>
+      bb.clear(); bb.putDouble(v); md.update(bb.array()) })
+    s"nearest_centroid($child, cb${centroids.length}x${centroids.head.length}:" +
+      md.digest().map("%02x".format(_)).mkString +
+      s", norm=$normalizeInput, sqrt=$sqrtDist)"
+  }
+
   private def isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -69,4 +69,24 @@ class IvfPqSpec extends AnyFunSuite {
     assert(ivfErr < flatErr,
       f"ivf-pq err $ivfErr%.3f !< flat-pq err $flatErr%.3f")
   }
+
+  test("the IVF-PQ store REUSES across a fresh memo (regression: " +
+    "NearestCentroid's default toString printed the codebook by JVM " +
+    "identity, so the canonicalized-plan fingerprint changed on every " +
+    "construction and the store re-paid its build in every process)") {
+    // two constructions of the same expression must render identically,
+    // with no identity hash in the string
+    val cb = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val a = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), cb.map(_.clone()))
+    val b = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), cb.map(_.clone()))
+    assert(a.toString == b.toString, a.toString)
+    assert(!a.toString.contains("@"), a.toString)
+    // and the store-level consequence: a fresh memo revalidates instead
+    // of rebuilding
+    SimilarityQueries.IvfPqIndexStore.ensure(spark, sf)
+    SimilarityQueries.IvfPqIndexStore.reset()
+    assert(SimilarityQueries.IvfPqIndexStore.ensure(spark, sf) == "reused")
+  }
 }
