@@ -2097,6 +2097,16 @@ object SimilarityQueries {
     * per-query top-20 via bounded [[graft.functions.TopKAggregate]]
     * partials, exact re-rank to 10. q143 gates the recall of all three
     * quantization tiers on the same queries.
+    *
+    * Known revalidation cost: unlike the other stores (whose build
+    * frames are fully lazy), constructing this build plan runs the
+    * anchor/codebook derivation jobs — one corpus aggregation plus two
+    * 16-row collects — because the codebook must be IN the plan both
+    * for the map-side argmins and for the fingerprint to see its
+    * values (1.5 s at sf0.1 vs 3.9 s for the full build). A
+    * production variant would two-phase this: check the source-listing
+    * half of the fingerprint first and reconstruct the codebook from
+    * the sidecar when it matches.
     */
   private[graft] val IvfPqIndexStore = new RunStore("graft_ivfpq", 8,
     Seq("cell"),
