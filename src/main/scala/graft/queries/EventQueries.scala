@@ -906,7 +906,68 @@ object EventQueries {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** Attribution lookback: a purchase attributes to a marketing touch
+    * at most 6 hours before it (shared with the oracle).
+    */
+  private val AttributionWindowMs = 6L * 3600L * 1000L
+
+  /** q156 — LAST-TOUCH attribution: each purchase attributes to the
+    * most recent preceding marketing touch (view or click) by the same
+    * user within [[AttributionWindowMs]] — the conversion-credit query
+    * every ads/analytics pipeline runs. One user-keyed window in
+    * `(ms, event_id)` TOTAL order; the running "latest touch" folds as
+    * `max(struct(ms, event_id))` over the strictly-preceding frame, so
+    * ties at the same millisecond break identically on both engines
+    * (the oracle's LATERAL top-1 orders by the same pair). Latency is
+    * exact integer milliseconds.
+    *
+    * Scale shape: ONE exchange on user_id builds the window; the
+    * attribution itself is a running max inside the sorted frame — no
+    * self-join of the event stream, no per-purchase probe (the
+    * LATERAL formulation the oracle uses would be a nested loop at
+    * corpus grain; the window IS its vectorized form).
+    */
+  val q156LastTouchAttribution: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    e.withColumn("touch",
+        max(when(col("event_type").isin("view", "click"),
+          struct(col("ms"), col("event_id")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms"),
+        col("touch.event_id").as("touch_id"), col("touch.ms").as("touch_ms"))
+      .select(col("user_id"), col("purchase_id"),
+        when(col("ms") - col("touch_ms") <= AttributionWindowMs,
+          col("touch_id")).as("touch_id"),
+        when(col("ms") - col("touch_ms") <= AttributionWindowMs,
+          col("ms") - col("touch_ms")).as("latency_ms"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val q156Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+       |           FROM events),
+       |p AS (SELECT user_id, event_id AS purchase_id, ms FROM e
+       |      WHERE event_type = 'purchase')
+       |SELECT p.user_id, p.purchase_id,
+       |  CASE WHEN p.ms - x.ms <= $AttributionWindowMs THEN x.event_id END
+       |    AS touch_id,
+       |  CASE WHEN p.ms - x.ms <= $AttributionWindowMs THEN p.ms - x.ms END
+       |    AS latency_ms
+       |FROM p LEFT JOIN LATERAL (
+       |  SELECT t.event_id, t.ms FROM e t
+       |  WHERE t.user_id = p.user_id AND t.event_type IN ('view', 'click')
+       |    AND (t.ms < p.ms OR (t.ms = p.ms AND t.event_id < p.purchase_id))
+       |  ORDER BY t.ms DESC, t.event_id DESC LIMIT 1) x ON TRUE
+       |ORDER BY p.user_id, p.purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q156_last_touch_attribution" -> q156LastTouchAttribution,
     "q136_zorder_layout" -> q136ZorderLayout,
     "q140_zorder_serve" -> q140ZorderServe,
     "q146_zstore_lifecycle" -> q146ZstoreLifecycle,
@@ -933,6 +994,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q156_last_touch_attribution" -> q156Sql,
     "q136_zorder_layout" -> q136Sql,
     "q140_zorder_serve" -> q140Sql,
     "q146_zstore_lifecycle" -> q146Sql,

@@ -367,7 +367,48 @@ object RelationalQueries {
        |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q155 — RECORD-level entity resolution over the customer dimension:
+    * the blocking-then-verify shape structured-record dedup uses (the
+    * text tiers dedup DOCUMENTS; this deduplicates ENTITIES on typed
+    * fields). Blocking key = (nation, name length, 6-digit name
+    * prefix): candidate pairs exist only within a block — the classic
+    * cardinality cut that turns the n² record matrix into bounded
+    * per-block work (the q34/q42 blocking discipline on relational
+    * fields) — then the VERIFY tier confirms candidates with full
+    * Levenshtein ≤ 2 on the name (both engines' classic integer DP —
+    * the q129 parity). One shuffle on the block key; per-task work is
+    * the block's pair matrix, bounded by the key's construction.
+    */
+  val q155EntityResolution: Q = (s, d) => {
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .withColumn("blk", concat_ws("|",
+        col("c_nationkey"), length(col("c_name")),
+        substring(col("c_name"), 10, 6)))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q155Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_nationkey AS VARCHAR) || '|' ||
+      |    CAST(length(c_name) AS VARCHAR) || '|' ||
+      |    substr(c_name, 10, 6) AS blk
+      |  FROM customer)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q155_entity_resolution" -> q155EntityResolution,
     "q82_split_pivot" -> q82SplitPivot,
     "q58_salted_hotkey" -> q58SaltedHotkey,
     "q25_grouping_sets" -> q25GroupingSets,
@@ -388,6 +429,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q155_entity_resolution" -> q155Sql,
     "q82_split_pivot" -> q82Sql,
     "q58_salted_hotkey" -> q58Sql,
     "q25_grouping_sets" -> q25Sql,
