@@ -407,7 +407,89 @@ object RelationalQueries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q157 — DATA-QUALITY constraint audit (the Deequ/expectations
+    * shape): one report row per declared constraint with its violation
+    * count and the checked row count — referential integrity via
+    * ANTI-joins (never a row-returning join — violations are COUNTED),
+    * domain ranges as predicate sums folded map-side, and key
+    * uniqueness as `count − count(distinct)`. Each check is a single
+    * scan + partial-agg'd fold; at 100 TB the audit costs one pass per
+    * table (checks over the same table share its scan in the unioned
+    * plan), and the report is constraint-grain — the gate an ingest
+    * pipeline evaluates before publishing a snapshot.
+    */
+  val q157ConstraintAudit: Q = (s, d) => {
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    val c = customer(s, d)
+    def report(name: String, violations: org.apache.spark.sql.Column,
+        rows: org.apache.spark.sql.DataFrame) =
+      rows.agg(violations.cast("long").as("n_violations"),
+        count(lit(1)).as("n_rows"))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_rows"))
+    // referential integrity: count orders with NO matching customer
+    val orphanOrders = o.join(c.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .crossJoin(o.agg(count(lit(1)).as("n_rows")))
+      .select(lit("orders.o_custkey->customer").as("check_name"),
+        col("n_violations"), col("n_rows"))
+    val orphanLines = l.join(o.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .crossJoin(l.agg(count(lit(1)).as("n_rows")))
+      .select(lit("lineitem.l_orderkey->orders").as("check_name"),
+        col("n_violations"), col("n_rows"))
+    val priceDomain = report("orders.o_totalprice>0",
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)), o)
+    val qtyDomain = report("lineitem.l_quantity in [1,50]",
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)), l)
+    val keyUnique = report("orders.o_orderkey unique",
+      count(lit(1)) - countDistinct(col("o_orderkey")), o)
+    val custNotNull = report("customer.c_custkey not null",
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), c)
+    Seq(orphanOrders, orphanLines, priceDomain, qtyDomain, keyUnique,
+      custNotNull)
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
+  val q157Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_custkey->customer' AS check_name,
+      |    CAST((SELECT COUNT(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |      AS n_violations,
+      |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey->orders',
+      |    CAST((SELECT COUNT(*) FROM lineitem li
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = li.l_orderkey)) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice>0',
+      |    CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1,50]',
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey unique',
+      |    CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'customer.c_custkey not null',
+      |    CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT))
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q157_constraint_audit" -> q157ConstraintAudit,
     "q155_entity_resolution" -> q155EntityResolution,
     "q82_split_pivot" -> q82SplitPivot,
     "q58_salted_hotkey" -> q58SaltedHotkey,
@@ -429,6 +511,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q157_constraint_audit" -> q157Sql,
     "q155_entity_resolution" -> q155Sql,
     "q82_split_pivot" -> q82Sql,
     "q58_salted_hotkey" -> q58Sql,
