@@ -412,46 +412,60 @@ object RelationalQueries {
     * count and the checked row count — referential integrity via
     * ANTI-joins (never a row-returning join — violations are COUNTED),
     * domain ranges as predicate sums folded map-side, and key
-    * uniqueness as `count − count(distinct)`. Each check is a single
-    * scan + partial-agg'd fold; at 100 TB the audit costs one pass per
-    * table (checks over the same table share its scan in the unioned
-    * plan), and the report is constraint-grain — the gate an ingest
-    * pipeline evaluates before publishing a snapshot.
+    * uniqueness as `count − count(distinct)`. Every scan-expressible
+    * check on a table folds in ONE aggregation pass over it (Spark
+    * shares no scans across union branches, so the naive
+    * one-union-arm-per-check plan re-reads each table per check);
+    * each FK check adds exactly one anti-join pass. At 100 TB the
+    * audit is one agg pass + one join pass per audited table, report
+    * rows are constraint-grain — the gate an ingest pipeline
+    * evaluates before publishing a snapshot.
     */
   val q157ConstraintAudit: Q = (s, d) => {
     val o = orders(s, d)
     val l = lineitem(s, d)
     val c = customer(s, d)
-    def report(name: String, violations: org.apache.spark.sql.Column,
-        rows: org.apache.spark.sql.DataFrame) =
-      rows.agg(violations.cast("long").as("n_violations"),
-        count(lit(1)).as("n_rows"))
-        .select(lit(name).as("check_name"), col("n_violations"), col("n_rows"))
-    // referential integrity: count orders with NO matching customer
+    def row(name: String, v: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"), v.cast("long").as("n_violations"),
+        n.as("n_rows"))
+    // ONE aggregation pass per table computes every scan-expressible
+    // check on it at once (Spark does not share scans across union
+    // branches — a per-check union would re-read orders five times);
+    // the per-table struct array explodes to report rows afterwards.
+    val ordersChecks = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"))
+      .select(explode(array(
+        row("orders.o_totalprice>0", col("bad_price"), col("n")),
+        row("orders.o_orderkey unique", col("dup_keys"), col("n")))).as("r"))
+    val lineChecks = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)).as("bad_qty"))
+      .select(explode(array(
+        row("lineitem.l_quantity in [1,50]", col("bad_qty"), col("n")))).as("r"))
+    val custChecks = c.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("null_keys"))
+      .select(explode(array(
+        row("customer.c_custkey not null", col("null_keys"), col("n")))).as("r"))
+    // referential integrity needs its own join pass per FK: violations
+    // are COUNTED off an anti-join, never returned as rows
     val orphanOrders = o.join(c.select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("n_violations"))
-      .crossJoin(o.agg(count(lit(1)).as("n_rows")))
-      .select(lit("orders.o_custkey->customer").as("check_name"),
-        col("n_violations"), col("n_rows"))
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(o.agg(count(lit(1)).as("n")))
+      .select(row("orders.o_custkey->customer", col("v"), col("n")).as("r"))
     val orphanLines = l.join(o.select(col("o_orderkey").as("l_orderkey")),
         Seq("l_orderkey"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("n_violations"))
-      .crossJoin(l.agg(count(lit(1)).as("n_rows")))
-      .select(lit("lineitem.l_orderkey->orders").as("check_name"),
-        col("n_violations"), col("n_rows"))
-    val priceDomain = report("orders.o_totalprice>0",
-      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)), o)
-    val qtyDomain = report("lineitem.l_quantity in [1,50]",
-      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
-        .otherwise(0L)), l)
-    val keyUnique = report("orders.o_orderkey unique",
-      count(lit(1)) - countDistinct(col("o_orderkey")), o)
-    val custNotNull = report("customer.c_custkey not null",
-      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), c)
-    Seq(orphanOrders, orphanLines, priceDomain, qtyDomain, keyUnique,
-      custNotNull)
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(l.agg(count(lit(1)).as("n")))
+      .select(row("lineitem.l_orderkey->orders", col("v"), col("n")).as("r"))
+    Seq(ordersChecks, lineChecks, custChecks, orphanOrders, orphanLines)
       .reduce(_ unionByName _)
+      .select(col("r.check_name"), col("r.n_violations"), col("r.n_rows"))
       .orderBy("check_name")
   }
 
