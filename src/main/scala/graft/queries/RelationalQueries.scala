@@ -451,18 +451,25 @@ object RelationalQueries {
       sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("null_keys"))
       .select(explode(array(
         row("customer.c_custkey not null", col("null_keys"), col("n")))).as("r"))
-    // referential integrity needs its own join pass per FK: violations
-    // are COUNTED off an anti-join, never returned as rows
-    val orphanOrders = o.join(c.select(col("c_custkey").as("o_custkey")),
-        Seq("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("v"))
-      .crossJoin(o.agg(count(lit(1)).as("n")))
-      .select(row("orders.o_custkey->customer", col("v"), col("n")).as("r"))
-    val orphanLines = l.join(o.select(col("o_orderkey").as("l_orderkey")),
-        Seq("l_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("v"))
-      .crossJoin(l.agg(count(lit(1)).as("n")))
-      .select(row("lineitem.l_orderkey->orders", col("v"), col("n")).as("r"))
+    // referential integrity: ONE left join per FK yields the orphan
+    // count AND the row count together (an anti-join + separate COUNT
+    // pays a second child scan; the right side dedups so multiplicity
+    // can never inflate the parent count) — violations are COUNTED,
+    // never returned as rows
+    def fkCheck(name: String, child: org.apache.spark.sql.DataFrame,
+        key: String, parent: org.apache.spark.sql.DataFrame,
+        parentKey: String) =
+      child.join(
+          parent.select(col(parentKey).as(key)).distinct()
+            .withColumn("fk_hit", lit(1)),
+          Seq(key), "left")
+        .agg(sum(when(col("fk_hit").isNull, 1L).otherwise(0L)).as("v"),
+          count(lit(1)).as("n"))
+        .select(row(name, col("v"), col("n")).as("r"))
+    val orphanOrders =
+      fkCheck("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+    val orphanLines =
+      fkCheck("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey")
     Seq(ordersChecks, lineChecks, custChecks, orphanOrders, orphanLines)
       .reduce(_ unionByName _)
       .select(col("r.check_name"), col("r.n_violations"), col("r.n_rows"))
