@@ -909,7 +909,7 @@ object EventQueries {
   /** Attribution lookback: a purchase attributes to a marketing touch
     * at most 6 hours before it (shared with the oracle).
     */
-  private val AttributionWindowMs = 6L * 3600L * 1000L
+  private[graft] val AttributionWindowMs = 6L * 3600L * 1000L
 
   /** q156 — LAST-TOUCH attribution: each purchase attributes to the
     * most recent preceding marketing touch (view or click) by the same
@@ -966,7 +966,84 @@ object EventQueries {
        |  ORDER BY t.ms DESC, t.event_id DESC LIMIT 1) x ON TRUE
        |ORDER BY p.user_id, p.purchase_id""".stripMargin
 
+  /** q158 — RIGHT-TO-BE-FORGOTTEN delete propagation: a fixed
+    * md5-sampled deletion set of users (the q49 discipline — the
+    * "erasure request batch") cascades through every table keyed by
+    * user, and the report proves EXACTLY what survived: per table the
+    * deleted and surviving row counts plus an order-independent
+    * survivor fingerprint — the SUM of each surviving row's md5-derived
+    * 40-bit integer (commutative, so parallel partial sums equal the
+    * serial oracle bit-for-bit; a float or concatenation fingerprint
+    * would be order-sensitive; 40 bits keeps the sum inside BIGINT to
+    * ~8×10⁶ rows — a production run reduces partial sums modulo a
+    * 61-bit prime instead). A single missed or extra deletion
+    * flips the fingerprint — this is the audit artifact a compliance
+    * pipeline files with the erasure request.
+    *
+    * Scale shape: the deletion set is bounded (32 users) and
+    * broadcast; each table pays ONE scan with a map-side join verdict
+    * and partial-agg'd counts/fingerprint — no row-returning joins,
+    * no shuffle beyond the 1-row fold.
+    */
+  val q158DeletePropagation: Q = (s, d) => {
+    val ev = events(s, d)
+    val delSet = ev.select(col("user_id")).distinct()
+      .orderBy(md5(concat(lit("del:"), col("user_id").cast("string"))))
+      .limit(32)
+    def audit(name: String, t: org.apache.spark.sql.DataFrame,
+        key: String, rowKey: org.apache.spark.sql.Column) =
+      t.join(broadcast(delSet.select(col("user_id").as(key))
+          .withColumn("del_hit", lit(1))), Seq(key), "left")
+        .agg(
+          sum(when(col("del_hit").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("del_hit").isNull, 1L).otherwise(0L)).as("n_surviving"),
+          sum(when(col("del_hit").isNull,
+            conv(substring(md5(rowKey.cast("string")), 1, 10), 16, 10)
+              .cast("long")).otherwise(0L)).as("survivors_fp"))
+        .select(lit(name).as("table_name"), col("n_deleted"),
+          col("n_surviving"), col("survivors_fp"))
+    audit("events", ev, "user_id", col("event_id"))
+      .unionByName(audit("orders", orders(s, d), "o_custkey",
+        col("o_orderkey")))
+      .unionByName(audit("customer", customer(s, d), "c_custkey",
+        col("c_custkey")))
+      .orderBy("table_name")
+  }
+
+  val q158Sql: String =
+    """WITH ds AS (
+      |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+      |  ORDER BY md5('del:' || CAST(user_id AS VARCHAR)) LIMIT 32),
+      |a AS (
+      |  SELECT 'events' AS table_name,
+      |    CAST(SUM(CASE WHEN ds.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_deleted,
+      |    CAST(SUM(CASE WHEN ds.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_surviving,
+      |    CAST(SUM(CASE WHEN ds.user_id IS NULL THEN
+      |      ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 10))::BIGINT
+      |      ELSE 0 END) AS BIGINT) AS survivors_fp
+      |  FROM events e LEFT JOIN ds ON e.user_id = ds.user_id
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    CAST(SUM(CASE WHEN ds.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ds.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ds.user_id IS NULL THEN
+      |      ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 10))::BIGINT
+      |      ELSE 0 END) AS BIGINT)
+      |  FROM orders o LEFT JOIN ds ON o.o_custkey = ds.user_id
+      |  UNION ALL
+      |  SELECT 'customer',
+      |    CAST(SUM(CASE WHEN ds.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ds.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ds.user_id IS NULL THEN
+      |      ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 10))::BIGINT
+      |      ELSE 0 END) AS BIGINT)
+      |  FROM customer c LEFT JOIN ds ON c.c_custkey = ds.user_id)
+      |SELECT * FROM a ORDER BY table_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q158_delete_propagation" -> q158DeletePropagation,
     "q156_last_touch_attribution" -> q156LastTouchAttribution,
     "q136_zorder_layout" -> q136ZorderLayout,
     "q140_zorder_serve" -> q140ZorderServe,
@@ -994,6 +1071,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q158_delete_propagation" -> q158Sql,
     "q156_last_touch_attribution" -> q156Sql,
     "q136_zorder_layout" -> q136Sql,
     "q140_zorder_serve" -> q140Sql,

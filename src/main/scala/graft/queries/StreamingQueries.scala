@@ -1101,7 +1101,78 @@ object StreamingQueries {
       .orderBy("tok")
   }
 
+  /** q159 — last-touch ATTRIBUTION on ingest: q156's semantics inside
+    * the engine's keyed state ([[graft.streaming.StreamingAttribution]])
+    * with per-user state bounded at O(1 + in-flight disorder): among
+    * below-watermark touches only the MAXIMUM can ever win a future
+    * purchase (the domination proof on the operator), so it alone
+    * survives; purchases buffer until the watermark passes them and
+    * emit their verdict exactly once. Span-derived delay/TTL/sentinels
+    * (the q100 discipline) flush the tail; oracle = q156's SQL
+    * VERBATIM over a maximally disordered round-robin spool — the
+    * online attribution stream must union to the batch attribution
+    * table for ANY batching.
+    */
+  val q159StreamingAttribution: Q = (s, d) => {
+    val dayMs = 24L * 3600 * 1000
+    val base = RunStore.tableName("graft_stream_attr", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    ev.repartition(3).write.parquet(deltaPath)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
+    stampOrder(fs, path("_delta"), stamped, epoch)
+    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
+      .head()
+    val (minTs, maxTs) =
+      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
+    val sentinelUid = span.getLong(2) - 1
+    val delayMs = maxTs - minTs + dayMs
+    val ttlMs = 2L * (maxTs - minTs) + 2 * dayMs
+    val sentinel1 = maxTs + ttlMs + delayMs + dayMs
+    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
+            Long.MaxValue, "sentinel")), ev.schema)
+        .write.mode("append").parquet(deltaPath)
+      epoch += 1000
+      stampOrder(fs, path("_delta"), stamped, epoch)
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingAttribution
+        .attribute(stream, EventQueries.AttributionWindowMs,
+          s"$delayMs milliseconds", stateTtlMs = ttlMs)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.AttributionRow],
+              batchId: Long) =>
+            writeBatch(batch.toDF(), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("user_id") =!= lit(sentinelUid))
+      .select("user_id", "purchase_id", "touch_id", "latency_ms")
+      .orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
     "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
@@ -1130,6 +1201,8 @@ object StreamingQueries {
     "q148_streaming_windowed_funnel" -> EventQueries.q145Sql,
     // q149's SQL verbatim: the monoid fold commutes with any batching
     "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
+    // q156's SQL verbatim: attribution-on-ingest ≡ batch attribution
+    "q159_streaming_attribution" -> EventQueries.q156Sql,
     "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
