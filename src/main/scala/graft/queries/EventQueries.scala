@@ -1042,7 +1042,82 @@ object EventQueries {
       |  FROM customer c LEFT JOIN ds ON c.c_custkey = ds.user_id)
       |SELECT * FROM a ORDER BY table_name""".stripMargin
 
+  /** q160 — INTERVAL-OVERLAP join via TIME TILES: which sessions ran
+    * CONCURRENTLY across different users (the co-presence/overlap
+    * query — fraud rings, shared-device detection, capacity analysis).
+    * The naive formulation is an O(n²) θ-join on
+    * `a.start < b.end AND b.start < a.end` — a cartesian product at
+    * any scale. The scalable shape is the spatial-join decomposition:
+    * every session explodes to the 1-hour TILES it covers, candidates
+    * meet on an EQUI-join on the tile (hash-shuffleable, prunable),
+    * the exact overlap predicate verifies candidates, and `distinct`
+    * collapses pairs that met in several tiles. Replication factor =
+    * span/tile (bounded by session length), per-tile pair work is
+    * local — the interval join Flink/kdb ship as a primitive,
+    * expressed on vanilla Spark.
+    *
+    * Sessions are q21's 30-minute-gap windows; Spark's
+    * `session_window` end = last event + gap, which the oracle
+    * replicates (`MAX(ts) + 30 min`). Overlap is strict (> 0 ms) and
+    * reported exactly in integer milliseconds.
+    */
+  val q160SessionOverlapJoin: Q = (s, d) => {
+    val sess = graft.core.CacheScope.track(
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tiled = sess.select(col("user_id"), col("start_ms"), col("end_ms"),
+      explode(sequence(expr("start_ms div 3600000"),
+        expr("(end_ms - 1) div 3600000"))).as("tile"))
+    tiled.as("a").join(tiled.as("b"),
+        col("a.tile") === col("b.tile") &&
+          col("a.user_id") < col("b.user_id"))
+      .filter(col("a.start_ms") < col("b.end_ms") &&
+        col("b.start_ms") < col("a.end_ms"))
+      .select(col("a.user_id").as("user_a"), col("a.start_ms").as("start_a"),
+        col("b.user_id").as("user_b"), col("b.start_ms").as("start_b"),
+        (least(col("a.end_ms"), col("b.end_ms")) -
+          greatest(col("a.start_ms"), col("b.start_ms"))).as("overlap_ms"))
+      .distinct()
+      .orderBy("user_a", "start_a", "user_b", "start_b")
+  }
+
+  /** The oracle verifies with the DIRECT θ-join — tractable at oracle
+    * scale, which is exactly the point: the tiled decomposition must
+    * produce the θ-join's rows bit-for-bit.
+    */
+  val q160Sql: String =
+    """WITH flagged AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess0 AS (
+      | SELECT user_id, ts,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM flagged
+      |), sess AS (
+      | SELECT user_id, MIN(epoch_ms(ts)) AS start_ms,
+      |        MAX(epoch_ms(ts)) + 1800000 AS end_ms
+      | FROM sess0 GROUP BY user_id, sid)
+      |SELECT a.user_id AS user_a, a.start_ms AS start_a,
+      |       b.user_id AS user_b, b.start_ms AS start_b,
+      |       LEAST(a.end_ms, b.end_ms) - GREATEST(a.start_ms, b.start_ms)
+      |         AS overlap_ms
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id
+      | AND a.start_ms < b.end_ms AND b.start_ms < a.end_ms
+      |ORDER BY user_a, start_a, user_b, start_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q160_session_overlap_join" -> q160SessionOverlapJoin,
     "q158_delete_propagation" -> q158DeletePropagation,
     "q156_last_touch_attribution" -> q156LastTouchAttribution,
     "q136_zorder_layout" -> q136ZorderLayout,
@@ -1071,6 +1146,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q160_session_overlap_join" -> q160Sql,
     "q158_delete_propagation" -> q158Sql,
     "q156_last_touch_attribution" -> q156Sql,
     "q136_zorder_layout" -> q136Sql,

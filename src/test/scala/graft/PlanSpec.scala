@@ -390,6 +390,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("nearest_centroid"), p.take(4000))
   }
 
+  test("q160 interval-overlap join runs on the tile EQUI-join — the " +
+    "overlap predicate only VERIFIES candidates; no cartesian product " +
+    "or nested-loop θ-join anywhere in the plan") {
+    graft.core.CacheScope.withScope {
+      val p = physical(
+        EventQueries.queries("q160_session_overlap_join")(spark, sf))
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    }
+  }
+
   test("q151 boolean search probes the term-bucketed posting store " +
     "with a LITERAL term-IN — the predicate reaches the parquet reader " +
     "of the term-sorted bucket files (posting-list reads, not a corpus " +
