@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer surface: interval-overlap θ-joins plan as tile
+    // equi-joins (q160's decomposition as an automatic rewrite —
+    // disable per session with spark.graft.intervalJoin.rewrite=false)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapJoinRewrite)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float/double arrays " +

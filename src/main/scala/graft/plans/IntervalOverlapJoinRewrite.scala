@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst optimizer rule: INTERVAL-OVERLAP θ-joins become tile
+  * equi-joins automatically — q160's hand decomposition as an engine
+  * capability, registered through [[graft.GraftExtensions]].
+  *
+  * An inner join whose condition conjoins the crisscross pattern
+  * `a.start < b.end AND b.start < a.end` (four LongType attribute
+  * references, starts/ends in milliseconds) would otherwise plan as a
+  * nested-loop/cartesian — O(|L|·|R|) at any scale. The rewrite:
+  *
+  *  1. each side EXPLODES to the tiles its interval covers
+  *     (`sequence(start div T, (end−1) div T)` — `sequence` spans the
+  *     closed endpoint range in either direction, so even degenerate
+  *     `start ≥ end` rows cover the tiles the proof below needs);
+  *  2. the join becomes an EQUI-join on the tile (hash-shuffleable,
+  *     AQE-skew-splittable) with the ORIGINAL condition retained as a
+  *     verifying post-predicate;
+  *  3. the FIRST-TILE guard `tile = greatest(a.start, b.start) div T`
+  *     emits each qualifying pair EXACTLY ONCE — both sides' tile sets
+  *     contain that tile (for a: `a.start div T ≤ t* ≤ (a.end−1) div T`
+  *     follows from `b.start < a.end`, and endpoints are always
+  *     emitted; symmetrically for b), and a side emits each tile once,
+  *     so multiplicity is preserved with NO distinct;
+  *  4. a projection restores the original output (tiles dropped).
+  *
+  * Null starts/ends agree by construction: the original condition
+  * evaluates null → row filtered; here `sequence(null, …)` is null and
+  * explode emits nothing. Rows whose interval spans many tiles
+  * replicate by span/T — the standard spatial-join trade, tunable via
+  * `spark.graft.intervalJoin.tileMs` (default 1 hour); the rule is on
+  * by default in extension sessions and disabled with
+  * `spark.graft.intervalJoin.rewrite=false`.
+  */
+object IntervalOverlapJoinRewrite extends Rule[LogicalPlan] {
+
+  private val EnableConf = "spark.graft.intervalJoin.rewrite"
+  private val TileConf = "spark.graft.intervalJoin.tileMs"
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The crisscross pattern: returns (aStart, aEnd, bStart, bEnd) with
+    * aStart/aEnd from the left side, when two conjuncts are
+    * `aStart < bEnd` and `bStart < aEnd` over LongType attributes.
+    */
+  private def findOverlap(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan)
+      : Option[(Attribute, Attribute, Attribute, Attribute)] = {
+    def side(a: Attribute): Option[Boolean] =
+      if (left.outputSet.contains(a)) Some(true)
+      else if (right.outputSet.contains(a)) Some(false)
+      else None
+    val lts = conjuncts.collect {
+      case LessThan(x: AttributeReference, y: AttributeReference)
+          if x.dataType == LongType && y.dataType == LongType =>
+        (x, y)
+      case GreaterThan(y: AttributeReference, x: AttributeReference)
+          if x.dataType == LongType && y.dataType == LongType =>
+        (x, y)
+    }
+    val lr = lts.collectFirst {
+      case (x, y) if side(x) == Some(true) && side(y) == Some(false) =>
+        (x, y) // aStart < bEnd
+    }
+    val rl = lts.collectFirst {
+      case (x, y) if side(x) == Some(false) && side(y) == Some(true) =>
+        (x, y) // bStart < aEnd
+    }
+    (lr, rl) match {
+      case (Some((aS, bE)), Some((bS, aE)))
+          // the four roles must be distinct attributes
+          if Seq(aS, aE, bS, bE).map(_.exprId).distinct.size == 4 =>
+        Some((aS, aE, bS, bE))
+      case _ => None
+    }
+  }
+
+  private def tileOf(e: Expression, tileMs: Long): Expression =
+    IntegralDivide(e, Literal(tileMs))
+
+  private def tiles(start: Attribute, end: Attribute, tileMs: Long)
+      : Expression =
+    // Sequence is TimeZoneAwareExpression: built AFTER analysis it must
+    // carry its zone explicitly or the plan flips back to unresolved
+    Sequence(
+      tileOf(start, tileMs),
+      tileOf(Subtract(end, Literal(1L)), tileMs),
+      None, Some(conf.sessionLocalTimeZone))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnableConf, "true") != "true") return plan
+    val tileMs = conf.getConfString(TileConf, "3600000").toLong
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          // idempotence under fixpoint execution: a join we already
+          // rewrote carries the tile equality — leave it alone
+          if !cond.exists {
+            case a: AttributeReference => a.name.startsWith("_graft_tile")
+            case _ => false
+          } =>
+        findOverlap(splitConjuncts(cond), left, right) match {
+          case Some((aS, aE, bS, bE)) =>
+            val tileL =
+              AttributeReference("_graft_tile_l", LongType, nullable = true)()
+            val tileR =
+              AttributeReference("_graft_tile_r", LongType, nullable = true)()
+            val genL = Generate(Explode(tiles(aS, aE, tileMs)), Nil,
+              outer = false, None, Seq(tileL), left)
+            val genR = Generate(Explode(tiles(bS, bE, tileMs)), Nil,
+              outer = false, None, Seq(tileR), right)
+            val firstTile = EqualTo(tileL,
+              tileOf(Greatest(Seq(aS, bS)), tileMs))
+            val newCond = And(And(EqualTo(tileL, tileR), cond), firstTile)
+            Project(j.output,
+              Join(genL, genR, Inner, Some(newCond), hint))
+          case None => j
+        }
+    }
+  }
+}
