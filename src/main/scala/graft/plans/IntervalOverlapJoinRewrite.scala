@@ -107,7 +107,17 @@ object IntervalOverlapJoinRewrite extends Rule[LogicalPlan] {
             case a: AttributeReference => a.name.startsWith("_graft_tile")
             case _ => false
           } =>
-        findOverlap(splitConjuncts(cond), left, right) match {
+        val conjuncts = splitConjuncts(cond)
+        // an existing cross-side equality already makes this a hash
+        // join — tiles would only add fan-out on top of a fine plan
+        val hasEquiKey = conjuncts.exists {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            (left.outputSet.contains(x) && right.outputSet.contains(y)) ||
+              (right.outputSet.contains(x) && left.outputSet.contains(y))
+          case _ => false
+        }
+        if (hasEquiKey) j
+        else findOverlap(conjuncts, left, right) match {
           case Some((aS, aE, bS, bE)) =>
             val tileL =
               AttributeReference("_graft_tile_l", LongType, nullable = true)()

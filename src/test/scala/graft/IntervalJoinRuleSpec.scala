@@ -72,6 +72,22 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     assert(rewritten == naive)
   }
 
+  test("a join that already carries a cross-side EQUI-key is left " +
+    "alone — the planner has its hash join, tiles would only add " +
+    "fan-out") {
+    val (a, b) = fixture()
+    import org.apache.spark.sql.functions.col
+    val bb = b.select(col("id").as("id_b"), col("start_ms").as("sb"),
+      col("end_ms").as("eb"))
+    // the guard looks at cross-side ATTRIBUTE equalities
+    val df2 = a.join(bb,
+      col("id") === col("id_b") &&
+        col("start_ms") < col("eb") && col("sb") < col("end_ms"))
+    assert(!df2.queryExecution.executedPlan.toString
+      .contains("Generate explode"))
+    df2.collect() // and it still runs
+  }
+
   test("a small tile size multiplies per-row fan-out but never the " +
     "output multiset (the first-tile guard is exact across tilings)") {
     val (a, b) = fixture()
