@@ -82,6 +82,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "= band); bit-identical to the batch q31/q32 signature pipeline"),
       arity("minhash_band_keys", 1)(es =>
         graft.functions.MinHashBandKeys(es.head))))
+    ext.injectFunction((FunctionIdentifier("interval_overlap"),
+      info("interval_overlap",
+        "interval_overlap(s1, e1, s2, e2) - strict overlap predicate " +
+          "s1 < e2 AND s2 < e1 over epoch-ms BIGINTs; in a join " +
+          "condition it explicitly marks the four roles for the " +
+          "interval-join tile rewrite"),
+      arity("interval_overlap", 4)(es =>
+        graft.functions.IntervalOverlap(es(0), es(1), es(2), es(3)))))
     ext.injectFunction((FunctionIdentifier("top_k"),
       info("top_k",
         "top_k(id, score, k) - aggregate: the k (id, score) structs with " +

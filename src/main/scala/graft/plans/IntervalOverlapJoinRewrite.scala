@@ -48,17 +48,41 @@ object IntervalOverlapJoinRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The crisscross pattern: returns (aStart, aEnd, bStart, bEnd) with
-    * aStart/aEnd from the left side, when two conjuncts are
-    * `aStart < bEnd` and `bStart < aEnd` over LongType attributes.
+  /** Match result: the four roles, plus the rewritten condition (for
+    * the marker path, the marker is replaced by its plain comparisons
+    * so the surviving plan codegens).
     */
-  private def findOverlap(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan)
-      : Option[(Attribute, Attribute, Attribute, Attribute)] = {
+  private case class Matched(aS: Attribute, aE: Attribute,
+      bS: Attribute, bE: Attribute, newCondition: Expression)
+
+  /** The EXPLICIT marker path first
+    * ([[graft.functions.IntervalOverlap]] — the user names the four
+    * roles, so there is nothing to guess), then crisscross
+    * auto-detection — which must REFUSE ambiguous conditions: with two
+    * candidate LessThan pairs a mis-pairing could tile, say, a user-id
+    * column against a millisecond column and explode millions of tiles
+    * per row. Exactly one valid pairing, or no rewrite.
+    */
+  private def findOverlap(cond: Expression, conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[Matched] = {
     def side(a: Attribute): Option[Boolean] =
       if (left.outputSet.contains(a)) Some(true)
       else if (right.outputSet.contains(a)) Some(false)
       else None
+    val marker = conjuncts.collectFirst {
+      case m @ graft.functions.IntervalOverlap(s1: AttributeReference,
+          e1: AttributeReference, s2: AttributeReference,
+          e2: AttributeReference)
+          if side(s1).isDefined && side(s1) == side(e1) &&
+            side(s2).isDefined && side(s2) == side(e2) &&
+            side(s1) != side(s2) =>
+        val plain = And(LessThan(s1, e2), LessThan(s2, e1))
+        val rest = conjuncts.filterNot(_ eq m)
+        val newCond = (plain +: rest).reduce(And)
+        if (side(s1) == Some(true)) Matched(s1, e1, s2, e2, newCond)
+        else Matched(s2, e2, s1, e1, newCond)
+    }
+    if (marker.isDefined) return marker
     val lts = conjuncts.collect {
       case LessThan(x: AttributeReference, y: AttributeReference)
           if x.dataType == LongType && y.dataType == LongType =>
@@ -67,20 +91,20 @@ object IntervalOverlapJoinRewrite extends Rule[LogicalPlan] {
           if x.dataType == LongType && y.dataType == LongType =>
         (x, y)
     }
-    val lr = lts.collectFirst {
-      case (x, y) if side(x) == Some(true) && side(y) == Some(false) =>
-        (x, y) // aStart < bEnd
+    val lr = lts.filter {
+      case (x, y) => side(x) == Some(true) && side(y) == Some(false)
     }
-    val rl = lts.collectFirst {
-      case (x, y) if side(x) == Some(false) && side(y) == Some(true) =>
-        (x, y) // bStart < aEnd
+    val rl = lts.filter {
+      case (x, y) => side(x) == Some(false) && side(y) == Some(true)
     }
-    (lr, rl) match {
-      case (Some((aS, bE)), Some((bS, aE)))
-          // the four roles must be distinct attributes
-          if Seq(aS, aE, bS, bE).map(_.exprId).distinct.size == 4 =>
-        Some((aS, aE, bS, bE))
-      case _ => None
+    val pairings = for {
+      (aS, bE) <- lr
+      (bS, aE) <- rl
+      if Seq(aS, aE, bS, bE).map(_.exprId).distinct.size == 4
+    } yield Matched(aS, aE, bS, bE, cond)
+    pairings match {
+      case Seq(one) => Some(one)
+      case _ => None // zero or ambiguous: leave the join alone
     }
   }
 
@@ -117,8 +141,8 @@ object IntervalOverlapJoinRewrite extends Rule[LogicalPlan] {
           case _ => false
         }
         if (hasEquiKey) j
-        else findOverlap(conjuncts, left, right) match {
-          case Some((aS, aE, bS, bE)) =>
+        else findOverlap(cond, conjuncts, left, right) match {
+          case Some(Matched(aS, aE, bS, bE, keptCond)) =>
             val tileL =
               AttributeReference("_graft_tile_l", LongType, nullable = true)()
             val tileR =
@@ -129,7 +153,7 @@ object IntervalOverlapJoinRewrite extends Rule[LogicalPlan] {
               outer = false, None, Seq(tileR), right)
             val firstTile = EqualTo(tileL,
               tileOf(Greatest(Seq(aS, bS)), tileMs))
-            val newCond = And(And(EqualTo(tileL, tileR), cond), firstTile)
+            val newCond = And(And(EqualTo(tileL, tileR), keptCond), firstTile)
             Project(j.output,
               Join(genL, genR, Inner, Some(newCond), hint))
           case None => j

@@ -1116,7 +1116,43 @@ object EventQueries {
       | AND a.start_ms < b.end_ms AND b.start_ms < a.end_ms
       |ORDER BY user_a, start_a, user_b, start_b""".stripMargin
 
+  /** q161 — q160's overlap join written the NAIVE way (a θ-join with
+    * the [[graft.functions.IntervalOverlap]] marker predicate) and
+    * optimized by the injected
+    * [[graft.plans.IntervalOverlapJoinRewrite]] rule: the engine's own
+    * sessions load [[graft.GraftExtensions]], so this plans as the
+    * tile equi-join AUTOMATICALLY — PlanSpec pins Generate + no
+    * cartesian/nested-loop — and the correctness row (oracle =
+    * q160Sql, the same θ-join semantics) proves the rewrite end-to-end
+    * through the driver's own gate. This is the declarative form a
+    * USER of the library writes; q160 keeps the hand decomposition as
+    * the rewrite's documentation.
+    */
+  val q161OverlapJoinViaRule: Q = (s, d) => {
+    val sess = graft.core.CacheScope.track(
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bb = sess.select(col("user_id").as("user_b"),
+      col("start_ms").as("start_b"), col("end_ms").as("end_b"))
+    sess.join(bb,
+        col("user_id") < col("user_b") &&
+          graft.functions.IntervalOverlap.intervalOverlap(
+            col("start_ms"), col("end_ms"), col("start_b"), col("end_b")))
+      .select(col("user_id").as("user_a"), col("start_ms").as("start_a"),
+        col("user_b"), col("start_b"),
+        (least(col("end_ms"), col("end_b")) -
+          greatest(col("start_ms"), col("start_b"))).as("overlap_ms"))
+      .orderBy("user_a", "start_a", "user_b", "start_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q161_overlap_join_via_rule" -> q161OverlapJoinViaRule,
     "q160_session_overlap_join" -> q160SessionOverlapJoin,
     "q158_delete_propagation" -> q158DeletePropagation,
     "q156_last_touch_attribution" -> q156LastTouchAttribution,
@@ -1146,6 +1182,9 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the direct θ-join SQL verbatim: the rule-rewritten plan must
+    // reproduce the θ-join's rows exactly
+    "q161_overlap_join_via_rule" -> q160Sql,
     "q160_session_overlap_join" -> q160Sql,
     "q158_delete_propagation" -> q158Sql,
     "q156_last_touch_attribution" -> q156Sql,

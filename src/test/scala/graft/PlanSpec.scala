@@ -390,6 +390,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("nearest_centroid"), p.take(4000))
   }
 
+  test("q161's NAIVE θ-join (interval_overlap marker) is rewritten by " +
+    "the injected optimizer rule: the executed plan carries the tile " +
+    "Generate and no cartesian/nested-loop — correct rows alone could " +
+    "come from a BNLJ, so the pin is the proof the rule fired") {
+    graft.core.CacheScope.withScope {
+      val p = physical(
+        EventQueries.queries("q161_overlap_join_via_rule")(spark, sf))
+      assert(p.contains("Generate explode"), p.take(4000))
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    }
+  }
+
   test("q160 interval-overlap join runs on the tile EQUI-join — the " +
     "overlap predicate only VERIFIES candidates; no cartesian product " +
     "or nested-loop θ-join anywhere in the plan") {
