@@ -57,6 +57,45 @@ object SimilarityQueries {
        |WHERE vec_id <> 0
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** q162 — the EXTENSION SQL SURFACE through the correctness gate:
+    * q40's brute-force kNN written entirely in `spark.sql` against the
+    * functions [[graft.GraftExtensions]] injects (`cosine_sim`,
+    * `top_k`) — the engine's sessions load the extensions, so this is
+    * the text a LIBRARY USER types, parsed by Spark's SQL parser,
+    * resolved through the injected registry, and (for `cosine_sim`)
+    * codegen'd like a built-in. `top_k` carries the whole top-10
+    * through its bounded aggregate (k rows per partition cross the
+    * shuffle — no global sort), then explodes to ranked rows. Oracle:
+    * the same semantics in DuckDB. Until this row the SQL registration
+    * was only spec-held; now a drifted injection (wrong arity, wrong
+    * null handling, a codegen regression) flips a driver-visible hash.
+    */
+  val q162SqlSurfaceKnn: Q = (s, d) => {
+    embeddings(s, d).createOrReplaceTempView("g_embeddings")
+    s.sql(
+      """SELECT CAST(t.ix + 1 AS BIGINT) AS rank, t.e.id AS vec_id, t.e.score AS sim
+        |FROM (
+        |  SELECT posexplode(top_k(vec_id, sim, 10)) AS (ix, e)
+        |  FROM (
+        |    SELECT vec_id,
+        |      cosine_sim(embedding,
+        |        (SELECT embedding FROM g_embeddings WHERE vec_id = 0)) AS sim
+        |    FROM g_embeddings WHERE vec_id <> 0)
+        |) t
+        |ORDER BY rank""".stripMargin)
+  }
+
+  val q162Sql: String =
+    s"""WITH $qVecSql,
+       |scored AS (
+       |  SELECT vec_id, ${cosSql("CAST(embedding AS DOUBLE[])", "qe")} AS sim
+       |  FROM embeddings, q WHERE vec_id <> 0)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+       |    AS rank,
+       |  vec_id, sim
+       |FROM scored
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   /** q41 — IVF (inverted-file) approximate top-10: assign every vector to
     * its nearest of 16 centroids (map-side max(struct) — partial-agg
     * friendly, deterministic: ties break to the larger centroid id),
@@ -2728,6 +2767,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q162_sql_surface_knn" -> q162SqlSurfaceKnn,
     "q142_ivfpq_serve" -> q142IvfPqServe,
     "q143_recall_tiers" -> q143RecallTiers,
     "q147_ivfpq_index_fold" -> q147IvfPqIndexFold,
@@ -2769,6 +2809,7 @@ object SimilarityQueries {
     "q119_quant_knn" -> q119Sql,
     "q121_ivf_adc_serve" -> q121Sql,
     "q122_batch_ann_serve" -> q122Sql,
+    "q162_sql_surface_knn" -> q162Sql,
     "q142_ivfpq_serve" -> q142Sql,
     "q143_recall_tiers" -> q143Sql,
     "q147_ivfpq_index_fold" -> q147Sql,
