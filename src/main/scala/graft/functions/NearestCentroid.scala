@@ -96,15 +96,25 @@ case class NearestCentroid(child: Expression,
   // restart and silently rebuilds the store (round-13: the IVF-PQ
   // index re-paid its build in every JVM). Render a deterministic
   // contents digest instead — compact, content-faithful, stable.
-  override def toString: String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val bb = java.nio.ByteBuffer.allocate(8)
-    centroids.foreach(_.foreach { v =>
-      bb.clear(); bb.putDouble(v); md.update(bb.array()) })
-    s"nearest_centroid($child, cb${centroids.length}x${centroids.head.length}:" +
-      md.digest().map("%02x".format(_)).mkString +
-      s", norm=$normalizeInput, sqrt=$sqrtDist)"
-  }
+  // Computed ONCE (toString is hit repeatedly by explain/treeString/
+  // logging — re-digesting the full matrix per render is pure waste)
+  // and total even for a hypothetically empty matrix (`cb0x0:` — the
+  // constructor require forbids it today, but a plan render must never
+  // be the thing that throws).
+  private lazy val centroidDigest: String =
+    if (centroids.isEmpty) "cb0x0:"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      centroids.foreach(_.foreach { v =>
+        bb.clear(); bb.putDouble(v); md.update(bb.array()) })
+      s"cb${centroids.length}x${centroids.head.length}:" +
+        md.digest().map("%02x".format(_)).mkString
+    }
+
+  override def toString: String =
+    s"nearest_centroid($child, $centroidDigest, " +
+      s"norm=$normalizeInput, sqrt=$sqrtDist)"
 
   private def isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true

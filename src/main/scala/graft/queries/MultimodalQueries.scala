@@ -973,29 +973,45 @@ object MultimodalQueries {
       }
   }
 
-  val q141PerceptualNearDup: Q = (s, d) => {
+  /** The q141 engine over ANY `(doc_id, mime, payload)` image frame:
+    * decode → dHash → 4×16-bit band explode → candidate pairs via the
+    * SHARED bucket-local enumerator — CAPPED (round-13 verdict #2: the
+    * raw band self-join had no skew guard, and image corpora are
+    * exactly where degenerate buckets happen: blank frames, logos,
+    * letterboxing all collapse to identical band values, and ONE hot
+    * 16-bit bucket of size m would enumerate O(m²) pairs in a single
+    * task). BucketPairs drops buckets over DefaultCap — the standard
+    * LSH semantics (a band value shared by that many images carries no
+    * discriminating signal) — and, as a bonus, evaluates the
+    * decode→dHash pipeline ONCE instead of once per join side, so the
+    * old corpus-sized persist is gone too. The oracle mirrors the cap
+    * as a windowed COUNT filter; DHashSpec proves a forced hot bucket
+    * (N identical images) stays bounded.
+    */
+  private[graft] def perceptualNearDupPairs(
+      media: org.apache.spark.sql.Dataset[
+        graft.multimodal.MediaPipeline.MediaRow])
+      : org.apache.spark.sql.DataFrame = {
     import graft.multimodal.MediaPipeline
-    val media = dhashFixtureMedia(s, d)
-    val bands = graft.core.CacheScope.track(
-      MediaPipeline.dhash64(media)
-        .select(col("doc_id"), col("dh"),
-          explode(expr(
-            "array(0, 1, 2, 3)")).as("band"))
-        .withColumn("bval",
-          expr("shiftright(dh, band * 16) & 65535"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val bands = MediaPipeline.dhash64(media)
+      .select(col("doc_id"), col("dh"),
+        explode(expr(
+          "array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bval",
+        expr("shiftright(dh, band * 16) & 65535"))
+    graft.operators.BucketPairs.boundedPairs(bands,
+        Seq(col("band"), col("bval")), struct(col("doc_id"), col("dh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.dh").as("dh_a"), col("b.dh").as("dh_b"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(dh_a ^ dh_b) AS BIGINT)"))
       .filter(col("hamming") <= 4)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
   }
+
+  val q141PerceptualNearDup: Q = (s, d) =>
+    perceptualNearDupPairs(dhashFixtureMedia(s, d))
+      .orderBy("doc_a", "doc_b")
 
   val q141Sql: String =
     """WITH p AS (
@@ -1021,10 +1037,16 @@ object MultimodalQueries {
       |  SELECT doc_id, i // 16 AS band,
       |    CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS bval
       |  FROM bits GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY band, bval) AS bsz
+      |  FROM bands),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+      |  FROM sized a JOIN sized b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= """.stripMargin +
+    graft.operators.BucketPairs.DefaultCap +
+    """),
       |ham AS (
       |  SELECT c.doc_a, c.doc_b,
       |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)

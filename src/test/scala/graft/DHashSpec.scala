@@ -39,6 +39,33 @@ class DHashSpec extends AnyFunSuite {
     }
   }
 
+  test("a forced hot bucket — N identical images — stays BOUNDED: over " +
+    "the cap the degenerate buckets are dropped (zero pairs, no O(N²) " +
+    "enumeration); under the cap all pairs emit") {
+    graft.core.CacheScope.withScope {
+      import spark.implicits._
+      import graft.multimodal.MediaPipeline
+      val cap = graft.operators.BucketPairs.DefaultCap
+      def identicalImages(n: Int) = spark.range(n).as[Long]
+        .mapPartitions(_.map(id => MediaPipeline.MediaRow(id, "image/png",
+          // every doc renders the SAME 16x12 picture: all 4 band
+          // buckets collapse to one value each — the blank-frame/logo
+          // degeneracy q141's cap exists for
+          MediaPipeline.encodePngGray(16, 12, (x, y) => (x * 7 + y) % 251))))
+      // over the cap: the adversarial corpus yields NO candidate pairs
+      val hot = MultimodalQueries
+        .perceptualNearDupPairs(identicalImages(cap + 36)).collect()
+      assert(hot.isEmpty,
+        s"hot bucket enumerated ${hot.length} pairs past the cap")
+      // under the cap: every couple of the n identical images pairs up
+      val n = 10
+      val cool = MultimodalQueries
+        .perceptualNearDupPairs(identicalImages(n)).collect()
+      assert(cool.length == n * (n - 1) / 2)
+      assert(cool.forall(_.getLong(2) == 0L))
+    }
+  }
+
   test("the byte-window MinHash tier (q89's engine) finds NONE of the " +
     "same-picture pairs — the class of near-duplicate only the " +
     "perceptual tier can see") {

@@ -52,9 +52,19 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
       .select(col("id"), col("id_b"))
   }
 
+  /** The marker-less crisscross path is OPT-IN (round-13 advisory —
+    * the Databricks RANGE_JOIN-hint model); these specs exercise it
+    * explicitly. The marker path (q161) needs no flag.
+    */
+  private def withAutodetect[T](body: => T): T = {
+    spark.conf.set("spark.graft.intervalJoin.autodetect", "true")
+    try body finally spark.conf.unset("spark.graft.intervalJoin.autodetect")
+  }
+
   test("the θ-join plans as the tile equi-join (Generate + no cartesian " +
     "or nested loop) and matches the rule-disabled multiset exactly — " +
     "duplicates, degenerate intervals, nulls, extra conjuncts included") {
+    withAutodetect {
     val (a, b) = fixture()
     val df = overlapJoin(a, b)
     val p = df.queryExecution.executedPlan.toString
@@ -70,6 +80,35 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
       finally spark.conf.set("spark.graft.intervalJoin.rewrite", "true")
     assert(rewritten.values.sum > 100, "fixture produced too few pairs")
     assert(rewritten == naive)
+    }
+  }
+
+  test("without the autodetect opt-in, a bare crisscross θ-join is " +
+    "left alone — only the explicit marker triggers the rewrite by " +
+    "default (round-13 advisory: auto-tiling an SCD-style open-ended " +
+    "interval turns a slow join into a hard failure)") {
+    val (a, b) = fixture()
+    val p = overlapJoin(a, b).queryExecution.executedPlan.toString
+    assert(!p.contains("Generate explode"), p.take(3000))
+  }
+
+  test("a row spanning more tiles than maxTilesPerRow raises a clear " +
+    "error naming the knobs instead of materializing the sequence") {
+    withAutodetect {
+      import spark.implicits._
+      // one open-ended SCD-style interval: ~2.9M hour tiles
+      val a = Seq((1L, 0L, 10_500_000_000_000L))
+        .toDF("id", "start_ms", "end_ms")
+      val b = Seq((2L, 5L, 50L)).toDF("id_b", "sb", "eb")
+      val joined = a.join(b,
+        col("start_ms") < col("eb") && col("sb") < col("end_ms"))
+      val e = intercept[Exception](joined.collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val all = messages(e).mkString("\n")
+      assert(all.contains("maxTilesPerRow"), all.take(2000))
+    }
   }
 
   test("a join that already carries a cross-side EQUI-key is left " +
@@ -90,13 +129,15 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
 
   test("a small tile size multiplies per-row fan-out but never the " +
     "output multiset (the first-tile guard is exact across tilings)") {
-    val (a, b) = fixture()
-    def run() = overlapJoin(a, b).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val atDefault = run()
-    spark.conf.set("spark.graft.intervalJoin.tileMs", "100000")
-    val atSmall = try run()
-      finally spark.conf.unset("spark.graft.intervalJoin.tileMs")
-    assert(atDefault == atSmall)
+    withAutodetect {
+      val (a, b) = fixture()
+      def run() = overlapJoin(a, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val atDefault = run()
+      spark.conf.set("spark.graft.intervalJoin.tileMs", "100000")
+      val atSmall = try run()
+        finally spark.conf.unset("spark.graft.intervalJoin.tileMs")
+      assert(atDefault == atSmall)
+    }
   }
 }

@@ -425,6 +425,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("q154 hybrid retrieval broadcasts a LIMIT-BOUNDED candidate set " +
+    "(round-13 verdict #1: the raw boolean-AND hit set of the two " +
+    "highest-df terms is corpus-proportional — only the BM25-ranked " +
+    "top-1000 TakeOrderedAndProject cut may reach the broadcast) and " +
+    "the dense leg hash-joins it, never sort-merging the embeddings") {
+    val p = physical(
+      SearchQueries.queries("q154_lexical_dense_hybrid")(spark, sf))
+    assert(p.contains(
+      s"TakeOrderedAndProject(limit=${SearchQueries.LexCandidateLimit}"),
+      p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("q164 BM25 scoring stays index-shaped: literal term-IN reaches " +
+    "the posting store's parquet reader (postings of the 16 query " +
+    "terms move, never the corpus), df and totals broadcast, and the " +
+    "top-20 cut is TakeOrderedAndProject") {
+    val p = physical(SearchQueries.queries("q164_bm25_topk")(spark, sf))
+    assert(p.contains("graft_postings"), p.take(4000))
+    assert(p.contains("In(term"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(4000))
+  }
+
   test("q125 PQ assignment is a pure map-side projection: 8 codegen'd " +
     "NearestCentroid argmins, NO shuffle exchange and NO sort-aggregate " +
     "anywhere (the groupBy(min(struct)) formulation shuffles the corpus " +
