@@ -952,6 +952,103 @@ object StreamingQueries {
     EventQueries.funnelFrame(state).orderBy("user_id")
   }
 
+  /** q166 — SESSIONIZATION through the real streaming engine: the
+    * canonical stateful-streaming operator the engine's batch tier
+    * (q21/q139/q160) builds on, driven through the gate — NATIVE
+    * `session_window` + watermark in APPEND mode, not a hand-rolled
+    * state machine: Spark's session store merges 30-minute-gap
+    * sessions across micro-batches and emits each session exactly once
+    * when the watermark passes its end. The events table is spooled as
+    * three ROUND-ROBIN files (maximally disordered — every batch
+    * carries events from all over the timeline), the watermark delay
+    * derives from the observed span so nothing is ever late-dropped,
+    * and two trailing sentinel files advance the watermark past every
+    * real session, flushing them before `AvailableNow` terminates (the
+    * q100/q148 discipline; the sentinel user's own never-finalized
+    * session is filtered from the sink read).
+    *
+    * Each emitted session carries q139's serialized PATH — the
+    * '>'-joined event-type sequence in `(ms, event_id)` order,
+    * `sort_array`ed at emission so the session store's merge order
+    * can't leak into the string — and the sink read aggregates path
+    * frequencies exactly as the batch query does. Oracle: q139's SQL
+    * VERBATIM — sessionize-on-ingest must equal sessionize-at-rest.
+    *
+    * State bound: the session store holds only sessions the watermark
+    * hasn't closed — O(sessions inside the watermark horizon), the
+    * engine's own retention contract (this fixture pins the horizon to
+    * the full span so maximal disorder stays lossless; production sets
+    * the real disorder bound and state is proportionally small).
+    */
+  val q166StreamingSessionPaths: Q = (s, d) => {
+    val dayMs = 24L * 3600 * 1000
+    val base = RunStore.tableName("graft_stream_sess", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = path("_delta").toString
+    val outPath = path("_out").toString
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    ev.repartition(3).write.parquet(deltaPath)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    var epoch = System.currentTimeMillis()
+    stampOrder(fs, path("_delta"), stamped, epoch)
+    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
+      .head()
+    val (minTs, maxTs) =
+      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
+    val sentinelUid = span.getLong(2) - 1
+    val delayMs = maxTs - minTs + dayMs
+    // first sentinel pushes the watermark past every real session's
+    // end (wm = sentinel − delay > maxTs + gap); the second exists
+    // because a watermark computed in batch N only gates emission from
+    // batch N+1
+    val sentinel1 = maxTs + delayMs + 2 * dayMs
+    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
+            -1L, "sentinel")), ev.schema)
+        .write.mode("append").parquet(deltaPath)
+      epoch += 1000
+      stampOrder(fs, path("_delta"), stamped, epoch)
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      stream
+        .withWatermark("ts", s"$delayMs milliseconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(
+              unix_millis(col("ts")).as("ms"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .select(col("user_id"), col("path"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("user_id") =!= lit(sentinelUid))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** q148 — the WINDOWED funnel through the real STATEFUL engine:
     * where q144 evolves batchId-addressed state in `foreachBatch`,
     * this runs q145's semantics inside the engine's own keyed state —
@@ -1174,6 +1271,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
+    "q166_streaming_session_paths" -> q166StreamingSessionPaths,
     "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
@@ -1199,6 +1297,9 @@ object StreamingQueries {
     // q145's SQL verbatim: the bounded-state machine must reproduce the
     // batch windowed funnel under full-span disorder
     "q148_streaming_windowed_funnel" -> EventQueries.q145Sql,
+    // q139's SQL verbatim: sessionize-on-ingest (native session_window
+    // + watermark, append mode) must equal sessionize-at-rest
+    "q166_streaming_session_paths" -> EventQueries.q139Sql,
     // q149's SQL verbatim: the monoid fold commutes with any batching
     "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
     // q156's SQL verbatim: attribution-on-ingest ≡ batch attribution
