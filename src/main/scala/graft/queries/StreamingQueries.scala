@@ -59,6 +59,181 @@ object StreamingQueries {
         }
       }
 
+  // ------------------------------------------------------ shared spools
+
+  /** Shared, content-addressed streaming SPOOLS (round-13 verdict #7):
+    * every events-family streaming query used to rewrite its own
+    * `_delta` copy of the events table on EVERY run — per bench
+    * warmup, per timed run, per repeat — pure harness setup measured
+    * as engine time, growing with each streaming query added. A spool
+    * is one (source table, layout recipe) directory built once per
+    * process and reused across processes via a fingerprint sidecar
+    * (the RunStore discipline in miniature: recipe version + source
+    * listing digest, output manifest verified before reuse, build
+    * race serialized on the store build lock). Checkpoints and sinks
+    * stay PER QUERY — only the immutable input layout is shared.
+    * File mtimes are stamped from a FIXED epoch, so the file-source
+    * processing order (mtime, then path) survives reuse bit-for-bit.
+    */
+  private final case class SpoolInfo(dir: String, meta: Map[String, String])
+
+  private val spoolMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, SpoolInfo]()
+
+  /** Fixed stamp base (2020-09-13T12:26:40Z): deterministic across
+    * builds so a reused spool replays the same micro-batch order.
+    */
+  private val SpoolStampBase = 1600000000000L
+
+  private val SpoolSidecar = "_graft_spool.properties"
+
+  private def spoolListingDigest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      md.update(
+        s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+          .getBytes("UTF-8"))
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach(walk)
+    }
+    if (fs.exists(root)) walk(fs.getFileStatus(root)) else md.update("absent".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def spoolManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): String =
+    if (!fs.exists(dir)) ""
+    else fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(";")
+
+  /** Build-or-reuse the spool `name` for source dir `d`. `build` writes
+    * the data files into the (fresh) dir — stamping order itself where
+    * order matters — and returns metadata to persist (span scalars, so
+    * consumers never re-scan the source for them).
+    */
+  private def ensureSpool(s: SparkSession, d: String, name: String,
+      version: String, sourceFile: String)(
+      build: (org.apache.hadoop.fs.Path,
+        org.apache.hadoop.fs.FileSystem) => Map[String, String]): SpoolInfo =
+    spoolMemo.computeIfAbsent(s"$name|$d", _ => {
+      val base = RunStore.tableName(s"graft_spool_$name", d)
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), base + "_delta")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val src = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(d), sourceFile)
+      val fp = s"$version|${spoolListingDigest(fs, src)}"
+      def readSidecar(): Option[SpoolInfo] =
+        try {
+          val p = new org.apache.hadoop.fs.Path(dir, SpoolSidecar)
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            val props = new java.util.Properties()
+            try props.load(in) finally in.close()
+            import scala.jdk.CollectionConverters._
+            val ok = Option(props.getProperty("fingerprint")).contains(fp) &&
+              Option(props.getProperty("manifest"))
+                .contains(spoolManifest(fs, dir))
+            if (!ok) None
+            else Some(SpoolInfo(dir.toString,
+              props.stringPropertyNames().asScala.toSeq
+                .filter(_.startsWith("meta."))
+                .map(k => k.stripPrefix("meta.") -> props.getProperty(k))
+                .toMap))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      readSidecar().getOrElse {
+        RunStore.withBuildLock(s, base) {
+          readSidecar().getOrElse {
+            if (fs.exists(dir)) fs.delete(dir, true)
+            val meta = build(dir, fs)
+            val props = new java.util.Properties()
+            props.setProperty("fingerprint", fp)
+            props.setProperty("manifest", spoolManifest(fs, dir))
+            meta.foreach { case (k, v) => props.setProperty(s"meta.$k", v) }
+            val tmp = new org.apache.hadoop.fs.Path(dir, SpoolSidecar + ".tmp")
+            val out = fs.create(tmp, true)
+            try props.store(out, "graft spool") finally out.close()
+            org.apache.hadoop.fs.FileContext
+              .getFileContext(dir.toUri, fs.getConf)
+              .rename(tmp, new org.apache.hadoop.fs.Path(dir, SpoolSidecar),
+                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            SpoolInfo(dir.toString, meta)
+          }
+        }
+      }
+    })
+
+  private val DayMs = 24L * 3600 * 1000
+
+  /** The shared EVENTS spool: the superset projection `(user_id, ts,
+    * event_id, event_type, value)` as three round-robin files
+    * (maximally disordered) plus TWO trailing sentinel files
+    * (`user_id` = min−1, `event_type` = 'sentinel', `event_id` =
+    * Long.MaxValue, `value` = 0) at the LATEST horizon any consumer
+    * needs (`max_ts + ttl + delay + day` — past every watermark delay
+    * and state TTL derived from the span, so one sentinel pair flushes
+    * every machine). Span scalars ride the sidecar — consumers never
+    * re-scan the source for them. Consumers project the columns their
+    * machine reads; the sentinel user is filtered at each sink read.
+    */
+  private[graft] final case class EventSpool(dir: String, minTs: Long,
+      maxTs: Long, sentinelUid: Long) {
+    def spanMs: Long = maxTs - minTs
+    def delayMs: Long = spanMs + DayMs
+    def ttlMs: Long = 2 * spanMs + 2 * DayMs
+  }
+
+  private[graft] def eventSpool(s: SparkSession, d: String): EventSpool = {
+    val info = ensureSpool(s, d, "events", "v1", "events.parquet") {
+      (dir, fs) =>
+        val ev = graft.core.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        ev.repartition(3).write.parquet(dir.toString)
+        val stamped = scala.collection.mutable.Set.empty[String]
+        var epoch = SpoolStampBase
+        stampOrder(fs, dir, stamped, epoch)
+        val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
+          .head()
+        val (minTs, maxTs) =
+          (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
+        val sentinelUid = span.getLong(2) - 1
+        val spanMs = maxTs - minTs
+        val sentinel1 = maxTs + (2 * spanMs + 2 * DayMs) +
+          (spanMs + DayMs) + DayMs
+        Seq(sentinel1, sentinel1 + DayMs).foreach { ts =>
+          s.createDataFrame(java.util.List.of(
+              org.apache.spark.sql.Row(sentinelUid,
+                new java.sql.Timestamp(ts), Long.MaxValue, "sentinel", 0.0)),
+            ev.schema)
+            .write.mode("append").parquet(dir.toString)
+          epoch += 1000
+          stampOrder(fs, dir, stamped, epoch)
+        }
+        Map("min_ts" -> minTs.toString, "max_ts" -> maxTs.toString,
+          "sentinel_uid" -> sentinelUid.toString)
+    }
+    EventSpool(info.dir, info.meta("min_ts").toLong,
+      info.meta("max_ts").toLong, info.meta("sentinel_uid").toLong)
+  }
+
+  /** The shared DOCUMENTS spool: `(doc_id, text)` as three files — the
+    * order-free ingest stream q133/q150 replay (their machines are
+    * map-side / commutative, so no stamping or sentinels needed).
+    */
+  private[graft] def docSpool(s: SparkSession, d: String): String =
+    ensureSpool(s, d, "docs", "v1", "documents.parquet") { (dir, _) =>
+      graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(3).write.parquet(dir.toString)
+      Map.empty
+    }.dir
+
   /** Micro-batches here carry O(|delta|/nFiles) rows, so the session's
     * batch-sized shuffle-partition count just multiplies per-trigger
     * task/state overhead for empty gain — pin it low for the stream's
@@ -217,49 +392,25 @@ object StreamingQueries {
     */
   val q100StreamingPatternTopk: Q = (s, d) => {
     val ramp = (1 to 8).map(_.toDouble).toArray
-    val dayMs = 24L * 3600 * 1000
     val base = RunStore.tableName("graft_stream_pattern", d)
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+    Seq("_ckpt", "_out").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
     val outPath = path("_out").toString
-    val ev = graft.core.Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    ev.repartition(3).write.parquet(deltaPath)
-    // separate sequential writes: the file source orders by
-    // modification time, so each sentinel lands in its own LATER
-    // micro-batch — order pinned with explicit stamps (see stampOrder)
-    val stamped = scala.collection.mutable.Set.empty[String]
-    var epoch = System.currentTimeMillis()
-    stampOrder(fs, path("_delta"), stamped, epoch)
-    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
-      .head()
-    val (minTs, maxTs) =
-      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
-    val sentinelUid = span.getLong(2) - 1
-    val delayMs = maxTs - minTs + dayMs
-    val ttlMs = 2L * (maxTs - minTs) + 2 * dayMs
-    val sentinel1 = maxTs + ttlMs + delayMs + dayMs
-    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
-      s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
-            Long.MaxValue, 0.0)), ev.schema)
-        .write.mode("append").parquet(deltaPath)
-      epoch += 1000
-      stampOrder(fs, path("_delta"), stamped, epoch)
-    }
+    val sp = eventSpool(s, d)
     val stream = s.readStream
-      .schema(s.read.parquet(deltaPath).schema)
+      .schema(s.read.parquet(sp.dir).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(deltaPath)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     withFewShufflePartitions(s) {
       graft.streaming.StreamingPatternSearch
-        .scores(stream, ramp, s"$delayMs milliseconds", stateTtlMs = ttlMs)
+        .scores(stream, ramp, s"${sp.delayMs} milliseconds",
+          stateTtlMs = sp.ttlMs)
         .writeStream
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
@@ -271,7 +422,7 @@ object StreamingQueries {
         .start().awaitTermination()
     }
     readSink(s, outPath)
-      .filter(col("user_id") =!= lit(sentinelUid))
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
       .select(col("user_id"), col("end_ms"), col("sim"))
       .orderBy(col("sim").desc, col("user_id"), col("end_ms"))
       .limit(20)
@@ -716,14 +867,12 @@ object StreamingQueries {
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+    Seq("_ckpt", "_out").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
     val outPath = path("_out").toString
-    graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(3).write.parquet(deltaPath)
+    val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
       .option("maxFilesPerTrigger", 1)
@@ -921,19 +1070,17 @@ object StreamingQueries {
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_state").foreach { suf =>
+    Seq("_ckpt", "_state").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
-    graft.core.Tables.events(s, d)
+    val sp = eventSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
       .select(col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("ms"))
-      .repartition(3).write.parquet(deltaPath)
-    val stream = s.readStream
-      .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -949,7 +1096,12 @@ object StreamingQueries {
     val state = graft.core.CacheScope.track(
       s.read.parquet(s"${path("_state")}/batch_$lastBatch")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    EventQueries.funnelFrame(state).orderBy("user_id")
+    // the shared spool carries the sentinel user (its flush markers
+    // for the watermarked consumers); this machine is unwatermarked,
+    // so the sentinel's state row is simply dropped here
+    EventQueries.funnelFrame(state)
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
+      .orderBy("user_id")
   }
 
   /** q166 — SESSIONIZATION through the real streaming engine: the
@@ -981,49 +1133,24 @@ object StreamingQueries {
     * the real disorder bound and state is proportionally small).
     */
   val q166StreamingSessionPaths: Q = (s, d) => {
-    val dayMs = 24L * 3600 * 1000
     val base = RunStore.tableName("graft_stream_sess", d)
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+    Seq("_ckpt", "_out").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
     val outPath = path("_out").toString
-    val ev = graft.core.Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    ev.repartition(3).write.parquet(deltaPath)
-    val stamped = scala.collection.mutable.Set.empty[String]
-    var epoch = System.currentTimeMillis()
-    stampOrder(fs, path("_delta"), stamped, epoch)
-    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
-      .head()
-    val (minTs, maxTs) =
-      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
-    val sentinelUid = span.getLong(2) - 1
-    val delayMs = maxTs - minTs + dayMs
-    // first sentinel pushes the watermark past every real session's
-    // end (wm = sentinel − delay > maxTs + gap); the second exists
-    // because a watermark computed in batch N only gates emission from
-    // batch N+1
-    val sentinel1 = maxTs + delayMs + 2 * dayMs
-    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
-      s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
-            -1L, "sentinel")), ev.schema)
-        .write.mode("append").parquet(deltaPath)
-      epoch += 1000
-      stampOrder(fs, path("_delta"), stamped, epoch)
-    }
+    val sp = eventSpool(s, d)
     val stream = s.readStream
-      .schema(s.read.parquet(deltaPath).schema)
+      .schema(s.read.parquet(sp.dir).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(deltaPath)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     withFewShufflePartitions(s) {
       stream
-        .withWatermark("ts", s"$delayMs milliseconds")
+        .withWatermark("ts", s"${sp.delayMs} milliseconds")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(array_join(
           transform(
@@ -1042,7 +1169,7 @@ object StreamingQueries {
         .start().awaitTermination()
     }
     readSink(s, outPath)
-      .filter(col("user_id") =!= lit(sentinelUid))
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
       .groupBy("path")
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
@@ -1067,47 +1194,25 @@ object StreamingQueries {
     * bit-for-bit under full-span disorder.
     */
   val q148StreamingWindowedFunnel: Q = (s, d) => {
-    val dayMs = 24L * 3600 * 1000
     val base = RunStore.tableName("graft_stream_wfunnel", d)
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+    Seq("_ckpt", "_out").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
     val outPath = path("_out").toString
-    val ev = graft.core.Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_type"))
-    ev.repartition(3).write.parquet(deltaPath)
-    val stamped = scala.collection.mutable.Set.empty[String]
-    var epoch = System.currentTimeMillis()
-    stampOrder(fs, path("_delta"), stamped, epoch)
-    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
-      .head()
-    val (minTs, maxTs) =
-      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
-    val sentinelUid = span.getLong(2) - 1
-    val delayMs = maxTs - minTs + dayMs
-    val ttlMs = 2L * (maxTs - minTs) + 2 * dayMs
-    val sentinel1 = maxTs + ttlMs + delayMs + dayMs
-    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
-      s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
-            "sentinel")), ev.schema)
-        .write.mode("append").parquet(deltaPath)
-      epoch += 1000
-      stampOrder(fs, path("_delta"), stamped, epoch)
-    }
+    val sp = eventSpool(s, d)
     val stream = s.readStream
-      .schema(s.read.parquet(deltaPath).schema)
+      .schema(s.read.parquet(sp.dir).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(deltaPath)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
     withFewShufflePartitions(s) {
       graft.streaming.StreamingFunnel
         .funnel(stream, EventQueries.FunnelWindowMs,
-          s"$delayMs milliseconds", stateTtlMs = ttlMs)
+          s"${sp.delayMs} milliseconds", stateTtlMs = sp.ttlMs)
         .writeStream
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
@@ -1119,7 +1224,7 @@ object StreamingQueries {
         .start().awaitTermination()
     }
     readSink(s, outPath)
-      .filter(col("user_id") =!= lit(sentinelUid))
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
       .select("user_id", "s1_ms", "s2_ms", "s3_ms", "reached")
       .orderBy("user_id")
   }
@@ -1161,13 +1266,11 @@ object StreamingQueries {
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_state").foreach { suf =>
+    Seq("_ckpt", "_state").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
-    graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(3).write.parquet(deltaPath)
+    val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
       .option("maxFilesPerTrigger", 1)
@@ -1211,47 +1314,25 @@ object StreamingQueries {
     * table for ANY batching.
     */
   val q159StreamingAttribution: Q = (s, d) => {
-    val dayMs = 24L * 3600 * 1000
     val base = RunStore.tableName("graft_stream_attr", d)
     def path(suffix: String) = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), base + suffix)
     val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_delta", "_ckpt", "_out").foreach { suf =>
+    Seq("_ckpt", "_out").foreach { suf =>
       val p = path(suf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val deltaPath = path("_delta").toString
     val outPath = path("_out").toString
-    val ev = graft.core.Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    ev.repartition(3).write.parquet(deltaPath)
-    val stamped = scala.collection.mutable.Set.empty[String]
-    var epoch = System.currentTimeMillis()
-    stampOrder(fs, path("_delta"), stamped, epoch)
-    val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
-      .head()
-    val (minTs, maxTs) =
-      (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
-    val sentinelUid = span.getLong(2) - 1
-    val delayMs = maxTs - minTs + dayMs
-    val ttlMs = 2L * (maxTs - minTs) + 2 * dayMs
-    val sentinel1 = maxTs + ttlMs + delayMs + dayMs
-    Seq(sentinel1, sentinel1 + dayMs).foreach { ts =>
-      s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(sentinelUid, new java.sql.Timestamp(ts),
-            Long.MaxValue, "sentinel")), ev.schema)
-        .write.mode("append").parquet(deltaPath)
-      epoch += 1000
-      stampOrder(fs, path("_delta"), stamped, epoch)
-    }
+    val sp = eventSpool(s, d)
     val stream = s.readStream
-      .schema(s.read.parquet(deltaPath).schema)
+      .schema(s.read.parquet(sp.dir).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(deltaPath)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     withFewShufflePartitions(s) {
       graft.streaming.StreamingAttribution
         .attribute(stream, EventQueries.AttributionWindowMs,
-          s"$delayMs milliseconds", stateTtlMs = ttlMs)
+          s"${sp.delayMs} milliseconds", stateTtlMs = sp.ttlMs)
         .writeStream
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
@@ -1263,7 +1344,7 @@ object StreamingQueries {
         .start().awaitTermination()
     }
     readSink(s, outPath)
-      .filter(col("user_id") =!= lit(sentinelUid))
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
       .select("user_id", "purchase_id", "touch_id", "latency_ms")
       .orderBy("user_id", "purchase_id")
   }
