@@ -1229,6 +1229,50 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q167 — INDEX-ON-INGEST: the posting index maintained by the
+    * STREAM, per checkpointed micro-batch — the Lucene SEGMENT model
+    * as a Spark pipeline: each micro-batch tokenizes ONLY its own
+    * documents ([[SearchQueries.postingRows]] — the exact derivation
+    * the batch store and q163's fold use, so a drifted streaming
+    * signer can never silently diverge) and writes them as a
+    * batchId-addressed SEGMENT (idempotent overwrite — a replayed
+    * epoch lands on the same path, exactly-once from at-least-once,
+    * the q103 sink discipline); serving is q151's boolean engine over
+    * the segment UNION, which equals the from-scratch index because
+    * every document lands in exactly one segment. Compaction of many
+    * small segments into the bucketed store is q163's fold/compact
+    * lifecycle — together they are the ingest path (segments) and the
+    * maintenance path (fold + generation-dir compaction) of the same
+    * index. Oracle: q151Sql VERBATIM — index-on-ingest ≡
+    * index-at-rest for ANY batching.
+    */
+  val q167StreamingPostingIndex: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_postseg", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_seg").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val segPath = path("_seg").toString
+    val deltaPath = docSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(SearchQueries.postingRows(batch), segPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    SearchQueries.booleanSearchOver(readSink(s, segPath))
+  }
+
   /** q150's per-micro-batch body: the count-min sketch is a MONOID
     * (bucket-wise integer addition), so batch `id` folds its own
     * sketch into its predecessor's and overwrites its batchId-
@@ -1353,6 +1397,7 @@ object StreamingQueries {
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
     "q166_streaming_session_paths" -> q166StreamingSessionPaths,
+    "q167_streaming_posting_index" -> q167StreamingPostingIndex,
     "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
@@ -1381,6 +1426,9 @@ object StreamingQueries {
     // q139's SQL verbatim: sessionize-on-ingest (native session_window
     // + watermark, append mode) must equal sessionize-at-rest
     "q166_streaming_session_paths" -> EventQueries.q139Sql,
+    // q151's SQL verbatim: index-on-ingest (per-batch posting
+    // segments) must serve exactly what the from-scratch index serves
+    "q167_streaming_posting_index" -> SearchQueries.q151Sql,
     // q149's SQL verbatim: the monoid fold commutes with any batching
     "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
     // q156's SQL verbatim: attribution-on-ingest ≡ batch attribution
