@@ -130,7 +130,15 @@ object Bench {
       "ivfpq_index_build" ->
         (() => graft.queries.SimilarityQueries.IvfPqIndexStore.ensure(spark, sfDir)),
       "posting_store_build" ->
-        (() => graft.queries.SearchQueries.PostingStore.ensure(spark, sfDir)))
+        (() => graft.queries.SearchQueries.PostingStore.ensure(spark, sfDir)),
+      // shared streaming spools (round-13 verdict #7): the layout is
+      // ingest-side setup shared by the streaming families — paid (or
+      // fingerprint-revalidated) HERE, not inside whichever streaming
+      // query happens to run first
+      "event_spool_build" ->
+        (() => graft.queries.StreamingQueries.ensureEventSpool(spark, sfDir)),
+      "doc_spool_build" ->
+        (() => graft.queries.StreamingQueries.ensureDocSpool(spark, sfDir)))
     val setupTimes: Seq[(String, Double, Either[String, String])] =
       setups.map { case (name, run) =>
         val t0 = System.nanoTime()

@@ -812,8 +812,101 @@ object CorpusStatsQueries {
        |FROM qs JOIN ex USING (tok) JOIN est USING (tok)
        |ORDER BY tok""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+
+  /** Deterministic-HLL geometry: p = 8 → 256 registers; the 60-bit
+    * md5-uniform hash splits into an 8-bit register index and a 52-bit
+    * pattern whose leading-zero rank is the register value (ρ ∈
+    * [1, 53]). The per-register indicator 2^−ρ is carried SCALED as
+    * the exact BIGINT `2^(54−ρ)` (an empty register contributes
+    * `2^54`), so the harmonic-mean denominator is a commutative
+    * integer sum — at most 256·2^54 < 2^63 — and the only float in
+    * the whole pipeline is ONE final division by a constant both
+    * engines hold as the same double literal (the q46
+    * embedded-constant discipline).
+    */
+  private[graft] val HllRegisters = 256L
+  private[graft] val HllScaledOne = 1L << 54
+  private[graft] val HllNumerator: Double =
+    0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 * math.pow(2, 54)
+
+  /** q168 — DETERMINISTIC HyperLogLog, fully hash-gated: q26 exercises
+    * Spark's native `approx_count_distinct` (whose HLL++ registers no
+    * other engine replays — that row is rows-only by design); this is
+    * the same estimator re-derived from the repo's md5-uniform hash so
+    * DuckDB replays every register bit-for-bit and the driver's hash
+    * gate now covers the sketch tier's LAST family. One token pass,
+    * shuffle bounded at 256 partial-agg'd register groups whatever the
+    * corpus size (the q149 shape: max is a commutative fold); output =
+    * register-fold evidence (zero-register count + the exact scaled
+    * harmonic sum — ANY flipped register flips it) beside the raw HLL
+    * estimate and the exact distinct count the sketch exists to avoid
+    * at 100 TB. The small-range linear-counting branch (`E < 2.5m`
+    * with zero registers) needs `ln` — the documented production
+    * branch, deliberately outside the bit-exact gate; at every tested
+    * SF the vocabulary sits far above that regime.
+    */
+  val q168HllReplay: Q = (s, d) => {
+    val toks = graft.core.CacheScope.track(
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val h = conv(substring(md5(concat(lit("hll:"), col("tok"))), 1, 15),
+      16, 10).cast("long")
+    val regFold = toks
+      .select(h.as("h"))
+      .select((col("h") % HllRegisters).as("reg"),
+        expr(s"h div $HllRegisters").as("w"))
+      .select(col("reg"),
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(conv(col("w"), 10, 2)).cast("long"))
+          .as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+    val summary = regFold.agg(
+      count(lit(1)).as("n_present"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(54 - rho as int))"))
+        .as("present_sum"))
+    val exact = toks.agg(count_distinct(col("tok")).as("exact_distinct"))
+    summary.crossJoin(exact)
+      .withColumn("scaled_sum",
+        col("present_sum") +
+          (lit(HllRegisters) - col("n_present")) * lit(HllScaledOne))
+      .select(
+        lit(HllRegisters).as("m"),
+        (lit(HllRegisters) - col("n_present")).as("n_zero"),
+        col("scaled_sum"),
+        (lit(HllNumerator) / col("scaled_sum").cast("double"))
+          .as("hll_estimate"),
+        col("exact_distinct"))
+  }
+
+  val q168Sql: String =
+    s"""WITH tk AS (SELECT unnest($tokensSql) AS tok FROM documents),
+       |h AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+       |      FROM tk),
+       |r AS (SELECT h % $HllRegisters AS reg, h // $HllRegisters AS w FROM h),
+       |regs AS (SELECT reg,
+       |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+       |  FROM r GROUP BY reg),
+       |summ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - rho AS INTEGER)) AS BIGINT)
+       |      AS present_sum
+       |  FROM regs),
+       |ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+       |       FROM tk)
+       |SELECT CAST($HllRegisters AS BIGINT) AS m,
+       |  CAST($HllRegisters - n_present AS BIGINT) AS n_zero,
+       |  CAST(present_sum + ($HllRegisters - n_present) * $HllScaledOne
+       |    AS BIGINT) AS scaled_sum,
+       |  $HllNumerator / CAST(present_sum +
+       |    ($HllRegisters - n_present) * $HllScaledOne AS DOUBLE)
+       |    AS hll_estimate,
+       |  exact_distinct
+       |FROM summ CROSS JOIN ex""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q149_count_min_sketch" -> q149CountMinSketch,
+    "q168_hll_replay" -> q168HllReplay,
     "q127_bpe_merges" -> q127BpeMerges,
     "q128_bpe_encode" -> q128BpeEncode,
     "q135_token_drift" -> q135TokenDrift,
@@ -832,6 +925,7 @@ object CorpusStatsQueries {
     "q128_bpe_encode" -> q128Sql,
     "q135_token_drift" -> q135Sql,
     "q149_count_min_sketch" -> q149Sql,
+    "q168_hll_replay" -> q168Sql,
     "q61_length_quantiles" -> q61Sql,
     "q62_token_packing" -> q62Sql,
     "q63_token_rarity" -> q63Sql,

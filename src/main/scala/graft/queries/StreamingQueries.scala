@@ -79,6 +79,8 @@ object StreamingQueries {
 
   private val spoolMemo =
     new java.util.concurrent.ConcurrentHashMap[String, SpoolInfo]()
+  private val spoolModes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Fixed stamp base (2020-09-13T12:26:40Z): deterministic across
     * builds so a reused spool replays the same micro-batch order.
@@ -147,9 +149,14 @@ object StreamingQueries {
                 .toMap))
           }
         } catch { case scala.util.control.NonFatal(_) => None }
-      readSidecar().getOrElse {
+      readSidecar().map { info =>
+        spoolModes.put(s"$name|$d", "reused"); info
+      }.getOrElse {
         RunStore.withBuildLock(s, base) {
-          readSidecar().getOrElse {
+          readSidecar().map { info =>
+            spoolModes.put(s"$name|$d", "reused"); info
+          }.getOrElse {
+            spoolModes.put(s"$name|$d", "built")
             if (fs.exists(dir)) fs.delete(dir, true)
             val meta = build(dir, fs)
             val props = new java.util.Properties()
@@ -168,6 +175,22 @@ object StreamingQueries {
         }
       }
     })
+
+  /** Bench-visible spool setup (the store `ensure` discipline): build
+    * or revalidate the shared spool OUTSIDE any single query's timed
+    * run, reporting how it was satisfied.
+    */
+  private[graft] def ensureEventSpool(s: SparkSession, d: String): String = {
+    val before = spoolMemo.containsKey(s"events|$d")
+    eventSpool(s, d)
+    if (before) "memoized" else spoolModes.getOrDefault(s"events|$d", "built")
+  }
+
+  private[graft] def ensureDocSpool(s: SparkSession, d: String): String = {
+    val before = spoolMemo.containsKey(s"docs|$d")
+    docSpool(s, d)
+    if (before) "memoized" else spoolModes.getOrDefault(s"docs|$d", "built")
+  }
 
   private val DayMs = 24L * 3600 * 1000
 
