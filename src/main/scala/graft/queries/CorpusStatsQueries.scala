@@ -846,14 +846,16 @@ object CorpusStatsQueries {
     * branch, deliberately outside the bit-exact gate; at every tested
     * SF the vocabulary sits far above that regime.
     */
-  val q168HllReplay: Q = (s, d) => {
-    val toks = graft.core.CacheScope.track(
-      documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** The folded register frame `(reg, rho)` of a token stream — the
+    * whole sketch: 256 rows max, map-side `max` partials. Register
+    * folds form a MONOID (element-wise max), which is what makes the
+    * streaming sibling (q169) a per-batch fold with constant state.
+    */
+  private[graft] def hllRegisterFrame(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val h = conv(substring(md5(concat(lit("hll:"), col("tok"))), 1, 15),
       16, 10).cast("long")
-    val regFold = toks
+    toks
       .select(h.as("h"))
       .select((col("h") % HllRegisters).as("reg"),
         expr(s"h div $HllRegisters").as("w"))
@@ -862,12 +864,20 @@ object CorpusStatsQueries {
           .otherwise(lit(53L) - length(conv(col("w"), 10, 2)).cast("long"))
           .as("rho"))
       .groupBy("reg").agg(max(col("rho")).as("rho"))
-    val summary = regFold.agg(
-      count(lit(1)).as("n_present"),
-      sum(expr("shiftleft(cast(1 as bigint), cast(54 - rho as int))"))
-        .as("present_sum"))
-    val exact = toks.agg(count_distinct(col("tok")).as("exact_distinct"))
-    summary.crossJoin(exact)
+  }
+
+  /** The q168 report off a folded register frame + a 1-row exact
+    * distinct frame — shared verbatim by the batch and streaming
+    * forms, so the fold can never drift from the estimator.
+    */
+  private[graft] def hllReport(regFold: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    regFold.agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(54 - rho as int))"))
+          .as("present_sum"))
+      .crossJoin(exact)
       .withColumn("scaled_sum",
         col("present_sum") +
           (lit(HllRegisters) - col("n_present")) * lit(HllScaledOne))
@@ -878,6 +888,14 @@ object CorpusStatsQueries {
         (lit(HllNumerator) / col("scaled_sum").cast("double"))
           .as("hll_estimate"),
         col("exact_distinct"))
+
+  val q168HllReplay: Q = (s, d) => {
+    val toks = graft.core.CacheScope.track(
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    hllReport(hllRegisterFrame(toks),
+      toks.agg(count_distinct(col("tok")).as("exact_distinct")))
   }
 
   val q168Sql: String =

@@ -1368,6 +1368,71 @@ object StreamingQueries {
       .orderBy("tok")
   }
 
+  /** q169's per-micro-batch body: HLL registers fold by element-wise
+    * MAX — a commutative idempotent monoid, so batch `id` folds its
+    * own register frame into its predecessor's and overwrites its
+    * batchId-addressed state dir (exactly-once from at-least-once —
+    * and max is even REPLAY-insensitive: folding the same batch twice
+    * is a no-op, stronger than CMS's addition). State is ≤ 256 rows
+    * however much has streamed.
+    */
+  private[graft] def hllFoldBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val bs = CorpusStatsQueries.hllRegisterFrame(
+        batch.select(explode(tokens(col("text"))).as("tok")))
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      prev.unionByName(bs)
+        .groupBy("reg").agg(max(col("rho")).as("rho"))
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q169 — DISTINCT-COUNT-ON-INGEST: q168's deterministic HLL
+    * maintained through the real streaming engine, one register-max
+    * fold per checkpointed micro-batch ([[hllFoldBatch]]); the final
+    * ≤256-row state feeds the SAME report code as the batch query.
+    * Oracle: q168's SQL VERBATIM — sketch-on-ingest ≡
+    * sketch-on-release for ANY batching, which holds exactly because
+    * register maxes form a commutative (and idempotent) monoid. With
+    * q150 this completes the streaming sketch pair: CMS for
+    * frequencies, HLL for cardinality — the two sketches every
+    * ingest telemetry tier runs side by side.
+    */
+  val q169StreamingHllFold: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_hll", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = docSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          hllFoldBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the HLL stream processed no batches")
+    val regFold = s.read.parquet(s"${path("_state")}/batch_$lastBatch")
+    val exact = s.read.parquet(deltaPath)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("exact_distinct"))
+    CorpusStatsQueries.hllReport(regFold, exact)
+  }
+
   /** q159 — last-touch ATTRIBUTION on ingest: q156's semantics inside
     * the engine's keyed state ([[graft.streaming.StreamingAttribution]])
     * with per-user state bounded at O(1 + in-flight disorder): among
@@ -1421,6 +1486,7 @@ object StreamingQueries {
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
     "q166_streaming_session_paths" -> q166StreamingSessionPaths,
     "q167_streaming_posting_index" -> q167StreamingPostingIndex,
+    "q169_streaming_hll_fold" -> q169StreamingHllFold,
     "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
@@ -1452,6 +1518,9 @@ object StreamingQueries {
     // q151's SQL verbatim: index-on-ingest (per-batch posting
     // segments) must serve exactly what the from-scratch index serves
     "q167_streaming_posting_index" -> SearchQueries.q151Sql,
+    // q168's SQL verbatim: the register-max monoid fold commutes with
+    // any batching
+    "q169_streaming_hll_fold" -> CorpusStatsQueries.q168Sql,
     // q149's SQL verbatim: the monoid fold commutes with any batching
     "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
     // q156's SQL verbatim: attribution-on-ingest ≡ batch attribution
