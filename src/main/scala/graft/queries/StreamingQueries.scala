@@ -176,6 +176,13 @@ object StreamingQueries {
       }
     })
 
+  /** Test hook: forget the spool memo so a spec can observe a fresh
+    * build/revalidation (the RunStore `reset()` precedent).
+    */
+  private[graft] def resetSpools(): Unit = {
+    spoolMemo.clear(); spoolModes.clear()
+  }
+
   /** Bench-visible spool setup (the store `ensure` discipline): build
     * or revalidate the shared spool OUTSIDE any single query's timed
     * run, reporting how it was satisfied.
