@@ -53,8 +53,25 @@ object SearchQueries {
       .select(col("term"), col("doc_id"), col("positions"), col("tf"),
         col("dl"))
 
+  /** The BM25 corpus scalars, derived ONCE at index build time and
+    * persisted in the store's sidecar (the quantizer-grid discipline):
+    * serving never pays a corpus-grain aggregate for two numbers. The
+    * derivation reads the just-written table — by name, since the
+    * store is mid-build when metaBuild runs. A fold that appends delta
+    * postings must refresh these (q163's lifecycle table computes its
+    * stats inline instead; the memoized store here is build-only).
+    */
   private[graft] val PostingStore = new RunStore("graft_postings", 8,
-    Seq("term"), (s, d) => postingRows(documents(s, d)))
+    Seq("term"), (s, d) => postingRows(documents(s, d)),
+    metaBuild = (s, d) => {
+      val r = s.table(RunStore.tableName("graft_postings", d))
+        .agg(sum("tf").as("corpus_len"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .head()
+      Map("corpus_len" -> r.getLong(0).toString,
+        "n_docs" -> r.getLong(1).toString)
+    },
+    metaVersion = "bm25-scalars-v1")
 
   /** The query terms, resolved DETERMINISTICALLY from a posting frame:
     * highest document frequency, ties to the lexicographically
@@ -279,25 +296,34 @@ object SearchQueries {
 
   /** Per-(doc, term) GraftBM25 scores for `qterms` (literal terms —
     * the scan stays a pushdown-pruned term-IN): postings join their
-    * term's df (a |Q|-row broadcast) and the two corpus scalars (a
-    * 1-row broadcast), then the score is one map-side integer
-    * expression — dl rides the posting row, so NOTHING doc-grain is
-    * joined at query time. The corpus scalars (corpus_len, n_docs)
-    * are one aggregate-only pass over the store here; a production
-    * deployment pins them in the store's sidecar metadata at
-    * ingest/fold time (the RunStore `metaBuild` path) exactly like the
-    * quantizer grids.
+    * term's df (a |Q|-row broadcast), the two corpus scalars ride as
+    * LITERALS, and the score is one map-side integer expression — dl
+    * rides the posting row, so NOTHING doc-grain or corpus-grain is
+    * touched at query time. The scalars come from the posting store's
+    * SIDECAR ([[bm25Corpus]] — derived once at index build, the
+    * quantizer-grid discipline), so a BM25 query's only work is the
+    * pruned posting-list scan plus two bounded broadcasts.
     */
   private[graft] def bm25Scores(store: org.apache.spark.sql.DataFrame,
-      qterms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val totals = store.agg(sum("tf").as("corpus_len"),
-      count_distinct(col("doc_id")).as("n_docs"))
+      qterms: Seq[String], corpusLen: Long,
+      nDocs: Long): org.apache.spark.sql.DataFrame = {
     val matched = store.filter(col("term").isin(qterms: _*))
     val dfFrame = matched.groupBy("term").agg(count(lit(1)).as("df"))
     matched
       .join(broadcast(dfFrame), "term")
-      .crossJoin(broadcast(totals))
+      .withColumn("corpus_len", lit(corpusLen))
+      .withColumn("n_docs", lit(nDocs))
       .select(col("term"), col("doc_id"), bm25ScoreCol.as("score"))
+  }
+
+  /** The sidecar-pinned corpus scalars — one small-file read on the
+    * store's reuse path, no corpus pass (the bounded index-probe
+    * class, like the IVF-PQ centroid/anchor reads).
+    */
+  private[graft] def bm25Corpus(s: org.apache.spark.sql.SparkSession,
+      d: String): (Long, Long) = {
+    val m = PostingStore.metadata(s, d)
+    (m("corpus_len").toLong, m("n_docs").toLong)
   }
 
   /** q164 — BM25 top-k retrieval: the 16-term md5-sampled query batch
@@ -311,11 +337,12 @@ object SearchQueries {
     */
   val q164Bm25TopK: Q = (s, d) => {
     val store = PostingStore.table(s, d)
+    val (corpusLen, nDocs) = bm25Corpus(s, d)
     val qts = store.select("term").distinct()
       .orderBy(md5(concat(lit("tq:"), col("term"))))
       .limit(TermQueryCount)
       .collect().map(_.getString(0)).toSeq
-    bm25Scores(store, qts)
+    bm25Scores(store, qts, corpusLen, nDocs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("score").as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
@@ -366,8 +393,9 @@ object SearchQueries {
     */
   val q154LexicalDenseHybrid: Q = (s, d) => {
     val store = PostingStore.table(s, d)
+    val (corpusLen, nDocs) = bm25Corpus(s, d)
     val qts = topDfTermsOf(store, 2)
-    val cands = bm25Scores(store, qts)
+    val cands = bm25Scores(store, qts, corpusLen, nDocs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("score").as("lex_score"))
       .filter(col("n_terms") === 2)

@@ -441,13 +441,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("q164 BM25 scoring stays index-shaped: literal term-IN reaches " +
     "the posting store's parquet reader (postings of the 16 query " +
-    "terms move, never the corpus), df and totals broadcast, and the " +
-    "top-20 cut is TakeOrderedAndProject") {
+    "terms move, never the corpus), df broadcasts, the corpus scalars " +
+    "ride as sidecar-fed LITERALS (no corpus-grain distinct/total " +
+    "aggregate anywhere in the serving plan), and the top-20 cut is " +
+    "TakeOrderedAndProject") {
     val p = physical(SearchQueries.queries("q164_bm25_topk")(spark, sf))
     assert(p.contains("graft_postings"), p.take(4000))
     assert(p.contains("In(term"), p.take(4000))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(4000))
+    assert(!p.toLowerCase.contains("distinct"), p.take(4000))
   }
 
   test("q125 PQ assignment is a pure map-side projection: 8 codegen'd " +
