@@ -1050,12 +1050,22 @@ object StreamingQueries {
     * with the funnel's time window; the window is the ONLY thing that
     * makes funnel state finite, not cleverness).
     */
-  private[graft] def funnelStateBatch(s: SparkSession, stateRoot: String)(
+  /** Sentinel for [[funnelStateBatch]]'s `prevId`: "chain to id − 1". */
+  private[graft] val UsePreviousId = Long.MinValue
+
+  private[graft] def funnelStateBatch(s: SparkSession, stateRoot: String,
+      prevId: Long = UsePreviousId)(
       batch: DataFrame, id: Long): Unit =
     graft.core.CacheScope.withScope {
+      // the state chain links to the last batch that actually WROTE
+      // state — by default the immediate predecessor, but a caller
+      // that skips empty micro-batches (q144 skips the shared spool's
+      // sentinel-only triggers: folding nothing through a full
+      // state rewrite is pure waste) passes the last written id
+      val effPrev = if (prevId == UsePreviousId) id - 1 else prevId
       val prev =
-        if (id == 0L) batch.limit(0)
-        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+        if (effPrev < 0L) batch.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_$effPrev")
       val merged = graft.core.CacheScope.track(
         prev.unionByName(batch).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1117,8 +1127,15 @@ object StreamingQueries {
         .option("checkpointLocation", path("_ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          funnelStateBatch(s, path("_state").toString)(batch, id)
-          lastBatch = math.max(lastBatch, id)
+          // the shared spool's trailing sentinel files exist for the
+          // WATERMARKED consumers; this machine is unwatermarked, so a
+          // sentinel-only micro-batch folds nothing — skip the state
+          // rewrite entirely (the chain links via lastBatch)
+          val b = batch.filter(col("user_id") =!= lit(sp.sentinelUid))
+          if (lastBatch < 0 || !b.isEmpty) {
+            funnelStateBatch(s, path("_state").toString, lastBatch)(b, id)
+            lastBatch = math.max(lastBatch, id)
+          }
         }
         .start().awaitTermination()
     }
