@@ -47,10 +47,18 @@ object CorpusStatsQueries {
     * consumers (q69's outlier clip) can broadcast it.
     */
   def lengthQuantiles(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val hist = documents(s, d)
+      d: String): org.apache.spark.sql.DataFrame =
+    quantilesOverHist(documents(s, d)
       .groupBy("lang", "n_chars")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The quantile pick over any `(lang, n_chars, cnt)` histogram — the
+    * report half of the q61 engine, shared VERBATIM by the batch query
+    * and q170's streaming histogram fold (per-bucket counts are a
+    * commutative monoid, so the folded stream state IS this histogram).
+    */
+  def quantilesOverHist(
+      hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("lang").orderBy("n_chars")
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
@@ -922,7 +930,166 @@ object CorpusStatsQueries {
        |  exact_distinct
        |FROM summ CROSS JOIN ex""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+
+  /** Bloom-filter geometry shared by q173/q174 and both oracles:
+    * `BloomWords` words of `BloomBitsPerWord` bits (60, so `1L << bit`
+    * never touches the sign bit on either engine) and `BloomHashes`
+    * md5-derived probe positions per key — m = 256·60 = 15,360 bits,
+    * fixed like the CMS d·w grid so the sketch is ≤ 256 rows at ANY
+    * corpus size. Production sizes m ≈ 14·n bits for a 1% FP target —
+    * one constant away; the CONTRACT (no false negatives, ever) is
+    * geometry-independent and is what the verdict grid's hash pins.
+    */
+  private[graft] val BloomWords = 256L
+  private[graft] val BloomBitsPerWord = 60L
+  private[graft] val BloomHashes = 3
+
+  /** Per-key probe rows `(…, word, mask)` — `BloomHashes` md5-derived
+    * bit positions for each input row's `fp`, shared VERBATIM by the
+    * build and probe sides (and by q174's streaming fold) so the two
+    * halves can never drift onto different hash families.
+    */
+  private[graft] def bloomBits(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = BloomWords * BloomBitsPerWord
+    df.select(col("*"),
+        explode(sequence(lit(0), lit(BloomHashes - 1))).as("i"))
+      .withColumn("pos",
+        conv(substring(md5(concat(col("i").cast("string"), lit(":bloom:"),
+          col("fp"))), 1, 15), 16, 10).cast("long") % m)
+      .select(df.columns.toIndexedSeq.map(col) :+
+        expr(s"pos div $BloomBitsPerWord").as("word") :+
+        expr(s"shiftleft(cast(1 as bigint), " +
+          s"cast(pos % $BloomBitsPerWord as int))").as("mask"): _*)
+  }
+
+  /** The folded word frame `(word, w)` of a fingerprint set — the whole
+    * filter: ≤ [[BloomWords]] rows, `bit_or` partials fold map-side.
+    * Bitwise OR is a commutative AND idempotent monoid (the q169/HLL
+    * class, strictly stronger than CMS addition under at-least-once
+    * delivery), which is exactly what makes q174's per-micro-batch fold
+    * replay-safe.
+    */
+  private[graft] def bloomSketch(fps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bloomBits(fps.select("fp").distinct())
+      .groupBy("word").agg(expr("bit_or(mask)").as("w"))
+
+  /** The `(doc_id, fp = md5(lower(text)))` frame q173/q174 share; base =
+    * the 90% admitted corpus, delta = the 10% arrival slice (q135's
+    * `doc_id % 10` convention).
+    */
+  private[graft] def bloomDocFps(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+
+  /** The q173 report off a folded sketch — shared verbatim by the batch
+    * and streaming forms. The probe set is the delta slice PLUS a
+    * deterministic ~10% RE-ARRIVAL sample of the base itself (the
+    * md5-uniform `bloomprobe:` salt) — re-ingested shards are exactly
+    * what a membership pre-gate exists to catch, and the sample
+    * guarantees the member row of the grid is populated at every SF
+    * (the synthetic corpus has no exact duplicate crossing the
+    * base/delta split, so delta alone would only ever exercise the
+    * non-member path). Every probe doc checks its [[BloomHashes]]
+    * positions against the ≤ 256-row word frame (broadcast class), the
+    * verdict is `min(hit)` (all probed bits set), and the output is the
+    * (maybe_in_base, is_member) verdict grid with counts + the q158
+    * commutative doc fingerprint — the `(0, 1)` false-negative row must
+    * NEVER appear, and its absence is itself hash-checked, while the
+    * `(1, 1)` row is non-empty by construction. `n_set_bits` rides
+    * along as whole-sketch evidence: one flipped word flips it.
+    */
+  private[graft] def bloomReport(s: org.apache.spark.sql.SparkSession,
+      d: String, sketch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fps = bloomDocFps(s, d)
+    val base = fps.filter(col("doc_id") % 10 =!= 0)
+    val probeSet = fps.filter(col("doc_id") % 10 === 0)
+      .unionByName(base.filter(mdUniform("bloomprobe:", col("doc_id")) < 0.1))
+    val verdicts = bloomBits(probeSet)
+      .join(sketch, Seq("word"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(coalesce(col("w"), lit(0L)).bitwiseAND(col("mask")) =!= 0, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("doc_id", "fp")
+      .agg(min(col("hit")).as("maybe_in_base"))
+      .join(base.select("fp").distinct().withColumn("is_member", lit(1L)),
+        Seq("fp"), "left")
+      .withColumn("is_member", coalesce(col("is_member"), lit(0L)))
+    verdicts.groupBy("maybe_in_base", "is_member")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("fp"))), 1, 10), 16, 10).cast("long"))
+          .as("docs_fp"))
+      .crossJoin(sketch.agg(
+        sum(expr("bit_count(w)")).cast("long").as("n_set_bits")))
+      .orderBy("maybe_in_base", "is_member")
+  }
+
+  /** q173 — BLOOM-FILTER membership pre-gate: the admission fast path a
+    * 100 TB dedup tier runs BEFORE any shuffle — "has this fingerprint
+    * possibly been seen?" answered from a ≤ 256-row broadcast bitset
+    * instead of a join against the corpus. Completes the sketch QUAD
+    * (CMS q149 = frequencies, HLL q168 = cardinality, histogram q61 =
+    * quantiles, Bloom = membership), and like the others it is fully
+    * hash-gated: the bitset is a pure md5 function of the data that
+    * DuckDB replays bit-for-bit.
+    *
+    * Scale shape: the build is one base pass whose shuffle carries at
+    * most [[BloomWords]] `bit_or` partial-agg'd groups whatever the
+    * corpus size; probes are |probe set|×3 rows against a
+    * broadcast-class word frame — the exact-membership side (the
+    * anti-join the filter exists to avoid at 100 TB) appears here only
+    * to measure the FP rate in the open.
+    */
+  val q173BloomMembership: Q = (s, d) =>
+    bloomReport(s, d,
+      bloomSketch(bloomDocFps(s, d).filter(col("doc_id") % 10 =!= 0)))
+
+  val q173Sql: String = {
+    val m = BloomWords * BloomBitsPerWord
+    s"""WITH fps AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+       |base AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
+       |delta AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0
+       | UNION ALL
+       | SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0
+       |  AND ${mdUniformSql("bloomprobe:", "doc_id")} < 0.1),
+       |hh AS (SELECT unnest(range($BloomHashes)) AS i),
+       |bb AS (SELECT
+       |   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':bloom:' || fp), 1, 15))::BIGINT
+       |     % $m AS pos
+       |  FROM base CROSS JOIN hh),
+       |sk AS (SELECT pos // $BloomBitsPerWord AS word,
+       |    bit_or(1::BIGINT << CAST(pos % $BloomBitsPerWord AS INTEGER)) AS w
+       |  FROM bb GROUP BY 1),
+       |pr AS (SELECT d.doc_id, d.fp,
+       |   ('0x' || substr(md5(CAST(hh.i AS VARCHAR) || ':bloom:' || d.fp), 1, 15))::BIGINT
+       |     % $m AS pos
+       |  FROM delta d CROSS JOIN hh),
+       |hits AS (SELECT p.doc_id, p.fp,
+       |   CASE WHEN (COALESCE(s.w, 0) &
+       |     (1::BIGINT << CAST(p.pos % $BloomBitsPerWord AS INTEGER))) <> 0
+       |    THEN 1 ELSE 0 END AS hit
+       |  FROM pr p LEFT JOIN sk s ON s.word = p.pos // $BloomBitsPerWord),
+       |ver AS (SELECT h.doc_id, h.fp,
+       |   CAST(MIN(h.hit) AS BIGINT) AS maybe_in_base,
+       |   CAST(CASE WHEN h.fp IN (SELECT fp FROM base) THEN 1 ELSE 0 END
+       |     AS BIGINT) AS is_member
+       |  FROM hits h GROUP BY h.doc_id, h.fp),
+       |bits AS (SELECT CAST(SUM(bit_count(w)) AS BIGINT) AS n_set_bits FROM sk)
+       |SELECT maybe_in_base, is_member, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || fp),
+       |    1, 10))::BIGINT) AS BIGINT) AS docs_fp,
+       |  n_set_bits
+       |FROM ver CROSS JOIN bits
+       |GROUP BY maybe_in_base, is_member, n_set_bits
+       |ORDER BY maybe_in_base, is_member""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_bloom_membership" -> q173BloomMembership,
     "q149_count_min_sketch" -> q149CountMinSketch,
     "q168_hll_replay" -> q168HllReplay,
     "q127_bpe_merges" -> q127BpeMerges,
@@ -939,6 +1106,7 @@ object CorpusStatsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q173_bloom_membership" -> q173Sql,
     "q127_bpe_merges" -> q127Sql,
     "q128_bpe_encode" -> q128Sql,
     "q135_token_drift" -> q135Sql,

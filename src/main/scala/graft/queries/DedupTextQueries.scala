@@ -1347,7 +1347,13 @@ object DedupTextQueries {
     * same min-reachable-id fixpoint, deterministically. The oracle walks
     * the same edges with a recursive CTE (identical fixpoint).
     */
-  val q59DupClusters: Q = (s, d) => {
+  /** The duplicate-edge union q59/q171 cluster over: exact-duplicate
+    * edges (doc → its fingerprint canonical) and LSH near-dup edges
+    * (≥2 shared bands, q53's threshold). Dup-proportional — never
+    * corpus-sized.
+    */
+  private def dupEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val exactEdges = documents(s, d)
       .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .withColumn("canonical_id",
@@ -1356,13 +1362,16 @@ object DedupTextQueries {
       .select(col("doc_id").as("src"), col("canonical_id").as("dst"))
     val nearEdges = nearDupPairs(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    exactEdges.union(nearEdges)
+  }
+
+  val q59DupClusters: Q = (s, d) => {
     // Components via graft.operators.ConnectedComponents over the
     // EDGE-TOUCHED subgraph only: duplicates are a small fraction of any
     // real corpus, so the component computation touches |dup docs| rows,
     // never the corpus — untouched docs are trivially their own
     // singleton cluster and join back ONCE at the end.
-    val labels = graft.operators.ConnectedComponents.labels(s,
-      exactEdges.union(nearEdges))
+    val labels = graft.operators.ConnectedComponents.labels(s, dupEdges(s, d))
     documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
@@ -1393,6 +1402,88 @@ object DedupTextQueries {
        | COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
        | doc_id = cluster AS is_canonical
        |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** q171 — duplicate-cluster CANONICALIZATION: the release policy that
+    * decides WHICH member of each duplicate cluster ships. q59 keeps the
+    * min doc_id — fine as a cluster identifier, wrong as a release rule
+    * (the lowest id may be the worst copy). Production dedup elects the
+    * best-quality member: here max by (quality-rule pass count, length,
+    * then min doc_id) — q47's three Gopher-style rule verdicts summed to
+    * an integer 0..3, so the election key is engine-exact end to end
+    * (booleans and BIGINTs; the float ratios live one comparison BELOW
+    * the key, and q47's hash-green gate already pins those verdicts).
+    *
+    * Scale shape: components over the edge-touched subgraph only (q59's
+    * contract), quality computed map-side on the corpus scan, and the
+    * output is CLUSTER-grain restricted to real clusters (size ≥ 2) —
+    * duplication-proportional, never corpus-sized. The election is one
+    * `max(struct(...))` partial-agg'd fold per cluster: no window over
+    * the corpus, no per-cluster sort.
+    */
+  val q171ClusterCanonicalize: Q = (s, d) => {
+    val labels = graft.operators.ConnectedComponents.labels(s, dupEdges(s, d))
+    val qual = qualityGate(documents(s, d))
+      .select(col("doc_id"),
+        (col("ok_length").cast("long") + col("ok_word_len").cast("long") +
+          col("ok_alpha").cast("long")).as("q_score"))
+    labels
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .join(qual, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q_score"), col("n_chars"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("best.neg_id")).as("kept_doc"),
+        col("best.q_score").as("kept_score"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  val q171Sql: String =
+    s"""WITH RECURSIVE $shingleRowsSql,
+       |$dedupVerdictCtes,
+       |near_edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE n_shared_bands >= 2),
+       |exact_edges AS (
+       | SELECT doc_id AS src, canonical_id AS dst FROM (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
+       |  FROM documents) WHERE doc_id <> canonical_id),
+       |edges AS (
+       | SELECT src, dst FROM near_edges UNION SELECT src, dst FROM exact_edges
+       | UNION SELECT dst, src FROM near_edges UNION SELECT dst, src FROM exact_edges),
+       |walk AS (
+       | SELECT doc_id, doc_id AS reach FROM documents
+       | UNION
+       | SELECT w.doc_id, e.dst AS reach FROM walk w JOIN edges e ON w.reach = e.src),
+       |comp AS (SELECT doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc_id),
+       |sizes AS (
+       | SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+       | FROM comp GROUP BY cluster HAVING COUNT(*) >= 2),
+       |qm AS (
+       | SELECT doc_id,
+       |  len(w) AS n_words,
+       |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / len(w) AS mean_word_len,
+       |  len(regexp_extract_all(text, '[A-Za-z]')) / n_chars AS alpha_ratio
+       | FROM (SELECT doc_id, n_chars, text, $tokensSql AS w FROM documents)),
+       |qual AS (
+       | SELECT doc_id,
+       |  CAST(n_words BETWEEN 20 AND 1000 AS BIGINT)
+       |   + CAST(mean_word_len BETWEEN 3.0 AND 8.0 AS BIGINT)
+       |   + CAST(alpha_ratio >= 0.81 AS BIGINT) AS q_score
+       | FROM qm),
+       |pick AS (
+       | SELECT c.cluster, c.doc_id, q.q_score,
+       |  ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |    ORDER BY q.q_score DESC, dd.n_chars DESC, c.doc_id ASC) AS rn
+       | FROM comp c
+       |  JOIN sizes sz ON c.cluster = sz.cluster
+       |  JOIN qual q ON c.doc_id = q.doc_id
+       |  JOIN documents dd ON c.doc_id = dd.doc_id)
+       |SELECT p.cluster, sz.n_members, p.doc_id AS kept_doc,
+       | p.q_score AS kept_score, sz.n_members - 1 AS n_dropped
+       |FROM pick p JOIN sizes sz ON p.cluster = sz.cluster
+       |WHERE p.rn = 1 ORDER BY p.cluster""".stripMargin
 
   /** q105 — INCREMENTAL duplicate-cluster maintenance (round-10 verdict
     * #4): the cluster triad (q59/q94/q104) recomputes components from
@@ -2200,6 +2291,7 @@ object DedupTextQueries {
     "q49_hash_split" -> q49HashSplit,
     "q53_dedup_verdict" -> q53DedupVerdict,
     "q59_dup_clusters" -> q59DupClusters,
+    "q171_cluster_canonicalize" -> q171ClusterCanonicalize,
     "q105_incremental_clusters" -> q105IncrementalClusters,
     "q112_pii_redact" -> q112PiiRedact,
     "q115_luhn_scrub" -> q115LuhnScrub,
@@ -2232,6 +2324,7 @@ object DedupTextQueries {
     "q49_hash_split" -> q49Sql,
     "q53_dedup_verdict" -> q53Sql,
     "q59_dup_clusters" -> q59Sql,
+    "q171_cluster_canonicalize" -> q171Sql,
     "q105_incremental_clusters" -> q105Sql,
     "q112_pii_redact" -> q112Sql,
     "q115_luhn_scrub" -> q115Sql,

@@ -1151,7 +1151,94 @@ object EventQueries {
       .orderBy("user_a", "start_a", "user_b", "start_b")
   }
 
+  /** q176 — SCD TYPE-2 dimension build: the warehouse operator that
+    * turns an event log into a versioned dimension — runs of equal
+    * attribute values pack into `[valid_from, valid_to)` intervals
+    * with an open (NULL-bounded) current row per key. Here the tracked
+    * attribute is each user's event_type (the "current tier" proxy);
+    * the same plan applies to any keyed attribute log.
+    *
+    * Shape: ONE user-keyed shuffle feeds both windows — the change
+    * flag (`lag`, null-safe `<=>` so the first row always opens a
+    * segment) and the gaps-and-islands running sum that numbers
+    * segments; segments then fold per (user, grp) and `lead` closes
+    * each interval against the next one's start. Ordering is total via
+    * the (ms, event_id) tiebreak, so the dimension is deterministic.
+    * Output is USER-grain: segment/current counts plus the q158
+    * commutative fingerprint over every segment's full tuple — a wrong
+    * boundary, count, or leaked extra segment flips it, without
+    * shipping the segment-grain frame through the gate. At 100 TB the
+    * two windows and the fold share the single user partitioning;
+    * nothing corpus-sized crosses a second exchange.
+    */
+  /** The SCD2 packing core, spec-held on hand fixtures (Scd2Spec):
+    * `(user_id, event_id, ms, event_type)` → segment-grain
+    * `(user_id, grp, event_type, valid_from_ms, n_events,
+    * valid_to_ms)` with NULL valid_to on each user's current segment.
+    * Both windows and the fold share one user partitioning.
+    */
+  private[graft] def scd2Segments(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val wSeg = Window.partitionBy("user_id").orderBy("valid_from_ms")
+    ev
+      .withColumn("chg",
+        when(not(lag(col("event_type"), 1).over(w) <=> col("event_type")),
+          1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wSeg))
+  }
+
+  val q176Scd2Dimension: Q = (s, d) =>
+    scd2Segments(events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("valid_to_ms").isNull, 1L).otherwise(0L))
+          .as("n_current"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("user_id").cast("string"), col("event_type"),
+            col("valid_from_ms").cast("string"),
+            coalesce(col("valid_to_ms"), lit(-1L)).cast("string"),
+            col("n_events").cast("string"))), 1, 10), 16, 10)
+          .cast("long")).as("segments_fp"))
+      .orderBy("user_id")
+
+  val q176Sql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER
+      |   (PARTITION BY user_id ORDER BY ms, event_id)
+      |   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+      |g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+      |   ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM c),
+      |seg AS (SELECT user_id, grp, MIN(event_type) AS event_type,
+      |   MIN(ms) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM g GROUP BY user_id, grp),
+      |dim AS (SELECT *, lead(valid_from_ms) OVER
+      |   (PARTITION BY user_id ORDER BY valid_from_ms) AS valid_to_ms
+      |  FROM seg)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      | CAST(SUM(n_events) AS BIGINT) AS n_events,
+      | CAST(SUM(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_current,
+      | CAST(SUM(('0x' || substr(md5(
+      |   CAST(user_id AS VARCHAR) || ':' || event_type || ':' ||
+      |   CAST(valid_from_ms AS VARCHAR) || ':' ||
+      |   CAST(COALESCE(valid_to_ms, -1) AS VARCHAR) || ':' ||
+      |   CAST(n_events AS VARCHAR)), 1, 10))::BIGINT) AS BIGINT)
+      |   AS segments_fp
+      |FROM dim GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_scd2_dimension" -> q176Scd2Dimension,
     "q161_overlap_join_via_rule" -> q161OverlapJoinViaRule,
     "q160_session_overlap_join" -> q160SessionOverlapJoin,
     "q158_delete_propagation" -> q158DeletePropagation,
@@ -1182,6 +1269,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_scd2_dimension" -> q176Sql,
     // the direct θ-join SQL verbatim: the rule-rewritten plan must
     // reproduce the θ-join's rows exactly
     "q161_overlap_join_via_rule" -> q160Sql,

@@ -458,7 +458,210 @@ object IngestQueries {
        |QUALIFY rank <= $FixedPerLang
        |ORDER BY lang, rank""".stripMargin
 
+  /** q172 — SNAPSHOT DIFF (the change-data-capture audit): what changed
+    * between two generations of the corpus, reported as per-status
+    * counts plus an order-independent membership fingerprint — the
+    * check a versioned data lake runs before publishing "generation
+    * N+1" (Delta/Iceberg CDF's summary view, computed from the
+    * snapshots themselves when no change log exists).
+    *
+    * Generation 2 is DERIVED deterministically from the corpus (the
+    * fixture has one snapshot), via the md5-uniform contract: ~3% of
+    * docs drop (salt `snapdrop:`), ~5% of survivors edit (salt
+    * `snapedit:`, a suffix append), and ~2% spawn an added doc under a
+    * shifted id — so all four statuses are populated at any SF and the
+    * oracle replays the derivation exactly.
+    *
+    * The diff itself is the operator under test: each side reduces
+    * map-side to `(doc_id, fp = md5(text))` — 24 bytes/row crosses the
+    * exchange, never text — then ONE full-outer equi-join on doc_id
+    * classifies added/removed/changed/unchanged, and the report
+    * aggregates to 4 rows: count + the q158 commutative fingerprint
+    * (sum of 40-bit md5-derived integers over (doc_id, fp)), so a
+    * single misclassified row flips the hash. At 100 TB both sides
+    * bucket by doc_id (q66's layout) and the join is exchange-free.
+    */
+  val q172SnapshotDiff: Q = (s, d) => {
+    val g1 = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val base = documents(s, d)
+    val kept = base.filter(mdUniform("snapdrop:", col("doc_id")) >= 0.03)
+    val edited = kept.select(col("doc_id"),
+      when(mdUniform("snapedit:", col("doc_id")) < 0.05,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+    val added = base
+      .filter(mdUniform("snapadd:", col("doc_id")) < 0.02)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(lit("added "), col("doc_id").cast("string")).as("text"))
+    val g2 = edited.unionByName(added)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    g1.withColumnRenamed("fp", "fp1")
+      .join(g2.withColumnRenamed("fp", "fp2"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("fp2"), col("fp1")).as("fp"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":"), col("fp"))),
+            1, 10), 16, 10).cast("long")).as("members_fp"))
+      .orderBy("status")
+  }
+
+  val q172Sql: String = {
+    val uDrop = mdUniformSql("snapdrop:", "doc_id")
+    val uEdit = mdUniformSql("snapedit:", "doc_id")
+    val uAdd = mdUniformSql("snapadd:", "doc_id")
+    s"""WITH g1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |g2raw AS (
+       | SELECT doc_id,
+       |  CASE WHEN $uEdit < 0.05 THEN text || ' rev2' ELSE text END AS text
+       | FROM documents WHERE $uDrop >= 0.03
+       | UNION ALL
+       | SELECT doc_id + 10000000 AS doc_id,
+       |  'added ' || CAST(doc_id AS VARCHAR) AS text
+       | FROM documents WHERE $uAdd < 0.02),
+       |g2 AS (SELECT doc_id, md5(text) AS fp FROM g2raw),
+       |j AS (
+       | SELECT COALESCE(g1.doc_id, g2.doc_id) AS doc_id,
+       |  CASE WHEN g1.fp IS NULL THEN 'added'
+       |       WHEN g2.fp IS NULL THEN 'removed'
+       |       WHEN g1.fp <> g2.fp THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  COALESCE(g2.fp, g1.fp) AS fp
+       | FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || fp),
+       |   1, 10))::BIGINT) AS BIGINT) AS members_fp
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+  }
+
+  /** q175 — CDC MERGE apply (the upsert half of the q172 story): q172
+    * diffs two snapshots; q175 BUILDS the next snapshot by applying a
+    * keyed change feed to the base — Delta's `MERGE INTO` / Iceberg's
+    * upsert / a compacted Debezium topic, as one Spark plan.
+    *
+    * The change feed is derived deterministically (md5-uniform salts)
+    * with three sequence points so every MERGE edge case is populated
+    * at any SF: seq 1 updates (~5%, ` v2`), seq 2 DELETES (~3%), seq 3
+    * updates (~4%, ` v3`) — a key hit by both seq 2 and seq 3 is
+    * deleted-then-UPSERTED (the resurrection case that distinguishes
+    * upsert from update), and ~2% seq-1 INSERTS arrive under fresh keys.
+    *
+    * The apply is the production two-step: (1) LOG COMPACTION — one
+    * key-grain `max(struct(seq, op, text))` partial-agg'd fold elects
+    * the last writer per key (seqs are distinct per key by
+    * construction, so op/text never tiebreak); (2) one full-outer
+    * equi-join against the base classifies inserted / updated /
+    * deleted / unchanged and emits the merged text. Output is the
+    * 4-row status grid with counts + the q158 commutative fingerprint
+    * over `(doc_id, md5(final_text))` — a snapshot-membership hash, so
+    * one wrongly-applied op flips it. At 100 TB: the feed is
+    * delta-proportional, compaction and join both shuffle on doc_id
+    * once (co-partitioned with q66's doc_id-bucketed layout → the join
+    * is exchange-free), and nothing corpus-sized crosses an exchange
+    * except the base's own (doc_id, text) pass.
+    */
+  /** The MERGE core, spec-held on hand fixtures (MergeUpsertSpec):
+    * compact a `(doc_id, seq, op, new_text)` change feed to its last
+    * writer per key (one `max(struct)` partial-agg'd fold — seqs must
+    * be distinct per key), then classify against `(doc_id, text)` base
+    * via ONE full-outer equi-join. Returns the doc-grain
+    * `(doc_id, status, final_fp)` frame; deleted rows keep the literal
+    * `gone` fingerprint so the snapshot hash still covers them.
+    */
+  private[graft] def applyMerge(base: org.apache.spark.sql.DataFrame,
+      feed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val last = feed
+      .groupBy("doc_id")
+      .agg(max(struct(col("seq"), col("op"), col("new_text"))).as("m"))
+      .select(col("doc_id"), col("m.op").as("op"),
+        col("m.new_text").as("new_text"))
+    base.join(last, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("op").isNull, "unchanged")
+          .when(col("op") === "D", "deleted")
+          .when(col("text").isNull, "inserted")
+          .otherwise("updated").as("status"),
+        when(col("op") === "D", lit("gone"))
+          .otherwise(md5(coalesce(col("new_text"), col("text"))))
+          .as("final_fp"))
+  }
+
+  val q175MergeUpsert: Q = (s, d) => {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val upd1 = base
+      .filter(mdUniform("cdc_u1:", col("doc_id")) < 0.05)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"))
+    val dels = base
+      .filter(mdUniform("cdc_d:", col("doc_id")) < 0.03)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("new_text"))
+    val upd2 = base
+      .filter(mdUniform("cdc_u2:", col("doc_id")) < 0.04)
+      .select(col("doc_id"), lit(3L).as("seq"), lit("U").as("op"),
+        concat(col("text"), lit(" v3")).as("new_text"))
+    val ins = base
+      .filter(mdUniform("cdc_i:", col("doc_id")) < 0.02)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+        lit(1L).as("seq"), lit("U").as("op"),
+        concat(lit("ins "), col("doc_id").cast("string")).as("new_text"))
+    applyMerge(base, upd1.unionByName(dels).unionByName(upd2).unionByName(ins))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("final_fp"))), 1, 10), 16, 10).cast("long"))
+          .as("snapshot_fp"))
+      .orderBy("status")
+  }
+
+  val q175Sql: String = {
+    val u1 = mdUniformSql("cdc_u1:", "doc_id")
+    val uD = mdUniformSql("cdc_d:", "doc_id")
+    val u2 = mdUniformSql("cdc_u2:", "doc_id")
+    val uI = mdUniformSql("cdc_i:", "doc_id")
+    s"""WITH feed AS (
+       | SELECT doc_id, 1 AS seq, 'U' AS op, text || ' v2' AS new_text
+       | FROM documents WHERE $u1 < 0.05
+       | UNION ALL
+       | SELECT doc_id, 2 AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS new_text
+       | FROM documents WHERE $uD < 0.03
+       | UNION ALL
+       | SELECT doc_id, 3 AS seq, 'U' AS op, text || ' v3' AS new_text
+       | FROM documents WHERE $u2 < 0.04
+       | UNION ALL
+       | SELECT doc_id + 20000000 AS doc_id, 1 AS seq, 'U' AS op,
+       |  'ins ' || CAST(doc_id AS VARCHAR) AS new_text
+       | FROM documents WHERE $uI < 0.02),
+       |last AS (
+       | SELECT doc_id, op, new_text FROM (
+       |  SELECT doc_id, op, new_text,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+       |  FROM feed) WHERE rn = 1),
+       |merged AS (
+       | SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+       |  CASE WHEN l.op IS NULL THEN 'unchanged'
+       |       WHEN l.op = 'D' THEN 'deleted'
+       |       WHEN b.text IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS status,
+       |  CASE WHEN l.op = 'D' THEN 'gone'
+       |       ELSE md5(COALESCE(l.new_text, b.text)) END AS final_fp
+       | FROM documents b FULL OUTER JOIN last l ON b.doc_id = l.doc_id)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || final_fp),
+       |   1, 10))::BIGINT) AS BIGINT) AS snapshot_fp
+       |FROM merged GROUP BY status ORDER BY status""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_snapshot_diff" -> q172SnapshotDiff,
+    "q175_merge_upsert" -> q175MergeUpsert,
     "q65_balanced_mixture" -> q65BalancedMixture,
     "q66_training_manifest" -> q66TrainingManifest,
     "q67_token_chunks" -> q67TokenChunks,
@@ -469,6 +672,8 @@ object IngestQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q172_snapshot_diff" -> q172Sql,
+    "q175_merge_upsert" -> q175Sql,
     "q65_balanced_mixture" -> q65Sql,
     "q66_training_manifest" -> q66Sql,
     "q67_token_chunks" -> q67Sql,

@@ -253,13 +253,17 @@ object StreamingQueries {
       info.meta("max_ts").toLong, info.meta("sentinel_uid").toLong)
   }
 
-  /** The shared DOCUMENTS spool: `(doc_id, text)` as three files — the
-    * order-free ingest stream q133/q150 replay (their machines are
+  /** The shared DOCUMENTS spool: the superset projection `(doc_id,
+    * lang, n_chars, text)` as three files — the order-free ingest
+    * stream q133/q150/q167/q169/q170 replay (their machines are
     * map-side / commutative, so no stamping or sentinels needed).
+    * Consumers project the columns their machine reads, like the
+    * events spool.
     */
   private[graft] def docSpool(s: SparkSession, d: String): String =
-    ensureSpool(s, d, "docs", "v1", "documents.parquet") { (dir, _) =>
-      graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    ensureSpool(s, d, "docs", "v2", "documents.parquet") { (dir, _) =>
+      graft.core.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .repartition(3).write.parquet(dir.toString)
       Map.empty
     }.dir
@@ -1457,6 +1461,140 @@ object StreamingQueries {
     CorpusStatsQueries.hllReport(regFold, exact)
   }
 
+  /** q170's per-micro-batch body: the (lang, n_chars) length histogram
+    * is a MONOID (per-bucket counts add, exactly q150's CMS algebra),
+    * so batch `id` folds its own histogram into its predecessor's and
+    * overwrites its batchId-addressed state dir — exactly-once from
+    * at-least-once. State rows = distinct (lang, n_chars) pairs: the
+    * VALUE DOMAIN (|langs| × observed lengths), never the document
+    * count — the same bound that lets q61 compute exact quantiles
+    * without a corpus sort; a production variant with unbounded value
+    * domains buckets `n_chars div binWidth` one expression deep, the
+    * same fold otherwise.
+    */
+  private[graft] def histFoldBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val bs = batch.groupBy("lang", "n_chars")
+        .agg(count(lit(1)).as("cnt"))
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      prev.unionByName(bs)
+        .groupBy("lang", "n_chars").agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q170 — QUANTILES-ON-INGEST: q61's exact per-language length
+    * quantiles maintained through the real streaming engine, one
+    * histogram-sum fold per checkpointed micro-batch
+    * ([[histFoldBatch]]); the final folded state IS q61's histogram,
+    * so the quantile pick is [[CorpusStatsQueries.quantilesOverHist]]
+    * shared VERBATIM with the batch query. Oracle: q61's SQL VERBATIM
+    * — profile-on-ingest ≡ profile-at-rest for ANY batching, which
+    * holds exactly because bucket counts form a commutative monoid.
+    * With q150 (CMS / frequencies) and q169 (HLL / cardinality) this
+    * completes the streaming sketch TRIPLE every ingest telemetry
+    * tier runs: frequencies, cardinality, and distribution quantiles
+    * — and unlike the first two, the histogram fold is EXACT, because
+    * doc-length histograms are value-domain-bounded to begin with.
+    */
+  val q170StreamingQuantileFold: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_hist", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = docSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          histFoldBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the histogram stream processed no batches")
+    CorpusStatsQueries.quantilesOverHist(
+        s.read.parquet(s"${path("_state")}/batch_$lastBatch"))
+      .orderBy("lang")
+  }
+
+  /** q174's per-micro-batch body: batch `id`'s base-slice fingerprints
+    * hash to their bloom words and OR into the predecessor's word
+    * frame — bitwise OR is commutative AND idempotent (the q169/HLL
+    * monoid class), so replaying a batch is a no-op and the
+    * batchId-addressed overwrite gives exactly-once from
+    * at-least-once. State ≤ [[CorpusStatsQueries.BloomWords]] rows
+    * however much has streamed.
+    */
+  private[graft] def bloomFoldBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val bs = CorpusStatsQueries.bloomSketch(
+        batch.filter(col("doc_id") % 10 =!= 0)
+          .select(md5(lower(col("text"))).as("fp")))
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      prev.unionByName(bs)
+        .groupBy("word").agg(expr("bit_or(w)").as("w"))
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q174 — MEMBERSHIP-on-ingest: q173's bloom filter built as the
+    * corpus streams in, one `bit_or` word fold per checkpointed
+    * micro-batch ([[bloomFoldBatch]]); the final folded state IS
+    * q173's sketch, so the probe + verdict grid is
+    * [[CorpusStatsQueries.bloomReport]] shared VERBATIM with the batch
+    * query, and the oracle is q173's SQL VERBATIM — filter-on-ingest ≡
+    * filter-at-rest for ANY batching because bitwise OR is commutative
+    * and idempotent (strictly stronger than CMS's addition: a REPLAYED
+    * batch is a no-op, so this fold is exactly-once under at-least-once
+    * delivery by algebra alone). Completes the streaming sketch QUAD:
+    * q150 frequencies, q169 cardinality, q170 quantiles, q174
+    * membership — the four live gauges an ingest tier actually runs.
+    */
+  val q174StreamingBloomFold: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_bloom", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = docSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          bloomFoldBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the bloom stream processed no batches")
+    CorpusStatsQueries.bloomReport(s, d,
+      s.read.parquet(s"${path("_state")}/batch_$lastBatch"))
+  }
+
   /** q159 — last-touch ATTRIBUTION on ingest: q156's semantics inside
     * the engine's keyed state ([[graft.streaming.StreamingAttribution]])
     * with per-user state bounded at O(1 + in-flight disorder): among
@@ -1511,6 +1649,8 @@ object StreamingQueries {
     "q166_streaming_session_paths" -> q166StreamingSessionPaths,
     "q167_streaming_posting_index" -> q167StreamingPostingIndex,
     "q169_streaming_hll_fold" -> q169StreamingHllFold,
+    "q170_streaming_quantile_fold" -> q170StreamingQuantileFold,
+    "q174_streaming_bloom_fold" -> q174StreamingBloomFold,
     "q148_streaming_windowed_funnel" -> q148StreamingWindowedFunnel,
     "q144_streaming_funnel" -> q144StreamingFunnel,
     "q123_streaming_ann_serve" -> q123StreamingAnnServe,
@@ -1545,6 +1685,12 @@ object StreamingQueries {
     // q168's SQL verbatim: the register-max monoid fold commutes with
     // any batching
     "q169_streaming_hll_fold" -> CorpusStatsQueries.q168Sql,
+    // q61's SQL verbatim: the histogram-sum monoid fold commutes with
+    // any batching, so quantiles-on-ingest must equal q61 at rest
+    "q170_streaming_quantile_fold" -> CorpusStatsQueries.q61Sql,
+    // q173's SQL verbatim: the bit_or word fold is commutative and
+    // idempotent, so filter-on-ingest must equal filter-at-rest
+    "q174_streaming_bloom_fold" -> CorpusStatsQueries.q173Sql,
     // q149's SQL verbatim: the monoid fold commutes with any batching
     "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
     // q156's SQL verbatim: attribution-on-ingest ≡ batch attribution

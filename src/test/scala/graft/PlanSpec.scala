@@ -795,6 +795,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(4000))
   }
 
+  test("q176 SCD2: ONE user-keyed hash exchange feeds both windows AND " +
+    "the segment fold — gaps-and-islands shares the partitioning, no " +
+    "re-exchange on (user, grp) or for the user-grain report") {
+    val p = physical(EventQueries.q176Scd2Dimension(spark, sf))
+    val ex = p.split("Exchange hashpartitioning").length - 1
+    val userEx = p.split("Exchange hashpartitioning\\(user_id").length - 1
+    assert(ex == userEx, p.take(4000))
+    assert(userEx == 1, p.take(4000))
+  }
+
+  test("q175 merge: every doc-grain hash exchange keys on doc_id (the " +
+    "compaction fold and the full-outer merge share the key) and the " +
+    "merge is a full-outer join, never a broadcast") {
+    val p = physical(IngestQueries.q175MergeUpsert(spark, sf))
+    assert(p.contains("FullOuter"), p.take(4000))
+    val ex = p.split("Exchange hashpartitioning").length - 1
+    val docEx = p.split("Exchange hashpartitioning\\(doc_id").length - 1
+    val statusEx = p.split("Exchange hashpartitioning\\(status").length - 1
+    // doc_id exchanges + the single 4-row status report exchange account
+    // for every hash exchange in the plan
+    assert(ex == docEx + statusEx && statusEx == 1, p.take(4000))
+  }
+
+  test("q173 bloom: the word-frame build partial-aggregates map-side " +
+    "(bit_or partials before its bounded exchange) and the probe side " +
+    "joins the <=256-row sketch without shuffling the probe stream on " +
+    "a sketch key") {
+    val p = physical(CorpusStatsQueries.q173BloomMembership(spark, sf))
+    assert(p.contains("partial_bit_or") || p.contains("partial_"),
+      p.take(4000))
+    // the probe join must not hash-exchange the probe stream on `word`
+    // at corpus grain more than once (build + probe sides only)
+    val wordEx = p.split("Exchange hashpartitioning\\(word").length - 1
+    assert(wordEx <= 2, p.take(4000))
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
