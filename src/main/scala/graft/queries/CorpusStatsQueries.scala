@@ -1088,7 +1088,76 @@ object CorpusStatsQueries {
        |ORDER BY maybe_in_base, is_member""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q179
+
+  /** q179's candidate stage, exposed for the pruning spec: the
+    * vocab-grain distinct token frame probes the broadcast ≤ 2048-row
+    * CMS sketch (q149's geometry, shared verbatim) and keeps tokens
+    * whose ESTIMATE clears the threshold. CMS overestimates only, so
+    * the candidate set is a SUPERSET of the true heavy hitters —
+    * no-false-negative by the same contract CmsSpec pins.
+    */
+  private[graft] def hhCandidates(toks: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cmsEstimates(toks.select("tok").distinct(), cmsSketch(toks))
+      .crossJoin(total)
+      .filter(col("cms_n") * lit(HhShareDen) >= col("total"))
+
+  /** Heavy-hitter threshold: share ≥ 1/1000 of the token stream,
+    * compared in integers (`n·1000 ≥ total`) — scale-free, no float
+    * division.
+    */
+  private[graft] val HhShareDen = 1000L
+
+  /** q179 — TWO-PASS HEAVY HITTERS: the φ-frequent-item query at
+    * 100 TB — "which tokens exceed 0.1% of the stream" — answered
+    * EXACTLY through the sketch: pass 1 probes the ≤ 2048-row CMS for
+    * candidates (overestimate-only ⇒ the candidate set provably
+    * contains every true heavy hitter), pass 2 exact-counts ONLY the
+    * candidate tokens' occurrences (left-semi before the count, so the
+    * count shuffle carries the candidates' rows, not the corpus token
+    * stream) and re-applies the threshold to drop the sketch's false
+    * positives. Output = the true heavy hitters with exact counts —
+    * the ORACLE is the direct exact computation, so the two-pass
+    * algorithm's exactness (not just plausibility) is hash-gated.
+    *
+    * Scale shape: the sketch build shuffles ≤ d·w = 2048 groups; the
+    * candidate probe is a vocab-grain distinct (the q63 bounded-vocab
+    * discipline) against a broadcast sketch; the only corpus-grain
+    * shuffle that remains is over candidate-token rows — at a 0.1%
+    * floor that is ≤ 1000 distinct keys whatever the corpus size. For
+    * unbounded key domains (user-ids, URLs) where even the distinct is
+    * too big, the same two passes run with the candidate filter pushed
+    * into pass 2's scan — the shape survives.
+    */
+  val q179HeavyHitters: Q = (s, d) => {
+    val toks = graft.core.CacheScope.track(
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks
+      .join(hhCandidates(toks, total).select("tok"), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .crossJoin(total)
+      .filter(col("exact_n") * lit(HhShareDen) >= col("total"))
+      .select(col("tok"), col("exact_n"), col("total"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  val q179Sql: String =
+    s"""WITH tk AS (SELECT unnest($tokensSql) AS tok FROM documents),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tk),
+       |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |      FROM tk GROUP BY tok)
+       |SELECT c.tok, c.exact_n, t.total
+       |FROM c CROSS JOIN t
+       |WHERE c.exact_n * $HhShareDen >= t.total
+       |ORDER BY exact_n DESC, tok""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q179_heavy_hitters" -> q179HeavyHitters,
     "q173_bloom_membership" -> q173BloomMembership,
     "q149_count_min_sketch" -> q149CountMinSketch,
     "q168_hll_replay" -> q168HllReplay,
@@ -1107,6 +1176,7 @@ object CorpusStatsQueries {
 
   val oracle: Map[String, String] = Map(
     "q173_bloom_membership" -> q173Sql,
+    "q179_heavy_hitters" -> q179Sql,
     "q127_bpe_merges" -> q127Sql,
     "q128_bpe_encode" -> q128Sql,
     "q135_token_drift" -> q135Sql,

@@ -2282,7 +2282,88 @@ object DedupTextQueries {
        | LEFT JOIN samp sm ON d.doc_id = sm.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q178's candidate stage, exposed for the pruning spec: each doc's
+    * PREFIX shingles — the `n − ceil(θ·n) + 1` rarest under the global
+    * `(df, s)` order — self-joined on the shingle. Prefix-filter
+    * completeness (the SSJoin/PPJoin lemma): if J(A,B) ≥ θ then with
+    * t = max(ceil(θ|A|), ceil(θ|B|)) ≤ |A∩B|, the `size − t + 1`
+    * prefixes share an element, and these prefixes only EXTEND those —
+    * so every qualifying pair survives, and the brute-force ORACLE
+    * re-proves it at every verify run.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    val sized = sh.join(
+        sh.groupBy("s").agg(count(lit(1)).as("df")), "s")
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "s")
+    val prefix = sized
+      .withColumn("rn", row_number().over(wDoc))
+      // p = n − ceil(0.7·n) + 1, all-integer ceil
+      .filter(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+    prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("s"), col("doc_id").as("doc_b"),
+        col("n").as("nb")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "na", "nb")
+      .distinct()
+  }
+
+  /** q178 — EXACT set-similarity self-join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family): every document pair with shingle-Jaccard
+    * ≥ 0.7, EXACTLY — no LSH bands, no probabilistic misses — found
+    * without the O(n²) self-join. Candidates come only from docs
+    * sharing one of their `n − ceil(θn) + 1` RAREST shingles (global
+    * `(df, s)` order, [[prefixCandidates]]); the verify pass computes
+    * |A∩B| only for candidates and keeps `10·inter ≥ 7·(|A|+|B|−inter)`
+    * — all-integer, no float Jaccard. This is the exact tier above the
+    * MinHash/LSH family: q31/q32 trade recall for speed, q178 trades a
+    * verify join for CERTAINTY — the pair a deletion-grade dedup
+    * decision wants proven.
+    *
+    * Scale shape: shingle df and per-doc prefix rank are one
+    * shingle-grain and one doc-grain exchange; prefix buckets are
+    * RARE-shingle buckets, so their self-join is small by construction
+    * (rare ⇒ low df ⇒ tiny bucket — the opposite of the q141 hazard);
+    * the verify join touches candidate docs' shingle lists only. The
+    * ORACLE is the brute-force all-pairs join, so the prefix pruning's
+    * completeness is re-proven against exhaustive search every round
+    * (SimJoinSpec additionally pins the pruning ratio).
+    */
+  val q178SetSimilarityJoin: Q = (s, d) => {
+    val sh = graft.core.CacheScope.track(
+      distinctShingles(s, d)
+        .select(col("doc_id"), explode(col("ss")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val inter = prefixCandidates(sh)
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * lit(10L) >= col("uni") * lit(7L))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q178Sql: String =
+    s"""WITH $distinctShinglesCtesSql,
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM sh GROUP BY doc_id),
+       |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS uni
+       |FROM prs p
+       | JOIN sz sa ON sa.doc_id = p.doc_a
+       | JOIN sz sb ON sb.doc_id = p.doc_b
+       |WHERE p.inter * 10 >= (sa.n + sb.n - p.inter) * 7
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q178_set_similarity_join" -> q178SetSimilarityJoin,
     "q39_lang_ngram" -> q39LangNgram,
     "q56_decontamination" -> q56Decontamination,
     "q57_release_verdict" -> q57ReleaseVerdict,
@@ -2318,6 +2399,7 @@ object DedupTextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q178_set_similarity_join" -> q178Sql,
     "q39_lang_ngram" -> q39Sql,
     "q47_quality_filter" -> q47Sql,
     "q48_vocab_topk" -> q48Sql,

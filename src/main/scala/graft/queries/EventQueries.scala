@@ -1194,11 +1194,14 @@ object EventQueries {
       .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wSeg))
   }
 
-  val q176Scd2Dimension: Q = (s, d) =>
-    scd2Segments(events(s, d)
-        .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"), col("event_type")))
-      .groupBy("user_id")
+  /** The q176 user-grain report over any segment-grain frame — shared
+    * VERBATIM by the batch query and q177's streaming dimension (the
+    * emitted-segment union must aggregate identically or the hash gate
+    * flips).
+    */
+  private[graft] def scd2Report(seg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    seg.groupBy("user_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(col("n_events")).as("n_events"),
         sum(when(col("valid_to_ms").isNull, 1L).otherwise(0L))
@@ -1210,6 +1213,11 @@ object EventQueries {
             col("n_events").cast("string"))), 1, 10), 16, 10)
           .cast("long")).as("segments_fp"))
       .orderBy("user_id")
+
+  val q176Scd2Dimension: Q = (s, d) =>
+    scd2Report(scd2Segments(events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))))
 
   val q176Sql: String =
     """WITH e AS (

@@ -1595,6 +1595,58 @@ object StreamingQueries {
       s.read.parquet(s"${path("_state")}/batch_$lastBatch"))
   }
 
+  /** q177 — SCD TYPE-2 dimension ON INGEST: q176's versioned dimension
+    * maintained inside the engine's keyed state
+    * ([[graft.streaming.StreamingScd2]]) with per-user state bounded at
+    * O(1 + in-flight disorder): events below the watermark are final in
+    * position, so the run fold needs only ONE open-run summary — the
+    * below-watermark history lives in already-emitted segments, never
+    * in state (the prefix-summarizability that q144's funnel provably
+    * lacks). Closed segments emit exactly once; the event-time timeout
+    * flushes each user's tail and NULL-bounded current segment.
+    * Span-derived delay/TTL/sentinels (the q100 discipline); the
+    * user-grain report is [[EventQueries.scd2Report]] shared VERBATIM
+    * with the batch form; oracle = q176's SQL VERBATIM over a maximally
+    * disordered round-robin spool — dimension-on-ingest must equal the
+    * batch dimension for ANY batching.
+    */
+  val q177StreamingScd2: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_scd2", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    withFewShufflePartitions(s) {
+      graft.streaming.StreamingScd2
+        .segments(stream, s"${sp.delayMs} milliseconds",
+          stateTtlMs = sp.ttlMs)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.Scd2Segment],
+              batchId: Long) =>
+            writeBatch(batch.toDF(), outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    EventQueries.scd2Report(
+      readSink(s, outPath)
+        .filter(col("user_id") =!= lit(sp.sentinelUid))
+        .select("user_id", "event_type", "valid_from_ms", "n_events",
+          "valid_to_ms"))
+  }
+
   /** q159 — last-touch ATTRIBUTION on ingest: q156's semantics inside
     * the engine's keyed state ([[graft.streaming.StreamingAttribution]])
     * with per-user state bounded at O(1 + in-flight disorder): among
@@ -1644,6 +1696,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q177_streaming_scd2" -> q177StreamingScd2,
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
     "q166_streaming_session_paths" -> q166StreamingSessionPaths,
@@ -1695,6 +1748,9 @@ object StreamingQueries {
     "q150_streaming_cms_fold" -> CorpusStatsQueries.q149Sql,
     // q156's SQL verbatim: attribution-on-ingest ≡ batch attribution
     "q159_streaming_attribution" -> EventQueries.q156Sql,
+    // q176's SQL verbatim: dimension-on-ingest must equal the batch
+    // dimension for any batching (run-fold losslessness, Scd2StreamSpec)
+    "q177_streaming_scd2" -> EventQueries.q176Sql,
     "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
