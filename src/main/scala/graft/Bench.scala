@@ -138,7 +138,11 @@ object Bench {
       "event_spool_build" ->
         (() => graft.queries.StreamingQueries.ensureEventSpool(spark, sfDir)),
       "doc_spool_build" ->
-        (() => graft.queries.StreamingQueries.ensureDocSpool(spark, sfDir)))
+        (() => graft.queries.StreamingQueries.ensureDocSpool(spark, sfDir)),
+      "cdc_spool_build" ->
+        (() => graft.queries.StreamingQueries.ensureCdcSpool(spark, sfDir)),
+      "dup_spool_build" ->
+        (() => graft.queries.StreamingQueries.ensureDupSpool(spark, sfDir)))
     val setupTimes: Seq[(String, Double, Either[String, String])] =
       setups.map { case (name, run) =>
         val t0 = System.nanoTime()

@@ -592,7 +592,13 @@ object IngestQueries {
           .as("final_fp"))
   }
 
-  val q175MergeUpsert: Q = (s, d) => {
+  /** The deterministic change feed q175/q180 share — three sequence
+    * points over base keys (update/delete/update, so delete-then-update
+    * resurrection and update-then-delete are both populated at any SF)
+    * plus fresh-key inserts.
+    */
+  private[graft] def cdcFeed(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val upd1 = base
       .filter(mdUniform("cdc_u1:", col("doc_id")) < 0.05)
@@ -611,15 +617,25 @@ object IngestQueries {
       .select((col("doc_id") + lit(20000000L)).as("doc_id"),
         lit(1L).as("seq"), lit("U").as("op"),
         concat(lit("ins "), col("doc_id").cast("string")).as("new_text"))
-    applyMerge(base, upd1.unionByName(dels).unionByName(upd2).unionByName(ins))
-      .groupBy("status")
+    upd1.unionByName(dels).unionByName(upd2).unionByName(ins)
+  }
+
+  /** The q175 status-grid report over the doc-grain merge frame —
+    * shared VERBATIM by the batch query and q180's streaming fold.
+    */
+  private[graft] def mergeReport(merged: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    merged.groupBy("status")
       .agg(count(lit(1)).as("n_docs"),
         sum(conv(substring(
             md5(concat(col("doc_id").cast("string"), lit(":"),
               col("final_fp"))), 1, 10), 16, 10).cast("long"))
           .as("snapshot_fp"))
       .orderBy("status")
-  }
+
+  val q175MergeUpsert: Q = (s, d) =>
+    mergeReport(applyMerge(
+      documents(s, d).select(col("doc_id"), col("text")), cdcFeed(s, d)))
 
   val q175Sql: String = {
     val u1 = mdUniformSql("cdc_u1:", "doc_id")

@@ -260,6 +260,31 @@ object StreamingQueries {
     * Consumers project the columns their machine reads, like the
     * events spool.
     */
+  /** The shared CDC change-feed spool: q175's derived
+    * `(doc_id, seq, op, new_text)` feed as three files — order-free
+    * (q180's compaction fold is a commutative, idempotent argmax
+    * monoid, so no stamping or sentinels are needed).
+    */
+  private[graft] def cdcSpool(s: SparkSession, d: String): String =
+    ensureSpool(s, d, "cdc", "v1", "documents.parquet") { (dir, _) =>
+      IngestQueries.cdcFeed(s, d)
+        .repartition(3).write.parquet(dir.toString)
+      Map.empty
+    }.dir
+
+  private[graft] def ensureCdcSpool(s: SparkSession, d: String): String = {
+    val before = spoolMemo.containsKey(s"cdc|$d")
+    cdcSpool(s, d)
+    if (before) "memoized" else spoolModes.getOrDefault(s"cdc|$d", "built")
+  }
+
+  private[graft] def ensureDupSpool(s: SparkSession, d: String): String = {
+    val before = spoolMemo.containsKey(s"dupfeed|$d")
+    dupSpool(s, d)
+    if (before) "memoized"
+    else spoolModes.getOrDefault(s"dupfeed|$d", "built")
+  }
+
   private[graft] def docSpool(s: SparkSession, d: String): String =
     ensureSpool(s, d, "docs", "v2", "documents.parquet") { (dir, _) =>
       graft.core.Tables.documents(s, d)
@@ -1595,6 +1620,160 @@ object StreamingQueries {
       s.read.parquet(s"${path("_state")}/batch_$lastBatch"))
   }
 
+  /** The at-least-once DUPLICATED feed q181 replays: every document
+    * 1-3 times (md5-derived copy count — ~40% twice, ~20% of those
+    * thrice), copies BYTE-IDENTICAL (so whichever copy the engine
+    * keeps, the surviving row is the same), event time synthesized as
+    * epoch0 + doc_id·1s; `repartition(3)` scatters copies across spool
+    * files so duplicates arrive in DIFFERENT micro-batches and the
+    * dedup state does real cross-batch work.
+    */
+  private[graft] val DupFeedEpoch0 = 1704067200000L // 2024-01-01T00:00Z
+
+  private[graft] def dupSpool(s: SparkSession, d: String): String =
+    ensureSpool(s, d, "dupfeed", "v1", "documents.parquet") { (dir, _) =>
+      graft.core.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          timestamp_millis(lit(DupFeedEpoch0) + col("doc_id") * 1000L)
+            .as("ts"),
+          (lit(1) +
+            (mdUniform("dup:", col("doc_id")) < 0.4).cast("int") +
+            ((mdUniform("dup:", col("doc_id")) < 0.4) &&
+              (mdUniform("dup2:", col("doc_id")) < 0.5)).cast("int"))
+            .as("k"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ts"),
+          explode(sequence(lit(1), col("k"))).as("copy"))
+        .drop("copy", "k")
+        .repartition(3).write.parquet(dir.toString)
+      Map.empty
+    }.dir
+
+  /** q181 — EXACTLY-ONCE from AT-LEAST-ONCE via the engine's OWN
+    * stateful dedup: Spark's native `dropDuplicatesWithinWatermark`
+    * (the RocksDB-backed streaming dedup operator) collapses a
+    * duplicated delivery feed to one row per key — the §2.8 stateful
+    * operator the engine had not yet driven through the hash gate
+    * (q101/q102 run the repo's OWN keyed dedup machines; this runs
+    * Spark's). The watermark delay is set beyond the feed's whole
+    * event-time span, so no copy is ever late-dropped and the dedup is
+    * exact-global; production bounds the delay to the real delivery
+    * disorder and lets key state expire — same operator, one constant.
+    * Copies are byte-identical by construction, so the output is
+    * order-independent whatever copy the engine keeps; a single missed
+    * duplicate doubles a row and flips the row count AND the hash.
+    * Oracle: the documents table itself (one row per doc, the
+    * synthesized event time replayed as a formula).
+    */
+  val q181StreamingExactDedup: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_dedup", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val deltaPath = dupSpool(s, d)
+    val span = s.read.parquet(deltaPath)
+      .agg(unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+      .head().getLong(0)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+      .withWatermark("ts", s"${span + DayMs} milliseconds")
+      .dropDuplicatesWithinWatermark("doc_id")
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("doc_id")
+  }
+
+  val q181Sql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       | CAST($DupFeedEpoch0 + doc_id * 1000 AS BIGINT) AS ts_ms
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q180's per-micro-batch body: batch `id`'s change rows compact to
+    * their per-key last writer and fold into the predecessor's state by
+    * the SAME election — argmax by `seq` per key is a commutative AND
+    * idempotent monoid (seqs are distinct per key by the feed's
+    * construction), so replaying a batch is a no-op and the
+    * batchId-addressed overwrite is exactly-once under at-least-once
+    * delivery. State rows = keys TOUCHED by the feed so far —
+    * delta-proportional, never corpus-sized.
+    */
+  private[graft] def mergeFoldBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val compact = (df: DataFrame) => df
+        .groupBy("doc_id")
+        .agg(max(struct(col("seq"), col("op"), col("new_text"))).as("m"))
+        .select(col("doc_id"), col("m.seq").as("seq"),
+          col("m.op").as("op"), col("m.new_text").as("new_text"))
+      val bs = compact(batch)
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      compact(prev.unionByName(bs))
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q180 — CDC MERGE on ingest: q175's upsert maintained as the change
+    * feed streams in. Each checkpointed micro-batch folds its rows into
+    * the per-key LAST-WRITER state ([[mergeFoldBatch]] — the log
+    * compaction a Kafka compacted topic performs, as a Spark fold);
+    * the final state IS the compacted feed, so the apply + status grid
+    * are [[IngestQueries.applyMerge]] / [[IngestQueries.mergeReport]]
+    * shared VERBATIM with the batch query, and the oracle is q175's
+    * SQL VERBATIM — merge-on-ingest ≡ merge-at-rest for ANY batching,
+    * because per-key argmax by seq commutes with any partition of the
+    * feed (MergeFoldSpec replays a disordered batching WITH a
+    * duplicated batch to pin both laws). With q172 (diff) and q175
+    * (apply) this closes the CDC triangle: audit, apply, and apply
+    * continuously.
+    */
+  val q180StreamingMergeFold: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_merge", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = cdcSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          mergeFoldBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the merge stream processed no batches")
+    IngestQueries.mergeReport(IngestQueries.applyMerge(
+      graft.core.Tables.documents(s, d).select(col("doc_id"), col("text")),
+      s.read.parquet(s"${path("_state")}/batch_$lastBatch")))
+  }
+
   /** q177 — SCD TYPE-2 dimension ON INGEST: q176's versioned dimension
     * maintained inside the engine's keyed state
     * ([[graft.streaming.StreamingScd2]]) with per-user state bounded at
@@ -1696,6 +1875,8 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
+    "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q177_streaming_scd2" -> q177StreamingScd2,
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
@@ -1751,6 +1932,12 @@ object StreamingQueries {
     // q176's SQL verbatim: dimension-on-ingest must equal the batch
     // dimension for any batching (run-fold losslessness, Scd2StreamSpec)
     "q177_streaming_scd2" -> EventQueries.q176Sql,
+    // q175's SQL verbatim: per-key argmax-by-seq compaction commutes
+    // with any batching, so merge-on-ingest must equal merge-at-rest
+    "q180_streaming_merge_fold" -> IngestQueries.q175Sql,
+    // the documents table itself: the engine's native stateful dedup
+    // must collapse the at-least-once feed to exactly one row per key
+    "q181_streaming_exact_dedup" -> q181Sql,
     "q123_streaming_ann_serve" -> SimilarityQueries.q122Sql,
     "q97_streaming_text_admission" -> DedupTextQueries.q64Sql,
     "q98_streaming_media_admission" -> MultimodalQueries.q91Sql,
