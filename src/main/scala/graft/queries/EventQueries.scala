@@ -1245,7 +1245,73 @@ object EventQueries {
       |   AS segments_fp
       |FROM dim GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q182 — TIME-GRID FORWARD FILL (gap-filling resample): the
+    * regularization every telemetry/feature pipeline runs before
+    * modeling — daily per-user aggregates densified onto each user's
+    * own [first-active, last-active] day grid, gaps carried forward
+    * with the last observed value (`last(…, ignoreNulls)` over the
+    * user-day window = the classic LOCF imputation) and flagged. Money
+    * arithmetic rides DECIMAL(18,2) (the package parity rule) so the
+    * carried value is bit-identical however partial sums combine.
+    *
+    * Shape: ONE user-day aggregation (map-side partials over the event
+    * scan), the grid generated per user from a 2-column bounds frame
+    * (`sequence` + `explode` — rows = active-span days, never a cross
+    * join against a calendar table), and the fill window shares the
+    * user partitioning the join just established. Grid size is bounded
+    * by Σ per-user spans — at 100 TB that is the DENSIFIED OUTPUT the
+    * consumer asked for, not overhead.
+    */
+  val q182ForwardFill: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).as("amount_dec"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_dec",
+        last(col("amount_dec"), ignoreNulls = true).over(w))
+      .select(col("user_id"), (col("day") * 86400000L).as("day_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("amount_dec").isNull.cast("long").as("is_gap"),
+        coalesce(col("amount_dec"), money(lit(0)))
+          .cast("double").as("daily_amount"),
+        col("filled_dec").cast("double").as("filled_amount"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  val q182Sql: String =
+    """WITH daily AS (
+      | SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,2))) AS amount_dec
+      | FROM events GROUP BY 1, 2),
+      |bounds AS (
+      | SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      | FROM daily GROUP BY user_id),
+      |grid AS (
+      | SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+      |j AS (
+      | SELECT g.user_id, g.day, d.n_events, d.amount_dec,
+      |  last_value(d.amount_dec IGNORE NULLS) OVER
+      |    (PARTITION BY g.user_id ORDER BY g.day) AS filled_dec
+      | FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT user_id, CAST(day * 86400000 AS BIGINT) AS day_ms,
+      | COALESCE(n_events, 0) AS n_events,
+      | CAST(amount_dec IS NULL AS BIGINT) AS is_gap,
+      | CAST(COALESCE(amount_dec, 0) AS DOUBLE) AS daily_amount,
+      | CAST(filled_dec AS DOUBLE) AS filled_amount
+      |FROM j ORDER BY user_id, day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q182_forward_fill" -> q182ForwardFill,
     "q176_scd2_dimension" -> q176Scd2Dimension,
     "q161_overlap_join_via_rule" -> q161OverlapJoinViaRule,
     "q160_session_overlap_join" -> q160SessionOverlapJoin,
@@ -1277,6 +1343,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q182_forward_fill" -> q182Sql,
     "q176_scd2_dimension" -> q176Sql,
     // the direct θ-join SQL verbatim: the rule-rewritten plan must
     // reproduce the θ-join's rows exactly
