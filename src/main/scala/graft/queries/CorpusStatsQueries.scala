@@ -945,24 +945,30 @@ object CorpusStatsQueries {
   private[graft] val BloomBitsPerWord = 60L
   private[graft] val BloomHashes = 3
 
+  /** THE bit-position derivation `(i, fp) → pos ∈ [0, m)` — the hash
+    * family itself, single-sourced so the build side ([[bloomBits]]),
+    * the streaming fold (q174) and the flattened probe (q186's
+    * runtime-filter prune) can never drift onto different positions.
+    */
+  private[graft] def bloomPos(i: org.apache.spark.sql.Column,
+      fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":bloom:"), fp)),
+      1, 15), 16, 10).cast("long") % (BloomWords * BloomBitsPerWord)
+
   /** Per-key probe rows `(…, word, mask)` — `BloomHashes` md5-derived
     * bit positions for each input row's `fp`, shared VERBATIM by the
     * build and probe sides (and by q174's streaming fold) so the two
     * halves can never drift onto different hash families.
     */
   private[graft] def bloomBits(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val m = BloomWords * BloomBitsPerWord
+      : org.apache.spark.sql.DataFrame =
     df.select(col("*"),
         explode(sequence(lit(0), lit(BloomHashes - 1))).as("i"))
-      .withColumn("pos",
-        conv(substring(md5(concat(col("i").cast("string"), lit(":bloom:"),
-          col("fp"))), 1, 15), 16, 10).cast("long") % m)
+      .withColumn("pos", bloomPos(col("i"), col("fp")))
       .select(df.columns.toIndexedSeq.map(col) :+
         expr(s"pos div $BloomBitsPerWord").as("word") :+
         expr(s"shiftleft(cast(1 as bigint), " +
           s"cast(pos % $BloomBitsPerWord as int))").as("mask"): _*)
-  }
 
   /** The folded word frame `(word, w)` of a fingerprint set — the whole
     * filter: ≤ [[BloomWords]] rows, `bit_or` partials fold map-side.

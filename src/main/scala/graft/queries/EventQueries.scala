@@ -1310,7 +1310,109 @@ object EventQueries {
       | CAST(filled_dec AS DOUBLE) AS filled_amount
       |FROM j ORDER BY user_id, day_ms""".stripMargin
 
+  /** q187 — TIME-GRID LINEAR INTERPOLATION: q182's densified grid with
+    * the other canonical imputation — each gap day valued on the line
+    * between its surrounding observations, in EXACT integer arithmetic:
+    * daily amounts become cents (DECIMAL×100, exact), and the gap value
+    * is carried as the exact RATIONAL `interp_num / interp_den` with
+    * `num = pv·(nd−pd) + (nv−pv)·(day−pd)`, `den = nd−pd` (observed
+    * days carry `cents/1`) — no float division anywhere in the gate,
+    * plus ONE deterministic floor to micros (`·10⁶ div den`; all terms
+    * non-negative because values are, so Spark's truncation and
+    * DuckDB's floor agree). Every gap has both neighbors by
+    * construction — the grid spans [first, last] observed day per user.
+    *
+    * Shape: the events table is scanned ONCE — the user-day aggregate
+    * (its natural map-side-combined exchange) is re-laid to USER grain
+    * and CACHED (the q137 discipline; column pruning would otherwise
+    * split the grid and join consumers onto two different scans), and
+    * `HashPartitioning(user_id)` then satisfies every downstream
+    * requirement with ZERO further hash exchanges — the bounds
+    * aggregation (`user_id` clustering), the grid⋈daily join
+    * (clustering on `(user_id, day)` is implied by clustering on its
+    * subset), and all FOUR window columns over TWO frames
+    * (prev = unbounded..−1, next = +1..unbounded) — so the entire
+    * imputation runs inside one user-partitioned stage. PlanSpec pins
+    * the shape (no outer hash exchange, one cached scan).
+    */
+  val q187Interpolate: Q = (s, d) => {
+    val daily = graft.core.CacheScope.track(
+      events(s, d)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"), col("value"))
+        .groupBy("user_id", "day")
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+        .repartition(col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    // after the grid⋈daily join the only `day` column is the grid's
+    // (never null) — observed days are re-derived via the cents guard
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("interp_num",
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(col("pv") * (col("nd") - col("pd")) +
+            (col("nv") - col("pv")) * (col("day") - col("pd"))))
+      .withColumn("interp_den",
+        when(col("cents").isNotNull, lit(1L))
+          .otherwise(col("nd") - col("pd")))
+      .select(col("user_id"), (col("day") * 86400000L).as("day_ms"),
+        col("cents").isNull.cast("long").as("is_gap"),
+        col("interp_num"), col("interp_den"),
+        expr("interp_num * 1000000 div interp_den").as("interp_micros"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  val q187Sql: String =
+    """WITH daily AS (
+      | SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      | FROM events GROUP BY 1, 2),
+      |bounds AS (
+      | SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      | FROM daily GROUP BY user_id),
+      |grid AS (
+      | SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+      |j AS (
+      | SELECT g.user_id, g.day, d.cents,
+      |  last_value(CASE WHEN d.cents IS NOT NULL THEN g.day END IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+      |  last_value(d.cents IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |  first_value(CASE WHEN d.cents IS NOT NULL THEN g.day END IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.day
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd,
+      |  first_value(d.cents IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.day
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      | FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT user_id, CAST(day * 86400000 AS BIGINT) AS day_ms,
+      | CAST(cents IS NULL AS BIGINT) AS is_gap,
+      | CASE WHEN cents IS NOT NULL THEN cents
+      |      ELSE pv * (nd - pd) + (nv - pv) * (day - pd) END AS interp_num,
+      | CASE WHEN cents IS NOT NULL THEN 1::BIGINT ELSE nd - pd END
+      |   AS interp_den,
+      | (CASE WHEN cents IS NOT NULL THEN cents
+      |       ELSE pv * (nd - pd) + (nv - pv) * (day - pd) END * 1000000)
+      |   // (CASE WHEN cents IS NOT NULL THEN 1 ELSE nd - pd END)
+      |   AS interp_micros
+      |FROM j ORDER BY user_id, day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q187_interpolate" -> q187Interpolate,
     "q182_forward_fill" -> q182ForwardFill,
     "q176_scd2_dimension" -> q176Scd2Dimension,
     "q161_overlap_join_via_rule" -> q161OverlapJoinViaRule,
@@ -1343,6 +1445,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q187_interpolate" -> q187Sql,
     "q182_forward_fill" -> q182Sql,
     "q176_scd2_dimension" -> q176Sql,
     // the direct θ-join SQL verbatim: the rule-rewritten plan must

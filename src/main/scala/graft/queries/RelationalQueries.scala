@@ -509,7 +509,207 @@ object RelationalQueries {
       |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT))
       |ORDER BY check_name""".stripMargin
 
+  /** One q185 profile row for `(label, df[key])`: key-grain counts,
+    * then the scalar skew diagnostics off that tiny frame. Two passes
+    * over the KEY-grain frame (not the table): the argmax/max/sum
+    * aggregate, then the hot-key count against the returned totals —
+    * the key frame is |distinct keys| rows, the only table-grain work
+    * is the first groupBy's map-side-combined count.
+    */
+  private def keyProfile(label: String, df: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val cnts = df.select(col(key).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_key_rows"),
+      max(struct(col("cnt"), col("k"))).as("top"))
+    cnts.crossJoin(broadcast(tot))
+      .groupBy("n_rows", "n_keys", "max_key_rows", "top")
+      .agg(sum(when(col("cnt") * col("n_keys") > col("n_rows") * lit(HotKeyFactor),
+        1L).otherwise(0L)).as("n_hot_keys"))
+      .select(lit(label).as("join_key"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_keys"), col("max_key_rows"),
+        col("top.k").as("top_key"),
+        expr("max_key_rows * 1000 * n_keys div n_rows").as("skew_x1000"),
+        col("n_hot_keys"))
+  }
+
+  /** A key is "hot" when its row count exceeds `HotKeyFactor`× the mean
+    * rows-per-key — compared in cross-multiplied integers
+    * (`cnt·n_keys > n_rows·factor`), never a float division.
+    */
+  private val HotKeyFactor = 10L
+
+  /** q185 — JOIN-KEY SKEW AUDIT: the profile an operator reads BEFORE
+    * choosing a join strategy at 100 TB — per prospective join key:
+    * row/key cardinalities, the heaviest key and its multiplicity, the
+    * max/mean skew ratio (scaled integer, one deterministic floor), and
+    * how many keys run ≥ 10× the mean. This is the measurement that
+    * decides between a plain shuffle join, AQE skew splitting, and the
+    * explicit salting q58 implements — the engine ships the diagnostic
+    * alongside the remedies.
+    *
+    * Scale shape: per audited key ONE map-side-combined count shuffle
+    * at key grain; everything downstream runs on the |keys|-row frame
+    * (the q63 bounded-vocab discipline) with a 1-row broadcast for the
+    * totals. `skew_x1000 = max·1000·n_keys div n_rows` stays inside
+    * BIGINT while max·n_keys·1000 < 2⁶³ — beyond that (≫ any real
+    * key-grain frame) production widens to DECIMAL one cast deep.
+    */
+  val q185SkewAudit: Q = (s, d) =>
+    Seq(
+      keyProfile("events.user_id", graft.core.Tables.events(s, d), "user_id"),
+      keyProfile("lineitem.l_suppkey", lineitem(s, d), "l_suppkey"),
+      keyProfile("orders.o_custkey", orders(s, d), "o_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("join_key")
+
+  val q185Sql: String = {
+    def profile(label: String, table: String, key: String): String =
+      s"""SELECT '$label' AS join_key,
+         |  CAST(t.n_rows AS BIGINT) AS n_rows, t.n_keys, t.max_key_rows,
+         |  t.top_key,
+         |  (t.max_key_rows * 1000 * t.n_keys) // t.n_rows AS skew_x1000,
+         |  CAST((SELECT COUNT(*) FROM
+         |          (SELECT COUNT(*) AS cnt FROM $table GROUP BY $key) h
+         |        WHERE h.cnt * t.n_keys > t.n_rows * $HotKeyFactor) AS BIGINT)
+         |    AS n_hot_keys
+         |FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |        CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |        MAX(cnt) AS max_key_rows,
+         |        (SELECT k FROM (SELECT $key AS k, COUNT(*) AS cnt
+         |                        FROM $table GROUP BY 1) x
+         |         ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key
+         |      FROM (SELECT COUNT(*) AS cnt FROM $table GROUP BY $key) c) t""".stripMargin
+    s"""SELECT * FROM (
+       |${profile("events.user_id", "events", "user_id")}
+       |UNION ALL
+       |${profile("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+       |UNION ALL
+       |${profile("orders.o_custkey", "orders", "o_custkey")})
+       |ORDER BY join_key""".stripMargin
+  }
+
+  /** q186 — RUNTIME-FILTER JOIN PRUNE: the bloom-filter semi-join
+    * reduction every 100 TB star join leans on — the dim side's key
+    * set compiles to a ≤ 256-row bitset ([[CorpusStatsQueries]]'s
+    * q173 geometry, shared verbatim) that is broadcast to the FACT
+    * scan and prunes non-joining rows BEFORE the shuffle; the exact
+    * join then runs over candidates only. No false negatives ever
+    * (the bloom contract — every truly-joining row survives the
+    * prune), false positives are the measured cost; the report row
+    * carries fact/candidate/matched/false-positive counts, the
+    * matched revenue (DECIMAL-exact), and the sketch's set-bit count
+    * as whole-filter evidence. Spark's own AQE runtime filters do
+    * this opaquely; here the mechanism is explicit and hash-gated —
+    * DuckDB replays the md5 bitset bit-for-bit, so a drifted hash
+    * family, a lost word, or a false negative all flip the gate.
+    *
+    * Scale shape: the FACT TABLE IS NEVER SHUFFLED — where q173's
+    * membership report explodes probes and re-groups at probe grain,
+    * here each of the [[CorpusStatsQueries.BloomHashes]] bit tests is a
+    * flat column fed by its own broadcast join against the ≤ 256-row
+    * word frame ([[CorpusStatsQueries.bloomPos]], the single-sourced
+    * hash family), the verdict is `least(hit_i)`, the exact confirm
+    * broadcasts the bounded dim-key set, and the report is one global
+    * aggregate (map-side partials → 1 row). The dim side filters via a
+    * broadcast nation lookup and its sketch build shuffles ≤ 256
+    * `bit_or` groups — the only hash exchanges in the plan are
+    * dim-grain. That is the runtime-filter contract at 100 TB: prune
+    * happens at the scan, nothing fact-sized crosses an exchange.
+    */
+  val q186BloomJoinPrune: Q = (s, d) => {
+    val dimKeys = customer(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("k"))
+    val dimFps = dimKeys
+      .select(md5(concat(lit("cust:"), col("k").cast("string"))).as("fp"))
+    val sketch = CorpusStatsQueries.bloomSketch(dimFps)
+    val bpw = CorpusStatsQueries.BloomBitsPerWord
+    val probes = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"),
+      md5(concat(lit("cust:"), col("o_custkey").cast("string"))).as("fp"))
+    val withHits = (0 until CorpusStatsQueries.BloomHashes)
+      .foldLeft(probes) { (df, i) =>
+        df.withColumn(s"pos_$i",
+            CorpusStatsQueries.bloomPos(lit(i), col("fp")))
+          .withColumn(s"word_$i", expr(s"pos_$i div $bpw"))
+          .withColumn(s"mask_$i", expr(
+            s"shiftleft(cast(1 as bigint), cast(pos_$i % $bpw as int))"))
+          .join(broadcast(sketch.select(col("word").as(s"word_$i"),
+            col("w").as(s"w_$i"))), Seq(s"word_$i"), "left")
+          .withColumn(s"hit_$i",
+            when(coalesce(col(s"w_$i"), lit(0L))
+              .bitwiseAND(col(s"mask_$i")) =!= 0, 1L).otherwise(0L))
+      }
+    val verdicts = withHits
+      .withColumn("maybe", least(
+        (0 until CorpusStatsQueries.BloomHashes).map(i => col(s"hit_$i")): _*))
+      .join(broadcast(dimKeys.distinct().withColumn("m", lit(1L))),
+        col("o_custkey") === col("k"), "left")
+    verdicts.agg(
+        count(lit(1)).as("n_fact"),
+        sum(col("maybe")).cast("long").as("n_candidates"),
+        sum(coalesce(col("m"), lit(0L))).cast("long").as("n_matched"),
+        sum(when(col("maybe") === 1L && col("m").isNull, 1L).otherwise(0L))
+          .as("n_false_positives"),
+        sum(when(col("m") === 1L, money(col("o_totalprice")))
+          .otherwise(money(lit(0)))).cast("double").as("matched_revenue"))
+      .crossJoin(sketch.agg(
+        sum(expr("bit_count(w)")).cast("long").as("n_set_bits")))
+  }
+
+  val q186Sql: String = {
+    val m = CorpusStatsQueries.BloomWords * CorpusStatsQueries.BloomBitsPerWord
+    val bpw = CorpusStatsQueries.BloomBitsPerWord
+    s"""WITH dim AS (SELECT c_custkey AS k FROM customer c
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  WHERE n.n_name = 'NATION_7'),
+       |dfp AS (SELECT DISTINCT md5('cust:' || CAST(k AS VARCHAR)) AS fp
+       |  FROM dim),
+       |hh AS (SELECT unnest(range(${CorpusStatsQueries.BloomHashes})) AS i),
+       |bb AS (SELECT
+       |   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':bloom:' || fp), 1, 15))::BIGINT
+       |     % $m AS pos
+       |  FROM dfp CROSS JOIN hh),
+       |sk AS (SELECT pos // $bpw AS word,
+       |    bit_or(1::BIGINT << CAST(pos % $bpw AS INTEGER)) AS w
+       |  FROM bb GROUP BY 1),
+       |probe AS (SELECT o_orderkey, o_custkey, o_totalprice,
+       |    md5('cust:' || CAST(o_custkey AS VARCHAR)) AS fp
+       |  FROM orders),
+       |hits AS (SELECT p.o_orderkey, p.o_custkey, p.o_totalprice,
+       |   CASE WHEN (COALESCE(s.w, 0) &
+       |     (1::BIGINT << CAST((('0x' || substr(md5(CAST(hh.i AS VARCHAR)
+       |        || ':bloom:' || p.fp), 1, 15))::BIGINT % $m) % $bpw AS INTEGER)))
+       |     <> 0 THEN 1 ELSE 0 END AS hit
+       |  FROM probe p CROSS JOIN hh
+       |  LEFT JOIN sk s ON s.word =
+       |    (('0x' || substr(md5(CAST(hh.i AS VARCHAR) || ':bloom:' || p.fp),
+       |      1, 15))::BIGINT % $m) // $bpw),
+       |ver AS (SELECT o_orderkey, o_custkey, o_totalprice,
+       |    MIN(hit) AS maybe,
+       |    CASE WHEN o_custkey IN (SELECT k FROM dim) THEN 1 ELSE 0 END AS mm
+       |  FROM hits GROUP BY 1, 2, 3),
+       |bits AS (SELECT CAST(SUM(bit_count(w)) AS BIGINT) AS n_set_bits FROM sk)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       |  CAST(SUM(maybe) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(mm) AS BIGINT) AS n_matched,
+       |  CAST(SUM(CASE WHEN maybe = 1 AND mm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_positives,
+       |  CAST(SUM(CASE WHEN mm = 1 THEN CAST(o_totalprice AS DECIMAL(18,2))
+       |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS matched_revenue,
+       |  n_set_bits
+       |FROM ver CROSS JOIN bits GROUP BY n_set_bits""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_skew_audit" -> q185SkewAudit,
+    "q186_bloom_join_prune" -> q186BloomJoinPrune,
     "q157_constraint_audit" -> q157ConstraintAudit,
     "q155_entity_resolution" -> q155EntityResolution,
     "q82_split_pivot" -> q82SplitPivot,
@@ -532,6 +732,8 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q185_skew_audit" -> q185Sql,
+    "q186_bloom_join_prune" -> q186Sql,
     "q157_constraint_audit" -> q157Sql,
     "q155_entity_resolution" -> q155Sql,
     "q82_split_pivot" -> q82Sql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -1252,6 +1252,186 @@ object StreamingQueries {
       .limit(20)
   }
 
+  /** The view→purchase join window shared by q183/q184 and their
+    * oracles (30 minutes, the engine's session-gap constant): a
+    * purchase attributes to a view it followed within the window.
+    */
+  private[graft] val SSJoinWindowMs = 30L * 60 * 1000
+
+  /** One side of the q183/q184 stream-stream join: the shared events
+    * spool filtered to `t` rows (PLUS the sentinel rows — both sides
+    * must see them or the GLOBAL watermark, the min across all
+    * watermark operators, would never pass the real data and the
+    * left join's null-emissions would never flush), columns prefixed
+    * so the join output carries both event times, watermarked with
+    * the spool-derived delay so full-span disorder is never
+    * late-dropped.
+    */
+  private def ssJoinSide(s: SparkSession, sp: EventSpool, t: String,
+      prefix: String): DataFrame =
+    s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .filter(col("event_type").isin(t, "sentinel"))
+      .select(col("user_id").as(s"${prefix}_uid"),
+        col("ts").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_eid"))
+      .withWatermark(s"${prefix}_ts", s"${sp.delayMs} milliseconds")
+
+  /** The q183/q184 join condition: same user, purchase inside
+    * `[view_ts, view_ts + window]` — the TIME-RANGE constraint between
+    * the two event times is what lets the engine bound join state (each
+    * side's rows are evictable once the watermark passes the farthest
+    * instant the other side could still match).
+    */
+  private def ssJoinCond: Column =
+    col("v_uid") === col("p_uid") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr(s"INTERVAL ${SSJoinWindowMs / 1000} SECONDS")
+
+  /** q183 — STREAM-STREAM INNER JOIN through the real engine: the
+    * canonical two-stream operator (clickstream view ⋈ purchase within
+    * 30 minutes) the engine's single-stream tiers never exercise. Two
+    * independent watermarked streams read the SAME maximally-disordered
+    * spool (one filtered to views, one to purchases — standing in for
+    * two production topics), and the engine's symmetric hash join
+    * buffers each side's rows in keyed state until the watermark proves
+    * no future partner can arrive. Matches emit immediately (inner-join
+    * semantics need no finality), so completeness here rests on the
+    * watermark delay covering full-span disorder — a row can never be
+    * late-dropped before it meets its partner. The sentinel rows flow
+    * down BOTH legs so the global watermark (min across both sides)
+    * advances past every real event and state drains before
+    * `AvailableNow` terminates; sentinel self-pairs are filtered at the
+    * sink read.
+    *
+    * State bound: O(rows inside the watermark horizon) PER SIDE — the
+    * time-range join condition is what makes the state evictable at
+    * all (an unconstrained stream-stream join buffers forever, the
+    * q144-class contract). This fixture pins the horizon to the full
+    * span so maximal disorder stays lossless; production sets the real
+    * disorder bound and state is proportionally small.
+    *
+    * Oracle: the equivalent batch interval join in SQL — join-on-ingest
+    * must equal join-at-rest for any interleaving of the two streams.
+    */
+  val q183StreamStreamJoin: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_ssjoin", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    withFewShufflePartitions(s) {
+      ssJoinSide(s, sp, "view", "v")
+        .join(ssJoinSide(s, sp, "purchase", "p"), ssJoinCond, "inner")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("v_uid") =!= lit(sp.sentinelUid))
+      .groupBy(col("v_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_eid")).as("n_views_matched"),
+        sum(unix_millis(col("p_ts")) - unix_millis(col("v_ts")))
+          .as("sum_lead_ms"))
+      .orderBy("user_id")
+  }
+
+  /** q183's oracle — the batch interval join the streaming engine must
+    * reproduce for ANY interleaving of the two streams.
+    */
+  private[graft] val q183Sql: String =
+    s"""WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |           WHERE event_type = 'view'),
+       |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT v.user_id, count(*) AS n_pairs,
+       |  count(DISTINCT v.event_id) AS n_views_matched,
+       |  CAST(sum(p.ms - v.ms) AS BIGINT) AS sum_lead_ms
+       |FROM v JOIN p ON v.user_id = p.user_id
+       |  AND p.ms >= v.ms AND p.ms <= v.ms + $SSJoinWindowMs
+       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
+  /** q184 — STREAM-STREAM LEFT OUTER JOIN: q183's join with the
+    * semantics only a WATERMARK can deliver — a view with no purchase
+    * inside its window must still emit (null-padded), and "no purchase"
+    * is a claim about the FUTURE of the other stream. The engine holds
+    * each view in state until the global watermark passes
+    * `view_ts + window` (the latest instant a partner could carry),
+    * then emits the null row exactly once; matched pairs emit as in
+    * q183. The spool's TWO trailing sentinel files are load-bearing
+    * here: the first advances the watermark past every real view's
+    * expiry, the second gives the engine the follow-on micro-batch in
+    * which watermark-gated outer results actually emit (outer-join
+    * emission happens in the batch AFTER the watermark moves — with
+    * one sentinel the final nulls would still be buffered when
+    * `AvailableNow` terminates).
+    *
+    * Oracle: the equivalent batch LEFT JOIN — per user, total view
+    * rows, matched and unmatched counts must be bit-identical to
+    * join-at-rest, which fails if any null emits early (a "phantom
+    * unmatched" for a view whose partner was still in flight), late
+    * (dropped), or twice.
+    */
+  val q184StreamStreamLeftJoin: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_ssleft", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    withFewShufflePartitions(s) {
+      ssJoinSide(s, sp, "view", "v")
+        .join(ssJoinSide(s, sp, "purchase", "p"), ssJoinCond, "left_outer")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("v_uid") =!= lit(sp.sentinelUid))
+      .groupBy(col("v_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_eid")).as("n_matched"),
+        (count(lit(1)) - count(col("p_eid"))).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
+  /** q184's oracle — the batch left interval join; `count(p.event_id)`
+    * counts only matched rows on both engines.
+    */
+  private[graft] val q184Sql: String =
+    s"""WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |           WHERE event_type = 'view'),
+       |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT v.user_id, count(*) AS n_rows,
+       |  count(p.event_id) AS n_matched,
+       |  count(*) - count(p.event_id) AS n_unmatched
+       |FROM v LEFT JOIN p ON v.user_id = p.user_id
+       |  AND p.ms >= v.ms AND p.ms <= v.ms + $SSJoinWindowMs
+       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
   /** q148 — the WINDOWED funnel through the real STATEFUL engine:
     * where q144 evolves batchId-addressed state in `foreachBatch`,
     * this runs q145's semantics inside the engine's own keyed state —
@@ -1881,6 +2061,8 @@ object StreamingQueries {
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
     "q166_streaming_session_paths" -> q166StreamingSessionPaths,
+    "q183_stream_stream_join" -> q183StreamStreamJoin,
+    "q184_stream_stream_left_join" -> q184StreamStreamLeftJoin,
     "q167_streaming_posting_index" -> q167StreamingPostingIndex,
     "q169_streaming_hll_fold" -> q169StreamingHllFold,
     "q170_streaming_quantile_fold" -> q170StreamingQuantileFold,
@@ -1913,6 +2095,12 @@ object StreamingQueries {
     // q139's SQL verbatim: sessionize-on-ingest (native session_window
     // + watermark, append mode) must equal sessionize-at-rest
     "q166_streaming_session_paths" -> EventQueries.q139Sql,
+    // the batch interval join: join-on-ingest ≡ join-at-rest for any
+    // interleaving of the two streams
+    "q183_stream_stream_join" -> q183Sql,
+    // the batch LEFT interval join: every watermark-gated null must
+    // emit exactly once, never early, never dropped
+    "q184_stream_stream_left_join" -> q184Sql,
     // q151's SQL verbatim: index-on-ingest (per-batch posting
     // segments) must serve exactly what the from-scratch index serves
     "q167_streaming_posting_index" -> SearchQueries.q151Sql,

@@ -831,6 +831,45 @@ class PlanSpec extends AnyFunSuite {
     assert(wordEx <= 2, p.take(4000))
   }
 
+  test("q185 skew audit: the only table-grain work per key is a " +
+    "map-side-combined count (partial_count before the key exchange); " +
+    "the totals frame broadcasts back onto the key frame") {
+    val p = physical(RelationalQueries.q185SkewAudit(spark, sf))
+    assert(p.contains("partial_count"), p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(4000))
+  }
+
+  test("q186 runtime-filter prune: the fact table is NEVER hash-" +
+    "exchanged — every bit test and the exact confirm are broadcast " +
+    "joins, the only hash exchanges are dim-grain (sketch build + " +
+    "dim-key dedup)") {
+    val p = physical(RelationalQueries.q186BloomJoinPrune(spark, sf))
+    // no exchange keyed on any fact (orders) column
+    assert(!p.contains("Exchange hashpartitioning(o_"), p.take(6000))
+    // the bit tests + confirm are broadcast
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(6000))
+  }
+
+  test("q187 interpolation: one cached events scan, and the user-grain " +
+    "cache layout satisfies the bounds agg, the grid join and all four " +
+    "window frames — ZERO hash exchanges outside the cached daily frame") {
+    graft.core.CacheScope.withScope {
+      val df = EventQueries.q187Interpolate(spark, sf)
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        leaves.map(_.getClass.getName).mkString(","))
+      // collect stops at InMemoryTableScan leaves: this is the OUTER plan
+      val outerShuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val hash = outerShuffles.filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      assert(hash.isEmpty, outerShuffles.mkString("\n"))
+    }
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
