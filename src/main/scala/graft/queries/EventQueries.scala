@@ -1411,7 +1411,86 @@ object EventQueries {
       |   AS interp_micros
       |FROM j ORDER BY user_id, day_ms""".stripMargin
 
+  /** q190 — GROUPED HyperLogLog: "distinct users per segment", the
+    * production form of the cardinality sketch (q168 is corpus-global)
+    * — one register frame PER GROUP, so the shuffle is bounded at
+    * |groups| · [[CorpusStatsQueries.HllRegisters]] `max`-partial'd
+    * rows whatever the event volume, and per-group register frames are
+    * independently mergeable (the register-max monoid q169 folds —
+    * grouping commutes with the fold, which is why a production
+    * rollup can keep per-(segment, hour) sketches and OR them up any
+    * dimension). Same md5 hash family and exact scaled-harmonic-sum
+    * arithmetic as q168 (integers until one final division by a shared
+    * double literal); DuckDB replays every register bit-for-bit, and
+    * the exact distinct count rides alongside per group.
+    */
+  val q190GroupedHll: Q = (s, d) => {
+    import CorpusStatsQueries.{HllRegisters, HllScaledOne, HllNumerator}
+    val ev = graft.core.CacheScope.track(
+      events(s, d).select(col("event_type"), col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val h = conv(substring(md5(concat(lit("ghll:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val regs = ev
+      .withColumn("h", h)
+      .select(col("event_type"), (col("h") % HllRegisters).as("reg"),
+        expr(s"h div $HllRegisters").as("w"))
+      .select(col("event_type"), col("reg"),
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(conv(col("w"), 10, 2)).cast("long"))
+          .as("rho"))
+      .groupBy("event_type", "reg").agg(max(col("rho")).as("rho"))
+    val summ = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(54 - rho as int))"))
+          .as("present_sum"))
+      .withColumn("scaled_sum", col("present_sum") +
+        (lit(HllRegisters) - col("n_present")) * lit(HllScaledOne))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    summ.join(exact, "event_type")
+      .select(col("event_type"),
+        (lit(HllRegisters) - col("n_present")).as("n_zero"),
+        col("scaled_sum"),
+        (lit(HllNumerator) / col("scaled_sum").cast("double"))
+          .as("hll_estimate"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val q190Sql: String = {
+    import CorpusStatsQueries.{HllRegisters, HllScaledOne, HllNumerator}
+    s"""WITH h AS (SELECT event_type,
+       |    ('0x' || substr(md5('ghll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h % $HllRegisters AS reg,
+       |             h // $HllRegisters AS w FROM h),
+       |regs AS (SELECT event_type, reg,
+       |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+       |  FROM r GROUP BY event_type, reg),
+       |summ AS (SELECT event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_present,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - rho AS INTEGER)) AS BIGINT)
+       |      AS present_sum
+       |  FROM regs GROUP BY event_type),
+       |ex AS (SELECT event_type,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY event_type)
+       |SELECT s.event_type,
+       |  CAST($HllRegisters - n_present AS BIGINT) AS n_zero,
+       |  CAST(present_sum + ($HllRegisters - n_present) * $HllScaledOne
+       |    AS BIGINT) AS scaled_sum,
+       |  $HllNumerator / CAST(present_sum +
+       |    ($HllRegisters - n_present) * $HllScaledOne AS DOUBLE)
+       |    AS hll_estimate,
+       |  exact_distinct
+       |FROM summ s JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_grouped_hll" -> q190GroupedHll,
     "q187_interpolate" -> q187Interpolate,
     "q182_forward_fill" -> q182ForwardFill,
     "q176_scd2_dimension" -> q176Scd2Dimension,
@@ -1445,6 +1524,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q190_grouped_hll" -> q190Sql,
     "q187_interpolate" -> q187Sql,
     "q182_forward_fill" -> q182Sql,
     "q176_scd2_dimension" -> q176Sql,

@@ -134,11 +134,106 @@ object GraphQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q188 — TRIANGLE COUNT + clustering evidence over the derived doc
+    * graph, via DEGREE-ORDERED orientation (the standard distributed
+    * algorithm): every undirected edge is oriented from its lower
+    * `(degree, id)` endpoint to its higher, making the orientation an
+    * acyclic TOTAL order — each triangle then has exactly one "source"
+    * node with two out-edges, is enumerated as exactly one wedge, and
+    * is confirmed by exactly one closing-edge join. The point at
+    * 100 TB: a raw wedge join fans out O(Σ deg²) — one celebrity node
+    * with degree 10⁶ yields 5·10¹¹ wedges — while out-degrees under
+    * degree orientation are bounded by O(√m) (graph arboricity), so the
+    * wedge volume is O(m^1.5) worst-case and skew-proof in practice.
+    * The oracle counts the same triangles under the simpler id-ordered
+    * formulation (u<v<w) — orientation choice cannot change the count,
+    * so the gate pins the algorithm's exactness, not its plan.
+    *
+    * Output: one row of whole-graph evidence — nodes, undirected edge
+    * count, wedge total Σ C(deg,2) (orientation-independent, exact
+    * integers), and the triangle count.
+    */
+  val q188TriangleCount: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"))
+    val und = graft.core.CacheScope.track(
+      edgeFrame(docs)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    // orient each edge low→high in the (degree, id) total order; carry
+    // the target's order key so wedges can be emitted in canonical
+    // order without a re-join
+    val keyU = struct(col("du").as("dg"), col("u").as("id"))
+    val keyV = struct(col("dv").as("dg"), col("v").as("id"))
+    val oriented = graft.core.CacheScope.track(
+      und
+        .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(keyU < keyV, col("u")).otherwise(col("v")).as("a"),
+          when(keyU < keyV, col("v")).otherwise(col("u")).as("b"),
+          when(keyU < keyV, keyV).otherwise(keyU).as("bkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wedges = oriented.select(col("a"), col("b").as("b1"),
+        col("bkey").as("bkey1"))
+      .join(oriented.select(col("a"), col("b").as("b2"),
+        col("bkey").as("bkey2")), Seq("a"))
+      .filter(col("bkey1") < col("bkey2"))
+      .select(col("b1"), col("b2"))
+    val triangles = wedges
+      .join(oriented.select(col("a").as("b1"), col("b").as("b2")),
+        Seq("b1", "b2"), "semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    docs.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(
+        sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges")))
+      .crossJoin(triangles)
+  }
+
+  /** The oracle's id-ordered formulation: with edges stored `u < v`, a
+    * triangle `x < y < z` is exactly one row of the three-way join
+    * `(x,y)⋈(y,z)⋈(x,z)`. Same count as any orientation.
+    */
+  val q188Sql: String = {
+    val hash =
+      "('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':' || " +
+        "CAST(j AS VARCHAR)), 1, 15))::BIGINT % nn.n"
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |e0 AS (SELECT d.doc_id AS src, $hash AS dst
+       |       FROM documents d CROSS JOIN nn
+       |       CROSS JOIN (SELECT unnest(range($OutDeg)) AS j)),
+       |e1 AS (SELECT e0.src, e0.dst FROM e0
+       |       JOIN (SELECT doc_id FROM documents) dd ON e0.dst = dd.doc_id),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM e1 WHERE src <> dst),
+       |deg AS (SELECT node, COUNT(*) AS dg FROM
+       |          (SELECT u AS node FROM und
+       |           UNION ALL SELECT v AS node FROM und)
+       |        GROUP BY node),
+       |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |        FROM und a JOIN und b ON b.u = a.v
+       |        JOIN und c ON c.u = a.u AND c.v = b.v)
+       |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       |  (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+       |    AS n_wedges,
+       |  n_triangles
+       |FROM tri""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q130_pagerank" -> q130PageRank
+    "q130_pagerank" -> q130PageRank,
+    "q188_triangle_count" -> q188TriangleCount
   )
 
   val oracle: Map[String, String] = Map(
-    "q130_pagerank" -> q130Sql
+    "q130_pagerank" -> q130Sql,
+    "q188_triangle_count" -> q188Sql
   )
 }

@@ -707,7 +707,50 @@ object RelationalQueries {
        |FROM ver CROSS JOIN bits GROUP BY n_set_bits""".stripMargin
   }
 
+  /** q189 — INCREMENTAL AGGREGATE-VIEW MAINTENANCE: the materialized
+    * per-customer order summary kept fresh the LSM way — the view
+    * stores additive PARTIALS (count + DECIMAL-exact cents), the ingest
+    * delta aggregates O(delta) and APPENDS its own partials through the
+    * generic schema-checked store fold (nothing base-side is read or
+    * rewritten — classic IVM for distributive aggregates: the delta's
+    * group partials are the complete maintenance update), and serving
+    * merges the ≤ generations-per-key partial rows. Because the store
+    * is BUCKETED on the view key, base and delta partials for a key
+    * are co-located and the serve-time merge needs NO exchange (the
+    * bucket layout satisfies the final aggregation's clustering —
+    * PlanSpec pins it). Compaction back to one row per key is the
+    * store family's existing generation-dir machinery. Oracle: the
+    * direct single-pass aggregate over ALL orders — fold ≡
+    * from-scratch, the q126/q163 lifecycle contract on an AGGREGATE
+    * view rather than an index.
+    */
+  val q189IncrementalAggView: Q = (s, d) => {
+    val t = RunStore.tableName("graft_aggview", d)
+    RunStore.dropWithLocation(s, t)
+    val o = orders(s, d)
+    val isBase = col("o_orderkey") % 10 =!= 0
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("rev_cents"))
+    graft.core.Tables.writeBucketed(partials(o.filter(isBase)), t, 8,
+      "o_custkey")
+    DedupTextQueries.foldAdmittedVia(partials)(s, t, o.filter(!isBase))
+    s.table(t).groupBy("o_custkey")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"))
+      .orderBy("o_custkey")
+  }
+
+  val q189Sql: String =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS rev_cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q189_incremental_agg_view" -> q189IncrementalAggView,
     "q185_skew_audit" -> q185SkewAudit,
     "q186_bloom_join_prune" -> q186BloomJoinPrune,
     "q157_constraint_audit" -> q157ConstraintAudit,
@@ -732,6 +775,9 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the direct single-pass aggregate: the folded partial store must
+    // serve exactly the from-scratch view
+    "q189_incremental_agg_view" -> q189Sql,
     "q185_skew_audit" -> q185Sql,
     "q186_bloom_join_prune" -> q186Sql,
     "q157_constraint_audit" -> q157Sql,

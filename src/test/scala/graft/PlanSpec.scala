@@ -870,6 +870,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 triangles: wedge and closing joins are equi-joins (no " +
+    "cartesian product anywhere), the closing join is a LEFT SEMI, and " +
+    "the oriented edge frame is cached once for both join sides") {
+    graft.core.CacheScope.withScope {
+      val df = GraphQueries.queries("q188_triangle_count")(spark, sf)
+      val p = physical(df)
+      assert(!p.contains("CartesianProduct"), p.take(6000))
+      assert(p.contains("LeftSemi"), p.take(6000))
+      assert(p.contains("InMemoryTableScan"), p.take(6000))
+    }
+  }
+
+  test("q189 IVM serve: the bucketed partial store satisfies the " +
+    "merge aggregation's clustering — ZERO hash exchanges in the serve " +
+    "plan (base and delta partials meet co-located)") {
+    val df = RelationalQueries.q189IncrementalAggView(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val hash = shuffles.filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hash.isEmpty, shuffles.mkString("\n"))
+  }
+
+  test("q190 grouped HLL: the register fold partial-aggregates " +
+    "map-side (max partials) — the shuffle carries at most " +
+    "groups x 256 register rows, never the event stream") {
+    graft.core.CacheScope.withScope {
+      val p = physical(EventQueries.queries("q190_grouped_hll")(spark, sf))
+      assert(p.contains("partial_max"), p.take(4000))
+    }
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
