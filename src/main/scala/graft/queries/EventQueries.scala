@@ -1489,7 +1489,113 @@ object EventQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q192 — ROLLING-WINDOW HLL: 7-day rolling distinct users per day,
+    * answered from MERGED DAILY SKETCHES — the production pattern
+    * q190's scaladoc promises: keep one register frame per (day), and
+    * any time window's cardinality is the register-wise MAX over the
+    * window (HLL's merge IS max, so pre-aggregated daily sketches
+    * answer every rolling window without re-touching events). The
+    * rolling merge runs on a DENSE (day × register) grid — days ×
+    * [[CorpusStatsQueries.HllRegisters]] rows, bounded whatever the
+    * event volume — because a register set on day d−3 but not on day
+    * d must still count toward day d's window (the sparse frame would
+    * silently drop it); `max` over the RANGE frame ignores the grid's
+    * nulls. Exact 7-day distincts ride alongside: each event
+    * contributes to ≤ 7 window-days (map-side explode, never a range
+    * join), clipped to observed days.
+    *
+    * Everything before the one shared-literal division is integer and
+    * order-free; DuckDB replays registers, grid, frame and estimate
+    * bit-for-bit.
+    */
+  val q192RollingHll: Q = (s, d) => {
+    import CorpusStatsQueries.{HllRegisters, HllScaledOne, HllNumerator}
+    val ev = graft.core.CacheScope.track(
+      events(s, d)
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val h = conv(substring(md5(concat(lit("rhll:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val dailyRegs = ev
+      .withColumn("h", h)
+      .select(col("day"), (col("h") % HllRegisters).as("reg"),
+        expr(s"h div $HllRegisters").as("w"))
+      .select(col("day"), col("reg"),
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(conv(col("w"), 10, 2)).cast("long"))
+          .as("rho"))
+      .groupBy("day", "reg").agg(max(col("rho")).as("rho"))
+    val days = ev.select("day").distinct()
+    val grid = days.crossJoin(
+      broadcast(s.range(HllRegisters).select(col("id").as("reg"))))
+    val wRoll = Window.partitionBy("reg").orderBy("day").rangeBetween(-6, 0)
+    val rolled = grid.join(dailyRegs, Seq("day", "reg"), "left")
+      .withColumn("rho7", max(col("rho")).over(wRoll))
+    val summ = rolled.groupBy("day")
+      .agg(sum(when(col("rho7").isNull, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("rho7").isNull, lit(HllScaledOne))
+          .otherwise(expr("shiftleft(cast(1 as bigint), cast(54 - rho7 as int))")))
+          .as("scaled_sum"))
+    // exact 7-day distinct: each event fans out to its <=7 target days,
+    // clipped to observed days — map-side, never a range join
+    val exact = ev
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(days, Seq("day"), "semi")
+      .groupBy("day")
+      .agg(count_distinct(col("user_id")).as("exact_7d"))
+    summ.join(exact, "day")
+      .select((col("day") * 86400000L).as("day_ms"), col("n_zero"),
+        col("scaled_sum"),
+        (lit(HllNumerator) / col("scaled_sum").cast("double"))
+          .as("hll_estimate"),
+        col("exact_7d"))
+      .orderBy("day_ms")
+  }
+
+  val q192Sql: String = {
+    import CorpusStatsQueries.{HllRegisters, HllScaledOne, HllNumerator}
+    s"""WITH dd AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+       |  FROM events),
+       |h AS (SELECT day,
+       |    ('0x' || substr(md5('rhll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM dd),
+       |r AS (SELECT day, h % $HllRegisters AS reg, h // $HllRegisters AS w
+       |      FROM h),
+       |regs AS (SELECT day, reg,
+       |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+       |  FROM r GROUP BY day, reg),
+       |days AS (SELECT DISTINCT day FROM dd),
+       |grid AS (SELECT d.day, g.reg FROM days d
+       |  CROSS JOIN (SELECT unnest(range($HllRegisters)) AS reg) g),
+       |rolled AS (SELECT g.day, g.reg,
+       |    MAX(rg.rho) OVER (PARTITION BY g.reg ORDER BY g.day
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho7
+       |  FROM grid g LEFT JOIN regs rg
+       |    ON g.day = rg.day AND g.reg = rg.reg),
+       |summ AS (SELECT day,
+       |    CAST(SUM(CASE WHEN rho7 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero,
+       |    CAST(SUM(CASE WHEN rho7 IS NULL THEN $HllScaledOne
+       |      ELSE CAST(1 AS BIGINT) << CAST(54 - rho7 AS INTEGER) END)
+       |      AS BIGINT) AS scaled_sum
+       |  FROM rolled GROUP BY day),
+       |ex AS (SELECT t.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+       |      AS exact_7d
+       |  FROM dd e CROSS JOIN (SELECT unnest(range(7)) AS i) ii
+       |  JOIN days t ON t.day = e.day + ii.i
+       |  GROUP BY t.day)
+       |SELECT CAST(s.day * 86400000 AS BIGINT) AS day_ms, n_zero, scaled_sum,
+       |  $HllNumerator / CAST(scaled_sum AS DOUBLE) AS hll_estimate,
+       |  exact_7d
+       |FROM summ s JOIN ex USING (day)
+       |ORDER BY day_ms""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_rolling_hll" -> q192RollingHll,
     "q190_grouped_hll" -> q190GroupedHll,
     "q187_interpolate" -> q187Interpolate,
     "q182_forward_fill" -> q182ForwardFill,
@@ -1524,6 +1630,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q192_rolling_hll" -> q192Sql,
     "q190_grouped_hll" -> q190Sql,
     "q187_interpolate" -> q187Sql,
     "q182_forward_fill" -> q182Sql,

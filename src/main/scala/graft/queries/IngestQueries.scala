@@ -675,7 +675,99 @@ object IngestQueries {
        |FROM merged GROUP BY status ORDER BY status""".stripMargin
   }
 
+  /** q191 — RETRACTABLE aggregate-view maintenance (the DBSP/Materialize
+    * class): q189 folds insert-only partials; this maintains the
+    * per-shard live-document summary under the FULL CDC feed —
+    * updates and deletes included — by appending SIGNED partials.
+    * The maintenance pass is the classic IVM join: the last-wins
+    * delta resolution (q175's exact algebra) left-joins the BASE
+    * state for pre-images, and each change row becomes a retraction
+    * plus an addition in one signed row — delete = (−1, −len(old)),
+    * insert = (+1, +len(new)), update = (0, len(new) − len(old)).
+    * Counts and sums form a GROUP (not just a monoid — every element
+    * has an inverse), which is exactly what makes deletes foldable as
+    * appends; the fold itself is the same schema-checked store append
+    * q189 uses, O(delta), nothing base-side rewritten.
+    *
+    * Scale shape: the pre-image join is delta(⊆9%-of-keys)-vs-base —
+    * broadcast the delta keys or co-bucket both on doc_id at 100 TB;
+    * partials shuffle at delta-group grain; the view store is bucketed
+    * on the view key so serving merges co-located signed partials with
+    * no exchange (q189's PlanSpec discipline). Oracle: the from-scratch
+    * aggregate over the POST-MERGE live state — fold-under-retraction ≡
+    * recompute, the lifecycle gate extended to deletes.
+    */
+  val q191RetractableAggView: Q = (s, d) => {
+    val t = RunStore.tableName("graft_retractview", d)
+    RunStore.dropWithLocation(s, t)
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    def shard(c: org.apache.spark.sql.Column) = c % 8
+    val basePartials = base.groupBy(shard(col("doc_id")).as("shard"))
+      .agg(count(lit(1)).as("dn"),
+        sum(length(col("text")).cast("long")).as("dchars"))
+    graft.core.Tables.writeBucketed(basePartials, t, 8, "shard")
+    val last = cdcFeed(s, d).groupBy("doc_id")
+      .agg(max(struct(col("seq"), col("op"), col("new_text"))).as("m"))
+      .select(col("doc_id"), col("m.op").as("op"),
+        col("m.new_text").as("new_text"))
+    val oldLen = length(col("old_text")).cast("long")
+    val newLen = length(col("new_text")).cast("long")
+    val deltaPartials = last
+      .join(base.withColumnRenamed("text", "old_text"), Seq("doc_id"), "left")
+      .select(shard(col("doc_id")).as("shard"),
+        when(col("op") === "D",
+          when(col("old_text").isNotNull, lit(-1L)).otherwise(lit(0L)))
+          .otherwise(
+            when(col("old_text").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("dn"),
+        when(col("op") === "D", -coalesce(oldLen, lit(0L)))
+          .otherwise(newLen - coalesce(oldLen, lit(0L))).as("dchars"))
+      .groupBy("shard")
+      .agg(sum(col("dn")).as("dn"), sum(col("dchars")).as("dchars"))
+    DedupTextQueries.foldAdmittedVia(df => df)(s, t, deltaPartials)
+    s.table(t).groupBy("shard")
+      .agg(sum(col("dn")).as("n_live"), sum(col("dchars")).as("n_chars"))
+      .orderBy("shard")
+  }
+
+  /** The from-scratch aggregate over the post-merge LIVE state (q175's
+    * feed/last CTEs verbatim).
+    */
+  val q191Sql: String = {
+    val u1 = mdUniformSql("cdc_u1:", "doc_id")
+    val uD = mdUniformSql("cdc_d:", "doc_id")
+    val u2 = mdUniformSql("cdc_u2:", "doc_id")
+    val uI = mdUniformSql("cdc_i:", "doc_id")
+    s"""WITH feed AS (
+       | SELECT doc_id, 1 AS seq, 'U' AS op, text || ' v2' AS new_text
+       | FROM documents WHERE $u1 < 0.05
+       | UNION ALL
+       | SELECT doc_id, 2 AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS new_text
+       | FROM documents WHERE $uD < 0.03
+       | UNION ALL
+       | SELECT doc_id, 3 AS seq, 'U' AS op, text || ' v3' AS new_text
+       | FROM documents WHERE $u2 < 0.04
+       | UNION ALL
+       | SELECT doc_id + 20000000 AS doc_id, 1 AS seq, 'U' AS op,
+       |  'ins ' || CAST(doc_id AS VARCHAR) AS new_text
+       | FROM documents WHERE $uI < 0.02),
+       |last AS (
+       | SELECT doc_id, op, new_text FROM (
+       |  SELECT doc_id, op, new_text,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+       |  FROM feed) WHERE rn = 1),
+       |live AS (
+       | SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+       |  COALESCE(l.new_text, b.text) AS text
+       | FROM documents b FULL OUTER JOIN last l ON b.doc_id = l.doc_id
+       | WHERE l.op IS NULL OR l.op = 'U')
+       |SELECT doc_id % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_live,
+       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |FROM live GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_retractable_agg_view" -> q191RetractableAggView,
     "q172_snapshot_diff" -> q172SnapshotDiff,
     "q175_merge_upsert" -> q175MergeUpsert,
     "q65_balanced_mixture" -> q65BalancedMixture,
@@ -688,6 +780,9 @@ object IngestQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the from-scratch aggregate over the post-merge live state:
+    // fold-under-retraction must equal recompute
+    "q191_retractable_agg_view" -> q191Sql,
     "q172_snapshot_diff" -> q172Sql,
     "q175_merge_upsert" -> q175Sql,
     "q65_balanced_mixture" -> q65Sql,

@@ -903,6 +903,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 retractable IVM serve: the bucketed signed-partial store " +
+    "satisfies the merge aggregation — zero hash exchanges in the " +
+    "serve plan, like q189") {
+    val df = IngestQueries.queries("q191_retractable_agg_view")(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val hash = shuffles.filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hash.isEmpty, shuffles.mkString("\n"))
+  }
+
+  test("q192 rolling HLL: daily registers fold with map-side max " +
+    "partials and the ONLY window in the plan partitions by the " +
+    "bounded register key — never an event-grain or user-grain frame") {
+    graft.core.CacheScope.withScope {
+      val p = physical(EventQueries.queries("q192_rolling_hll")(spark, sf))
+      assert(p.contains("partial_max"), p.take(4000))
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.nonEmpty &&
+        windows.forall(_.contains("windowspecdefinition(reg")),
+        windows.mkString("\n"))
+    }
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
