@@ -1954,6 +1954,114 @@ object StreamingQueries {
       s.read.parquet(s"${path("_state")}/batch_$lastBatch")))
   }
 
+  /** q193's per-batch body: fold the batch into the per-doc argmax
+    * state (q180's compaction monoid, lengths instead of payloads) and
+    * emit the SIGNED VIEW PARTIALS for every state TRANSITION this
+    * batch caused — dn/dchars diffs from the doc's previous value,
+    * where a doc first entering the state diffs against its BASE
+    * pre-image (delta-grain lookup). Transitions TELESCOPE: argmax
+    * state is monotone in seq, so summing every emitted diff yields
+    * exactly final-state-minus-base per doc, for ANY arrival order of
+    * the feed — the order-free spool needs no stamping. Both writes
+    * are batchId-addressed overwrites (exactly-once from
+    * at-least-once, the q103 discipline): a replayed epoch recomputes
+    * the same state and the same partials.
+    */
+  private[graft] def retractFoldBatch(s: SparkSession, stateRoot: String,
+      partialRoot: String, baseLens: DataFrame)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val compact = (df: DataFrame) => df
+        .groupBy("doc_id")
+        .agg(max(struct(col("seq"), col("op"), col("len"))).as("m"))
+        .select(col("doc_id"), col("m.seq").as("seq"),
+          col("m.op").as("op"), col("m.len").as("len"))
+      val bs = compact(batch.select(col("doc_id"), col("seq"), col("op"),
+        length(col("new_text")).cast("long").as("len")))
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      val next = graft.core.CacheScope.track(
+        compact(prev.unionByName(bs))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      next.write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+      val prevR = prev.select(col("doc_id"), col("seq").as("p_seq"),
+        col("op").as("p_op"), col("len").as("p_len"))
+      val newLive = when(col("op") =!= "D", 1L).otherwise(0L)
+      val oldLive = when(col("p_seq").isNotNull,
+          when(col("p_op") =!= "D", 1L).otherwise(0L))
+        .otherwise(when(col("base_len").isNotNull, 1L).otherwise(0L))
+      val newChars = when(col("op") === "D", 0L).otherwise(col("len"))
+      val oldChars = when(col("p_seq").isNotNull,
+          when(col("p_op") === "D", 0L).otherwise(col("p_len")))
+        .otherwise(coalesce(col("base_len"), lit(0L)))
+      val partials = next.join(prevR, Seq("doc_id"), "left")
+        .filter(col("p_seq").isNull || col("seq") =!= col("p_seq"))
+        .join(baseLens, Seq("doc_id"), "left")
+        .select((col("doc_id") % 8).as("shard"),
+          (newLive - oldLive).as("dn"),
+          (newChars - oldChars).as("dchars"))
+        .groupBy("shard")
+        .agg(sum(col("dn")).as("dn"), sum(col("dchars")).as("dchars"))
+      writeBatch(partials, partialRoot, id)
+    }
+
+  /** q193 — RETRACTABLE VIEW MAINTENANCE on ingest: q191's signed-
+    * partial algebra maintained AS THE CHANGE FEED STREAMS IN — the
+    * Materialize/DBSP shape as a Spark pipeline. Each checkpointed
+    * micro-batch folds into the per-doc argmax state and emits the
+    * signed view partials its transitions caused
+    * ([[retractFoldBatch]]); the view is served as base partials +
+    * every batch's partials, merged per shard. Because transitions
+    * telescope under the monotone argmax fold, the partial sum equals
+    * final-minus-base EXACTLY for any batching or arrival order of
+    * the unordered spool — and the oracle is q191's SQL VERBATIM
+    * (the from-scratch aggregate over the post-merge live state), so
+    * maintain-on-ingest ≡ recompute-at-rest is driver-gated, deletes
+    * included. Per-batch partial output is ≤ |shards| rows; state is
+    * delta-grain (the compacted feed), the q180 contract.
+    */
+  val q193StreamingRetractView: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_retract", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_state", "_partials").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = cdcSpool(s, d)
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val baseLens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("base_len"))
+    val stream = s.readStream
+      .schema(s.read.parquet(deltaPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaPath)
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          retractFoldBatch(s, path("_state").toString,
+            path("_partials").toString, baseLens)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the retract stream processed no batches")
+    val basePartials = docs
+      .groupBy((col("doc_id") % 8).as("shard"))
+      .agg(count(lit(1)).cast("long").as("dn"),
+        sum(length(col("text")).cast("long")).as("dchars"))
+    basePartials.unionByName(readSink(s, path("_partials").toString))
+      .groupBy("shard")
+      .agg(sum(col("dn")).as("n_live"), sum(col("dchars")).as("n_chars"))
+      .orderBy("shard")
+  }
+
   /** q177 — SCD TYPE-2 dimension ON INGEST: q176's versioned dimension
     * maintained inside the engine's keyed state
     * ([[graft.streaming.StreamingScd2]]) with per-user state bounded at
@@ -2057,6 +2165,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
+    "q193_streaming_retract_view" -> q193StreamingRetractView,
     "q177_streaming_scd2" -> q177StreamingScd2,
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
@@ -2123,6 +2232,10 @@ object StreamingQueries {
     // q175's SQL verbatim: per-key argmax-by-seq compaction commutes
     // with any batching, so merge-on-ingest must equal merge-at-rest
     "q180_streaming_merge_fold" -> IngestQueries.q175Sql,
+    // q191's SQL verbatim: maintain-on-ingest (signed partials under
+    // the telescoping argmax fold) must equal recompute-at-rest,
+    // deletes included
+    "q193_streaming_retract_view" -> IngestQueries.q191Sql,
     // the documents table itself: the engine's native stateful dedup
     // must collapse the at-least-once feed to exactly one row per key
     "q181_streaming_exact_dedup" -> q181Sql,
