@@ -1594,7 +1594,114 @@ object EventQueries {
        |ORDER BY day_ms""".stripMargin
   }
 
+  /** q194 — MAX CONCURRENT SESSIONS per day: the sweep-line query
+    * (capacity planning, license counting, peak-load billing) executed
+    * as a DISTRIBUTED PREFIX SUM — the global running sum every naive
+    * sweep line needs is decomposed into (a) a day-partitioned local
+    * running sum over the ±1 boundary deltas (each day's window scans
+    * only its own rows) and (b) a DAY-GRAIN carry — the cumulative sum
+    * of per-day delta totals over a frame of |days| rows (365/year at
+    * ANY event volume), the only unpartitioned window in the plan and
+    * deliberately so. Peak(day) = max(carry at day start, carry + max
+    * local prefix); days with no boundary events ride the grid with
+    * their carry (a session spanning a whole quiet day still counts).
+    * Session bounds are the engine's own `session_window` (q21's
+    * semantics: end = last event + gap, exclusive); ends sort before
+    * starts at the same instant (delta ascending), and prefix maxima
+    * are invariant under permutation of equal (ms, delta) ties, so
+    * both engines agree bit-for-bit. All integers.
+    */
+  val q194Concurrency: Q = (s, d) => {
+    val sess = events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"))
+    val deltas = graft.core.CacheScope.track(
+      sess.select(col("start_ms").as("ms"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("end_ms").as("ms"), lit(-1L).as("delta")))
+        .withColumn("day", expr("ms div 86400000"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wLocal = Window.partitionBy("day").orderBy("ms", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = deltas
+      .withColumn("run", sum(col("delta")).over(wLocal))
+      .groupBy("day")
+      .agg(max(col("run")).as("max_local"),
+        sum(col("delta")).as("day_total"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    val grid = deltas.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    // the carry frame is day-grain — the ONE place a single-partition
+    // window is the right call (its input is |days| rows, not data)
+    val wCarry = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid.join(perDay, Seq("day"), "left")
+      .withColumn("carry",
+        coalesce(sum(col("day_total")).over(wCarry), lit(0L)))
+      .select((col("day") * 86400000L).as("day_ms"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("n_ends"), lit(0L)).as("n_ends"),
+        greatest(col("carry"),
+          col("carry") + coalesce(col("max_local"), lit(0L)))
+          .as("max_concurrency"))
+      .orderBy("day_ms")
+  }
+
+  /** The oracle mirrors the decomposition exactly (it is deterministic
+    * integer math, not an implementation detail); session bounds reuse
+    * q21's gaps-and-islands CTEs. Every window SUM is cast back to
+    * BIGINT (DuckDB widens to HUGEINT — the package contract).
+    */
+  val q194Sql: String =
+    """WITH flagged AS (
+      | SELECT user_id, ts, value,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+      |sess AS (
+      | SELECT user_id, ts,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM flagged),
+      |bounds AS (
+      | SELECT user_id, sid, epoch_ms(MIN(ts)) AS start_ms,
+      |  epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS end_ms
+      | FROM sess GROUP BY user_id, sid),
+      |dd AS (
+      | SELECT ms, delta, ms // 86400000 AS day FROM (
+      |  SELECT start_ms AS ms, CAST(1 AS BIGINT) AS delta FROM bounds
+      |  UNION ALL
+      |  SELECT end_ms AS ms, CAST(-1 AS BIGINT) AS delta FROM bounds)),
+      |run AS (
+      | SELECT day, delta,
+      |  CAST(SUM(delta) OVER (PARTITION BY day ORDER BY ms, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      | FROM dd),
+      |perday AS (
+      | SELECT day, MAX(run) AS max_local,
+      |  CAST(SUM(delta) AS BIGINT) AS day_total,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+      |  CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+      | FROM run GROUP BY day),
+      |grid AS (
+      | SELECT unnest(range((SELECT MIN(day) FROM dd),
+      |                     (SELECT MAX(day) FROM dd) + 1)) AS day),
+      |fin AS (
+      | SELECT g.day, COALESCE(p.n_starts, 0) AS n_starts,
+      |  COALESCE(p.n_ends, 0) AS n_ends, p.max_local,
+      |  COALESCE(CAST(SUM(p.day_total) OVER (ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    AS carry
+      | FROM grid g LEFT JOIN perday p USING (day))
+      |SELECT CAST(day * 86400000 AS BIGINT) AS day_ms, n_starts, n_ends,
+      | GREATEST(carry, carry + COALESCE(max_local, 0)) AS max_concurrency
+      |FROM fin ORDER BY day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q194_concurrency" -> q194Concurrency,
     "q192_rolling_hll" -> q192RollingHll,
     "q190_grouped_hll" -> q190GroupedHll,
     "q187_interpolate" -> q187Interpolate,
@@ -1630,6 +1737,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q194_concurrency" -> q194Sql,
     "q192_rolling_hll" -> q192Sql,
     "q190_grouped_hll" -> q190Sql,
     "q187_interpolate" -> q187Sql,

@@ -929,6 +929,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 concurrency: the boundary-delta prefix sum partitions by " +
+    "day (each day's window scans only its own rows); the only " +
+    "unpartitioned window is the day-grain carry") {
+    graft.core.CacheScope.withScope {
+      val p = physical(EventQueries.queries("q194_concurrency")(spark, sf))
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.exists(w => w.contains("windowspecdefinition(day#") &&
+        w.contains(", ms#")), windows.mkString("\n"))
+      val unpart = windows.filterNot(w =>
+        w.contains("windowspecdefinition(day#") && w.contains(", ms#"))
+      assert(unpart.nonEmpty && unpart.forall(
+        _.matches(".*windowspecdefinition\\(day#\\d+L? ASC.*")),
+        windows.mkString("\n"))
+    }
+  }
+
   test("column pruning: q16 scans only the columns it projects") {
     val scan = EventQueries.q16ProjCot(spark, sf)
       .queryExecution.executedPlan.toString
