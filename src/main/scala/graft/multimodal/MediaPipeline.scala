@@ -306,6 +306,77 @@ object MediaPipeline {
     bos.toByteArray
   }
 
+  /** ENCODE a WAV from caller-supplied mono 16-bit PCM — the audio
+    * analog of [[encodePngGray]]: the sample content is a pure function
+    * the caller (and therefore a SQL oracle) controls, so a pair of
+    * documents can carry the same SOUND at different amplitudes or
+    * encodings (the re-master class of near-duplicate that byte-level
+    * fingerprints provably cannot pair).
+    */
+  def encodeWavPcm(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit PERCEPTUAL audio hash over real decoded WAV streams — the
+    * [[dhash64]] idea on the time axis (the chromaprint/energy-delta
+    * family): decode PCM → cut the sample stream into 65 equal frames
+    * (integer boundaries `f·n/65`) → per-frame energy Σ|sample| (exact
+    * Long) → bit f set iff `energy(f+1) > energy(f)`. Two streams with
+    * the same energy CONTOUR hash identically whatever their bytes —
+    * adjacent-frame comparisons are invariant under amplitude scaling
+    * (a re-mastered ×2 copy keeps every comparison), the audio analog
+    * of dHash's brightness-shift invariance. Same partition-wise
+    * iterator: one codec activation per row, 8 bytes of hash per asset
+    * reach the exchange, payload bytes never do.
+    */
+  def ahash64(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val f = ais.getFormat
+      val frames = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      val n = frames * f.getChannels
+      val energies = new Array[Long](65)
+      var seg = 0
+      while (seg < 65) {
+        val lo = seg * n / 65
+        val hi = (seg + 1) * n / 65
+        var e = 0L
+        var i = lo
+        while (i < hi) {
+          val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+          e += math.abs(s.toLong)
+          i += 1
+        }
+        energies(seg) = e
+        seg += 1
+      }
+      var ah = 0L
+      var b = 0
+      while (b < 64) {
+        if (energies(b + 1) > energies(b)) ah |= 1L << b
+        b += 1
+      }
+      (r.doc_id, ah)
+    }).toDF("doc_id", "ah")
+  }
+
   /** q111's REAL audio decode: each WAV payload is parsed by the JDK's
     * `javax.sound.sampled` codec — container format (channels, sample
     * rate, frame count) from the RIFF/fmt chunks AND the PCM samples

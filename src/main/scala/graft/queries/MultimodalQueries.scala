@@ -988,12 +988,15 @@ object MultimodalQueries {
     * as a windowed COUNT filter; DHashSpec proves a forced hot bucket
     * (N identical images) stays bounded.
     */
-  private[graft] def perceptualNearDupPairs(
-      media: org.apache.spark.sql.Dataset[
-        graft.multimodal.MediaPipeline.MediaRow])
+  /** The banded-hash pair engine shared by the image (q141) and audio
+    * (q195) perceptual tiers: any `(doc_id, dh)` 64-bit hash frame →
+    * 4×16-bit band explode → capped bucket-local candidate pairs →
+    * Hamming ≤ 4 confirm. One derivation, so the two modalities can
+    * never drift onto different banding/cap/confirm semantics.
+    */
+  private[graft] def hashBandPairs(hashed: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import graft.multimodal.MediaPipeline
-    val bands = MediaPipeline.dhash64(media)
+    val bands = hashed
       .select(col("doc_id"), col("dh"),
         explode(expr(
           "array(0, 1, 2, 3)")).as("band"))
@@ -1009,9 +1012,115 @@ object MultimodalQueries {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  private[graft] def perceptualNearDupPairs(
+      media: org.apache.spark.sql.Dataset[
+        graft.multimodal.MediaPipeline.MediaRow])
+      : org.apache.spark.sql.DataFrame =
+    hashBandPairs(graft.multimodal.MediaPipeline.dhash64(media))
+
   val q141PerceptualNearDup: Q = (s, d) =>
     perceptualNearDupPairs(dhashFixtureMedia(s, d))
       .orderBy("doc_a", "doc_b")
+
+  /** The q195 fixture: doc pair (2g, 2g+1) carries the SAME md5-derived
+    * 65-frame energy contour (frame f of group g plays at constant
+    * amplitude `md5('au:g:f')[0] + 1`, 50 samples/frame), the odd
+    * member RE-MASTERED at 2× amplitude — same sound, every PCM byte
+    * different. Shared with AHashSpec, which proves the byte-window
+    * tier pairs none of them.
+    */
+  private[graft] def ahashFixtureMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[
+        graft.multimodal.MediaPipeline.MediaRow] = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val g = id / 2
+          val gain = (id % 2 + 1).toInt
+          val samples = new Array[Short](65 * 50)
+          var f = 0
+          while (f < 65) {
+            val a = ((md.digest(s"au:$g:$f".getBytes("UTF-8"))(0) & 0xFF)
+              + 1) * gain
+            var i = 0
+            while (i < 50) {
+              samples(f * 50 + i) = a.toShort
+              i += 1
+            }
+            f += 1
+          }
+          MediaPipeline.MediaRow(id, "audio/wav",
+            MediaPipeline.encodeWavPcm(8000, samples))
+        }
+      }
+  }
+
+  /** q195 — PERCEPTUAL audio near-dup: the q141 tier for the audio
+    * modality — two WAVs that are the same SOUND but different BYTES
+    * (re-mastered gain, re-encoded) share no byte windows, yet their
+    * 64-bit energy-delta hashes ([[graft.multimodal.MediaPipeline
+    * .ahash64]]: real PCM decode → 65-frame energy contour →
+    * adjacent-frame comparison bits, amplitude-scale invariant) are
+    * identical. Candidates/cap/confirm ride [[hashBandPairs]] — the
+    * SAME banded engine as q141, so the perceptual tier is now
+    * per-modality complete (image q141, audio q195, both over real
+    * codecs) with one shared candidate discipline. The oracle replays
+    * contour, bits, bands, cap and Hamming in closed form from the md5
+    * amplitude formula — the ×2 gain provably cancels in every
+    * comparison.
+    *
+    * Scale shape: identical to q141 — payload bytes stay partition-
+    * local (8 hash bytes per asset cross the exchange), band buckets
+    * are 16-bit and capped, the confirm is one codegen'd integer
+    * expression per candidate.
+    */
+  val q195AudioNearDup: Q = (s, d) =>
+    hashBandPairs(
+      graft.multimodal.MediaPipeline.ahash64(ahashFixtureMedia(s, d))
+        .select(col("doc_id"), col("ah").as("dh")))
+      .orderBy("doc_a", "doc_b")
+
+  val q195Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id // 2 AS g FROM documents),
+      |amp AS (
+      |  SELECT p.doc_id, f.i AS f,
+      |    ('0x' || substr(md5('au:' || CAST(p.g AS VARCHAR) || ':' ||
+      |       CAST(f.i AS VARCHAR)), 1, 2))::INTEGER AS a
+      |  FROM p, unnest(range(0, 65)) AS f(i)),
+      |bits AS (
+      |  SELECT a1.doc_id, a1.f AS i,
+      |    CASE WHEN a2.a > a1.a THEN 1 ELSE 0 END AS bit
+      |  FROM amp a1 JOIN amp a2
+      |    ON a1.doc_id = a2.doc_id AND a2.f = a1.f + 1
+      |  WHERE a1.f < 64),
+      |bands AS (
+      |  SELECT doc_id, i // 16 AS band,
+      |    CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS bval
+      |  FROM bits GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY band, bval) AS bsz
+      |  FROM bands),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sized a JOIN sized b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= """.stripMargin +
+    graft.operators.BucketPairs.DefaultCap +
+    """),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM cand c
+      |  JOIN bits ba ON ba.doc_id = c.doc_a
+      |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val q141Sql: String =
     """WITH p AS (
@@ -1060,6 +1169,7 @@ object MultimodalQueries {
 
   val queries: Map[String, Q] = Map(
     "q141_perceptual_neardup" -> q141PerceptualNearDup,
+    "q195_audio_neardup" -> q195AudioNearDup,
     "q43_multimodal_meta" -> q43MultimodalMeta,
     "q52_frame_sample" -> q52FrameSample,
     "q86_media_dedup" -> q86MediaDedup,
@@ -1076,6 +1186,7 @@ object MultimodalQueries {
     "q116_media_meta_dispatch" -> q116MediaMetaDispatch)
   val oracle: Map[String, String] = Map(
     "q141_perceptual_neardup" -> q141Sql,
+    "q195_audio_neardup" -> q195Sql,
     "q43_multimodal_meta" -> q43Sql,
     "q52_frame_sample" -> q52Sql,
     "q86_media_dedup" -> q86Sql,
