@@ -1424,15 +1424,18 @@ object EventQueries {
     * double literal); DuckDB replays every register bit-for-bit, and
     * the exact distinct count rides alongside per group.
     */
-  val q190GroupedHll: Q = (s, d) => {
-    import CorpusStatsQueries.{HllRegisters, HllScaledOne, HllNumerator}
-    val ev = graft.core.CacheScope.track(
-      events(s, d).select(col("event_type"), col("user_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** The grouped register derivation shared VERBATIM by q190 and
+    * q196's streaming fold — one hash family, one rho formula, so the
+    * ingest-time signer can never drift from the batch estimator.
+    * Input: any `(event_type, user_id)` frame; output: the folded
+    * `(event_type, reg, rho)` register frame, ≤ groups × 256 rows.
+    */
+  private[graft] def groupedHllRegs(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import CorpusStatsQueries.HllRegisters
     val h = conv(substring(md5(concat(lit("ghll:"),
       col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val regs = ev
-      .withColumn("h", h)
+    ev.withColumn("h", h)
       .select(col("event_type"), (col("h") % HllRegisters).as("reg"),
         expr(s"h div $HllRegisters").as("w"))
       .select(col("event_type"), col("reg"),
@@ -1440,15 +1443,23 @@ object EventQueries {
           .otherwise(lit(53L) - length(conv(col("w"), 10, 2)).cast("long"))
           .as("rho"))
       .groupBy("event_type", "reg").agg(max(col("rho")).as("rho"))
-    val summ = regs.groupBy("event_type")
+  }
+
+  /** The q190 report off a folded grouped-register frame + a per-group
+    * exact frame — shared by the batch and streaming (q196) forms.
+    */
+  private[graft] def groupedHllReport(
+      regs: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import CorpusStatsQueries.{HllRegisters, HllScaledOne, HllNumerator}
+    regs.groupBy("event_type")
       .agg(count(lit(1)).as("n_present"),
         sum(expr("shiftleft(cast(1 as bigint), cast(54 - rho as int))"))
           .as("present_sum"))
       .withColumn("scaled_sum", col("present_sum") +
         (lit(HllRegisters) - col("n_present")) * lit(HllScaledOne))
-    val exact = ev.groupBy("event_type")
-      .agg(count_distinct(col("user_id")).as("exact_distinct"))
-    summ.join(exact, "event_type")
+      .join(exact, "event_type")
       .select(col("event_type"),
         (lit(HllRegisters) - col("n_present")).as("n_zero"),
         col("scaled_sum"),
@@ -1456,6 +1467,15 @@ object EventQueries {
           .as("hll_estimate"),
         col("exact_distinct"))
       .orderBy("event_type")
+  }
+
+  val q190GroupedHll: Q = (s, d) => {
+    val ev = graft.core.CacheScope.track(
+      events(s, d).select(col("event_type"), col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    groupedHllReport(groupedHllRegs(ev),
+      ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_distinct")))
   }
 
   val q190Sql: String = {

@@ -1666,6 +1666,74 @@ object StreamingQueries {
     CorpusStatsQueries.hllReport(regFold, exact)
   }
 
+  /** q196's per-micro-batch body: the grouped register frame is the
+    * same register-max monoid as q169, keyed by (event_type, reg) —
+    * commutative AND idempotent, so a replayed batch is a no-op and
+    * the fold commutes with any batching; state ≤ groups × 256 rows
+    * however much has streamed.
+    */
+  private[graft] def groupedHllFoldBatch(s: SparkSession, stateRoot: String)(
+      batch: DataFrame, id: Long): Unit =
+    graft.core.CacheScope.withScope {
+      val bs = EventQueries.groupedHllRegs(
+        batch.select(col("event_type"), col("user_id")))
+      val prev =
+        if (id == 0L) bs.limit(0)
+        else s.read.parquet(s"$stateRoot/batch_${id - 1}")
+      prev.unionByName(bs)
+        .groupBy("event_type", "reg").agg(max(col("rho")).as("rho"))
+        .write.mode("overwrite").parquet(s"$stateRoot/batch_$id")
+    }
+
+  /** q196 — GROUPED-DISTINCT-ON-INGEST: q190's per-segment HLL
+    * maintained through the real streaming engine, one register-max
+    * fold per checkpointed micro-batch ([[groupedHllFoldBatch]] —
+    * q169's monoid, grouped); the final ≤ groups×256-row state feeds
+    * the SAME report code as the batch query, exact distincts computed
+    * once at read. The spool's sentinel rows are filtered before the
+    * fold (this machine is unwatermarked — the q144 discipline —
+    * and a 'sentinel' group must not appear in the report). Oracle:
+    * q190's SQL VERBATIM — grouped-sketch-on-ingest ≡
+    * grouped-sketch-at-rest for ANY batching.
+    */
+  val q196StreamingGroupedHll: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_ghll", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_state").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val sp = eventSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
+      .select(col("event_type"), col("user_id"))
+    var lastBatch = -1L
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // a sentinel-only batch folds an empty frame — a copy of the
+          // predecessor state (<= groups x 256 rows, trivially cheap),
+          // keeping batchId-addressed replay idempotence untouched
+          groupedHllFoldBatch(s, path("_state").toString)(batch, id)
+          lastBatch = math.max(lastBatch, id)
+        }
+        .start().awaitTermination()
+    }
+    require(lastBatch >= 0, "the grouped-HLL stream processed no batches")
+    val regFold = s.read.parquet(s"${path("_state")}/batch_$lastBatch")
+    val exact = graft.core.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    EventQueries.groupedHllReport(regFold, exact)
+  }
+
   /** q170's per-micro-batch body: the (lang, n_chars) length histogram
     * is a MONOID (per-bucket counts add, exactly q150's CMS algebra),
     * so batch `id` folds its own histogram into its predecessor's and
@@ -2166,6 +2234,7 @@ object StreamingQueries {
     "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q193_streaming_retract_view" -> q193StreamingRetractView,
+    "q196_streaming_grouped_hll" -> q196StreamingGroupedHll,
     "q177_streaming_scd2" -> q177StreamingScd2,
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
@@ -2236,6 +2305,9 @@ object StreamingQueries {
     // the telescoping argmax fold) must equal recompute-at-rest,
     // deletes included
     "q193_streaming_retract_view" -> IngestQueries.q191Sql,
+    // q190's SQL verbatim: the grouped register-max monoid commutes
+    // with any batching
+    "q196_streaming_grouped_hll" -> EventQueries.q190Sql,
     // the documents table itself: the engine's native stateful dedup
     // must collapse the at-least-once feed to exactly one row per key
     "q181_streaming_exact_dedup" -> q181Sql,
