@@ -1491,7 +1491,9 @@ object SimilarityQueries {
     */
   private[graft] def serveQuantBatch(s: org.apache.spark.sql.SparkSession,
       d: String, queries: org.apache.spark.sql.DataFrame,
-      nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
+      nprobe: Int = 2,
+      tombstones: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val meta = sqIndexMeta(s, d)
     val minsL = typedLit(meta.mins.toSeq)
     val spansL = typedLit(meta.spans.toSeq)
@@ -1503,9 +1505,16 @@ object SimilarityQueries {
         byQ.orderBy(col("p_sim").desc, col("c_id"))))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
-    val shortlist = QuantIndexStore.table(s, d)
+    // tombstoned vectors are excluded BEFORE the shortlist fold: a
+    // deleted vector must neither appear in results nor displace a
+    // live one from a top-k slot (q197's contract)
+    val candidates0 = QuantIndexStore.table(s, d)
       .join(broadcast(probe), "cell")
       .filter(col("vec_id") =!= col("q_id"))
+    val candidates = tombstones
+      .map(t => candidates0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(candidates0)
+    val shortlist = candidates
       .select(col("q_id"), col("vec_id"),
         cosineSimilarity(col("q_emb"),
           transform(col("codes"), (c, i) =>
@@ -1540,7 +1549,7 @@ object SimilarityQueries {
     * select and q131's recall evaluation, so the evaluated index can
     * never drift from the served one.
     */
-  private val serveQuantCtesSql: String = {
+  private def serveQuantCtes(adcExtraPred: String): String = {
     val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
     val cosCQ = cosSql("c.c_emb", "q.qe")
     s"""qs AS ($annQuerySetSql),
@@ -1576,7 +1585,7 @@ object SimilarityQueries {
        |   JOIN cells ON recon.vec_id = cells.vec_id
        |   JOIN probe p ON cells.cell = p.cell
        |   JOIN qs ON qs.q_id = p.q_id
-       |  WHERE recon.vec_id <> p.q_id),
+       |  WHERE recon.vec_id <> p.q_id$adcExtraPred),
        |short AS (SELECT q_id, vec_id, adc_sim FROM (
        |  SELECT adc.*,
        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rn
@@ -1588,8 +1597,50 @@ object SimilarityQueries {
        |   JOIN qs ON s.q_id = qs.q_id)""".stripMargin
   }
 
+  private val serveQuantCtesSql: String = serveQuantCtes("")
+
   val q122Sql: String =
     s"""WITH $serveQuantCtesSql
+       |SELECT q_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, adc_sim, sim
+       |FROM rr
+       |QUALIFY rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** The q197 tombstone set: ~10% of vec_ids, md5-uniform (`tomb:`
+    * salt) — the deletion ledger a vector store accumulates between
+    * compactions.
+    */
+  private[graft] def tombstoneSet(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    embeddings(s, d).select(col("vec_id"))
+      .filter(mdUniform("tomb:", col("vec_id")) < 0.1)
+
+  /** q197 — ANN SERVING UNDER DELETES: q122's batch serve over the
+    * SAME stored index with a TOMBSTONE ledger applied — the
+    * right-to-be-forgotten path (q158's contract) reaching the vector
+    * store, where physically rewriting the quantized index per
+    * deletion is exactly what a production system avoids. Tombstoned
+    * vectors are anti-joined out of the candidate stream BEFORE the
+    * shortlist fold — a deleted vector must neither appear in results
+    * NOR hold a top-k slot that displaces a live one (filtering the
+    * final output would silently return k−m results and leak the
+    * deletion's existence through the gap). Between compactions the
+    * ledger is deletion-bounded, so it broadcasts; compaction (the
+    * store family's existing generation machinery) physically drops
+    * the rows and resets the ledger. Oracle: the full serving algebra
+    * replayed with the tombstone predicate inside the candidate
+    * stage — serve-under-deletes ≡ serve-over-the-compacted-index.
+    */
+  val q197TombstoneServe: Q = (s, d) =>
+    serveQuantBatch(s, d, annQuerySet(embeddings(s, d)),
+      tombstones = Some(tombstoneSet(s, d)))
+      .orderBy("q_id", "rank")
+
+  val q197Sql: String =
+    s"""WITH ${serveQuantCtes(
+        s" AND ${mdUniformSql("tomb:", "recon.vec_id")} >= 0.1")}
        |SELECT q_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
        |  vec_id, adc_sim, sim
@@ -2941,6 +2992,7 @@ object SimilarityQueries {
     "q119_quant_knn" -> q119QuantKnn,
     "q121_ivf_adc_serve" -> q121IvfAdcServe,
     "q122_batch_ann_serve" -> q122BatchAnnServe,
+    "q197_tombstone_serve" -> q197TombstoneServe,
     "q131_ann_recall" -> q131AnnRecall,
     "q132_semdedup_prune" -> q132SemdedupPrune,
     "q134_hybrid_retrieval" -> q134HybridRetrieval,
@@ -2964,6 +3016,7 @@ object SimilarityQueries {
     "q119_quant_knn" -> q119Sql,
     "q121_ivf_adc_serve" -> q121Sql,
     "q122_batch_ann_serve" -> q122Sql,
+    "q197_tombstone_serve" -> q197Sql,
     "q162_sql_surface_knn" -> q162Sql,
     "q142_ivfpq_serve" -> q142Sql,
     "q143_recall_tiers" -> q143Sql,
