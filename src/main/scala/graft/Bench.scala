@@ -256,7 +256,13 @@ object Bench {
     // SPARK_GRAFT_REPO_DIR when set, else the cwd only if it looks
     // like the repo (has build.sbt), else cwd with a loud warning —
     // and the absolute path written is always logged.
-    try {
+    // A FILTERED dev run (SPARK_GRAFT_ONLY) must never overwrite the
+    // full-suite artifact — a 4-query debugging loop would silently
+    // replace the round's complete per-query record.
+    if (only.isDefined) {
+      System.err.println(
+        "[bench] SPARK_GRAFT_ONLY set — not overwriting bench_last.json")
+    } else try {
       val root = sys.env.get("SPARK_GRAFT_REPO_DIR").getOrElse {
         if (!new java.io.File("build.sbt").isFile)
           System.err.println(
