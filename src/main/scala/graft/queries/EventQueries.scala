@@ -1632,11 +1632,16 @@ object EventQueries {
     * both engines agree bit-for-bit. All integers.
     */
   val q194Concurrency: Q = (s, d) => {
-    val sess = events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_millis(col("session_window.start")).as("start_ms"),
-        unix_millis(col("session_window.end")).as("end_ms"))
+    // cached at SESSION grain so the two ± delta branches below read
+    // one materialization — unioning two uncached branches would run
+    // the session aggregation (and the events scan under it) twice
+    val sess = graft.core.CacheScope.track(
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deltas = graft.core.CacheScope.track(
       sess.select(col("start_ms").as("ms"), lit(1L).as("delta"))
         .unionAll(sess.select(col("end_ms").as("ms"), lit(-1L).as("delta")))

@@ -100,10 +100,17 @@ object SearchQueries {
     * set).
     */
   private[graft] def booleanSearchOver(
-      store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      store: org.apache.spark.sql.DataFrame,
+      tombstones: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val Seq(ta, tb) = topDfTermsOf(store, 2)
-    store
-      .filter(col("term").isin(ta, tb))
+    val scanned = store.filter(col("term").isin(ta, tb))
+    // q198: deleted docs are anti-joined out AFTER the literal term-IN
+    // scan — the exclusion runs at posting-list grain (never the
+    // corpus) against a broadcast deletion-bounded ledger
+    tombstones
+      .map(t => scanned.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(scanned)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(when(col("term") === ta, col("tf")).otherwise(0L)).as("tf_a"),
@@ -136,7 +143,11 @@ object SearchQueries {
        |  SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
        |  FROM post GROUP BY term QUALIFY rk <= 2)""".stripMargin
 
-  val q151Sql: String =
+  /** q151's oracle body, with an optional extra predicate on the hit
+    * scan (q198 injects the tombstone exclusion there — the same stage
+    * the engine's anti-join runs at).
+    */
+  private def booleanSql(hitsExtraPred: String): String =
     s"""WITH $postingsCteSql,
        |ta AS (SELECT term FROM qt WHERE rk = 1),
        |tb AS (SELECT term FROM qt WHERE rk = 2),
@@ -146,12 +157,46 @@ object SearchQueries {
        |    CAST(SUM(CASE WHEN p.term = tb.term THEN p.tf ELSE 0 END) AS BIGINT) AS tf_b,
        |    COUNT(*) AS n_terms
        |  FROM post p CROSS JOIN ta CROSS JOIN tb
-       |  WHERE p.term IN (ta.term, tb.term)
+       |  WHERE p.term IN (ta.term, tb.term)$hitsExtraPred
        |  GROUP BY p.doc_id
        |  HAVING COUNT(*) = 2)
        |SELECT doc_id, tf_a, tf_b, CAST(tf_a + tf_b AS BIGINT) AS score
        |FROM hits
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  val q151Sql: String = booleanSql("")
+
+  /** The q198 deletion ledger: ~5% of doc_ids, md5-uniform. Term
+    * RESOLUTION deliberately still reads the raw store — df statistics
+    * drift until compaction rebuilds them, the honest production
+    * contract (the sidecar scalars refresh at compaction, q163's
+    * lifecycle); only the HIT SET must never surface a deleted doc.
+    */
+  private[graft] def searchTombstones(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d).select(col("doc_id"))
+      .filter(mdUniform("docdel:", col("doc_id")) < 0.05)
+
+  /** q198 — DELETES reaching the TEXT index: q151's boolean serve over
+    * the same posting store with a tombstone ledger applied — the
+    * q158/q197 right-to-be-forgotten contract completing the deletion
+    * triad (tables q158, vector store q197, text index q198), where
+    * rewriting term-bucketed posting files per deletion is exactly
+    * what a production index avoids (Lucene's live-docs bitset as a
+    * Spark anti-join). The exclusion runs AFTER the literal term-IN
+    * scan, at posting-list grain, against a broadcast deletion-bounded
+    * ledger; compaction (q163's generation machinery) physically drops
+    * the postings and resets it. Oracle: q151's algebra with the
+    * tombstone predicate inside the hit scan — serve-under-deletes ≡
+    * serve-over-the-compacted-index.
+    */
+  val q198TombstonedSearch: Q = (s, d) =>
+    booleanSearchOver(PostingStore.table(s, d),
+      tombstones = Some(searchTombstones(s, d)))
+
+  val q198Sql: String =
+    booleanSql(s"""
+       |    AND ${mdUniformSql("docdel:", "p.doc_id")} >= 0.05""")
 
   /** q152 — PHRASE retrieval: documents where the two top-df terms
     * occur ADJACENTLY (`ta` immediately followed by `tb`), with the
@@ -483,7 +528,8 @@ object SearchQueries {
     "q153_batch_term_serve" -> q153BatchTermServe,
     "q154_lexical_dense_hybrid" -> q154LexicalDenseHybrid,
     "q163_posting_index_fold" -> q163PostingIndexFold,
-    "q164_bm25_topk" -> q164Bm25TopK)
+    "q164_bm25_topk" -> q164Bm25TopK,
+    "q198_tombstoned_search" -> q198TombstonedSearch)
 
   val oracle: Map[String, String] = Map(
     "q151_boolean_search" -> q151Sql,
@@ -493,5 +539,7 @@ object SearchQueries {
     // q151's SQL verbatim: the folded base+delta index must serve
     // exactly what the from-scratch index serves
     "q163_posting_index_fold" -> q151Sql,
-    "q164_bm25_topk" -> q164Sql)
+    "q164_bm25_topk" -> q164Sql,
+    // q151's algebra with the tombstone predicate inside the hit scan
+    "q198_tombstoned_search" -> q198Sql)
 }

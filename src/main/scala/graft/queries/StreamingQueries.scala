@@ -2101,8 +2101,14 @@ object StreamingQueries {
     val deltaPath = cdcSpool(s, d)
     val docs = graft.core.Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-    val baseLens = docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("base_len"))
+    // cached: the pre-image lookup joins baseLens INSIDE every batch
+    // fold — uncached, the base table would re-scan per micro-batch
+    // (at scale: co-bucket base on doc_id or broadcast the batch's
+    // first-seen keys; here the narrow (doc_id, len) projection pins)
+    val baseLens = graft.core.CacheScope.track(
+      docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("base_len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
       .option("maxFilesPerTrigger", 1)
