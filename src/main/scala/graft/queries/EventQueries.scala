@@ -1245,6 +1245,90 @@ object EventQueries {
       |   AS segments_fp
       |FROM dim GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q199 — EFFECTIVE-DATED join (fact → SCD2 dimension lookup): the
+    * warehouse pattern q176's dimension EXISTS for — every PURCHASE
+    * resolved to the dimension version active at its timestamp
+    * (`valid_from ≤ ts < valid_to`, half-open) and revenue rolled up
+    * per (user, active version). The dimension here is the user's
+    * ACTIVITY MODE: SCD2 runs over the NON-purchase event stream (the
+    * q176 gaps-and-islands machinery on a genuinely separate attribute
+    * stream — a purchase must look its version UP, never define it); a
+    * purchase preceding the user's first mode segment resolves to
+    * 'none' on both engines. Executed AS-OF-style, join-free: segment
+    * starts and facts union into ONE user-ordered stream (`(ms, kind,
+    * grp)` — segment starts sort before facts at the same instant, so
+    * a boundary fact gets the NEW version; among same-instant starts
+    * the later `grp` wins, exactly how half-open tiling skips a
+    * zero-width segment) and `last(…, ignoreNulls)` carries the active
+    * version onto each fact.
+    *
+    * Scale shape: the equi-join-then-filter form pays O(facts/user ×
+    * segments/user) per user; this form is one user-grain exchange and
+    * a single ordered pass — the standard distributed as-of layout
+    * (q22's discipline applied to a derived dimension). The oracle
+    * uses the interval-containment LEFT JOIN form over q176's segment
+    * CTEs: two formulations, one answer — the tiling makes the
+    * containment join at-most-one-match, so as-of ≡ interval lookup.
+    */
+  val q199EffectiveDatedJoin: Q = (s, d) => {
+    val ev = graft.core.CacheScope.track(
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val segStarts = scd2Segments(
+        ev.filter(col("event_type") =!= "purchase")
+          .select("user_id", "event_id", "ms", "event_type"))
+      .select(col("user_id"), col("valid_from_ms").as("ms"), lit(0L).as("kind"),
+        col("grp"), col("event_type").as("seg_type"),
+        lit(null).cast("double").as("value"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), lit(1L).as("kind"),
+        lit(null).cast("long").as("grp"),
+        lit(null).cast("string").as("seg_type"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("kind"), col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segStarts.unionByName(facts)
+      .withColumn("active_type",
+        last(col("seg_type"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1L)
+      .groupBy(col("user_id"),
+        coalesce(col("active_type"), lit("none")).as("seg_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(money(col("value"))) * 100).cast("long").as("cents"))
+      .orderBy("user_id", "seg_type")
+  }
+
+  /** The oracle's interval-containment form over q176's segment CTEs
+    * verbatim — exactly one matching segment per fact by the tiling.
+    */
+  val q199Sql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value
+      | FROM events),
+      |de AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER
+      |   (PARTITION BY user_id ORDER BY ms, event_id)
+      |   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM de),
+      |g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+      |   ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM c),
+      |seg AS (SELECT user_id, grp, MIN(event_type) AS event_type,
+      |   MIN(ms) AS valid_from_ms
+      |  FROM g GROUP BY user_id, grp),
+      |dim AS (SELECT *, lead(valid_from_ms) OVER
+      |   (PARTITION BY user_id ORDER BY valid_from_ms) AS valid_to_ms
+      |  FROM seg),
+      |f AS (SELECT user_id, ms, value FROM e WHERE event_type = 'purchase')
+      |SELECT f.user_id, COALESCE(s.event_type, 'none') AS seg_type,
+      | CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      | CAST(SUM(CAST(f.value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |FROM f LEFT JOIN dim s ON s.user_id = f.user_id
+      |  AND f.ms >= s.valid_from_ms
+      |  AND (s.valid_to_ms IS NULL OR f.ms < s.valid_to_ms)
+      |GROUP BY f.user_id, COALESCE(s.event_type, 'none')
+      |ORDER BY f.user_id, seg_type""".stripMargin
+
   /** q182 — TIME-GRID FORWARD FILL (gap-filling resample): the
     * regularization every telemetry/feature pipeline runs before
     * modeling — daily per-user aggregates densified onto each user's
@@ -1727,6 +1811,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q194_concurrency" -> q194Concurrency,
+    "q199_effective_dated_join" -> q199EffectiveDatedJoin,
     "q192_rolling_hll" -> q192RollingHll,
     "q190_grouped_hll" -> q190GroupedHll,
     "q187_interpolate" -> q187Interpolate,
@@ -1763,6 +1848,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q194_concurrency" -> q194Sql,
+    "q199_effective_dated_join" -> q199Sql,
     "q192_rolling_hll" -> q192Sql,
     "q190_grouped_hll" -> q190Sql,
     "q187_interpolate" -> q187Sql,
