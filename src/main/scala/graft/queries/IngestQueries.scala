@@ -766,7 +766,80 @@ object IngestQueries {
        |FROM live GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** The q200 escaping-hazard field: every JSON escape class in one
+    * deterministic string — quote, backslash, newline, tab, a
+    * non-ASCII codepoint — derived from doc_id so both engines build
+    * the identical value. The corpus text itself is plain words, so
+    * WITHOUT this field the round-trip gate would never exercise the
+    * encoder/decoder's escape paths.
+    */
+  private val JsonHazardPrefix = "m\"\\\n\t\u00e9:"
+
+  /** q200 — JSONL INGEST round-trip: the format LLM training corpora
+    * actually arrive in, driven through the hash gate. The documents
+    * table is serialized to newline-delimited JSON (`to_json` —
+    * escapes and all; the hazard field forces quote/backslash/control/
+    * non-ASCII escape paths), read back through `spark.read.json` with
+    * an EXPLICIT schema (the SURVEY §1.2 contract — inference is a dev
+    * check, never the ingest path), and the report fingerprints every
+    * `(doc_id, md5(text), md5(meta))` triple commutatively per lang —
+    * one character lost or double-escaped anywhere in the
+    * encode→write→read→decode chain flips the hash. The ORACLE never
+    * sees the JSONL: it recomputes the report from the parquet table,
+    * so the gate is precisely the round-trip's fidelity.
+    *
+    * Scale shape: serialization and parsing are pure map-side codecs
+    * (one whole-stage-codegen'd pass each, no exchange until the
+    * lang-grain report partials); at 100 TB JSONL ingest is
+    * scan-bounded, exactly as here.
+    */
+  val q200JsonlRoundtrip: Q = (s, d) => {
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      RunStore.tableName("graft_jsonl", d) + "_data")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    documents(s, d)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"),
+        concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
+          .as("meta"))).as("value"))
+      .write.text(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("meta",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema).json(dir.toString)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text")),
+            md5(col("meta")))), 1, 10), 16, 10).cast("long"))
+          .as("docs_fp"))
+      .orderBy("lang")
+  }
+
+  /** The oracle recomputes the report from the PARQUET table — the
+    * hazard string rebuilt via chr() so the SQL literal cannot mangle
+    * the control characters.
+    */
+  val q200Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(('0x' || substr(md5(
+      |    CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':' ||
+      |    md5('m"' || chr(92) || chr(10) || chr(9) || chr(233) || ':'
+      |        || CAST(doc_id AS VARCHAR))), 1, 10))::BIGINT) AS BIGINT)
+      |    AS docs_fp
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q200_jsonl_roundtrip" -> q200JsonlRoundtrip,
     "q191_retractable_agg_view" -> q191RetractableAggView,
     "q172_snapshot_diff" -> q172SnapshotDiff,
     "q175_merge_upsert" -> q175MergeUpsert,
@@ -780,6 +853,9 @@ object IngestQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // recomputed from parquet — the gate is the JSONL round-trip's
+    // fidelity, escapes included
+    "q200_jsonl_roundtrip" -> q200Sql,
     // the from-scratch aggregate over the post-merge live state:
     // fold-under-retraction must equal recompute
     "q191_retractable_agg_view" -> q191Sql,
