@@ -793,28 +793,34 @@ object IngestQueries {
     * lang-grain report partials); at 100 TB JSONL ingest is
     * scan-bounded, exactly as here.
     */
-  val q200JsonlRoundtrip: Q = (s, d) => {
-    val dir = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"),
-      RunStore.tableName("graft_jsonl", d) + "_data")
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.delete(dir, true)
+  /** The serialized JSONL frame (one `value` column), shared by q200's
+    * batch write and q201's streaming-arrival spool — ONE serializer,
+    * so the two forms can never round-trip different bytes.
+    */
+  private[graft] def jsonlFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
     documents(s, d)
       .select(to_json(struct(col("doc_id"), col("lang"), col("text"),
         concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
           .as("meta"))).as("value"))
-      .write.text(dir.toString)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("lang",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("meta",
-        org.apache.spark.sql.types.StringType)))
-    s.read.schema(schema).json(dir.toString)
-      .groupBy("lang")
+
+  /** The explicit ingest schema (§1.2: inference is a dev check). */
+  private[graft] val JsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("meta",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The round-trip report over any decoded `(doc_id, lang, text,
+    * meta)` frame — shared verbatim by q200 and q201's sink read.
+    */
+  private[graft] def jsonlReport(decoded: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    decoded.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"),
         sum(conv(substring(md5(concat_ws(":",
@@ -822,6 +828,15 @@ object IngestQueries {
             md5(col("meta")))), 1, 10), 16, 10).cast("long"))
           .as("docs_fp"))
       .orderBy("lang")
+
+  val q200JsonlRoundtrip: Q = (s, d) => {
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      RunStore.tableName("graft_jsonl", d) + "_data")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    jsonlFrame(s, d).write.text(dir.toString)
+    jsonlReport(s.read.schema(JsonlSchema).json(dir.toString))
   }
 
   /** The oracle recomputes the report from the PARQUET table — the

@@ -1734,6 +1734,45 @@ object StreamingQueries {
     EventQueries.groupedHllReport(regFold, exact)
   }
 
+  /** q201 — JSONL ARRIVAL through the streaming engine: q200's format
+    * round-trip with the READ side running as a schema'd streaming
+    * file source (`readStream.json` — how a corpus landing zone is
+    * actually consumed: files appear, micro-batches decode them). The
+    * serializer writes the SAME hazard-bearing JSONL q200 writes
+    * (several files, so the run spans multiple checkpointed decode
+    * batches); each micro-batch's decoded rows land in a
+    * batchId-addressed sink and the report aggregates the sink —
+    * oracle = q200Sql VERBATIM, so decode-on-arrival ≡
+    * decode-at-rest, escapes included, for any batching of the files.
+    */
+  val q201StreamingJsonl: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_jsonl", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_data", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    IngestQueries.jsonlFrame(s, d)
+      .repartition(3).write.text(path("_data").toString)
+    val outPath = path("_out").toString
+    val stream = s.readStream
+      .schema(IngestQueries.JsonlSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(path("_data").toString)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    IngestQueries.jsonlReport(readSink(s, outPath))
+  }
+
   /** q170's per-micro-batch body: the (lang, n_chars) length histogram
     * is a MONOID (per-bucket counts add, exactly q150's CMS algebra),
     * so batch `id` folds its own histogram into its predecessor's and
@@ -2241,6 +2280,7 @@ object StreamingQueries {
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q193_streaming_retract_view" -> q193StreamingRetractView,
     "q196_streaming_grouped_hll" -> q196StreamingGroupedHll,
+    "q201_streaming_jsonl" -> q201StreamingJsonl,
     "q177_streaming_scd2" -> q177StreamingScd2,
     "q159_streaming_attribution" -> q159StreamingAttribution,
     "q150_streaming_cms_fold" -> q150StreamingCmsFold,
@@ -2314,6 +2354,9 @@ object StreamingQueries {
     // q190's SQL verbatim: the grouped register-max monoid commutes
     // with any batching
     "q196_streaming_grouped_hll" -> EventQueries.q190Sql,
+    // q200's SQL verbatim: decode-on-arrival ≡ decode-at-rest,
+    // escapes included, for any batching of the files
+    "q201_streaming_jsonl" -> IngestQueries.q200Sql,
     // the documents table itself: the engine's native stateful dedup
     // must collapse the at-least-once feed to exactly one row per key
     "q181_streaming_exact_dedup" -> q181Sql,
