@@ -349,14 +349,21 @@ object MediaPipeline {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.payload))
       val f = ais.getFormat
+      // The sample loop below assumes 16-bit little-endian signed PCM;
+      // anything else must fail loudly, not hash garbage.
+      require(f.getSampleSizeInBits == 16 &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        !f.isBigEndian,
+        s"ahash64 requires 16-bit LE signed PCM, got $f for ${r.doc_id}")
       val frames = ais.getFrameLength.toInt
       val bytes = ais.readAllBytes()
       val n = frames * f.getChannels
       val energies = new Array[Long](65)
       var seg = 0
       while (seg < 65) {
-        val lo = seg * n / 65
-        val hi = (seg + 1) * n / 65
+        // Long boundaries: seg*n overflows Int past ~33M samples.
+        val lo = (seg.toLong * n / 65).toInt
+        val hi = ((seg + 1).toLong * n / 65).toInt
         var e = 0L
         var i = lo
         while (i < hi) {

@@ -1180,7 +1180,11 @@ object EventQueries {
   private[graft] def scd2Segments(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    val wSeg = Window.partitionBy("user_id").orderBy("valid_from_ms")
+    // grp tiebreaks same-ms segment starts (possible once ns→ms
+    // truncation collides alternating types): grp is assigned in event
+    // order, so (valid_from_ms, grp) totally orders the tiling and the
+    // serve stays deterministic even on tied instants.
+    val wSeg = Window.partitionBy("user_id").orderBy("valid_from_ms", "grp")
     ev
       .withColumn("chg",
         when(not(lag(col("event_type"), 1).over(w) <=> col("event_type")),
@@ -1231,7 +1235,7 @@ object EventQueries {
       |   MIN(ms) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_events
       |  FROM g GROUP BY user_id, grp),
       |dim AS (SELECT *, lead(valid_from_ms) OVER
-      |   (PARTITION BY user_id ORDER BY valid_from_ms) AS valid_to_ms
+      |   (PARTITION BY user_id ORDER BY valid_from_ms, grp) AS valid_to_ms
       |  FROM seg)
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
       | CAST(SUM(n_events) AS BIGINT) AS n_events,
@@ -1317,7 +1321,7 @@ object EventQueries {
       |   MIN(ms) AS valid_from_ms
       |  FROM g GROUP BY user_id, grp),
       |dim AS (SELECT *, lead(valid_from_ms) OVER
-      |   (PARTITION BY user_id ORDER BY valid_from_ms) AS valid_to_ms
+      |   (PARTITION BY user_id ORDER BY valid_from_ms, grp) AS valid_to_ms
       |  FROM seg),
       |f AS (SELECT user_id, ms, value FROM e WHERE event_type = 'purchase')
       |SELECT f.user_id, COALESCE(s.event_type, 'none') AS seg_type,
@@ -1453,7 +1457,13 @@ object EventQueries {
       .select(col("user_id"), (col("day") * 86400000L).as("day_ms"),
         col("cents").isNull.cast("long").as("is_gap"),
         col("interp_num"), col("interp_den"),
-        expr("interp_num * 1000000 div interp_den").as("interp_micros"))
+        // FLOOR division, not Spark's truncate-toward-zero `div`:
+        // DuckDB's `//` floors, so a negative numerator (a negative
+        // events.value) would otherwise flip the gate by one. den is
+        // always positive (nd > pd), so subtracting pmod (∈ [0, den))
+        // makes the quotient exact-floor for either numerator sign.
+        expr("(interp_num * 1000000 - pmod(interp_num * 1000000, " +
+          "interp_den)) div interp_den").as("interp_micros"))
       .orderBy("user_id", "day_ms")
   }
 

@@ -518,6 +518,16 @@ object RelationalQueries {
     */
   private def keyProfile(label: String, df: org.apache.spark.sql.DataFrame,
       key: String): org.apache.spark.sql.DataFrame = {
+    // The long cast must be lossless: a non-integral audited key would
+    // silently cast to NULL and collapse every key into one bucket —
+    // refuse loudly instead of profiling garbage.
+    val dt = df.schema(key).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+      s"keyProfile($label): join key '$key' must be integral, got $dt")
     val cnts = df.select(col(key).cast("long").as("k"))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
     val tot = cnts.agg(
