@@ -759,7 +759,174 @@ object RelationalQueries {
       |    AS rev_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ─── Correlated-subquery pack (q202–q205) ────────────────────────
+  // The one Catalyst surface previously without gate coverage:
+  // subquery decorrelation. All four queries use Spark 4's native
+  // DataFrame subquery API (`Dataset.exists()`, `Dataset.scalar()`,
+  // `Column.isin(Dataset)`, `Column.outer()` for outer references) —
+  // the declarative form SURVEY.md §2.6/§2.7 marks "free". PlanSpec
+  // pins that Catalyst decorrelates each into joins: no per-row
+  // subquery execution survives in the physical plan, so the shapes
+  // cost exactly their equivalent join at 100 TB.
+
+  /** q202 — CORRELATED EXISTS (TPC-H Q4 shape): orders counted by
+    * priority when at least one lineitem shipped more than 60 days
+    * after the order date. The subquery correlates on BOTH the key
+    * (`l_orderkey = outer(o_orderkey)`) and a non-equi comparison
+    * against the outer row's date — exactly what
+    * RewritePredicateSubquery must fold into ONE left-semi join (key
+    * equality as join key, date comparison as residual condition).
+    * At 100 TB: a single semi-join shuffle on orderkey, the same cost
+    * as q05 — EXISTS adds nothing once decorrelated, which is the
+    * point the plan pin proves.
+    */
+  val q202ExistsCorrelated: Q = (s, d) => {
+    val late = lineitem(s, d).filter(
+      col("l_orderkey") === col("o_orderkey").outer() &&
+        col("l_shipdate") >
+          col("o_orderdate").outer() + expr("INTERVAL 60 DAYS"))
+    orders(s, d).filter(late.exists())
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q202Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q203 — CORRELATED SCALAR SUBQUERIES (TPC-H Q17 shape): lineitems
+    * whose quantity sits below 1/5 of their part's mean quantity,
+    * revenue rolled up per brand. The mean is expressed as TWO
+    * correlated scalar subqueries (per-part count and per-part
+    * quantity sum) so the comparison stays in exact integer
+    * arithmetic on both engines (`qty·5·cnt < sum` ⇔ `qty < sum/5cnt`;
+    * l_quantity is integral-valued): no float division, no decimal
+    * AVG scale mismatch. RewriteCorrelatedScalarSubquery folds each
+    * into a partkey-grouped aggregate joined back — at 100 TB that is
+    * one map-side-combined aggregate at part grain plus one join on
+    * partkey, NOT a per-row table scan.
+    */
+  val q203ScalarSubquery: Q = (s, d) => {
+    // The OUTER key is renamed to a name the inner scope cannot have:
+    // `.outer()` resolves lazily and an inner column of the same name
+    // shadows the outer one — even through a projection (filter
+    // resolution resurrects dropped child columns), so a same-named
+    // correlation silently collapses to `pk = pk` ⇒ true and the
+    // "per-part" scalars become whole-table constants. Caught by the
+    // oracle gate when this query was first written.
+    // `.select(agg)` not `.agg(agg)`: groupBy().agg analyzes eagerly
+    // and rejects the not-yet-bindable outer reference; the global
+    // aggregate via select defers until the subquery is embedded.
+    def perPart(a: org.apache.spark.sql.Column) = lineitem(s, d)
+      .filter(col("l_partkey") === col("pk1").outer())
+      .select(a).scalar()
+    val cnt = perPart(count(lit(1)))
+    val tot = perPart(sum(col("l_quantity").cast("long")))
+    lineitem(s, d).withColumnRenamed("l_partkey", "pk1")
+      .join(broadcast(part(s, d)), col("pk1") === col("p_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * cnt < tot)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        sum(money(col("l_extendedprice"))).cast("double")
+          .as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q203Sql: String =
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS small_revenue
+      |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+      |WHERE CAST(l_quantity AS BIGINT) * 5 *
+      |   (SELECT COUNT(*) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey)
+      |  < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+      |     WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q204 — EXISTS ∧ NOT EXISTS (TPC-H Q21/Q22 shape): orders with at
+    * least one returned lineitem but NO lineitem shipped more than 90
+    * days late — the double-anti pattern warehouse queries use for
+    * "flagged but never escalated" cohorts. Catalyst decorrelates the
+    * pair into one left-semi PLUS one left-anti join on the same
+    * orderkey; under AQE both sides share the orders shuffle. The
+    * anti join carries the non-equi date residual, covering the
+    * harder decorrelation branch (NOT EXISTS with a correlated
+    * inequality), which q06's plain anti join never exercised.
+    */
+  val q204DoubleAntiExists: Q = (s, d) => {
+    val returned = lineitem(s, d).filter(
+      col("l_orderkey") === col("o_orderkey").outer() &&
+        col("l_returnflag") === "R")
+    val late = lineitem(s, d).filter(
+      col("l_orderkey") === col("o_orderkey").outer() &&
+        col("l_shipdate") >
+          col("o_orderdate").outer() + expr("INTERVAL 90 DAYS"))
+    orders(s, d).filter(returned.exists() && !late.exists())
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q204Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_orderkey = o.o_orderkey
+      |                    AND l2.l_shipdate >
+      |                        o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q205 — NOT IN WITH A NULLABLE RHS: the SQL null-semantics trap.
+    * `x NOT IN (subquery)` is three-valued: one NULL in the subquery
+    * makes every non-matching row UNKNOWN (filtered), so the
+    * with-nulls leg legitimately returns 0 parts while the
+    * null-stripped leg returns the true anti-join count. Both legs
+    * run through `Column.isin(Dataset)` negated — Spark plans the
+    * nullable leg as a null-aware anti join (broadcast, since
+    * correctness there cannot be expressed as a plain hash anti
+    * join), the stripped leg as an ordinary anti join. The engine
+    * must reproduce BOTH counts — an engine that "fixes" the nulls
+    * silently is wrong, and this row pins that we don't.
+    */
+  val q205NotInNullable: Q = (s, d) => {
+    def rhs = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(when(col("l_quantity") <= 49, col("l_partkey")).as("cand"))
+    def leg(name: String, sub: org.apache.spark.sql.DataFrame) =
+      part(s, d).filter(!col("p_partkey").isin(sub))
+        .agg(count(lit(1)).as("n_parts"))
+        .select(lit(name).as("leg"), col("n_parts"))
+    leg("rhs_with_nulls", rhs)
+      .unionByName(leg("rhs_without_nulls",
+        rhs.filter(col("cand").isNotNull)))
+      .orderBy("leg")
+  }
+
+  val q205Sql: String =
+    """WITH rhs AS (
+      | SELECT CASE WHEN l_quantity <= 49 THEN l_partkey END AS cand
+      | FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'rhs_with_nulls' AS leg, CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM part WHERE p_partkey NOT IN (SELECT cand FROM rhs)
+      |UNION ALL
+      |SELECT 'rhs_without_nulls', CAST(COUNT(*) AS BIGINT)
+      |FROM part WHERE p_partkey NOT IN
+      |  (SELECT cand FROM rhs WHERE cand IS NOT NULL)
+      |ORDER BY leg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q202_exists_correlated" -> q202ExistsCorrelated,
+    "q203_scalar_subquery" -> q203ScalarSubquery,
+    "q204_double_anti_exists" -> q204DoubleAntiExists,
+    "q205_not_in_nullable" -> q205NotInNullable,
     "q189_incremental_agg_view" -> q189IncrementalAggView,
     "q185_skew_audit" -> q185SkewAudit,
     "q186_bloom_join_prune" -> q186BloomJoinPrune,
@@ -785,6 +952,10 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q202_exists_correlated" -> q202Sql,
+    "q203_scalar_subquery" -> q203Sql,
+    "q204_double_anti_exists" -> q204Sql,
+    "q205_not_in_nullable" -> q205Sql,
     // the direct single-pass aggregate: the folded partial store must
     // serve exactly the from-scratch view
     "q189_incremental_agg_view" -> q189Sql,
