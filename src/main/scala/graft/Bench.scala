@@ -123,6 +123,8 @@ object Bench {
         (() => graft.queries.SimilarityQueries.IvfIndexStore.ensure(spark, sfDir)),
       "sq_index_build" ->
         (() => graft.queries.SimilarityQueries.QuantIndexStore.ensure(spark, sfDir)),
+      "km_ivf_index_build" ->
+        (() => graft.queries.SimilarityQueries.KmIvfIndexStore.ensure(spark, sfDir)),
       "dupwin_store_build" ->
         (() => graft.queries.IngestQueries.DupWindowStore.ensure(spark, sfDir)),
       "zstore_build" ->

@@ -591,8 +591,9 @@ object SimilarityQueries {
       nprobe: Int = 4): org.apache.spark.sql.DataFrame =
     ivfSearch(embeddings(s, d), queryId, k, kCells, iters, nprobe)
 
-  /** The q45 engine over any (vec_id, embedding) frame — the recall spec
-    * feeds it a clustered corpus, q45 feeds it the embeddings table.
+  /** The Lloyd-IVF engine over any (vec_id, embedding) frame — the
+    * recall spec feeds it a clustered corpus; [[KmIvfIndexStore]]
+    * (q45's store) shares its trainer via [[lloydCentroids]].
     *
     * The quantizer trains on a DETERMINISTIC HASH-SAMPLE — the
     * `sampleFactor`·kCells vectors with the smallest `md5(vec_id)` (the
@@ -613,11 +614,14 @@ object SimilarityQueries {
     * cells align with the cosine ranking the search uses (|x−y|² =
     * 2−2·cos for unit vectors); clustering raw magnitudes against a
     * cosine objective probes the wrong cells.
+    *
+    * Determinism is [[graft.ml.KMeans]]'s contract — which is what makes
+    * the trained values PINNABLE as store metadata (q45's oracle replays
+    * assignment + serve against the pinned centroids).
     */
-  def ivfSearch(emb: org.apache.spark.sql.DataFrame,
-      queryId: Long, k: Int = 10, kCells: Int = 16, iters: Int = 3,
-      nprobe: Int = 4, sampleFactor: Int = 256)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def lloydCentroids(emb: org.apache.spark.sql.DataFrame,
+      kCells: Int = 16, iters: Int = 3, sampleFactor: Int = 256)
+      : Array[Array[Double]] = {
     // Training sample: md5-uniform threshold — a pure MAP-SIDE filter
     // (the q49/q54 construction, salt "ivf:"). A TakeOrdered of the
     // n_sample smallest hashes would be equivalent statistically but
@@ -682,7 +686,19 @@ object SimilarityQueries {
         "aggregate(embedding, 0d, (a, x) -> a + cast(x as double) * cast(x as double))")))
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double) / l2n)").as("nemb"))
-    val cents = graft.ml.KMeans.fit(sample, "nemb", "vec_id", kCells, iters)
+    graft.ml.KMeans.fit(sample, "nemb", "vec_id", kCells, iters)
+  }
+
+  /** Train-and-search in one pass ([[lloydCentroids]] + probe): the
+    * index-CONSTRUCTION demonstrator the recall/plan specs exercise.
+    * The gate-facing q45 serves from [[KmIvfIndexStore]] instead —
+    * same trainer, but centroids pinned as sidecar metadata.
+    */
+  def ivfSearch(emb: org.apache.spark.sql.DataFrame,
+      queryId: Long, k: Int = 10, kCells: Int = 16, iters: Int = 3,
+      nprobe: Int = 4, sampleFactor: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    val cents = lloydCentroids(emb, kCells, iters, sampleFactor)
     // Query vector: a parquet-pushdown point lookup (NOT a pass over a
     // cached corpus), normalized driver-side with the same arithmetic.
     val qRaw = emb.filter(col("vec_id") === queryId)
@@ -713,14 +729,148 @@ object SimilarityQueries {
       .limit(k)
   }
 
-  /** q45 — q41's IVF with the quantizer actually TRAINED
-    * ([[graft.ml.KMeans]], deterministic Lloyd). No SQL oracle — the
-    * iterative decimal-mean refinement isn't one statement — so the
-    * driver records rows-only; correctness is held by KMeansSpec
-    * (bit-determinism across cluster layouts) and the recall-vs-brute
-    * bound in SimilarityRecallSpec.
+  /** Per-JVM-per-dir memo of the trained quantizer so the store's
+    * `build` and `metaBuild` (both invoked on a fresh build) train ONCE
+    * — [[graft.ml.KMeans]] is deterministic, so memoizing is purely a
+    * cost optimization, never a semantics change.
     */
-  val q45KnnIvfKmeans: Q = (s, d) => ivfKmeansTopK(s, d, queryId = 0L)
+  private val kmCentroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def trainedKmCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Array[Double]] =
+    kmCentroidMemo.computeIfAbsent(d,
+      _ => lloydCentroids(embeddings(s, d)))
+
+  /** The TRAINED-quantizer IVF index (q45's store): [[IvfIndexStore]]'s
+    * cell-clustered layout, but cells come from the Lloyd-trained
+    * spherical quantizer and the trained centroids are PINNED as
+    * sidecar metadata at build time (the q121 grid discipline applied
+    * to learned parameters). Training is iterative and therefore not
+    * one SQL statement — but it doesn't have to be: the store freezes
+    * its output, assignment/probe/serve are all replayable against the
+    * frozen values, and that is exactly what q45's oracle does. A
+    * probe pays a literal `cell IN (…)` scan over bucket-sorted rows
+    * (row-group pruning) — at 100 TB, nprobe/k of the corpus, with the
+    * trainer's cost amortized into the one-time build like any other
+    * ingest derivation.
+    */
+  private[graft] val KmIvfIndexStore = new RunStore("graft_kmivf", 8,
+    Seq("cell"),
+    (s, d) => {
+      val cents = trainedKmCentroids(s, d)
+      val centDf = s.createDataFrame(
+        cents.zipWithIndex.toSeq.map { case (v, i) =>
+          (i.toLong, v.toSeq)
+        }).toDF("c_id", "c_emb")
+      ivfAssignmentsAgainst(embeddings(s, d), centDf)
+    },
+    metaBuild = (s, d) => Map(
+      // Double.toString round-trips exactly — the parsed-back (and the
+      // SQL-literal-embedded) centroids are bit-identical to the
+      // trained ones
+      "centroids" -> trainedKmCentroids(s, d).zipWithIndex
+        .map { case (v, i) => s"$i:${v.map(_.toString).mkString(",")}" }
+        .mkString(";")),
+    metaVersion = "km-v1")
+
+  /** q45's pinned centroids, stashed when the query runs so the oracle
+    * SQL (rendered AFTER all queries in the same Verify process) can
+    * embed the exact values the serve used. Absent ⇒ q45 didn't run
+    * this JVM and its oracle entry is omitted (the driver then records
+    * the weaker rows-only check, as it did for every round before the
+    * store existed).
+    */
+  private val q45PinnedCentroids =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def parseKmCentroids(s: String): Array[(Long, Array[Double])] =
+    s.split(";").map { c =>
+      val Array(id, vs) = c.split(":", 2)
+      id.toLong -> vs.split(",").map(_.toDouble)
+    }
+
+  /** [[cosLocal]] for double vectors — same index-ordered accumulation
+    * as [[graft.functions.CosineSimilarity]] and the oracle's
+    * `list_dot_product`, so probe selection agrees bit-for-bit.
+    */
+  private def cosLocalD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      xy += x * y; xx += x * x; yy += y * y; i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  /** q45 — IVF serving with the quantizer actually TRAINED
+    * ([[graft.ml.KMeans]], deterministic Lloyd) and PINNED: probe the 4
+    * sidecar centroids nearest the query (driver-side, 16×64 doubles),
+    * literal `cell IN` scan over [[KmIvfIndexStore]], exact cosine
+    * top-10. Hash-gated since round 15: the oracle replays assignment +
+    * probe + serve in DuckDB against the pinned centroid VALUES — the
+    * training itself stays spec-held (KMeansSpec bit-determinism,
+    * SimilarityRecallSpec recall-vs-brute), which is the correct split:
+    * a learned parameter is an INPUT to serving, not something an
+    * independent engine re-derives.
+    */
+  val q45KnnIvfKmeans: Q = (s, d) => {
+    val centStr = KmIvfIndexStore.metadata(s, d)("centroids")
+    q45PinnedCentroids.set(centStr)
+    val cents = parseKmCentroids(centStr)
+    val emb = embeddings(s, d)
+    val qArr = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probeCells = cents
+      .map { case (id, v) => (cosLocalD(v, qArr), id) }
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(4).map(_._2).toSeq
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    KmIvfIndexStore.table(s, d)
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** q45's oracle, rendered against the PINNED centroids (q41's
+    * replay-the-index pattern with the quantizer as literal VALUES):
+    * assignment = cosine argmax with ties to the larger c_id
+    * ([[ivfAssignmentsAgainst]]'s max(struct) semantics), probe = 4
+    * cells by (cos DESC, c_id), serve = exact cosine top-10.
+    */
+  private def q45SqlFor(pinned: String): String = {
+    val cents = parseKmCentroids(pinned)
+    val values = cents.map { case (id, v) =>
+      s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n|  ")
+    val cosEC = cosSql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    val cosCQ = cosSql("c.c_emb", "qe")
+    val cosEQ = cosSql("CAST(e.embedding AS DOUBLE[])", "qe")
+    s"""WITH $qVecSql,
+       |cent(c_id, c_emb) AS (VALUES
+       |  $values),
+       |scored AS (SELECT e.vec_id, c.c_id, $cosEC AS c_sim
+       |           FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probe AS (SELECT c.c_id AS cell FROM cent c CROSS JOIN q
+       |          ORDER BY $cosCQ DESC, c.c_id LIMIT 4)
+       |SELECT e.vec_id, $cosEQ AS sim
+       |FROM embeddings e
+       | JOIN cells ON e.vec_id = cells.vec_id
+       | JOIN probe ON cells.cell = probe.cell
+       | CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+  }
 
   /** q44 — top-3 most-similar vectors to vector 0 PER LABEL, via the
     * native [[graft.functions.TopKAggregate]]. A global top-k plans as
@@ -3000,7 +3150,13 @@ object SimilarityQueries {
     "q126_quant_index_fold" -> q126QuantIndexFold
   )
 
-  val oracle: Map[String, String] = Map(
+  /** `def`, not `val`: q45's entry embeds the centroids PINNED during
+    * this process's q45 run (rendered by Verify after all queries), so
+    * the map must be (re)built at read time, not at object init.
+    */
+  def oracle: Map[String, String] = Option(q45PinnedCentroids.get())
+    .map(p => Map("q45_knn_ivf_kmeans" -> q45SqlFor(p)))
+    .getOrElse(Map.empty) ++ Map(
     "q40_knn_brute" -> q40Sql,
     "q41_knn_ivf" -> q41Sql,
     "q42_embed_neardup" -> q42Sql,

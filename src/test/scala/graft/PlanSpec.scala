@@ -350,6 +350,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Scan parquet").length - 1 == 2, p.take(4000))
   }
 
+  test("q45 serves from the TRAINED-quantizer store: literal cell-IN " +
+    "pushed to the parquet reader, centroids from the SIDECAR — no " +
+    "training subtree and no per-query assignment pass in the plan") {
+    val p = physical(SimilarityQueries.queries("q45_knn_ivf_kmeans")(spark, sf))
+    assert(p.contains("graft_kmivf"), p.take(4000))
+    assert(p.contains("In(cell"), p.take(4000))
+    // exactly two parquet scans: the pruned index probe and the 1-row
+    // query-vector lookup — training + the n x 16 assignment crossjoin
+    // are ingest costs frozen into the store, not serve-time work
+    assert(p.split("Scan parquet").length - 1 == 2, p.take(4000))
+  }
+
   test("q121 serves from the stored compressed index: literal cell-IN " +
     "pushed to the code scan, grid/centroids from the SIDECAR — no " +
     "corpus-wide grid aggregation or assignment subtree in the plan") {
