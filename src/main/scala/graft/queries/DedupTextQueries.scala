@@ -538,9 +538,46 @@ object DedupTextQueries {
     */
   def foldAdmittedVia(bandFrameOf: DataFrame => DataFrame)(
       s: org.apache.spark.sql.SparkSession, tableName: String,
+      admitted: DataFrame): Unit =
+    foldInto(s, tableName, bandFrameOf(admitted))
+
+  /** SCHEMA-EVOLVING fold: [[foldAdmittedVia]] for a delta derivation
+    * that carries ADDED columns next to the store's existing ones —
+    * the production-lake "ingest widened the row" case. The catalog
+    * schema is widened first (`ALTER TABLE ADD COLUMNS`, nullable by
+    * definition — Spark v1 datasource tables only add nullable
+    * columns), then the delta appends through the SAME structural
+    * check + bucketed append as every other fold. Base rows never
+    * rewrite: parquet files missing the column read back NULL — the
+    * padding is the reader's missing-column semantics, not a corpus
+    * pass. Everything else about the fold contract is inherited:
+    * existing columns still match structurally or the fold throws,
+    * manifest refresh, epoch bump. Widening is ADD-only — a type
+    * CHANGE is still a wiring bug and still refuses (the round-7
+    * no-cast rule); StoreWidenSpec pins that pre-widen readers keep
+    * working and that the padding is exactly the base rows.
+    */
+  def foldWidenedVia(deltaFrameOf: DataFrame => DataFrame)(
+      s: org.apache.spark.sql.SparkSession, tableName: String,
       admitted: DataFrame): Unit = {
+    val frame = deltaFrameOf(admitted)
     val target = s.table(tableName).schema
-    val frame = bandFrameOf(admitted)
+    val added = frame.schema.filterNot(f => target.exists(_.name == f.name))
+    require(added.nonEmpty,
+      s"foldWidenedVia: delta adds no columns over $tableName — " +
+        "use foldAdmittedVia for a same-schema fold")
+    s.sql(s"ALTER TABLE $tableName ADD COLUMNS (" +
+      added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+    foldInto(s, tableName, frame)
+  }
+
+  /** The fold core shared by [[foldAdmittedVia]] and [[foldWidenedVia]]:
+    * structural schema check, append under the store's ACTUAL bucket
+    * spec, manifest refresh, epoch bump.
+    */
+  private def foldInto(s: org.apache.spark.sql.SparkSession,
+      tableName: String, frame: DataFrame): Unit = {
+    val target = s.table(tableName).schema
     // Align column ORDER to the store schema, but never cast: an
     // unconditional cast silently widens OR narrows (a LONG band key
     // folded into an INT-band store would truncate instead of fail —

@@ -759,6 +759,56 @@ object RelationalQueries {
       |    AS rev_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q206 — STORE SCHEMA EVOLUTION (widen-on-fold): q189's aggregate
+    * view, but the ingest delta arrives WIDER than the store — its
+    * partials carry a new `max_price_cents` column the base build never
+    * computed. The fold goes through
+    * [[DedupTextQueries.foldWidenedVia]]: the catalog schema gains the
+    * nullable column, the delta appends under the unchanged bucket
+    * spec, and base rows read back NULL-padded — no base file is
+    * rewritten, the fold stays O(delta) exactly as before the widen.
+    * Serving aggregates across the schema seam: SUMs span both
+    * generations, MAX sees only delta partials (NULL elsewhere) — which
+    * is precisely the oracle's `MAX(CASE WHEN delta THEN … END)` over
+    * the raw table. The bucket layout still satisfies the serve
+    * aggregation's clustering, so widening costs the plan nothing.
+    */
+  val q206StoreWidenFold: Q = (s, d) => {
+    val t = RunStore.tableName("graft_aggvieww", d)
+    RunStore.dropWithLocation(s, t)
+    val o = orders(s, d)
+    val isBase = col("o_orderkey") % 10 =!= 0
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("rev_cents"))
+    def widePartials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("rev_cents"),
+          max((money(col("o_totalprice")) * 100).cast("long"))
+            .as("max_price_cents"))
+    graft.core.Tables.writeBucketed(partials(o.filter(isBase)), t, 8,
+      "o_custkey")
+    DedupTextQueries.foldWidenedVia(widePartials)(s, t, o.filter(!isBase))
+    s.table(t).groupBy("o_custkey")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"),
+        max(col("max_price_cents")).as("max_price_cents"))
+      .orderBy("o_custkey")
+  }
+
+  val q206Sql: String =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS rev_cents,
+      |  MAX(CASE WHEN o_orderkey % 10 = 0 THEN
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+      |    AS max_price_cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ─── Correlated-subquery pack (q202–q205) ────────────────────────
   // The one Catalyst surface previously without gate coverage:
   // subquery decorrelation. All four queries use Spark 4's native
@@ -927,6 +977,7 @@ object RelationalQueries {
     "q203_scalar_subquery" -> q203ScalarSubquery,
     "q204_double_anti_exists" -> q204DoubleAntiExists,
     "q205_not_in_nullable" -> q205NotInNullable,
+    "q206_store_widen_fold" -> q206StoreWidenFold,
     "q189_incremental_agg_view" -> q189IncrementalAggView,
     "q185_skew_audit" -> q185SkewAudit,
     "q186_bloom_join_prune" -> q186BloomJoinPrune,
@@ -956,6 +1007,7 @@ object RelationalQueries {
     "q203_scalar_subquery" -> q203Sql,
     "q204_double_anti_exists" -> q204Sql,
     "q205_not_in_nullable" -> q205Sql,
+    "q206_store_widen_fold" -> q206Sql,
     // the direct single-pass aggregate: the folded partial store must
     // serve exactly the from-scratch view
     "q189_incremental_agg_view" -> q189Sql,

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Schema evolution on the store fold ([[DedupTextQueries.foldWidenedVia]]):
+  * a delta carrying an added nullable column widens the catalog schema and
+  * appends O(delta); base files are never rewritten and read back
+  * NULL-padded; readers that resolved the store BEFORE the widen keep
+  * working against the old schema.
+  */
+class StoreWidenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(tag: String): String = {
+    val t = s"graft_widen_spec_$tag"
+    RunStore.dropWithLocation(spark, t)
+    t
+  }
+
+  private def baseFrame = {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+  }
+
+  private def deltaFrame = {
+    import spark.implicits._
+    Seq((4L, 40L, "a"), (5L, 50L, "b")).toDF("k", "v", "tag")
+  }
+
+  test("widen-on-fold: catalog gains the column, base rows read back " +
+    "NULL-padded, delta rows carry their values, bucket spec unchanged") {
+    val t = freshTable("pad")
+    graft.core.Tables.writeBucketed(baseFrame, t, 2, "k")
+    DedupTextQueries.foldWidenedVia(identity)(spark, t, deltaFrame)
+    val after = spark.table(t)
+    assert(after.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(after.filter(col("tag").isNull).count() == 3) // exactly base
+    assert(after.filter(col("tag").isNotNull).count() == 2)
+    assert(after.filter(col("k") === 4L).select("tag").head().getString(0)
+      == "a")
+    // the widen must not touch the bucket spec — the next fold (and the
+    // serve-time exchange elision) depend on it
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)).bucketSpec
+    assert(spec.exists(b => b.numBuckets == 2 &&
+      b.bucketColumnNames == Seq("k")), spec.toString)
+    RunStore.dropWithLocation(spark, t)
+  }
+
+  test("pre-widen readers keep working: a DataFrame resolved before the " +
+    "widen still serves its old schema without error") {
+    val t = freshTable("reader")
+    graft.core.Tables.writeBucketed(baseFrame, t, 2, "k")
+    val preWiden = spark.table(t) // resolved against the 2-column schema
+    val preRows = preWiden.count()
+    DedupTextQueries.foldWidenedVia(identity)(spark, t, deltaFrame)
+    // the old reader's plan is bound to (k, v): it must keep collecting
+    // (projecting away the new column) — an analysis/read failure here
+    // would mean widening broke every open reader of the store
+    assert(preWiden.schema.fieldNames.toSeq == Seq("k", "v"))
+    val served = preWiden.collect()
+    assert(served.length >= preRows, s"pre-widen reader lost rows: " +
+      s"${served.length} < $preRows")
+    assert(served.forall(_.length == 2))
+    RunStore.dropWithLocation(spark, t)
+  }
+
+  test("a same-schema delta is refused (use foldAdmittedVia), and a type " +
+    "CHANGE still refuses after the widen path too") {
+    val t = freshTable("guard")
+    graft.core.Tables.writeBucketed(baseFrame, t, 2, "k")
+    intercept[IllegalArgumentException] {
+      DedupTextQueries.foldWidenedVia(identity)(spark, t, baseFrame)
+    }
+    import spark.implicits._
+    // v arrives as STRING: adding 'tag' is legal but the v mismatch must
+    // throw before any file is written
+    val bad = Seq((9L, "nope", "x")).toDF("k", "v", "tag")
+    intercept[IllegalArgumentException] {
+      DedupTextQueries.foldWidenedVia(identity)(spark, t, bad)
+    }
+    // nothing appended, nothing widened beyond the failed attempt's
+    // ALTER (the type check runs on the widened schema): k/v rows intact
+    assert(spark.table(t).select("k", "v").count() == 3)
+    RunStore.dropWithLocation(spark, t)
+  }
+}
