@@ -809,6 +809,76 @@ object RelationalQueries {
       |    AS max_price_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q207 — TIME-TRAVEL READ (as-of-generation diff): q172's snapshot
+    * diff computed between REAL retained generations of a REAL store,
+    * not frames the query derives for itself. The run: build the base
+    * aggregate view → compact (the swap demotes generation 0, which
+    * [[RunStore.sweepGraceMs]] retains on disk) → fold the ingest
+    * delta onto the CURRENT generation. `asOfGeneration(t, 1)` then
+    * reads the pre-fold snapshot from the demoted dir and the diff
+    * classifies every key as insert/update/same — the audit query an
+    * open table format answers with snapshot isolation, answered here
+    * by the store family's existing retention machinery. Oracle
+    * recomputes both snapshots from the raw table. At 100 TB the
+    * as-of read costs one extra scan of the OLD generation (plain
+    * parquet, no bucket metadata — an audit path, not a serving
+    * path); retention already paid the storage as the crash/straggler
+    * contract.
+    */
+  val q207TimeTravelDiff: Q = (s, d) => {
+    val t = RunStore.tableName("graft_aggviewtt", d)
+    RunStore.dropWithLocation(s, t)
+    val o = orders(s, d)
+    val isBase = col("o_orderkey") % 10 =!= 0
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("rev_cents"))
+    graft.core.Tables.writeBucketed(partials(o.filter(isBase)), t, 8,
+      "o_custkey")
+    DedupTextQueries.compactStore(s, t)
+    DedupTextQueries.foldAdmittedVia(partials)(s, t, o.filter(!isBase))
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev_cents")).as("rev_cents"))
+    val prev = view(RunStore.asOfGeneration(s, t, back = 1))
+      .select(col("o_custkey"),
+        col("n_orders").as("n_orders_prev"),
+        col("rev_cents").as("rev_cents_prev"))
+    view(RunStore.asOfGeneration(s, t, back = 0))
+      .join(prev, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        when(col("n_orders_prev").isNull, "insert")
+          .when(col("n_orders") =!= col("n_orders_prev") ||
+            col("rev_cents") =!= col("rev_cents_prev"), "update")
+          .otherwise("same").as("kind"),
+        col("n_orders_prev"), col("n_orders").as("n_orders_cur"),
+        col("rev_cents_prev"), col("rev_cents").as("rev_cents_cur"))
+      .orderBy("o_custkey")
+  }
+
+  val q207Sql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n0,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS c0
+      |  FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY o_custkey),
+      |cur AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS c1
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT cur.o_custkey,
+      |  CASE WHEN base.o_custkey IS NULL THEN 'insert'
+      |       WHEN n1 <> n0 OR c1 <> c0 THEN 'update'
+      |       ELSE 'same' END AS kind,
+      |  base.n0 AS n_orders_prev, cur.n1 AS n_orders_cur,
+      |  base.c0 AS rev_cents_prev, cur.c1 AS rev_cents_cur
+      |FROM cur LEFT JOIN base ON cur.o_custkey = base.o_custkey
+      |ORDER BY cur.o_custkey""".stripMargin
+
   // ─── Correlated-subquery pack (q202–q205) ────────────────────────
   // The one Catalyst surface previously without gate coverage:
   // subquery decorrelation. All four queries use Spark 4's native
@@ -978,6 +1048,7 @@ object RelationalQueries {
     "q204_double_anti_exists" -> q204DoubleAntiExists,
     "q205_not_in_nullable" -> q205NotInNullable,
     "q206_store_widen_fold" -> q206StoreWidenFold,
+    "q207_time_travel_diff" -> q207TimeTravelDiff,
     "q189_incremental_agg_view" -> q189IncrementalAggView,
     "q185_skew_audit" -> q185SkewAudit,
     "q186_bloom_join_prune" -> q186BloomJoinPrune,
@@ -1008,6 +1079,7 @@ object RelationalQueries {
     "q204_double_anti_exists" -> q204Sql,
     "q205_not_in_nullable" -> q205Sql,
     "q206_store_widen_fold" -> q206Sql,
+    "q207_time_travel_diff" -> q207Sql,
     // the direct single-pass aggregate: the folded partial store must
     // serve exactly the from-scratch view
     "q189_incremental_agg_view" -> q189Sql,

@@ -197,6 +197,56 @@ private[graft] object RunStore {
       .filter(p => p.getName.startsWith(prefix)).toSeq
   }
 
+  /** The store's on-disk generations, OLDEST FIRST: the default
+    * location (generation 0, when its dir exists) followed by
+    * compaction generation dirs in `__c<n>` ordinal order (`n` is the
+    * commit-attempt millis stamp — monotone per store). The listing may
+    * include an UNCOMMITTED write-aside from a crashed compaction;
+    * [[asOfGeneration]] indexes BACKWARD from the committed current
+    * location, so such future debris never resolves.
+    */
+  private[graft] def generationPaths(s: SparkSession, t: String): Seq[Path] = {
+    val base = t.toLowerCase(java.util.Locale.ROOT) + "__c"
+    val gens = generationDirs(s, t)
+      .flatMap(p => p.getName.stripPrefix(base).toLongOption.map(_ -> p))
+      .sortBy(_._1).map(_._2)
+    val dflt = defaultLocation(s, t)
+    (if (hadoopFs(s, dflt).exists(dflt)) Seq(dflt) else Nil) ++ gens
+  }
+
+  /** TIME-TRAVEL READ: the store AS OF `back` generations before the
+    * current one. `back = 0` is the live catalog table; `back = 1` is
+    * the snapshot the latest compaction demoted — retained on disk for
+    * [[sweepGraceMs]] (and while leased), which is what makes the read
+    * possible: generation retention was already the crash/straggler
+    * contract, this exposes it as the as-of query surface an open
+    * table format's snapshot read provides. A demoted generation is
+    * plain parquet (its sidecar was removed at the swap), so the read
+    * is schema-from-files and carries no bucket metadata — correct for
+    * audit/diff workloads; a serving path should read `back = 0`.
+    * Asking beyond the retained history refuses loudly rather than
+    * silently serving the wrong snapshot.
+    */
+  private[graft] def asOfGeneration(s: SparkSession, t: String,
+      back: Int): DataFrame = {
+    require(back >= 0, s"asOfGeneration: back must be >= 0, got $back")
+    if (back == 0) s.table(t)
+    else {
+      val cur = catalogLocation(s, t).getOrElse(
+        throw new IllegalArgumentException(s"$t: no catalog entry"))
+      val fs = hadoopFs(s, cur)
+      def q(p: Path) = fs.makeQualified(p).toString
+      val all = generationPaths(s, t)
+      val curIdx = all.indexWhere(p => q(p) == q(cur))
+      require(curIdx >= 0,
+        s"$t: catalog location $cur is not a known generation dir")
+      require(curIdx - back >= 0,
+        s"$t: generation $back back from current is not retained " +
+          s"(history holds $curIdx demoted generation(s))")
+      s.read.parquet(all(curIdx - back).toString)
+    }
+  }
+
   /** A fresh, unused generation directory for a compaction write-aside. */
   private[graft] def nextGenerationDir(s: SparkSession, t: String): Path = {
     val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
