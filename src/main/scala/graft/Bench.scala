@@ -139,6 +139,8 @@ object Bench {
       // query happens to run first
       "event_spool_build" ->
         (() => graft.queries.StreamingQueries.ensureEventSpool(spark, sfDir)),
+      "late_spool_build" ->
+        (() => graft.queries.StreamingQueries.ensureLateSpool(spark, sfDir)),
       "doc_spool_build" ->
         (() => graft.queries.StreamingQueries.ensureDocSpool(spark, sfDir)),
       "cdc_spool_build" ->

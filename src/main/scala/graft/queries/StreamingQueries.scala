@@ -2275,7 +2275,192 @@ object StreamingQueries {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** The LATE-HEAVY spool for q208: unlike the round-robin events
+    * spool (whose watermark delay is sized to make every machine
+    * LOSSLESS), this one is built to make the engine DROP —
+    * predicate-defined files so the oracle can recompute every count:
+    *
+    *  file 1: the later half of the timeline (`day >= midDay`) — the
+    *          "on-time" arrivals that drive the watermark high;
+    *  file 2: the earlier half, even users — late data, fully below
+    *          the watermark when it arrives;
+    *  file 3: the earlier half, odd users — ditto;
+    *  files 4–5: one sentinel each at days `maxDay+10` / `maxDay+11`
+    *          (day-aligned so the oracle's window arithmetic is exact),
+    *          flushing the surviving windows before AvailableNow ends.
+    *
+    * Files are appended sequentially (one part-file each) with stamped
+    * mtimes, so `maxFilesPerTrigger=1` replays exactly this order.
+    */
+  private[graft] final case class LateSpool(dir: String, midDay: Long,
+      maxDay: Long)
+
+  private[graft] def lateSpool(s: SparkSession, d: String): LateSpool = {
+    val info = ensureSpool(s, d, "late", "v1", "events.parquet") {
+      (dir, fs) =>
+        val ev = graft.core.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        val day = expr("unix_millis(ts) div 86400000")
+        val b = ev.agg(min(day).as("dmin"), max(day).as("dmax"),
+          min(col("user_id")).as("umin")).head()
+        val (dmin, dmax, umin) = (b.getLong(0), b.getLong(1), b.getLong(2))
+        val midDay = (dmin + dmax) / 2
+        val stamped = scala.collection.mutable.Set.empty[String]
+        var epoch = SpoolStampBase
+        def append(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.repartition(1).write.mode("append").parquet(dir.toString)
+          epoch += 1000
+          stampOrder(fs, dir, stamped, epoch)
+        }
+        append(ev.filter(day >= midDay))
+        append(ev.filter(day < midDay && col("user_id") % 2 === 0))
+        append(ev.filter(day < midDay && col("user_id") % 2 === 1))
+        Seq(dmax + 10, dmax + 11).foreach { sd =>
+          append(s.createDataFrame(java.util.List.of(
+              org.apache.spark.sql.Row(umin - 1,
+                new java.sql.Timestamp(sd * DayMs), Long.MaxValue,
+                "sentinel", 0.0)),
+            ev.schema))
+        }
+        Map("mid_day" -> midDay.toString, "max_day" -> dmax.toString)
+    }
+    LateSpool(info.dir, info.meta("mid_day").toLong,
+      info.meta("max_day").toLong)
+  }
+
+  private[graft] def ensureLateSpool(s: SparkSession, d: String): String = {
+    val before = spoolMemo.containsKey(s"late|$d")
+    lateSpool(s, d)
+    if (before) "memoized" else spoolModes.getOrDefault(s"late|$d", "built")
+  }
+
+  /** q208 — WATERMARK-LATENESS OBSERVABILITY: the engine's own
+    * per-batch `StreamingQueryProgress` surfaced as a first-class
+    * report over the deliberately late-heavy spool — per input-bearing
+    * micro-batch: rows in, rows the stateful operator DROPPED below
+    * the watermark, state rows after the batch, and state rows
+    * removed (append-mode emission). This is the audit a production
+    * stream alarms on: silent watermark loss is invisible in sink
+    * contents (the sink just… misses rows); the progress metrics are
+    * where it shows. The q185-skew-audit idea applied to streams — the
+    * engine ships the measurement next to the machinery it measures.
+    *
+    * Every number is DETERMINISTIC for the fixed spool: file 1 (the
+    * late half of the timeline arriving FIRST) pins the watermark
+    * above every row of files 2–3, and [[q208Sql]] recomputes each
+    * batch's counts from the raw table and the spool recipe's
+    * predicates in exact epoch-ms integer arithmetic — including the
+    * engine's one-batch filter lag and partial-aggregation drop grain
+    * (documented there). No-data finalization batches (input 0) are
+    * filtered on both sides: their timing is engine policy, not data
+    * semantics.
+    */
+  val q208WatermarkAudit: Q = (s, d) => {
+    val sp = lateSpool(s, d)
+    val base = RunStore.tableName("graft_stream_wmaudit", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val stream = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .select(col("ts"))
+    withFewShufflePartitions(s) {
+      val q = stream
+        .withWatermark("ts", "24 hours")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("day_ms"), col("n"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      val report = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .sortBy(_.batchId)
+        .zipWithIndex
+        .map { case (p, i) =>
+          val so = p.stateOperators.head
+          (i.toLong, p.numInputRows, so.numRowsDroppedByWatermark,
+            so.numRowsTotal, so.numRowsRemoved)
+        }
+      import s.implicits._
+      report.toDF("batch", "input_rows", "dropped_rows", "state_rows",
+        "removed_rows").orderBy("batch")
+    }
+  }
+
+  /** q208's oracle: Spark's ACTUAL two-watermark protocol in SQL
+    * (SPARK-42376 semantics, pinned empirically against the engine and
+    * now held by the hash gate):
+    *
+    *  - the late-event FILTER for batch k uses the watermark as of
+    *    batch k−1's start (one batch of lag), while state EVICTION
+    *    uses the watermark recalculated for batch k — so file 2's late
+    *    rows are NOT dropped (filter wm still 0): they aggregate,
+    *    enter state, and are immediately evicted by the now-high
+    *    eviction watermark, while file 3's identical lateness one
+    *    batch later IS dropped;
+    *  - `numRowsDroppedByWatermark` counts rows AT THE STATE OPERATOR,
+    *    i.e. after map-side partial aggregation: one row per distinct
+    *    window in the batch, not per input event.
+    *
+    * Per batch: (0) on-time half → |f1 days| windows, nothing dropped
+    * or removed; (1) late-even half → 0 dropped (filter lag), its
+    * |f2 days| windows added-and-evicted plus the on-time windows the
+    * eviction watermark already passed; (2) late-odd half → |f3 days|
+    * partial rows dropped, state untouched; (3) sentinel 1 adds its
+    * window; (4) sentinel 2's eviction watermark flushes the surviving
+    * real windows, leaving exactly the two sentinel windows.
+    */
+  val q208Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+      |                  epoch_ms(ts) // 86400000 AS day FROM events),
+      |b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax, MAX(ms) AS maxms
+      |      FROM e),
+      |m AS (SELECT (dmin + dmax) // 2 AS midday, maxms FROM b),
+      |f1 AS (SELECT e.* FROM e, m WHERE day >= midday),
+      |f2 AS (SELECT e.* FROM e, m WHERE day < midday AND user_id % 2 = 0),
+      |f3 AS (SELECT e.* FROM e, m WHERE day < midday AND user_id % 2 = 1),
+      |wins AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nwin FROM f1),
+      |d2 AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nwin FROM f2),
+      |d3 AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nwin FROM f3),
+      |em AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS emitted
+      |       FROM f1, m WHERE (day + 1) * 86400000 <= maxms - 86400000),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f1),
+      |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f2),
+      |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f3)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS batch, n1.n AS input_rows,
+      |    CAST(0 AS BIGINT) AS dropped_rows, wins.nwin AS state_rows,
+      |    CAST(0 AS BIGINT) AS removed_rows
+      |  FROM n1, wins
+      |  UNION ALL
+      |  SELECT 1, n2.n, 0, wins.nwin - em.emitted, d2.nwin + em.emitted
+      |  FROM n2, wins, em, d2
+      |  UNION ALL
+      |  SELECT 2, n3.n, d3.nwin, wins.nwin - em.emitted, 0
+      |  FROM n3, wins, em, d3
+      |  UNION ALL
+      |  SELECT 3, 1, 0, wins.nwin - em.emitted + 1, 0 FROM wins, em
+      |  UNION ALL
+      |  SELECT 4, 1, 0, 2, wins.nwin - em.emitted FROM wins, em)
+      |ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q208_watermark_audit" -> q208WatermarkAudit,
     "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q193_streaming_retract_view" -> q193StreamingRetractView,
@@ -2311,6 +2496,9 @@ object StreamingQueries {
     * batch semantics exactly.
     */
   val oracle: Map[String, String] = Map(
+    // the engine's own progress metrics vs the watermark protocol
+    // recomputed in SQL over the late-heavy spool's recipe
+    "q208_watermark_audit" -> q208Sql,
     // q137's SQL verbatim: funnel-on-ingest must equal funnel-on-release
     "q144_streaming_funnel" -> EventQueries.q137Sql,
     // q145's SQL verbatim: the bounded-state machine must reproduce the
