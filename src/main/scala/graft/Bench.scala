@@ -141,6 +141,8 @@ object Bench {
         (() => graft.queries.StreamingQueries.ensureEventSpool(spark, sfDir)),
       "late_spool_build" ->
         (() => graft.queries.StreamingQueries.ensureLateSpool(spark, sfDir)),
+      "dup_event_spool_build" ->
+        (() => graft.queries.StreamingQueries.ensureDupEventSpool(spark, sfDir)),
       "doc_spool_build" ->
         (() => graft.queries.StreamingQueries.ensureDocSpool(spark, sfDir)),
       "cdc_spool_build" ->

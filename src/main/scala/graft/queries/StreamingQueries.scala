@@ -2335,6 +2335,122 @@ object StreamingQueries {
     if (before) "memoized" else spoolModes.getOrDefault(s"late|$d", "built")
   }
 
+  /** The at-least-once DUPLICATED events feed for q209: the events
+    * projection with every row delivered 1–3 times ([[dupSpool]]'s
+    * md5-derived copy counts, byte-identical copies), scattered across
+    * three files so copies arrive in different micro-batches, plus the
+    * event-spool sentinel pair — with DISTINCT sentinel event ids, so
+    * the per-side dedup in front of the join cannot swallow the second
+    * sentinel's watermark-advancing row. Span scalars ride the sidecar
+    * exactly like [[eventSpool]].
+    */
+  private[graft] def dupEventSpool(s: SparkSession, d: String): EventSpool = {
+    val info = ensureSpool(s, d, "dupevents", "v1", "events.parquet") {
+      (dir, fs) =>
+        val ev = graft.core.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        val k = lit(1) +
+          (mdUniform("dupe:", col("event_id")) < 0.4).cast("int") +
+          ((mdUniform("dupe:", col("event_id")) < 0.4) &&
+            (mdUniform("dupe2:", col("event_id")) < 0.5)).cast("int")
+        ev.withColumn("copy", explode(sequence(lit(1), k))).drop("copy")
+          .repartition(3).write.parquet(dir.toString)
+        val stamped = scala.collection.mutable.Set.empty[String]
+        var epoch = SpoolStampBase
+        stampOrder(fs, dir, stamped, epoch)
+        val span = ev.agg(min(col("ts")), max(col("ts")), min(col("user_id")))
+          .head()
+        val (minTs, maxTs) =
+          (span.getTimestamp(0).getTime, span.getTimestamp(1).getTime)
+        val sentinelUid = span.getLong(2) - 1
+        val spanMs = maxTs - minTs
+        val sentinel1 = maxTs + (2 * spanMs + 2 * DayMs) +
+          (spanMs + DayMs) + DayMs
+        Seq((sentinel1, Long.MaxValue), (sentinel1 + DayMs, Long.MaxValue - 1))
+          .foreach { case (ts, eid) =>
+            s.createDataFrame(java.util.List.of(
+                org.apache.spark.sql.Row(sentinelUid,
+                  new java.sql.Timestamp(ts), eid, "sentinel", 0.0)),
+              ev.schema)
+              .write.mode("append").parquet(dir.toString)
+            epoch += 1000
+            stampOrder(fs, dir, stamped, epoch)
+          }
+        Map("min_ts" -> minTs.toString, "max_ts" -> maxTs.toString,
+          "sentinel_uid" -> sentinelUid.toString)
+    }
+    EventSpool(info.dir, info.meta("min_ts").toLong,
+      info.meta("max_ts").toLong, info.meta("sentinel_uid").toLong)
+  }
+
+  private[graft] def ensureDupEventSpool(s: SparkSession, d: String): String = {
+    val before = spoolMemo.containsKey(s"dupevents|$d")
+    dupEventSpool(s, d)
+    if (before) "memoized"
+    else spoolModes.getOrDefault(s"dupevents|$d", "built")
+  }
+
+  /** q209 — AT-LEAST-ONCE COMPOSITION: the engine's stateful dedup
+    * (q181's `dropDuplicatesWithinWatermark`) chained IN FRONT OF
+    * q183's stream-stream interval join, over a feed where every event
+    * is delivered 1–3 times — the production topology: topics are
+    * at-least-once, so each side dedups before joining, and the pair
+    * stream must come out EXACTLY-ONCE. Without the dedup stage the
+    * inner join multiplies copies (a view delivered twice against a
+    * purchase delivered thrice emits six pairs); with it, the oracle is
+    * q183's batch interval join VERBATIM — the duplicated delivery must
+    * be invisible in the result, which also exercises the engine's
+    * multi-stateful-operator pipeline (dedup state feeding symmetric
+    * join state under one global watermark). Scale shape: dedup state
+    * is keyed by event id within the watermark horizon, join state as
+    * in q183 — both delivery-disorder-proportional, never
+    * corpus-proportional.
+    */
+  val q209DedupJoinCompose: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_ssdedup", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = dupEventSpool(s, d)
+    def side(t: String, prefix: String): DataFrame =
+      s.readStream
+        .schema(s.read.parquet(sp.dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sp.dir)
+        .filter(col("event_type").isin(t, "sentinel"))
+        .select(col("user_id").as(s"${prefix}_uid"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_eid"))
+        .withWatermark(s"${prefix}_ts", s"${sp.delayMs} milliseconds")
+        .dropDuplicatesWithinWatermark(s"${prefix}_eid")
+    withFewShufflePartitions(s) {
+      side("view", "v")
+        .join(side("purchase", "p"), ssJoinCond, "inner")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(col("v_uid") =!= lit(sp.sentinelUid))
+      .groupBy(col("v_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_eid")).as("n_views_matched"),
+        sum(unix_millis(col("p_ts")) - unix_millis(col("v_ts")))
+          .as("sum_lead_ms"))
+      .orderBy("user_id")
+  }
+
   /** q208 — WATERMARK-LATENESS OBSERVABILITY: the engine's own
     * per-batch `StreamingQueryProgress` surfaced as a first-class
     * report over the deliberately late-heavy spool — per input-bearing
@@ -2461,6 +2577,7 @@ object StreamingQueries {
 
   val queries: Map[String, Q] = Map(
     "q208_watermark_audit" -> q208WatermarkAudit,
+    "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q193_streaming_retract_view" -> q193StreamingRetractView,
@@ -2499,6 +2616,9 @@ object StreamingQueries {
     // the engine's own progress metrics vs the watermark protocol
     // recomputed in SQL over the late-heavy spool's recipe
     "q208_watermark_audit" -> q208Sql,
+    // q183's SQL verbatim: dedup-then-join over an at-least-once feed
+    // must equal the batch join over the exactly-once table
+    "q209_dedup_join_compose" -> q183Sql,
     // q137's SQL verbatim: funnel-on-ingest must equal funnel-on-release
     "q144_streaming_funnel" -> EventQueries.q137Sql,
     // q145's SQL verbatim: the bounded-state machine must reproduce the
