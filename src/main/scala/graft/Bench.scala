@@ -159,11 +159,44 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, outcome)
       }
     val setupSec = setupTimes.map(_._2).sum
+    // Streaming trigger telemetry (round-14 verdict #7): the streaming
+    // family's cost is micro-batch latency, so its wall-clock is only
+    // adjudicable (carried-set noise vs real regression) when the
+    // artifact splits it into trigger count × per-trigger time. A
+    // session-level StreamingQueryListener captures every progress
+    // event's triggerExecution duration; queries run sequentially, so
+    // whatever lands between a timed run's start and its post-run bus
+    // flush belongs to that query. Zero query changes — pure harness.
+    // boxed Long deliberately: poll() returns null on empty, and a
+    // primitive-Long queue would unbox that null to 0L — the drain's
+    // termination check needs a real null reference
+    val triggerCapture =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          triggerCapture.add(
+            e.progress.durationMs.getOrDefault("triggerExecution", 0L))
+          ()
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    def drainTriggers(): Seq[Long] = {
+      org.apache.spark.graftbridge.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext)
+      Iterator.continually(triggerCapture.poll())
+        .takeWhile(_ ne null).map(_.longValue).toSeq
+    }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Option[String], Seq[Long]) = {
       // the scope unpersists exactly the frames the query tracked (q39,
       // q45, q56, q57) so later timings run unpressured — targeted, not
       // the former clearCache which would evict caller-owned caches too
+      drainTriggers() // anything still buffered belongs to a prior run
       val t0 = System.nanoTime()
       val err = try {
         graft.core.CacheScope.withScope { fn(spark, sfDir).count() }
@@ -173,25 +206,25 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
-      ((System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err, drainTriggers())
     }
     val results = selected
       .map { case (name, fn) =>
       val runs = (0 until repeat).map(_ => timeOnce(name, fn))
       if (repeat > 1)
         System.err.println(s"[bench] $name reps: " +
-          runs.map { case (t, e) => if (e.isEmpty) f"$t%.2f" else "ERR" }
+          runs.map { case (t, e, _) => if (e.isEmpty) f"$t%.2f" else "ERR" }
             .mkString(" "))
-      val (sec, err) = runs.head
+      val (sec, err, triggers) = runs.head
       (name, if (err.isEmpty) sec else -1.0, err,
-        runs.collect { case (t, None) => t })
+        runs.collect { case (t, None, _) => t }, triggers)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"${esc(k)}\":$v" }
+    val qs = results.map { case (k, v, _, _, _) => s"\"${esc(k)}\":$v" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m), _) =>
+    val errs = results.collect { case (k, _, Some(m), _, _) =>
       s"\"${esc(k)}\":\"${esc(m)}\"" }.mkString("{", ",", "}")
     val total = setupSec + results.collect {
-      case (_, sec, None, _) => sec }.sum
+      case (_, sec, None, _, _) => sec }.sum
     // Repeat statistics (round-9 verdict #5): the load telemetry below
     // says WHETHER the machine was busy; per-query repeats say WHICH
     // reading to trust. With SPARK_GRAFT_REPEAT>1 every query's runs
@@ -209,16 +242,16 @@ object Bench {
       "q33_simhash", "q34_ngram_jaccard", "q59_dup_clusters")
     val repeatRuns: Seq[(String, Seq[Double])] =
       if (repeat > 1)
-        results.collect { case (n, _, None, ts) if ts.size > 1 => (n, ts) }
+        results.collect { case (n, _, None, ts, _) if ts.size > 1 => (n, ts) }
       else {
         val fnOf = selected.toMap
         val ok = results.filter(_._3.isEmpty)
         val chosen = (ok.sortBy(-_._2).take(15) ++
           ok.filter(r => wobbleAllowlist.contains(r._1)))
           .distinctBy(_._1)
-        chosen.map { case (name, _, _, ts) =>
+        chosen.map { case (name, _, _, ts, _) =>
           val extra = (1 to 2).map(_ => timeOnce(name, fnOf(name)))
-            .collect { case (t, None) => t }
+            .collect { case (t, None, _) => t }
           (name, ts ++ extra)
         }
       }
@@ -229,6 +262,17 @@ object Bench {
     }
     val repeatsJson = repeatRuns.map { case (name, ts) =>
       s""""${esc(name)}":{"min":${ts.min},"median":${median(ts)},"n":${ts.size}}"""
+    }.mkString("{", ",", "}")
+    // Per-streaming-query trigger split (run 1, like "queries"): a
+    // streaming number is adjudicable only as triggers × median-trigger
+    // — a +1 s move with unchanged trigger count and median is harness
+    // noise; a median move is a real engine change.
+    val streamingJson = results.collect {
+      case (name, _, None, _, triggers) if triggers.nonEmpty =>
+        val ms = triggers.map(_.toDouble)
+        s""""${esc(name)}":{"triggers":${triggers.size},""" +
+          s""""trigger_median_ms":${median(ms)},""" +
+          s""""trigger_total_ms":${triggers.sum}}"""
     }.mkString("{", ",", "}")
     val setupJson = setupTimes.map {
       case (k, v, Right(mode)) => s""""${esc(k)}":{"sec":$v,"mode":"${esc(mode)}"}"""
@@ -247,7 +291,7 @@ object Bench {
       val after = os.getSystemLoadAverage
       s"""{"avg1m_start":$loadAtStart,"avg1m_end":$after,"procs":${os.getAvailableProcessors}}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
     println(line)
     // Persist the full JSON as a repo artifact too (round-12 verdict #3:
     // the driver's BENCH_r*.json captures only the last 2000 chars of
