@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Dev-side oracle parity check (mirrors the driver's t2 gate).
 
-Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [--json <path>] [query ...]
+
+--json writes the per-query results as a CORRECTNESS-style artifact
+(rows_match / schema_match / hash_match per query) in addition to the
+text report — the sf0.1 spot-check tier (dev/verify_sf01.sh) commits
+that file each round.
 
 Reads each <verifyOutDir>/<name>/ parquet dump produced by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB against the sfDir
@@ -54,7 +59,22 @@ def cmp_val(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    json_path = None
+    if rest and rest[0] == "--json":
+        json_path = rest[1]
+        rest = rest[2:]
+    only = set(rest)
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match,
+                        "schema_match": schema_match,
+                        "hash_match": hash_match,
+                        "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows,
+                        "err": err}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -68,16 +88,21 @@ def main():
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         except Exception as e:
             print(f"FAIL {name}: spark dump unreadable: {e}")
+            record(name, None, None, None, err=f"spark dump unreadable: {e}")
             n_fail += 1
             continue
         try:
             ocols, otypes, orows = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
+            record(name, None, None, None, spark_rows=len(srows),
+                   err=f"oracle SQL error: {str(e)[:300]}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            record(name, len(srows) == len(orows), False, False,
+                   len(srows), len(orows))
             n_fail += 1
             continue
         # The driver's hash is TYPE-sensitive (e.g. DuckDB widens SUM to
@@ -87,10 +112,13 @@ def main():
             diffs = [f"{c}: spark={s} oracle={o}"
                      for c, s, o in zip(scols, stypes, otypes) if s != o]
             print(f"FAIL {name}: result types differ — {'; '.join(diffs)}")
+            record(name, len(srows) == len(orows), False, False,
+                   len(srows), len(orows))
             n_fail += 1
             continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            record(name, False, True, False, len(srows), len(orows))
             n_fail += 1
             continue
         srows.sort(key=repr)
@@ -109,16 +137,25 @@ def main():
         if bad:
             print(f"FAIL {name}: {bad} mismatched values; first: "
                   f"col={first_bad[0]} spark={first_bad[1]!r} oracle={first_bad[2]!r}")
+            record(name, True, True, False, len(srows), len(orows),
+                   err=f"{bad} mismatched values")
             n_fail += 1
         elif close:
             print(f"CLOSE {name}: {len(srows)} rows OK but {close} floats "
                   f"only ~equal (1e-9) — hash compare would fail")
+            record(name, True, True, False, len(srows), len(orows),
+                   err=f"{close} floats only ~equal (1e-9)")
             n_close += 1
         else:
             print(f"PASS {name}: {len(srows)} rows")
+            record(name, True, True, True, len(srows), len(orows))
             n_pass += 1
     print(f"\n{n_pass} pass, {n_close} close, {n_fail} fail "
           f"(+{len([k for k in json.load(open(f'{out_dir}/oracle_sql.json'))])} oracles total)")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+        print(f"wrote {json_path}")
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# sf0.1 oracle spot-check tier (round-14 verdict #8): promote the
+# scale-sensitive queries — store folds, the set-similarity join, the
+# funnel family, quantile/bucket-cap machinery, the stream-stream joins
+# and their composition, the watermark audit — to a DuckDB verify pass
+# at 10x the driver's correctness scale. Catches bucket-cap and
+# quantile-boundary bugs sf0.01 cannot see.
+#
+# Usage: dev/verify_sf01.sh [round-tag]
+# Writes CORRECTNESS_SF01[_<tag>].json at the repo root.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+TAG="${1:-}"
+OUT="/tmp/verify_sf01_out"
+ARTIFACT="CORRECTNESS_SF01${TAG:+_$TAG}.json"
+
+QUERIES=(
+  # store folds / lifecycle / schema seam / time travel
+  q126_quant_index_fold q147_ivfpq_index_fold q163_posting_index_fold
+  q189_incremental_agg_view q206_store_widen_fold q207_time_travel_diff
+  q180_streaming_merge_fold
+  # exact set-similarity join (prefix-filter completeness at scale)
+  q178_set_similarity_join
+  # funnel family (state bounds, window boundaries)
+  q137_funnel q144_streaming_funnel q145_windowed_funnel
+  q148_streaming_windowed_funnel
+  # quantile / histogram boundaries
+  q61_length_quantiles q170_streaming_quantile_fold
+  # bucket caps / skew machinery
+  q32_minhash_pairs q34_ngram_jaccard q58_salted_hotkey q185_skew_audit
+  # stream-stream joins + at-least-once composition + watermark audit
+  q183_stream_stream_join q184_stream_stream_left_join
+  q209_dedup_join_compose q208_watermark_audit
+)
+
+ONLY="$(IFS=,; echo "${QUERIES[*]}")"
+
+echo "[sf01] running Verify at sf0.1 for ${#QUERIES[@]} queries..."
+SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT" \
+  2>&1 | grep -E "\[verify\]|error\]" | grep -v "INFO" || true
+
+echo "[sf01] comparing against DuckDB..."
+python3 dev/compare.py /root/testdata/sf0.1 "$OUT" --json "$ARTIFACT" \
+  "${QUERIES[@]}"
