@@ -27,6 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The container's locale is C/ASCII, and Spark's VARIANT builder
+  // (parse_json) converts through the JVM default charset — under
+  // ASCII every non-ASCII byte becomes U+FFFD (found by q212's
+  // hazard-escape gate; from_json/get_json_object are explicit-UTF-8
+  // and immune). A data engine must not depend on ambient locale:
+  // pin UTF-8 like spark-submit environments do. Everything
+  // hash-gated elsewhere uses explicit charsets, so this changes
+  // nothing else (full 204-oracle sweep re-run green after the flip).
+  "-Dfile.encoding=UTF-8",
 )
 
 // surface deprecation sites in CI output (4 known, all benign JDK/Scala

@@ -227,13 +227,76 @@ object GraphQueries {
        |FROM tri""".stripMargin
   }
 
+  /** q211 — RECURSIVE CTE (BFS hop distance): `WITH RECURSIVE` through
+    * Spark's own SQL surface (the `UnionLoop` operator new in Spark 4)
+    * — breadth-first shortest hop count from doc 0 over the q130 edge
+    * derivation, depth-capped at 5, reported as nodes-per-distance.
+    * The recursion is UNION ALL (Spark 4.1 does not yet support the
+    * deduplicating UNION inside a recursive CTE), so the walk is
+    * PATH-grain: bounded here by OutDeg^5 = 243 paths from the single
+    * seed REGARDLESS of corpus size (the min-dist aggregate dedups at
+    * the end). That bound is the honest scale story: a multi-seed or
+    * unbounded-depth walk under UNION ALL is path-exponential, which
+    * is exactly why q130 iterates OUTSIDE SQL with one exchange and a
+    * node-grain frame per round — this query pins the engine's native
+    * loop operator (`UnionLoop`) against the identical recursion in
+    * DuckDB, it does not replace the production iteration shape. Both
+    * engines derive the edges from the same md5 formula inline.
+    */
+  val q211RecursiveBfs: Q = (s, d) => {
+    documents(s, d).select(col("doc_id"))
+      .createOrReplaceTempView("g_bfs_docs")
+    s.sql(
+      s"""WITH RECURSIVE walk(node, dist) AS (
+         |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+         |  UNION ALL
+         |  SELECT e.dst AS node, w.dist + CAST(1 AS BIGINT) AS dist
+         |  FROM walk w
+         |  JOIN (
+         |    SELECT d.doc_id AS src,
+         |      pmod(CAST(conv(substring(md5(concat('pr:',
+         |          CAST(d.doc_id AS STRING), ':', CAST(j.j AS STRING))),
+         |        1, 15), 16, 10) AS BIGINT), nn.n) AS dst
+         |    FROM g_bfs_docs d
+         |    CROSS JOIN (SELECT COUNT(*) AS n FROM g_bfs_docs) nn
+         |    CROSS JOIN (SELECT explode(sequence(0, ${OutDeg - 1})) AS j) j
+         |  ) e ON e.src = w.node
+         |  WHERE w.dist < 5)
+         |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+         |  SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+         |GROUP BY dist ORDER BY dist""".stripMargin)
+  }
+
+  val q211Sql: String = {
+    val hash =
+      "('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':' || " +
+        "CAST(j AS VARCHAR)), 1, 15))::BIGINT % nn.n"
+    s"""WITH RECURSIVE walk(node, dist) AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |  UNION ALL
+       |  SELECT e.dst AS node, w.dist + CAST(1 AS BIGINT) AS dist
+       |  FROM walk w
+       |  JOIN (
+       |    SELECT d.doc_id AS src, $hash AS dst
+       |    FROM documents d
+       |    CROSS JOIN (SELECT COUNT(*) AS n FROM documents) nn
+       |    CROSS JOIN (SELECT unnest(range($OutDeg)) AS j)
+       |  ) e ON e.src = w.node
+       |  WHERE w.dist < 5)
+       |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+       |  SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+       |GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q130_pagerank" -> q130PageRank,
-    "q188_triangle_count" -> q188TriangleCount
+    "q188_triangle_count" -> q188TriangleCount,
+    "q211_recursive_bfs" -> q211RecursiveBfs
   )
 
   val oracle: Map[String, String] = Map(
     "q130_pagerank" -> q130Sql,
-    "q188_triangle_count" -> q188Sql
+    "q188_triangle_count" -> q188Sql,
+    "q211_recursive_bfs" -> q211Sql
   )
 }

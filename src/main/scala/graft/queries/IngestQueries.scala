@@ -853,8 +853,33 @@ object IngestQueries {
       |    AS docs_fp
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q212 — VARIANT ingest (semi-structured landing without a schema):
+    * the q200 JSONL stream parsed into Spark 4's binary `VARIANT` type
+    * (`parse_json`) and the typed fields extracted back out with
+    * `variant_get` path expressions — the open-table-format answer to
+    * "land now, shred later" (the JSON parses ONCE into the compact
+    * binary encoding; every later extraction is a binary path walk,
+    * not a re-parse — at 100 TB that is the difference between one
+    * decode at ingest and one per consumer). Report + oracle are
+    * q200's VERBATIM: the gate is JSON → VARIANT → typed-extraction
+    * fidelity, hazard escapes included — a variant encoder that
+    * mangled one escape or a path walk that lost a field flips the
+    * lang-grain fingerprint. Pure map-side both legs, like q200.
+    */
+  val q212VariantIngest: Q = (s, d) => {
+    val decoded = jsonlFrame(s, d)
+      .select(parse_json(col("value")).as("v"))
+      .select(
+        expr("variant_get(v, '$.doc_id', 'long')").as("doc_id"),
+        expr("variant_get(v, '$.lang', 'string')").as("lang"),
+        expr("variant_get(v, '$.text', 'string')").as("text"),
+        expr("variant_get(v, '$.meta', 'string')").as("meta"))
+    jsonlReport(decoded)
+  }
+
   val queries: Map[String, Q] = Map(
     "q200_jsonl_roundtrip" -> q200JsonlRoundtrip,
+    "q212_variant_ingest" -> q212VariantIngest,
     "q191_retractable_agg_view" -> q191RetractableAggView,
     "q172_snapshot_diff" -> q172SnapshotDiff,
     "q175_merge_upsert" -> q175MergeUpsert,
@@ -871,6 +896,9 @@ object IngestQueries {
     // recomputed from parquet — the gate is the JSONL round-trip's
     // fidelity, escapes included
     "q200_jsonl_roundtrip" -> q200Sql,
+    // q200's SQL verbatim: the gate is JSON -> VARIANT -> typed-extract
+    // fidelity against the parquet-recomputed report
+    "q212_variant_ingest" -> q200Sql,
     // the from-scratch aggregate over the post-merge live state:
     // fold-under-retraction must equal recompute
     "q191_retractable_agg_view" -> q191Sql,

@@ -296,10 +296,14 @@ object RelationalQueries {
       |ORDER BY status, priority""".stripMargin
 
   /** HLL sketch aggregation: approx_count_distinct next to the exact
-    * count. No oracle entry — HLL implementations differ across engines —
-    * the rows-only check plus a scalatest accuracy bound (< 5% relative
-    * error) cover it. At 100 TB the sketch is the difference between a
-    * map-side-combinable single pass and a two-phase exact distinct.
+    * count. No oracle entry — permanently: Spark's native HLL++
+    * registers are not replayable in another engine (unlike q45's
+    * trained centroids, there is no value to pin and replay against),
+    * so the rows-only check plus a scalatest accuracy bound (< 5%
+    * relative error) cover it; the hash-gated twin is q168's own
+    * register-exact HLL, replayed bit-for-bit by DuckDB. At 100 TB the
+    * sketch is the difference between a map-side-combinable single
+    * pass and a two-phase exact distinct.
     */
   val q26ApproxDistinct: Q = (s, d) =>
     orders(s, d)
@@ -859,6 +863,81 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q210 — LATERAL JOIN with a correlated per-row LIMIT (top-N per
+    * key as the OPTIMIZER sees it): each customer's 2 most recent
+    * orders via `Dataset.lateralJoin` — the SQL:2016 LATERAL form of
+    * q03's window ranking. The decorrelation matters more than the
+    * sugar: Catalyst rewrites the correlated limit into row_number
+    * with `WindowGroupLimit` pushed MAP-SIDE (each task keeps ≤ 2 rows
+    * per key before the exchange — pinned in SubquerySpec), so the
+    * lateral form costs the same as the hand-written window at 100 TB
+    * instead of a per-customer probe. Oracle: DuckDB's own LATERAL.
+    */
+  val q210LateralTopk: Q = (s, d) => {
+    val recent = orders(s, d)
+      .filter(col("o_custkey") === col("c_custkey").outer())
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      .limit(2)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    customer(s, d).select(col("c_custkey"))
+      .lateralJoin(recent)
+      .select(col("c_custkey"), col("o_orderkey"),
+        (money(col("o_totalprice")) * 100).cast("long").as("price_cents"),
+        // parquet reads the date TIMESTAMP_NTZ; session tz is UTC so
+        // the cast is instant-preserving and matches epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  val q210Sql: String =
+    """SELECT c_custkey, t.o_orderkey,
+      |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS price_cents,
+      |  epoch_ms(t.o_orderdate) AS o_date_ms
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, t.o_orderkey""".stripMargin
+
+  /** q213 — UNPIVOT/MELT (wide → long): the inverse of q82's pivot,
+    * via the native `Dataset.unpivot` — four lineitem measure columns
+    * melted to `(measure, value)` rows and profiled per measure in
+    * exact decimal. Unpivot is a pure map-side `expand` (each input
+    * row emits one row per measure, no exchange until the 4-group
+    * aggregate) — the reshape a feature pipeline runs before
+    * long-format stats, free at any scale. Oracle: the equivalent
+    * per-measure UNION ALL.
+    */
+  val q213UnpivotMeasures: Q = (s, d) => {
+    lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(money(col("l_quantity")).as("l_quantity"),
+          money(col("l_extendedprice")).as("l_extendedprice"),
+          money(col("l_discount")).as("l_discount"),
+          money(col("l_tax")).as("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value")).cast("double").as("sum_value"),
+        min(col("value")).cast("double").as("min_value"),
+        max(col("value")).cast("double").as("max_value"))
+      .orderBy("measure")
+  }
+
+  val q213Sql: String = {
+    def leg(c: String) =
+      s"""SELECT '$c' AS measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  CAST(MIN(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+         |  CAST(MAX(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(leg).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        ")\nORDER BY measure")
+  }
+
   val q207Sql: String =
     """WITH base AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n0,
@@ -1049,6 +1128,8 @@ object RelationalQueries {
     "q205_not_in_nullable" -> q205NotInNullable,
     "q206_store_widen_fold" -> q206StoreWidenFold,
     "q207_time_travel_diff" -> q207TimeTravelDiff,
+    "q210_lateral_topk" -> q210LateralTopk,
+    "q213_unpivot_measures" -> q213UnpivotMeasures,
     "q189_incremental_agg_view" -> q189IncrementalAggView,
     "q185_skew_audit" -> q185SkewAudit,
     "q186_bloom_join_prune" -> q186BloomJoinPrune,
@@ -1080,6 +1161,8 @@ object RelationalQueries {
     "q205_not_in_nullable" -> q205Sql,
     "q206_store_widen_fold" -> q206Sql,
     "q207_time_travel_diff" -> q207Sql,
+    "q210_lateral_topk" -> q210Sql,
+    "q213_unpivot_measures" -> q213Sql,
     // the direct single-pass aggregate: the folded partial store must
     // serve exactly the from-scratch view
     "q189_incremental_agg_view" -> q189Sql,

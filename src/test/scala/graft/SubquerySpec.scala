@@ -62,6 +62,17 @@ class SubquerySpec extends AnyFunSuite {
     assert(!p.contains("subquery"), p.take(4000))
   }
 
+  test("q210 lateral join with correlated LIMIT decorrelates to a " +
+    "map-side WindowGroupLimit, not a per-customer probe") {
+    val p = physical(RelationalQueries.q210LateralTopk(spark, sf))
+    // the correlated `LIMIT 2` must become row_number + group-limit
+    // with a PARTIAL pass before the exchange (each task keeps <= 2
+    // rows per key) — the plan that makes LATERAL free at 100 TB
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(p.contains("Partial"), p.take(4000))
+    assert(!p.contains("subquery"), p.take(4000))
+  }
+
   test("q203 correlation is genuinely per-part: collapsing it to a " +
     "whole-table scalar changes the answer (regression: outer() name " +
     "shadowing)") {
