@@ -32,6 +32,9 @@ QUERIES=(
   # stream-stream joins + at-least-once composition + watermark audit
   q183_stream_stream_join q184_stream_stream_left_join
   q209_dedup_join_compose q208_watermark_audit
+  # decorrelation + recursion at 10x (join-shaped rewrites whose cost
+  # profile, not just answer, is scale-sensitive)
+  q203_scalar_subquery q210_lateral_topk q211_recursive_bfs
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"
