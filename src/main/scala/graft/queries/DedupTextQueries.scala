@@ -566,6 +566,24 @@ object DedupTextQueries {
     require(added.nonEmpty,
       s"foldWidenedVia: delta adds no columns over $tableName — " +
         "use foldAdmittedVia for a same-schema fold")
+    // Validate the OVERLAPPING columns BEFORE touching the catalog: a
+    // type-mismatched delta must leave the store untouched — altering
+    // first would strand a spurious empty column when the fold's own
+    // check then throws (the refusal has to be atomic, like the fold).
+    val preMismatches = target.flatMap { f =>
+      frame.schema.find(_.name == f.name) match {
+        case None => Some(s"${f.name}: missing from delta frame")
+        case Some(g) if !org.apache.spark.sql.types.DataType
+            .equalsStructurally(g.dataType, f.dataType,
+              ignoreNullability = true) =>
+          Some(s"${f.name}: delta ${g.dataType.simpleString} vs " +
+            s"store ${f.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    require(preMismatches.isEmpty,
+      s"widened delta does not match $tableName's existing columns — " +
+        preMismatches.mkString("; "))
     s.sql(s"ALTER TABLE $tableName ADD COLUMNS (" +
       added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
     foldInto(s, tableName, frame)

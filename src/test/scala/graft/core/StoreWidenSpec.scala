@@ -77,14 +77,15 @@ class StoreWidenSpec extends AnyFunSuite {
     }
     import spark.implicits._
     // v arrives as STRING: adding 'tag' is legal but the v mismatch must
-    // throw before any file is written
+    // throw BEFORE the catalog is touched — the refusal is atomic
     val bad = Seq((9L, "nope", "x")).toDF("k", "v", "tag")
     intercept[IllegalArgumentException] {
       DedupTextQueries.foldWidenedVia(identity)(spark, t, bad)
     }
-    // nothing appended, nothing widened beyond the failed attempt's
-    // ALTER (the type check runs on the widened schema): k/v rows intact
-    assert(spark.table(t).select("k", "v").count() == 3)
+    // nothing appended AND nothing widened: the failed attempt must not
+    // strand a spurious empty 'tag' column on the store
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(spark.table(t).count() == 3)
     RunStore.dropWithLocation(spark, t)
   }
 }
