@@ -1162,7 +1162,50 @@ object CorpusStatsQueries {
        |WHERE c.exact_n * $HhShareDen >= t.total
        |ORDER BY exact_n DESC, tok""".stripMargin
 
+  /** q214 — TOKENIZER ROUND-TRIP (decode ∘ encode = identity): the
+    * lossless-detokenization property every LLM pipeline assumes and
+    * rarely gates. Encoding chains the trained merges forward
+    * (q128's map-side nested `replace`); DECODING inverts them in
+    * REVERSE merge order — later merges may contain earlier merge
+    * symbols (nesting is BPE's whole point), and reverse-order
+    * expansion unwinds exactly that nesting. Merge symbols live in the
+    * Unicode private-use area (U+E000+) so no corpus character
+    * collides. The ORACLE never sees the tokenizer: it fingerprints
+    * the RAW documents — one character lost, doubled, or mis-expanded
+    * anywhere in encode→decode flips the lang-grain hash. Both passes
+    * are single codegen'd map-side projections over one scan; at
+    * 100 TB the round-trip audit is scan-bounded, the property a
+    * tokenizer-artifact promotion pipeline checks before shipping.
+    */
+  val q214BpeRoundtrip: Q = (s, d) => {
+    val merges = trainedMerges(s, d)
+    val encoded = merges.foldLeft(col("text")) { case (c, (i, pair, _)) =>
+      org.apache.spark.sql.functions.replace(c, lit(pair), lit(mergeSym(i)))
+    }
+    val decoded = merges.reverse.foldLeft(encoded) { case (c, (i, pair, _)) =>
+      org.apache.spark.sql.functions.replace(c, lit(mergeSym(i)), lit(pair))
+    }
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), decoded.as("rt_text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("rt_text")).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("rt_text")))), 1, 10),
+          16, 10).cast("long")).as("docs_fp"))
+      .orderBy("lang")
+  }
+
+  val q214Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(('0x' || substr(md5(
+      |    CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 10))::BIGINT)
+      |    AS BIGINT) AS docs_fp
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q214_bpe_roundtrip" -> q214BpeRoundtrip,
     "q179_heavy_hitters" -> q179HeavyHitters,
     "q173_bloom_membership" -> q173BloomMembership,
     "q149_count_min_sketch" -> q149CountMinSketch,
@@ -1181,6 +1224,8 @@ object CorpusStatsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // raw-documents fingerprint: the gate is decode(encode(x)) == x
+    "q214_bpe_roundtrip" -> q214Sql,
     "q173_bloom_membership" -> q173Sql,
     "q179_heavy_hitters" -> q179Sql,
     "q127_bpe_merges" -> q127Sql,
