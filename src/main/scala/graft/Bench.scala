@@ -191,12 +191,38 @@ object Bench {
       Iterator.continually(triggerCapture.poll())
         .takeWhile(_ ne null).map(_.longValue).toSeq
     }
+    // Shuffle-volume telemetry: per-query bytes through the exchanges,
+    // captured from task metrics. Seconds say a query got slower;
+    // bytes say whether the PLAN changed — a regression with unchanged
+    // shuffle volume is contention, a byte jump is a lost broadcast or
+    // a new exchange. Zero is a headline too: the bucketed-store
+    // families are supposed to read exchange-free.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ()
+          }
+        }
+      })
+    def drainShuffle(): (Long, Long) = {
+      org.apache.spark.graftbridge.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext)
+      (shufWrite.getAndSet(0L), shufRead.getAndSet(0L))
+    }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String], Seq[Long]) = {
+        : (Double, Option[String], Seq[Long], (Long, Long)) = {
       // the scope unpersists exactly the frames the query tracked (q39,
       // q45, q56, q57) so later timings run unpressured — targeted, not
       // the former clearCache which would evict caller-owned caches too
       drainTriggers() // anything still buffered belongs to a prior run
+      drainShuffle()
       val t0 = System.nanoTime()
       val err = try {
         graft.core.CacheScope.withScope { fn(spark, sfDir).count() }
@@ -206,25 +232,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
-      ((System.nanoTime() - t0) / 1e9, err, drainTriggers())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val triggers = drainTriggers()
+      (sec, err, triggers, drainShuffle())
     }
     val results = selected
       .map { case (name, fn) =>
       val runs = (0 until repeat).map(_ => timeOnce(name, fn))
       if (repeat > 1)
         System.err.println(s"[bench] $name reps: " +
-          runs.map { case (t, e, _) => if (e.isEmpty) f"$t%.2f" else "ERR" }
+          runs.map { case (t, e, _, _) => if (e.isEmpty) f"$t%.2f" else "ERR" }
             .mkString(" "))
-      val (sec, err, triggers) = runs.head
+      val (sec, err, triggers, shuffle) = runs.head
       (name, if (err.isEmpty) sec else -1.0, err,
-        runs.collect { case (t, None, _) => t }, triggers)
+        runs.collect { case (t, None, _, _) => t }, triggers, shuffle)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"${esc(k)}\":$v" }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"${esc(k)}\":$v" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m), _, _) =>
+    val errs = results.collect { case (k, _, Some(m), _, _, _) =>
       s"\"${esc(k)}\":\"${esc(m)}\"" }.mkString("{", ",", "}")
     val total = setupSec + results.collect {
-      case (_, sec, None, _, _) => sec }.sum
+      case (_, sec, None, _, _, _) => sec }.sum
     // Repeat statistics (round-9 verdict #5): the load telemetry below
     // says WHETHER the machine was busy; per-query repeats say WHICH
     // reading to trust. With SPARK_GRAFT_REPEAT>1 every query's runs
@@ -242,16 +270,16 @@ object Bench {
       "q33_simhash", "q34_ngram_jaccard", "q59_dup_clusters")
     val repeatRuns: Seq[(String, Seq[Double])] =
       if (repeat > 1)
-        results.collect { case (n, _, None, ts, _) if ts.size > 1 => (n, ts) }
+        results.collect { case (n, _, None, ts, _, _) if ts.size > 1 => (n, ts) }
       else {
         val fnOf = selected.toMap
         val ok = results.filter(_._3.isEmpty)
         val chosen = (ok.sortBy(-_._2).take(15) ++
           ok.filter(r => wobbleAllowlist.contains(r._1)))
           .distinctBy(_._1)
-        chosen.map { case (name, _, _, ts, _) =>
+        chosen.map { case (name, _, _, ts, _, _) =>
           val extra = (1 to 2).map(_ => timeOnce(name, fnOf(name)))
-            .collect { case (t, None, _) => t }
+            .collect { case (t, None, _, _) => t }
           (name, ts ++ extra)
         }
       }
@@ -268,11 +296,17 @@ object Bench {
     // — a +1 s move with unchanged trigger count and median is harness
     // noise; a median move is a real engine change.
     val streamingJson = results.collect {
-      case (name, _, None, _, triggers) if triggers.nonEmpty =>
+      case (name, _, None, _, triggers, _) if triggers.nonEmpty =>
         val ms = triggers.map(_.toDouble)
         s""""${esc(name)}":{"triggers":${triggers.size},""" +
           s""""trigger_median_ms":${median(ms)},""" +
           s""""trigger_total_ms":${triggers.sum}}"""
+    }.mkString("{", ",", "}")
+    // Per-query shuffle volume (run 1): w = exchange bytes written,
+    // r = shuffle bytes read. Compact keys — ~210 entries per artifact.
+    val shuffleJson = results.collect {
+      case (name, _, None, _, _, (w, r)) =>
+        s""""${esc(name)}":{"w":$w,"r":$r}"""
     }.mkString("{", ",", "}")
     val setupJson = setupTimes.map {
       case (k, v, Right(mode)) => s""""${esc(k)}":{"sec":$v,"mode":"${esc(mode)}"}"""
@@ -291,7 +325,7 @@ object Bench {
       val after = os.getSystemLoadAverage
       s"""{"avg1m_start":$loadAtStart,"avg1m_end":$after,"procs":${os.getAvailableProcessors}}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"shuffle":$shuffleJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
     println(line)
     // Persist the full JSON as a repo artifact too (round-12 verdict #3:
     // the driver's BENCH_r*.json captures only the last 2000 chars of
