@@ -906,6 +906,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hash.isEmpty, shuffles.mkString("\n"))
   }
 
+  test("q206 widened-store serve: schema evolution must not break the " +
+    "bucket layout's exchange elision — zero hash exchanges across " +
+    "the schema seam, exactly like q189") {
+    val df = RelationalQueries.q206StoreWidenFold(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val hash = shuffles.filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hash.isEmpty, shuffles.mkString("\n"))
+  }
+
   test("q190 grouped HLL: the register fold partial-aggregates " +
     "map-side (max partials) — the shuffle carries at most " +
     "groups x 256 register rows, never the event stream") {
