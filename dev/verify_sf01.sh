@@ -31,6 +31,7 @@ QUERIES=(
   q32_minhash_pairs q34_ngram_jaccard q58_salted_hotkey q185_skew_audit
   # stream-stream joins + at-least-once composition + watermark audit
   q183_stream_stream_join q184_stream_stream_left_join
+  q215_stream_stream_full_join
   q209_dedup_join_compose q208_watermark_audit
   # decorrelation + recursion at 10x (join-shaped rewrites whose cost
   # profile, not just answer, is scale-sensitive)

@@ -1420,6 +1420,70 @@ object StreamingQueries {
   /** q184's oracle — the batch left interval join; `count(p.event_id)`
     * counts only matched rows on both engines.
     */
+  /** q215 — STREAM-STREAM FULL OUTER join, completing the join-type
+    * matrix (q183 inner, q184 left): BOTH sides' unmatched rows are
+    * claims about the other stream's future, so both emit null-padded
+    * exactly once when the global watermark proves no partner can
+    * arrive — views that never converted AND purchases with no
+    * preceding view inside the window (the orphan-attribution cohort
+    * q184 cannot see). Same spool, same time-range-bounded state, same
+    * sentinel-pair drain; the sink filter keys on COALESCE of the two
+    * uids since either leg may be null. Oracle: the batch FULL JOIN.
+    */
+  val q215StreamStreamFullJoin: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_ssfull", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    withFewShufflePartitions(s) {
+      ssJoinSide(s, sp, "view", "v")
+        .join(ssJoinSide(s, sp, "purchase", "p"), ssJoinCond, "full_outer")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(batch, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    readSink(s, outPath)
+      .filter(coalesce(col("v_uid"), col("p_uid")) =!= lit(sp.sentinelUid))
+      .groupBy(coalesce(col("v_uid"), col("p_uid")).as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v_eid").isNotNull && col("p_eid").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_eid").isNull, 1L).otherwise(0L)).as("n_view_only"),
+        sum(when(col("v_eid").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"))
+      .orderBy("user_id")
+  }
+
+  private[graft] val q215Sql: String =
+    s"""WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |           WHERE event_type = 'view'),
+       |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CASE WHEN v.event_id IS NOT NULL
+       |                 AND p.event_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matched,
+       |  CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_view_only,
+       |  CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_purchase_only
+       |FROM v FULL JOIN p ON v.user_id = p.user_id
+       |  AND p.ms >= v.ms AND p.ms <= v.ms + $SSJoinWindowMs
+       |GROUP BY COALESCE(v.user_id, p.user_id)
+       |ORDER BY user_id""".stripMargin
+
   private[graft] val q184Sql: String =
     s"""WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
        |           WHERE event_type = 'view'),
@@ -2578,6 +2642,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
+    "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
     "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q193_streaming_retract_view" -> q193StreamingRetractView,
@@ -2619,6 +2684,9 @@ object StreamingQueries {
     // q183's SQL verbatim: dedup-then-join over an at-least-once feed
     // must equal the batch join over the exactly-once table
     "q209_dedup_join_compose" -> q183Sql,
+    // the batch FULL interval join: both sides' watermark-gated nulls
+    // must emit exactly once, never early, never dropped
+    "q215_stream_stream_full_join" -> q215Sql,
     // q137's SQL verbatim: funnel-on-ingest must equal funnel-on-release
     "q144_streaming_funnel" -> EventQueries.q137Sql,
     // q145's SQL verbatim: the bounded-state machine must reproduce the
