@@ -863,6 +863,42 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q216 — MULTISET set ops (`INTERSECT ALL` / `EXCEPT ALL`): the bag
+    * semantics q11/q12's set forms deliberately erase — per duplicate
+    * key, INTERSECT ALL keeps min(multiplicity) rows and EXCEPT ALL
+    * keeps the multiplicity DIFFERENCE, which is what reconciliation
+    * workloads actually need (set forms answer "which keys", bag forms
+    * answer "how many rows went missing"). Inputs are the dup-heavy
+    * lineitem partkeys split by return flag; the output is the raw
+    * multiset (keys repeated), so the gate pins the exact per-key
+    * multiplicities, not a collapsed count. Spark plans both as
+    * aggregate-count + generate (replicate-by-count) — two hash-agg
+    * shuffles, no join blowup, the same cost class as the set forms at
+    * 100 TB.
+    */
+  val q216SetopsAll: Q = (s, d) => {
+    def side(flag: String) = lineitem(s, d)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_partkey").as("partkey"))
+    def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(name).as("leg"), col("partkey"))
+    leg("except_all", side("R").exceptAll(side("A")))
+      .unionByName(leg("intersect_all", side("R").intersectAll(side("A"))))
+      .orderBy("leg", "partkey")
+  }
+
+  val q216Sql: String =
+    """WITH r AS (SELECT l_partkey AS partkey FROM lineitem
+      |           WHERE l_returnflag = 'R'),
+      |a AS (SELECT l_partkey AS partkey FROM lineitem
+      |      WHERE l_returnflag = 'A')
+      |SELECT 'except_all' AS leg, partkey
+      |FROM (SELECT partkey FROM r EXCEPT ALL SELECT partkey FROM a)
+      |UNION ALL
+      |SELECT 'intersect_all', partkey
+      |FROM (SELECT partkey FROM r INTERSECT ALL SELECT partkey FROM a)
+      |ORDER BY leg, partkey""".stripMargin
+
   /** q210 — LATERAL JOIN with a correlated per-row LIMIT (top-N per
     * key as the OPTIMIZER sees it): each customer's 2 most recent
     * orders via `Dataset.lateralJoin` — the SQL:2016 LATERAL form of
@@ -1130,6 +1166,7 @@ object RelationalQueries {
     "q207_time_travel_diff" -> q207TimeTravelDiff,
     "q210_lateral_topk" -> q210LateralTopk,
     "q213_unpivot_measures" -> q213UnpivotMeasures,
+    "q216_setops_all" -> q216SetopsAll,
     "q189_incremental_agg_view" -> q189IncrementalAggView,
     "q185_skew_audit" -> q185SkewAudit,
     "q186_bloom_join_prune" -> q186BloomJoinPrune,
@@ -1163,6 +1200,7 @@ object RelationalQueries {
     "q207_time_travel_diff" -> q207Sql,
     "q210_lateral_topk" -> q210Sql,
     "q213_unpivot_measures" -> q213Sql,
+    "q216_setops_all" -> q216Sql,
     // the direct single-pass aggregate: the folded partial store must
     // serve exactly the from-scratch view
     "q189_incremental_agg_view" -> q189Sql,

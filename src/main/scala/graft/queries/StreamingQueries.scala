@@ -1837,6 +1837,52 @@ object StreamingQueries {
     IngestQueries.jsonlReport(readSink(s, outPath))
   }
 
+  /** q217 — VARIANT-on-arrival (q212's streaming twin): the landing
+    * zone consumed as RAW TEXT lines — the shape a lake actually lands
+    * before anyone declares a schema — each checkpointed micro-batch
+    * parsing its lines into binary VARIANT (`parse_json`) and
+    * extracting the typed fields with `variant_get` path walks, decoded
+    * rows into the batchId-addressed sink. Where q201 commits to the
+    * JsonlSchema at the SOURCE, this commits to nothing until
+    * extraction — the schema-on-read end of the ingest spectrum, with
+    * the binary variant as the once-parsed intermediate. Oracle =
+    * q200Sql VERBATIM: text → VARIANT → typed-extract on arrival must
+    * equal decode-at-rest, escapes included, for any batching.
+    */
+  val q217StreamingVariant: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_variant", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_data", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    IngestQueries.jsonlFrame(s, d)
+      .repartition(3).write.text(path("_data").toString)
+    val outPath = path("_out").toString
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(path("_data").toString)
+    withFewShufflePartitions(s) {
+      stream.writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val decoded = batch
+            .select(parse_json(col("value")).as("v"))
+            .select(
+              expr("variant_get(v, '$.doc_id', 'long')").as("doc_id"),
+              expr("variant_get(v, '$.lang', 'string')").as("lang"),
+              expr("variant_get(v, '$.text', 'string')").as("text"),
+              expr("variant_get(v, '$.meta', 'string')").as("meta"))
+          writeBatch(decoded, outPath, batchId)
+        }
+        .start().awaitTermination()
+    }
+    IngestQueries.jsonlReport(readSink(s, outPath))
+  }
+
   /** q170's per-micro-batch body: the (lang, n_chars) length histogram
     * is a MONOID (per-bucket counts add, exactly q150's CMS algebra),
     * so batch `id` folds its own histogram into its predecessor's and
@@ -2643,6 +2689,7 @@ object StreamingQueries {
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
+    "q217_streaming_variant" -> q217StreamingVariant,
     "q181_streaming_exact_dedup" -> q181StreamingExactDedup,
     "q180_streaming_merge_fold" -> q180StreamingMergeFold,
     "q193_streaming_retract_view" -> q193StreamingRetractView,
@@ -2687,6 +2734,9 @@ object StreamingQueries {
     // the batch FULL interval join: both sides' watermark-gated nulls
     // must emit exactly once, never early, never dropped
     "q215_stream_stream_full_join" -> q215Sql,
+    // q200's SQL verbatim: text -> VARIANT -> typed-extract on arrival
+    // must equal decode-at-rest, escapes included, for any batching
+    "q217_streaming_variant" -> IngestQueries.q200Sql,
     // q137's SQL verbatim: funnel-on-ingest must equal funnel-on-release
     "q144_streaming_funnel" -> EventQueries.q137Sql,
     // q145's SQL verbatim: the bounded-state machine must reproduce the
