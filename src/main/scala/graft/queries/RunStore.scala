@@ -224,8 +224,14 @@ private[graft] object RunStore {
     * plain parquet (its sidecar was removed at the swap), so the read
     * is schema-from-files and carries no bucket metadata — correct for
     * audit/diff workloads; a serving path should read `back = 0`.
-    * Asking beyond the retained history refuses loudly rather than
-    * silently serving the wrong snapshot.
+    * Schema-from-files must MERGE: a generation demoted after a
+    * widen-on-fold holds a mixed file set (pre-widen base files next
+    * to widened delta files), and the default single-file schema pick
+    * would silently drop the added column from the snapshot
+    * (TimeTravelPropertySpec caught exactly that) — `mergeSchema`
+    * restores the union with NULL padding, matching what the catalog
+    * served at demotion time. Asking beyond the retained history
+    * refuses loudly rather than silently serving the wrong snapshot.
     */
   private[graft] def asOfGeneration(s: SparkSession, t: String,
       back: Int): DataFrame = {
@@ -243,7 +249,8 @@ private[graft] object RunStore {
       require(curIdx - back >= 0,
         s"$t: generation $back back from current is not retained " +
           s"(history holds $curIdx demoted generation(s))")
-      s.read.parquet(all(curIdx - back).toString)
+      s.read.option("mergeSchema", "true")
+        .parquet(all(curIdx - back).toString)
     }
   }
 
@@ -258,15 +265,31 @@ private[graft] object RunStore {
     p
   }
 
+  /** RETIRED generation dirs (`<lowercased name>__x<n>`): demoted
+    * generations of a PREVIOUS incarnation of the store, renamed out
+    * of the `__c` namespace by [[dropWithLocation]] so a rebuilt
+    * store's as-of history never lists another lineage's snapshots.
+    * They stay on disk for any straggling reader and are swept by the
+    * same aged-and-unleased rules as everything else.
+    */
+  private[graft] def retiredDirs(s: SparkSession, t: String): Seq[Path] = {
+    val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = hadoopFs(s, wh)
+    val prefix = t.toLowerCase(java.util.Locale.ROOT) + "__x"
+    if (!fs.exists(wh)) Seq.empty
+    else fs.listStatus(wh).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix)).toSeq
+  }
+
   /** Every on-disk directory that may carry (a generation of) `t`'s
     * data, EXCEPT `keep` — what a compaction sweeps once no reader can
-    * still be scanning them.
+    * still be scanning them. Includes retired previous-lineage dirs.
     */
   private[graft] def staleStoreDirs(s: SparkSession, t: String,
       keep: Path): Seq[Path] = {
     val fs = hadoopFs(s, keep)
     val keepQ = fs.makeQualified(keep).toString
-    (defaultLocation(s, t) +: generationDirs(s, t))
+    (defaultLocation(s, t) +: (generationDirs(s, t) ++ retiredDirs(s, t)))
       .filter(p => fs.makeQualified(p).toString != keepQ && fs.exists(p))
       .distinctBy(p => fs.makeQualified(p).toString)
   }
@@ -282,9 +305,15 @@ private[graft] object RunStore {
     * defers them entirely, and a demoted generation younger than
     * [[sweepGraceMs]] is retained for the cross-process readers the
     * retention window exists for; an aged, unleased one goes now. A
-    * retained dir carries no sidecar (the swap deleted it), so it can
-    * never be rediscovered as the store — it is debris the next
-    * compaction sweep clears once aged.
+    * RETAINED dir is renamed into the retired namespace
+    * (`__x<n>`, see [[retiredDirs]]): it carries no sidecar (the swap
+    * deleted it) so it can never be rediscovered as the store, and
+    * after the rename it can't surface in the REBUILT store's as-of
+    * generation history either — it is debris the next compaction
+    * sweep clears once aged. (With live leases the demoted dirs are
+    * left entirely untouched, names included — a renamed path would
+    * break the leased reader; the rebuilt store's history is polluted
+    * only in that already-broken corner.)
     */
   private[graft] def dropWithLocation(s: SparkSession, t: String): Unit = {
     val mandatory = (catalogLocation(s, t).toSeq :+ defaultLocation(s, t))
@@ -302,7 +331,25 @@ private[graft] object RunStore {
     if (graft.core.StoreLeases.liveHoldersOf(t).isEmpty)
       demoted.foreach { loc =>
         val fs = hadoopFs(s, loc)
-        if (sweepable(fs, loc) && fs.exists(loc)) fs.delete(loc, true)
+        if (!fs.exists(loc)) ()
+        else if (sweepable(fs, loc)) { fs.delete(loc, true); () }
+        else {
+          // retained for possible in-flight readers, but this store is
+          // being REBUILT: the dir belongs to the old lineage and must
+          // leave the generation namespace, or the rebuilt store's
+          // as-of history would list another incarnation's snapshots
+          // as its own (TimeTravelPropertySpec caught exactly that on
+          // a re-run against leftover generations). The rename is
+          // atomic; readers resolved through the old path keep their
+          // file handles, and the retired dir is swept once aged.
+          val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
+          val base = t.toLowerCase(java.util.Locale.ROOT) + "__x"
+          var n = System.currentTimeMillis()
+          var dest = new Path(wh, base + n)
+          while (fs.exists(dest)) { n += 1; dest = new Path(wh, base + n) }
+          fs.rename(loc, dest)
+          ()
+        }
       }
     graft.core.StoreEpochs.bump(t)
     ()
