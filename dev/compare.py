@@ -61,10 +61,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
     json_path = None
-    if rest and rest[0] == "--json":
-        json_path = rest[1]
-        rest = rest[2:]
-    only = set(rest)
+    only = set()
+    i = 0
+    while i < len(rest):  # --json anywhere; a trailing flag must not
+        if rest[i] == "--json":  # silently join the query filter
+            json_path = rest[i + 1]
+            i += 2
+        else:
+            only.add(rest[i])
+            i += 1
     report = {}
 
     def record(name, rows_match, schema_match, hash_match,

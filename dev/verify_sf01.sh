@@ -40,10 +40,23 @@ QUERIES=(
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"
 
+# A stale $OUT would let compare.py grade a PREVIOUS run's dumps as
+# this run's, and a swallowed Verify failure would commit a green
+# artifact for code that no longer produces that output — clean first,
+# fail loudly, and only then compare.
+rm -rf "$OUT"
 echo "[sf01] running Verify at sf0.1 for ${#QUERIES[@]} queries..."
-SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT" \
-  2>&1 | grep -E "\[verify\]|error\]" | grep -v "INFO" || true
+LOG="$(mktemp)"
+if ! SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT" \
+    > "$LOG" 2>&1; then
+  echo "[sf01] Verify FAILED — no artifact written. Tail of log:"
+  tail -30 "$LOG"
+  exit 1
+fi
+grep -E "\[verify\].*failed" "$LOG" && {
+  echo "[sf01] per-query failures above — no artifact written."; exit 1; }
+rm -f "$LOG"
 
 echo "[sf01] comparing against DuckDB..."
 python3 dev/compare.py /root/testdata/sf0.1 "$OUT" --json "$ARTIFACT" \

@@ -186,8 +186,13 @@ object Bench {
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
     def drainTriggers(): Seq[Long] = {
-      org.apache.spark.graftbridge.ListenerBusBridge
+      // the bus flush has a 10 s default timeout that THROWS — a slow
+      // drain must cost telemetry fidelity for one query, never the
+      // whole bench run (the artifact is the round's record)
+      try org.apache.spark.graftbridge.ListenerBusBridge
         .waitUntilEmpty(spark.sparkContext)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] listener-bus drain timed out: $e") }
       Iterator.continually(triggerCapture.poll())
         .takeWhile(_ ne null).map(_.longValue).toSeq
     }
@@ -212,8 +217,10 @@ object Bench {
         }
       })
     def drainShuffle(): (Long, Long) = {
-      org.apache.spark.graftbridge.ListenerBusBridge
+      try org.apache.spark.graftbridge.ListenerBusBridge
         .waitUntilEmpty(spark.sparkContext)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] listener-bus drain timed out: $e") }
       (shufWrite.getAndSet(0L), shufRead.getAndSet(0L))
     }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

@@ -562,10 +562,17 @@ object DedupTextQueries {
       admitted: DataFrame): Unit = {
     val frame = deltaFrameOf(admitted)
     val target = s.table(tableName).schema
+    // resolve the bucket spec BEFORE the ALTER: a non-bucketed target
+    // must refuse while the catalog is still untouched (the append
+    // would throw anyway — but only after stranding the added column)
+    storeBucketSpec(s, tableName)
     val added = frame.schema.filterNot(f => target.exists(_.name == f.name))
     require(added.nonEmpty,
       s"foldWidenedVia: delta adds no columns over $tableName — " +
-        "use foldAdmittedVia for a same-schema fold")
+        "use foldAdmittedVia for a same-schema fold (including the " +
+        "retry of a widen whose ALTER committed but whose append " +
+        "failed: the widened column already exists, so the remaining " +
+        "work IS a plain fold)")
     // Validate the OVERLAPPING columns BEFORE touching the catalog: a
     // type-mismatched delta must leave the store untouched — altering
     // first would strand a spurious empty column when the fold's own
@@ -783,6 +790,12 @@ object DedupTextQueries {
     // THE commit: one catalog operation re-points readers at the
     // compacted generation
     s.sql(s"ALTER TABLE $tableName SET LOCATION '$genLoc'")
+    // stamp the dir we just demoted as COMMITTED history — as-of reads
+    // only trust marker-bearing generations, so a crashed compaction's
+    // unmarked write-aside can never serve as a snapshot (see
+    // RunStore.DemotedMarker); losing this write to a crash right here
+    // just shortens retained history by one, never serves wrong data
+    RunStore.markDemoted(s, oldLoc)
     // epoch bump BEFORE the seam hook: a crash injected at "committed"
     // has already swapped the location, so cached readers must already
     // know to re-resolve

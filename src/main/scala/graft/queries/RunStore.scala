@@ -233,6 +233,27 @@ private[graft] object RunStore {
     * served at demotion time. Asking beyond the retained history
     * refuses loudly rather than silently serving the wrong snapshot.
     */
+  /** Marker a compaction writes into the generation it DEMOTES, at
+    * commit time: as-of history only trusts `__c` dirs that carry it.
+    * Without the marker, a compaction that crashed after writing its
+    * write-aside but before committing — followed by a successful
+    * retry into a later `__c<n>` — would leave half-written debris
+    * OLDER than the current generation, and backward indexing alone
+    * would serve it as a snapshot. Losing the marker write itself
+    * (crash in the instants between SET LOCATION and the marker)
+    * merely shortens retained history by one entry — conservative,
+    * never wrong data.
+    */
+  private[graft] val DemotedMarker = "_graft_demoted"
+
+  private[graft] def markDemoted(s: SparkSession, loc: Path): Unit = {
+    val fs = hadoopFs(s, loc)
+    if (fs.exists(loc)) { fs.create(new Path(loc, DemotedMarker), true).close() }
+  }
+
+  private def isDemoted(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, DemotedMarker))
+
   private[graft] def asOfGeneration(s: SparkSession, t: String,
       back: Int): DataFrame = {
     require(back >= 0, s"asOfGeneration: back must be >= 0, got $back")
@@ -242,7 +263,13 @@ private[graft] object RunStore {
         throw new IllegalArgumentException(s"$t: no catalog entry"))
       val fs = hadoopFs(s, cur)
       def q(p: Path) = fs.makeQualified(p).toString
-      val all = generationPaths(s, t)
+      val dflt = q(defaultLocation(s, t))
+      // trust the default dir (a write-aside is never the default),
+      // the committed current location, and marker-bearing demotions;
+      // an unmarked __c dir is a crashed compaction's debris whatever
+      // its ordinal says
+      val all = generationPaths(s, t).filter(p =>
+        q(p) == dflt || q(p) == q(cur) || isDemoted(fs, p))
       val curIdx = all.indexWhere(p => q(p) == q(cur))
       require(curIdx >= 0,
         s"$t: catalog location $cur is not a known generation dir")
@@ -347,8 +374,14 @@ private[graft] object RunStore {
           var n = System.currentTimeMillis()
           var dest = new Path(wh, base + n)
           while (fs.exists(dest)) { n += 1; dest = new Path(wh, base + n) }
-          fs.rename(loc, dest)
-          ()
+          // HDFS-style filesystems report rename failure by RETURNING
+          // false — a silent false here would re-create the phantom-
+          // history bug the retire rename exists to fix, so say so
+          if (!fs.rename(loc, dest))
+            System.err.println(s"[store] WARNING: could not retire " +
+              s"demoted generation $loc of rebuilt store $t — its " +
+              "snapshot will appear in the new store's as-of history " +
+              "until swept")
         }
       }
     graft.core.StoreEpochs.bump(t)

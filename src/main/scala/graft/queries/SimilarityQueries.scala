@@ -751,9 +751,19 @@ object SimilarityQueries {
     * its output, assignment/probe/serve are all replayable against the
     * frozen values, and that is exactly what q45's oracle does. A
     * probe pays a literal `cell IN (…)` scan over bucket-sorted rows
-    * (row-group pruning) — at 100 TB, nprobe/k of the corpus, with the
-    * trainer's cost amortized into the one-time build like any other
-    * ingest derivation.
+    * (row-group pruning) — at 100 TB, nprobe/k of the corpus.
+    *
+    * Known revalidation cost (the IvfPqIndexStore tradeoff): the build
+    * plan embeds the TRAINED centroids as literals, so fingerprinting
+    * — even on the reuse path — runs the trainer once per JVM per dir
+    * (one bounded hash-sample scan + local Lloyd; ~1.3 s at sf0.1,
+    * visible as the `km_ivf_index_build` setup metric). That is the
+    * price of a fingerprint that genuinely covers the trained values:
+    * retraining-from-changed-data rebuilds the store by construction.
+    * The cheaper two-phase scheme (source-listing digest first,
+    * centroids reconstructed from the sidecar on match) would skip the
+    * training scan at the cost of trusting the sidecar's lineage —
+    * worth doing if the trainer ever stops being sample-bounded.
     */
   private[graft] val KmIvfIndexStore = new RunStore("graft_kmivf", 8,
     Seq("cell"),

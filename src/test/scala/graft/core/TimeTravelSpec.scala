@@ -83,6 +83,33 @@ class TimeTravelSpec extends AnyFunSuite {
     RunStore.dropWithLocation(spark, t)
   }
 
+  test("crashed compaction then successful RETRY: the unmarked debris " +
+    "older than the current generation never serves as history — " +
+    "asOf(1) reads the committed demotion, not the half-written dir") {
+    val t = freshTable("retry")
+    graft.core.Tables.writeBucketed(frame(1L -> 10L, 2L -> 20L), t, 2, "k")
+    intercept[RuntimeException] {
+      DedupTextQueries.compactStoreSeams(spark, t) {
+        case "written" => throw new RuntimeException("crash at written")
+        case _ => ()
+      }
+    }
+    // grow the live store so debris and truth are distinguishable
+    DedupTextQueries.foldAdmittedVia(identity)(spark, t, frame(3L -> 30L))
+    DedupTextQueries.compactStore(spark, t) // retry succeeds
+    // the debris write-aside (2 rows, no demotion marker) sits between
+    // the demoted default dir and the current generation by ordinal;
+    // history must skip it: asOf(1) = the 3-row snapshot the retry
+    // demoted, and nothing deeper is retained
+    val prev = RunStore.asOfGeneration(spark, t, back = 1)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(prev == Seq(1L, 2L, 3L), prev.toString)
+    intercept[IllegalArgumentException] {
+      RunStore.asOfGeneration(spark, t, back = 2)
+    }
+    RunStore.dropWithLocation(spark, t)
+  }
+
   test("two compactions retain two demoted generations: back indexes " +
     "through the full retained history in order") {
     val t = freshTable("deep")
