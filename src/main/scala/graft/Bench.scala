@@ -185,14 +185,26 @@ object Bench {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
-    def drainTriggers(): Seq[Long] = {
-      // the bus flush has a 10 s default timeout that THROWS — a slow
-      // drain must cost telemetry fidelity for one query, never the
-      // whole bench run (the artifact is the round's record)
+    // A drain TIMEOUT contaminates more than the current query: events
+    // still in flight when poll()/getAndSet fire are delivered later
+    // and land in the NEXT query's bucket (the opening re-drain in
+    // timeOnce only discards what arrived BEFORE it ran, not what the
+    // backed-up bus delivers after). So a timeout taints the current
+    // query's telemetry AND the following one's — both are recorded in
+    // the artifact's "telemetry_tainted" list rather than silently
+    // reported as clean numbers (round-15 advisory).
+    val drainTimedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def busDrain(): Unit =
       try org.apache.spark.graftbridge.ListenerBusBridge
         .waitUntilEmpty(spark.sparkContext)
       catch { case scala.util.control.NonFatal(e) =>
+        drainTimedOut.set(true)
         System.err.println(s"[bench] listener-bus drain timed out: $e") }
+    def drainTriggers(): Seq[Long] = {
+      // the bus flush has a 10 s default timeout that THROWS — a slow
+      // drain must cost telemetry fidelity for one or two queries,
+      // never the whole bench run (the artifact is the round's record)
+      busDrain()
       Iterator.continually(triggerCapture.poll())
         .takeWhile(_ ne null).map(_.longValue).toSeq
     }
@@ -217,19 +229,21 @@ object Bench {
         }
       })
     def drainShuffle(): (Long, Long) = {
-      try org.apache.spark.graftbridge.ListenerBusBridge
-        .waitUntilEmpty(spark.sparkContext)
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] listener-bus drain timed out: $e") }
+      busDrain()
       (shufWrite.getAndSet(0L), shufRead.getAndSet(0L))
     }
+    val taintedTelemetry = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String], Seq[Long], (Long, Long)) = {
       // the scope unpersists exactly the frames the query tracked (q39,
       // q45, q56, q57) so later timings run unpressured — targeted, not
       // the former clearCache which would evict caller-owned caches too
-      drainTriggers() // anything still buffered belongs to a prior run
+      // a PRIOR query's closing-drain timeout means late deliveries can
+      // still land in THIS query's bucket — taint before discarding
+      if (drainTimedOut.getAndSet(false)) { taintedTelemetry += name; () }
+      drainTriggers() // anything already buffered belongs to a prior run
       drainShuffle()
+      if (drainTimedOut.get()) { taintedTelemetry += name; () }
       val t0 = System.nanoTime()
       val err = try {
         graft.core.CacheScope.withScope { fn(spark, sfDir).count() }
@@ -241,7 +255,11 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val triggers = drainTriggers()
-      (sec, err, triggers, drainShuffle())
+      val shuffle = drainShuffle()
+      // a closing-drain timeout means THIS query's numbers may be
+      // incomplete (the leaked remainder is handled at the next entry)
+      if (drainTimedOut.get()) { taintedTelemetry += name; () }
+      (sec, err, triggers, shuffle)
     }
     val results = selected
       .map { case (name, fn) =>
@@ -332,7 +350,9 @@ object Bench {
       val after = os.getSystemLoadAverage
       s"""{"avg1m_start":$loadAtStart,"avg1m_end":$after,"procs":${os.getAvailableProcessors}}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"shuffle":$shuffleJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
+    val taintedJson = taintedTelemetry
+      .map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"shuffle":$shuffleJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"telemetry_tainted":$taintedJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
     println(line)
     // Persist the full JSON as a repo artifact too (round-12 verdict #3:
     // the driver's BENCH_r*.json captures only the last 2000 chars of
@@ -366,6 +386,12 @@ object Bench {
       System.err.println(s"[bench] wrote $p")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: $e") }
+    // Marker-prefixed duplicate as the LAST stdout line (round-15
+    // verdict #8): the driver's artifact keeps only the output tail,
+    // and BENCH_r15.json landed with "parsed": null because the bare
+    // JSON line scrolled out of it. A grep-able prefix on the final
+    // line survives any tail window that survives at all.
+    println("[bench-json] " + line)
     spark.stop()
   }
 }

@@ -566,7 +566,15 @@ object DedupTextQueries {
     // must refuse while the catalog is still untouched (the append
     // would throw anyway — but only after stranding the added column)
     storeBucketSpec(s, tableName)
-    val added = frame.schema.filterNot(f => target.exists(_.name == f.name))
+    // name matching uses the SESSION'S resolver (case-insensitive by
+    // default, like Spark's own column resolution): a delta column
+    // differing only in case is an OVERLAP to type-check, not an
+    // added column — classifying it as added would surface as a
+    // confusing ALTER duplicate-column failure instead of the
+    // intended pre-ALTER structural refusal (round-15 advisory)
+    val resolver = s.sessionState.conf.resolver
+    val added = frame.schema
+      .filterNot(f => target.exists(t => resolver(t.name, f.name)))
     require(added.nonEmpty,
       s"foldWidenedVia: delta adds no columns over $tableName — " +
         "use foldAdmittedVia for a same-schema fold (including the " +
@@ -578,7 +586,7 @@ object DedupTextQueries {
     // first would strand a spurious empty column when the fold's own
     // check then throws (the refusal has to be atomic, like the fold).
     val preMismatches = target.flatMap { f =>
-      frame.schema.find(_.name == f.name) match {
+      frame.schema.find(g => resolver(g.name, f.name)) match {
         case None => Some(s"${f.name}: missing from delta frame")
         case Some(g) if !org.apache.spark.sql.types.DataType
             .equalsStructurally(g.dataType, f.dataType,
@@ -591,8 +599,11 @@ object DedupTextQueries {
     require(preMismatches.isEmpty,
       s"widened delta does not match $tableName's existing columns — " +
         preMismatches.mkString("; "))
+    // backtick-quote: an added column named after a SQL keyword (or
+    // carrying a dot) must widen, not parse-fail
     s.sql(s"ALTER TABLE $tableName ADD COLUMNS (" +
-      added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+      added.map(f => s"`${f.name.replace("`", "``")}` ${f.dataType.sql}")
+        .mkString(", ") + ")")
     foldInto(s, tableName, frame)
   }
 
@@ -611,8 +622,14 @@ object DedupTextQueries {
     // comparison ignoring NULLABILITY only: a locally-built admitted
     // frame carries non-null array elements while the parquet store
     // reads them back nullable — same physical type, safe to append.
+    // Name matching uses the session's resolver (case-insensitive by
+    // default, like Spark's own resolution) so a case-variant delta
+    // column is an overlap to type-check, not a missing column —
+    // keeping this consistent with foldWidenedVia, whose committed
+    // ALTER must never be stranded by a stricter check downstream.
+    val resolver = s.sessionState.conf.resolver
     val mismatches = target.flatMap { f =>
-      frame.schema.find(_.name == f.name) match {
+      frame.schema.find(g => resolver(g.name, f.name)) match {
         case None => Some(s"${f.name}: missing from band frame")
         case Some(g) if !org.apache.spark.sql.types.DataType
             .equalsStructurally(g.dataType, f.dataType,
@@ -631,7 +648,9 @@ object DedupTextQueries {
     // spec's own (they can be a superset of the bucket columns), and a
     // bucketed-but-unsorted store simply appends unsorted.
     val spec = storeBucketSpec(s, tableName)
-    val writer = frame.select(target.map(f => col(f.name)).toSeq: _*)
+    // alias to the store's exact spelling: col() resolves the case-
+    // variant attribute but would carry ITS name into the append
+    val writer = frame.select(target.map(f => col(f.name).as(f.name)).toSeq: _*)
       .write
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)

@@ -246,6 +246,17 @@ private[graft] object RunStore {
     */
   private[graft] val DemotedMarker = "_graft_demoted"
 
+  /** Tombstone [[dropWithLocation]] writes into a previous-lineage
+    * `__c` dir it could NOT rename into the retired (`__x`) namespace
+    * (HDFS-style filesystems report rename failure by returning
+    * false): as-of history excludes any dir carrying it, whatever
+    * other markers say — the in-place fallback for the same
+    * phantom-history bug the rename fixes (round-15 advisory). The
+    * dir stays in the `__c` namespace for in-flight readers and is
+    * swept by the same aged-and-unleased rules as everything else.
+    */
+  private[graft] val RetiredMarker = "_graft_retired"
+
   private[graft] def markDemoted(s: SparkSession, loc: Path): Unit = {
     val fs = hadoopFs(s, loc)
     if (fs.exists(loc)) { fs.create(new Path(loc, DemotedMarker), true).close() }
@@ -253,6 +264,9 @@ private[graft] object RunStore {
 
   private def isDemoted(fs: FileSystem, p: Path): Boolean =
     fs.exists(new Path(p, DemotedMarker))
+
+  private[graft] def isRetired(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, RetiredMarker))
 
   private[graft] def asOfGeneration(s: SparkSession, t: String,
       back: Int): DataFrame = {
@@ -267,9 +281,12 @@ private[graft] object RunStore {
       // trust the default dir (a write-aside is never the default),
       // the committed current location, and marker-bearing demotions;
       // an unmarked __c dir is a crashed compaction's debris whatever
-      // its ordinal says
+      // its ordinal says — and a RETIRED-tombstoned dir is a previous
+      // lineage's snapshot whatever OTHER markers it carries (the
+      // rename-failed fallback of dropWithLocation)
       val all = generationPaths(s, t).filter(p =>
-        q(p) == dflt || q(p) == q(cur) || isDemoted(fs, p))
+        !isRetired(fs, p) &&
+          (q(p) == dflt || q(p) == q(cur) || isDemoted(fs, p)))
       val curIdx = all.indexWhere(p => q(p) == q(cur))
       require(curIdx >= 0,
         s"$t: catalog location $cur is not a known generation dir")
@@ -376,12 +393,24 @@ private[graft] object RunStore {
           while (fs.exists(dest)) { n += 1; dest = new Path(wh, base + n) }
           // HDFS-style filesystems report rename failure by RETURNING
           // false — a silent false here would re-create the phantom-
-          // history bug the retire rename exists to fix, so say so
-          if (!fs.rename(loc, dest))
-            System.err.println(s"[store] WARNING: could not retire " +
-              s"demoted generation $loc of rebuilt store $t — its " +
-              "snapshot will appear in the new store's as-of history " +
-              "until swept")
+          // history bug the retire rename exists to fix. Fall back to
+          // an in-place RETIRED tombstone: asOfGeneration excludes any
+          // dir carrying it, so the old lineage's snapshot never
+          // resolves even though the dir keeps its __c name until the
+          // sweep (round-15 advisory — the warning alone was the bug)
+          if (!fs.rename(loc, dest)) {
+            try {
+              fs.create(new Path(loc, RetiredMarker), true).close()
+              System.err.println(s"[store] could not rename demoted " +
+                s"generation $loc of rebuilt store $t — tombstoned " +
+                "in place instead (excluded from as-of history)")
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[store] WARNING: could not retire " +
+                s"OR tombstone demoted generation $loc of rebuilt " +
+                s"store $t ($e) — its snapshot will appear in the new " +
+                "store's as-of history until swept")
+            }
+          }
         }
       }
     graft.core.StoreEpochs.bump(t)

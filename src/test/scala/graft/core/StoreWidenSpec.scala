@@ -88,4 +88,32 @@ class StoreWidenSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 3)
     RunStore.dropWithLocation(spark, t)
   }
+
+  test("case-variant column names resolve like Spark does (round-15 " +
+    "advisory): a case-only rename is an overlap not an added column, " +
+    "and a widen alongside one still lands atomically") {
+    val t = freshTable("case")
+    graft.core.Tables.writeBucketed(baseFrame, t, 2, "k")
+    import spark.implicits._
+    // 'V' differs only in case from the store's 'v': under the default
+    // case-insensitive resolver this delta adds NOTHING — the refusal
+    // must be the clear "adds no columns" one, not an ALTER
+    // duplicate-column failure after the catalog was already touched
+    val caseOnly = Seq((9L, 90L)).toDF("k", "V")
+    val e = intercept[IllegalArgumentException] {
+      DedupTextQueries.foldWidenedVia(identity)(spark, t, caseOnly)
+    }
+    assert(e.getMessage.contains("adds no columns"), e.getMessage)
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "v"))
+    // a GENUINE widen whose delta also carries a case-variant overlap:
+    // the ALTER adds only 'tag', and the append must not then strand it
+    // by treating 'V' as missing — rows land, spelled the store's way
+    val mixed = Seq((6L, 60L, "c")).toDF("k", "V", "tag")
+    DedupTextQueries.foldWidenedVia(identity)(spark, t, mixed)
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(spark.table(t).filter(col("k") === 6L)
+      .select("v", "tag").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq(60L -> "c"))
+    RunStore.dropWithLocation(spark, t)
+  }
 }

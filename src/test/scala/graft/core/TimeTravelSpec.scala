@@ -123,4 +123,29 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(RunStore.asOfGeneration(spark, t, 2).count() == 1)
     RunStore.dropWithLocation(spark, t)
   }
+
+  test("a RETIRED-tombstoned demotion leaves as-of history (round-15 " +
+    "advisory: dropWithLocation's rename-failed fallback): back=0 " +
+    "still serves, the tombstoned snapshot never resolves") {
+    val t = freshTable("retired")
+    graft.core.Tables.writeBucketed(frame(1L -> 10L, 2L -> 20L), t, 2, "k")
+    DedupTextQueries.compactStore(spark, t)
+    assert(RunStore.asOfGeneration(spark, t, back = 1).count() == 2)
+    // simulate the fallback: the demoted generation (the pre-compaction
+    // default dir) could not be renamed out of the namespace, so the
+    // tombstone was written in place instead
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val demoted = new org.apache.hadoop.fs.Path(
+      wh, t.toLowerCase(java.util.Locale.ROOT))
+    val fs = demoted.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(demoted), s"expected demoted default dir $demoted")
+    fs.create(new org.apache.hadoop.fs.Path(
+      demoted, RunStore.RetiredMarker), true).close()
+    assert(RunStore.asOfGeneration(spark, t, back = 0).count() == 2)
+    intercept[IllegalArgumentException] {
+      RunStore.asOfGeneration(spark, t, back = 1) // history shortened
+    }
+    RunStore.dropWithLocation(spark, t)
+  }
 }
