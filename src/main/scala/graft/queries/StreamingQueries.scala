@@ -2593,6 +2593,28 @@ object StreamingQueries {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val outPath = path("_out").toString
+    // GUARD (round-15 advisory): the oracle pins drop counts measured
+    // POST map-side partial aggregation — one dropped row per distinct
+    // window per batch — which only holds while each spool file lands
+    // in a SINGLE input partition (a split file would partially
+    // aggregate per split and multiply the counts). A file is never
+    // split below maxPartitionBytes, so the layout assumption is
+    // checkable from metadata alone; a future red gate with this guard
+    // green is watermark-PROTOCOL drift (see q208Sql), not data loss.
+    locally {
+      val spDir = new org.apache.hadoop.fs.Path(sp.dir)
+      val spFs = spDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+      spFs.listStatus(spDir).filter(_.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          require(f.getLen <= maxSplit,
+            s"q208 late-spool file ${f.getPath.getName} is ${f.getLen} " +
+              s"bytes > maxPartitionBytes=$maxSplit: it would read as " +
+              "multiple partitions and the oracle's per-batch drop " +
+              "counts (one per window AFTER partial aggregation) no " +
+              "longer hold — shrink the spool files or raise the knob")
+        }
+    }
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
       .option("maxFilesPerTrigger", 1)
@@ -2629,8 +2651,13 @@ object StreamingQueries {
   }
 
   /** q208's oracle: Spark's ACTUAL two-watermark protocol in SQL
-    * (SPARK-42376 semantics, pinned empirically against the engine and
-    * now held by the hash gate):
+    * (SPARK-42376 semantics, pinned EMPIRICALLY against Spark 4.1.2 —
+    * this is deliberately Spark-internal, config-sensitive behavior:
+    * a Spark upgrade that changes the filter-lag protocol, or a spool
+    * layout change that breaks q208's single-partition-per-file guard,
+    * flips this gate with no real regression. Diagnose a future red
+    * row here as protocol/layout drift FIRST — the guard in
+    * [[q208WatermarkAudit]] distinguishes the two — not as data loss):
     *
     *  - the late-event FILTER for batch k uses the watermark as of
     *    batch k−1's start (one batch of lag), while state EVICTION
@@ -2685,7 +2712,129 @@ object StreamingQueries {
       |  SELECT 4, 1, 0, 2, wins.nwin - em.emitted FROM wins, em)
       |ORDER BY batch""".stripMargin
 
+  // ──────────────── RocksDB state-store provider tier ────────────────
+  //
+  // Every streaming gate above runs on the default HDFS-backed
+  // in-memory provider; at 100 TB state scale the PRODUCTION
+  // configuration is RocksDB (+ changelog checkpointing), where state
+  // lives off-heap and snapshots upload incrementally. Results must be
+  // PROVIDER-INDEPENDENT: q218–q221 pin that by re-running a
+  // representative stateful query per family — custom keyed state
+  // (q218, transformWithState), symmetric stream-stream join (q219),
+  // flatMapGroupsWithState dedup (q220, + changelog checkpointing),
+  // native session_window (q221) — under RocksDB with the SAME batch
+  // SQL oracle verbatim. The provider is a session conf read at query
+  // start, so the scope below flips exactly one run.
+
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private[graft] val ProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+
+  private[graft] val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Set session confs around `body`, restoring prior values (or
+    * unsetting) after — even on failure, so one provider-flipped query
+    * can never leak its provider into the rest of the run.
+    */
+  private[graft] def withSessionConfs[T](s: SparkSession,
+      confs: (String, String)*)(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q218 — LAST-TOUCH attribution on Spark 4's `transformWithState`
+    * ([[graft.streaming.StreamingAttributionTws]]): q159's pipeline
+    * with the state machine re-expressed as typed state variables +
+    * event-time timers on the API production stateful pipelines are
+    * moving to. Same spool, same span-derived delay/TTL, and the SAME
+    * oracle — q156's batch SQL VERBATIM — so the gate holds three
+    * things at once: the TWS port's algebra (it calls the fMGWS twin's
+    * pure kernel, TwsAttributionParitySpec holds the port seam), the
+    * RocksDB provider TWS requires, and attribution-on-ingest ≡ batch
+    * attribution under both. State per user is O(1 + in-flight
+    * disorder), identical to q159.
+    */
+  val q218TwsAttribution: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_attr_tws", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    withSessionConfs(s, ProviderKey -> RocksDbProvider) {
+      withFewShufflePartitions(s) {
+        graft.streaming.StreamingAttributionTws
+          .attribute(stream, EventQueries.AttributionWindowMs,
+            s"${sp.delayMs} milliseconds", stateTtlMs = sp.ttlMs)
+          .writeStream
+          .option("checkpointLocation", path("_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.AttributionRow],
+                batchId: Long) =>
+              writeBatch(batch.toDF(), outPath, batchId)
+          }
+          .start().awaitTermination()
+      }
+    }
+    readSink(s, outPath)
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
+      .select("user_id", "purchase_id", "touch_id", "latency_ms")
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** q219 — q183's symmetric stream-stream join re-run under the
+    * RocksDB provider, oracle = [[q183Sql]] VERBATIM: join state (both
+    * sides' buffered rows, the keyed range index) must serve identical
+    * results from an off-heap store. The checkpoint resets at entry,
+    * so no HDFS-format state ever replays into RocksDB.
+    */
+  val q219RocksdbSsjoinParity: Q = (s, d) =>
+    withSessionConfs(s, ProviderKey -> RocksDbProvider) {
+      q183StreamStreamJoin(s, d)
+    }
+
+  /** q220 — q101's keyed online dedup under RocksDB WITH changelog
+    * checkpointing (the incremental-snapshot upload path production
+    * runs for large state), oracle = q101's SQL VERBATIM.
+    */
+  val q220RocksdbDedupParity: Q = (s, d) =>
+    withSessionConfs(s, ProviderKey -> RocksDbProvider,
+        ChangelogKey -> "true") {
+      q101StreamingOnlineNeardup(s, d)
+    }
+
+  /** q221 — q166's native `session_window` sessionization under
+    * RocksDB, oracle = q139's SQL VERBATIM: the engine's session-merge
+    * store is the most structurally complex built-in state layout, so
+    * it gets its own provider-parity row.
+    */
+  val q221RocksdbSessionParity: Q = (s, d) =>
+    withSessionConfs(s, ProviderKey -> RocksDbProvider) {
+      q166StreamingSessionPaths(s, d)
+    }
+
   val queries: Map[String, Q] = Map(
+    "q218_tws_attribution" -> q218TwsAttribution,
+    "q219_rocksdb_ssjoin_parity" -> q219RocksdbSsjoinParity,
+    "q220_rocksdb_dedup_parity" -> q220RocksdbDedupParity,
+    "q221_rocksdb_session_parity" -> q221RocksdbSessionParity,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
@@ -2725,6 +2874,14 @@ object StreamingQueries {
     * batch semantics exactly.
     */
   val oracle: Map[String, String] = Map(
+    // q156's SQL verbatim: the transformWithState port must produce
+    // the same attribution table as the fMGWS twin AND the batch query
+    "q218_tws_attribution" -> EventQueries.q156Sql,
+    // provider parity: the SAME batch oracles as the HDFS-provider
+    // rows — results must be provider-independent
+    "q219_rocksdb_ssjoin_parity" -> q183Sql,
+    "q220_rocksdb_dedup_parity" -> DedupTextQueries.q101Sql,
+    "q221_rocksdb_session_parity" -> EventQueries.q139Sql,
     // the engine's own progress metrics vs the watermark protocol
     // recomputed in SQL over the late-heavy spool's recipe
     "q208_watermark_audit" -> q208Sql,

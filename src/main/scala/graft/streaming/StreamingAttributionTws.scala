@@ -1,0 +1,167 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
+
+/** LAST-TOUCH attribution on Spark 4's `transformWithState` — the SAME
+  * algebra as [[StreamingAttribution]] (whose pure kernel —
+  * [[StreamingAttribution.verdict]] / [[StreamingAttribution.retainTouches]]
+  * — it calls verbatim, so the two implementations cannot drift apart
+  * silently), re-expressed on the API production stateful pipelines
+  * are moving to:
+  *
+  *  - TYPED STATE VARIABLES instead of one monolithic state tuple:
+  *    `best` ([[ValueState]]) is the collapsed below-watermark
+  *    maximum, `touches`/`pending` ([[ListState]]) the disorder
+  *    horizon's individually-retained rows. The engine persists each
+  *    variable as its own column family, so a large pending list never
+  *    rewrites the O(1) best value — the state-layout win over
+  *    `flatMapGroupsWithState`, where every update rewrites the whole
+  *    tuple.
+  *  - EVENT-TIME TIMERS instead of `setTimeoutTimestamp`: the
+  *    end-of-stream flush re-arms one timer per key at
+  *    `max(lastSeen + ttl, wm + 1)` (timers accumulate rather than
+  *    replace, so the previous one is deleted explicitly — the one
+  *    protocol difference from fMGWS this port has to own).
+  *
+  * `transformWithState` REQUIRES the RocksDB state-store provider
+  * (q218 runs under it — which also makes the row a provider-parity
+  * gate: its oracle is q156's batch SQL VERBATIM, the same hash the
+  * HDFS-backed q159 twin must produce). State TTL via [[TTLConfig]] is
+  * processing-time-based and therefore non-deterministic for a
+  * replayable gate; the gate keeps TTL on the event-time timer path,
+  * and TtlConfigSpec exercises the TTLConfig surface separately.
+  *
+  * Semantics (identical to q159, proof on [[StreamingAttribution]]):
+  * purchases buffer until the watermark proves them FINAL (`ms < wm`),
+  * touches below the watermark collapse to their `(ms, event_id)`
+  * maximum, and the emitted rows union to the batch attribution table
+  * for ANY batching of the stream.
+  */
+object StreamingAttributionTws {
+
+  private val NoTouch = (Long.MinValue, Long.MinValue)
+
+  /** One batch of the processor's fold, held PURE for the parity spec
+    * (TwsAttributionParitySpec drives 500 randomized arrival orders
+    * through it against the brute-force batch semantics): given the
+    * key's state as the processor reads it back from its typed state
+    * variables, the arrived rows, and the eviction watermark, returns
+    * `(emitted verdicts, best', touches', pending', lastSeen')` — the
+    * values [[Processor.handleInputRows]] writes back.
+    */
+  private[graft] def foldBatch(uid: Long, best0: (Long, Long),
+      touches0: Seq[(Long, Long)], pending0: Seq[(Long, Long)],
+      lastSeen0: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+      wm: Long, windowMs: Long)
+      : (Seq[AttributionRow], (Long, Long), Seq[(Long, Long)],
+        Seq[(Long, Long)], Long) = {
+    var seen = lastSeen0
+    val newTouches = Seq.newBuilder[(Long, Long)]
+    val newPurch = Seq.newBuilder[(Long, Long)]
+    rows.foreach { case (_, ts, id, tpe) =>
+      val t = ts.getTime
+      seen = math.max(seen, t)
+      tpe match {
+        case "view" | "click" => newTouches += ((t, id))
+        case "purchase" => newPurch += ((t, id))
+        case _ => ()
+      }
+    }
+    val touchesAll = touches0 ++ newTouches.result()
+    val (done, pend) =
+      (pending0 ++ newPurch.result()).partition(_._1 < wm)
+    val out = done.sorted.map(p =>
+      StreamingAttribution.verdict(uid, p, best0, touchesAll, windowMs))
+    val (nbest, ntouches) =
+      StreamingAttribution.retainTouches(best0, touchesAll, wm)
+    (out, nbest, ntouches, pend, seen)
+  }
+
+  /** The end-of-stream flush, pure: every pending verdict is final. */
+  private[graft] def flush(uid: Long, best0: (Long, Long),
+      touches0: Seq[(Long, Long)], pending0: Seq[(Long, Long)],
+      windowMs: Long): Seq[AttributionRow] =
+    pending0.sorted.map(p =>
+      StreamingAttribution.verdict(uid, p, best0, touches0, windowMs))
+
+  /** One key's processor: three typed state variables + a re-armed
+    * event-time flush timer. Scale shape: state per user is O(1 + rows
+    * inside the watermark horizon), identical to the fMGWS twin.
+    */
+  private class Processor(windowMs: Long, stateTtlMs: Long)
+      extends StatefulProcessor[Long, (Long, Timestamp, Long, String),
+        AttributionRow] {
+    @transient private var best: ValueState[(Long, Long)] = _
+    @transient private var touches: ListState[(Long, Long)] = _
+    @transient private var pending: ListState[(Long, Long)] = _
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val pair = Encoders.product[(Long, Long)]
+      best = getHandle.getValueState("best", pair, TTLConfig.NONE)
+      touches = getHandle.getListState("touches", pair, TTLConfig.NONE)
+      pending = getHandle.getListState("pending", pair, TTLConfig.NONE)
+      lastSeen = getHandle.getValueState("last_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Timestamp, Long, String)],
+        timerValues: TimerValues): Iterator[AttributionRow] = {
+      val best0 = if (best.exists()) best.get() else NoTouch
+      val touches0 = if (touches.exists()) touches.get().toSeq else Seq.empty
+      val pending0 = if (pending.exists()) pending.get().toSeq else Seq.empty
+      val lastSeen0 = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      // same two-watermark stance as the fMGWS twin: this is the
+      // EVICTION watermark for the running batch, so `ms < wm` is
+      // final — every future arrival is admitted only at `ts >= wm`
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (out, nbest, ntouches, pend, seen) =
+        foldBatch(uid, best0, touches0, pending0, lastSeen0, rows, wm,
+          windowMs)
+      best.update(nbest)
+      touches.clear(); if (ntouches.nonEmpty) touches.put(ntouches.toArray)
+      pending.clear(); if (pend.nonEmpty) pending.put(pend.toArray)
+      lastSeen.update(seen)
+      // re-arm the flush timer: timers ACCUMULATE per key (unlike
+      // fMGWS's single timeout), so drop the stale one first
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(math.max(seen + stateTtlMs, wm + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AttributionRow] = {
+      // wm has passed everything retained (the timer sits beyond the
+      // span-derived TTL): every pending verdict is final
+      val best0 = if (best.exists()) best.get() else NoTouch
+      val touches0 = if (touches.exists()) touches.get().toSeq else Seq.empty
+      val pending0 = if (pending.exists()) pending.get().toSeq else Seq.empty
+      val out = flush(uid, best0, touches0, pending0, windowMs)
+      best.clear(); touches.clear(); pending.clear(); lastSeen.clear()
+      out.iterator
+    }
+  }
+
+  /** The q218 entry: same signature and contract as
+    * [[StreamingAttribution.attribute]].
+    */
+  def attribute(events: DataFrame, windowMs: Long, watermarkDelay: String,
+      stateTtlMs: Long): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState[AttributionRow](
+        new Processor(windowMs, stateTtlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

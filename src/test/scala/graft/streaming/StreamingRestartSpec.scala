@@ -93,4 +93,34 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(sinkRows(outB) == clean,
       "restarted run's sink differs from the clean run")
   }
+
+  test("same crash-restart under the RocksDB provider WITH changelog " +
+    "checkpointing: state replays from the changelog on restart and " +
+    "the sink still equals a clean run's (round-15 verdict #2)") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fresh(tag: String): String = {
+      val p = new org.apache.hadoop.fs.Path(wh, s"graft_restart_spec_$tag")
+      if (fs.exists(p)) fs.delete(p, true)
+      p.toString
+    }
+    val (ckptA, outA) = (fresh("ra_ckpt"), fresh("ra_out"))
+    val (ckptB, outB) = (fresh("rb_ckpt"), fresh("rb_out"))
+    graft.queries.StreamingQueries.withSessionConfs(spark,
+      graft.queries.StreamingQueries.ProviderKey ->
+        graft.queries.StreamingQueries.RocksDbProvider,
+      graft.queries.StreamingQueries.ChangelogKey -> "true") {
+      runDedup(ckptA, outA, crashAtBatch = None)
+      val clean = sinkRows(outA)
+      assert(clean.nonEmpty)
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runDedup(ckptB, outB, crashAtBatch = Some(1L))
+      }
+      assert(boom.getCause.isInstanceOf[Boom], boom.getCause.toString)
+      runDedup(ckptB, outB, crashAtBatch = None)
+      assert(sinkRows(outB) == clean,
+        "RocksDB restarted run's sink differs from the clean run")
+    }
+  }
 }
