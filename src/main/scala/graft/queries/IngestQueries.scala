@@ -877,7 +877,161 @@ object IngestQueries {
     jsonlReport(decoded)
   }
 
+  /** A fresh landing directory under the warehouse for the at-rest
+    * format round-trips (q222–q224), reset at entry like every
+    * re-runnable query fixture.
+    */
+  private def landingDir(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      RunStore.tableName(s"graft_$tag", d) + "_data")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    dir.toString
+  }
+
+  /** q222 — CSV INGEST round-trip (q200's discipline for the other
+    * format real corpora land in): the documents table — hazard meta
+    * field included, so embedded QUOTES, BACKSLASHES, NEWLINES, tabs
+    * and non-ASCII all ride inside quoted fields — is serialized to
+    * CSV with pinned RFC-4180 options (quote `"`, escape `"` = doubled
+    * quotes, header row) and read back with the SAME pinned options,
+    * an EXPLICIT schema (§1.2: inference is a dev check, never the
+    * ingest path) and `multiLine` (an embedded newline splits a record
+    * across physical lines; a reader without it would shear every
+    * multiline row). Report + oracle are q200's VERBATIM: the gate is
+    * encode→write→read→decode fidelity — the oracle recomputes from
+    * parquet and never sees the CSV.
+    *
+    * Scale shape: both legs are pure map-side codecs like q200, with
+    * ONE caveat worth the scaladoc: `multiLine` makes a CSV file
+    * UNSPLITTABLE (a record boundary is no longer a line boundary), so
+    * at 100 TB the landing zone must arrive as many files — exactly
+    * how distributed producers write it — not one monolith. The
+    * parallelism unit here is already the file.
+    */
+  val q222CsvRoundtrip: Q = (s, d) => {
+    val dir = landingDir(s, d, "csv")
+    val src = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
+          .as("meta"))
+    src.write.option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(dir)
+    jsonlReport(
+      s.read.schema(JsonlSchema)
+        .option("header", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(dir))
+  }
+
+  /** q223 — MALFORMED-RECORD QUARANTINE (the reject channel every real
+    * landing zone needs, absent from q200's happy path): a CSV fixture
+    * with a deterministic malformation recipe — every row whose
+    * `doc_id % 37 = 0` lands with a non-numeric id, unparseable
+    * against the explicit LONG column — read in PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`, so damaged rows are KEPT as raw text
+    * in the corrupt column instead of silently nulled or dropped. The
+    * report gates all four contracts at once: total row count (nothing
+    * vanishes), good/corrupt split (the recipe's arithmetic), a
+    * fingerprint over the GOOD rows (quarantine must not distort what
+    * it admits), and `ff_refused` — the same directory re-read in
+    * FAILFAST throws rather than ingesting damage, the mode a
+    * zero-tolerance pipeline runs. Oracle: recomputes every number
+    * from parquet by replaying the malformation recipe in SQL.
+    *
+    * The parsed frame is persisted before aggregating: Spark forbids
+    * filter/projection pushdown past the corrupt-record column (the
+    * raw text must be materialized with the row), and the cache also
+    * keeps the FAILFAST leg from re-parsing. Scale shape: one map-side
+    * parse pass + one metrics reduction; the quarantine filter is a
+    * null test on a materialized column.
+    */
+  val q223CsvQuarantine: Q = (s, d) => {
+    val dir = landingDir(s, d, "csvq")
+    val docs = documents(s, d)
+    docs.select(
+        concat(
+          when(col("doc_id") % 37 === 0, concat(lit("x"), col("doc_id")))
+            .otherwise(col("doc_id").cast("string")),
+          lit(","), col("lang"), lit(","), md5(col("text"))).as("value"))
+      .write.text(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_quarantine",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = graft.core.CacheScope.track(
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_quarantine")
+        .csv(dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the FAILFAST probe must actually PARSE the damaged column —
+    // count() prunes every column and the reader then never converts a
+    // token, so the refusal would silently not trigger
+    val ffRefused =
+      try {
+        s.read.schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+          .option("mode", "FAILFAST").csv(dir)
+          .agg(sum(col("doc_id"))).head()
+        false
+      } catch { case scala.util.control.NonFatal(_) => true }
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("_quarantine").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_quarantine").isNotNull, 1L).otherwise(0L))
+        .as("n_corrupt"),
+      sum(when(col("_quarantine").isNull,
+        conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), col("lang"), col("h"))), 1, 10),
+          16, 10).cast("long"))).as("good_fp"))
+      .withColumn("ff_refused", lit(ffRefused))
+  }
+
+  val q223Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_good,
+      |  CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang
+      |      || ':' || md5(text)), 1, 10))::BIGINT END) AS BIGINT)
+      |    AS good_fp,
+      |  TRUE AS ff_refused
+      |FROM documents""".stripMargin
+
+  /** q224 — ORC round-trip (the second at-rest columnar format; 100 TB
+    * lakes routinely hold both): the same hazard-bearing frame as q222
+    * written as ORC and read back, report + oracle q200's VERBATIM —
+    * the gate is encode→decode fidelity through ORC's own string
+    * encoding, dictionary and compression paths; the oracle never sees
+    * the ORC. Scale shape: columnar scan both legs, splittable files,
+    * predicate/column pruning native — the same properties the parquet
+    * tables get, which is exactly the point of gating parity.
+    */
+  val q224OrcRoundtrip: Q = (s, d) => {
+    val dir = landingDir(s, d, "orc")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
+          .as("meta"))
+      .write.orc(dir)
+    jsonlReport(s.read.schema(JsonlSchema).orc(dir))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_csv_roundtrip" -> q222CsvRoundtrip,
+    "q223_csv_quarantine" -> q223CsvQuarantine,
+    "q224_orc_roundtrip" -> q224OrcRoundtrip,
     "q200_jsonl_roundtrip" -> q200JsonlRoundtrip,
     "q212_variant_ingest" -> q212VariantIngest,
     "q191_retractable_agg_view" -> q191RetractableAggView,
@@ -896,6 +1050,13 @@ object IngestQueries {
     // recomputed from parquet — the gate is the JSONL round-trip's
     // fidelity, escapes included
     "q200_jsonl_roundtrip" -> q200Sql,
+    // q200's SQL verbatim: CSV encode→decode fidelity (quotes,
+    // newlines, multiline records) against the parquet recomputation
+    "q222_csv_roundtrip" -> q200Sql,
+    // the malformation recipe replayed in SQL from parquet
+    "q223_csv_quarantine" -> q223Sql,
+    // q200's SQL verbatim: ORC encode→decode fidelity
+    "q224_orc_roundtrip" -> q200Sql,
     // q200's SQL verbatim: the gate is JSON -> VARIANT -> typed-extract
     // fidelity against the parquet-recomputed report
     "q212_variant_ingest" -> q200Sql,

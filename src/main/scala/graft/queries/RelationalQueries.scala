@@ -863,6 +863,77 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q225 — CATALOG STATISTICS / CBO surface (`ANALYZE TABLE` +
+    * `spark.sql.cbo.enabled`): at 100 TB, join order and broadcast
+    * decisions are made from CATALOG statistics, not file sizes — a
+    * surface that was entirely ungated until this row. The documents
+    * projection is written as a bucketed catalog table, `ANALYZE TABLE
+    * … COMPUTE STATISTICS` (table-level) and `… FOR COLUMNS doc_id,
+    * lang, n_chars` (column-level) run against it, and the report
+    * reads the numbers BACK FROM THE CATALOG — row count, per-column
+    * min/max/null counts, the language NDV — against DuckDB's exact
+    * recomputation from parquet. `plan_row_count` is the sharpest leg:
+    * with CBO enabled it is the row count the OPTIMIZER sees
+    * (`optimizedPlan.stats.rowCount`), i.e. the gate pins that
+    * statistics actually reach plan costing, not merely the catalog.
+    *
+    * NDV honesty: ANALYZE computes distinct counts with HLL++, exact
+    * below the sparse-mode threshold — gated for `lang` (|langs| ≈ 10,
+    * exact at every SF) and deliberately NOT for doc_id, whose
+    * million-scale NDV is approximate by design (the 2% error is the
+    * documented contract, not a bug to gate against). The join-order /
+    * broadcast decision that stats FLIP is plan-shape, not data, so it
+    * lives in CboPlanSpec rather than this hash gate.
+    */
+  val q225CboStats: Q = (s, d) => {
+    val t = RunStore.tableName("graft_stats_docs", d)
+    RunStore.dropWithLocation(s, t)
+    graft.core.Tables.writeBucketed(
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      t, 8, "doc_id")
+    s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+      "doc_id, lang, n_chars")
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(t))
+    val stats = meta.stats.getOrElse(
+      sys.error(s"$t: ANALYZE left no table stats"))
+    def colStat(c: String) = stats.colStats.getOrElse(c,
+      sys.error(s"$t: ANALYZE left no column stats for $c"))
+    def longOf(v: Option[Any]): Long = v match {
+      case Some(x: Long) => x
+      case Some(x) => x.toString.toLong
+      case None => sys.error("missing stat value")
+    }
+    val planRowCount = graft.queries.StreamingQueries.withSessionConfs(s,
+      "spark.sql.cbo.enabled" -> "true") {
+      s.table(t).queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(sys.error("CBO produced no rowCount estimate"))
+        .toLong
+    }
+    import s.implicits._
+    Seq((
+      longOf(stats.rowCount.map(_.toLong)),
+      planRowCount,
+      longOf(colStat("lang").distinctCount.map(_.toLong)),
+      longOf(colStat("doc_id").min), longOf(colStat("doc_id").max),
+      longOf(colStat("doc_id").nullCount.map(_.toLong)),
+      longOf(colStat("n_chars").min), longOf(colStat("n_chars").max)))
+      .toDF("row_count", "plan_row_count", "lang_ndv", "doc_id_min",
+        "doc_id_max", "doc_id_nulls", "nchars_min", "nchars_max")
+  }
+
+  val q225Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+      |  CAST(COUNT(*) AS BIGINT) AS plan_row_count,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_ndv,
+      |  CAST(MIN(doc_id) AS BIGINT) AS doc_id_min,
+      |  CAST(MAX(doc_id) AS BIGINT) AS doc_id_max,
+      |  CAST(0 AS BIGINT) AS doc_id_nulls,
+      |  CAST(MIN(n_chars) AS BIGINT) AS nchars_min,
+      |  CAST(MAX(n_chars) AS BIGINT) AS nchars_max
+      |FROM documents""".stripMargin
+
   /** q216 — MULTISET set ops (`INTERSECT ALL` / `EXCEPT ALL`): the bag
     * semantics q11/q12's set forms deliberately erase — per duplicate
     * key, INTERSECT ALL keeps min(multiplicity) rows and EXCEPT ALL
@@ -1164,6 +1235,7 @@ object RelationalQueries {
     "q205_not_in_nullable" -> q205NotInNullable,
     "q206_store_widen_fold" -> q206StoreWidenFold,
     "q207_time_travel_diff" -> q207TimeTravelDiff,
+    "q225_cbo_stats" -> q225CboStats,
     "q210_lateral_topk" -> q210LateralTopk,
     "q213_unpivot_measures" -> q213UnpivotMeasures,
     "q216_setops_all" -> q216SetopsAll,
@@ -1198,6 +1270,9 @@ object RelationalQueries {
     "q205_not_in_nullable" -> q205Sql,
     "q206_store_widen_fold" -> q206Sql,
     "q207_time_travel_diff" -> q207Sql,
+    // catalog statistics vs exact recomputation: the numbers ANALYZE
+    // writes (and CBO costing reads) must equal the data's truth
+    "q225_cbo_stats" -> q225Sql,
     "q210_lateral_topk" -> q210Sql,
     "q213_unpivot_measures" -> q213Sql,
     "q216_setops_all" -> q216Sql,
