@@ -36,6 +36,13 @@ QUERIES=(
   # decorrelation + recursion at 10x (join-shaped rewrites whose cost
   # profile, not just answer, is scale-sensitive)
   q203_scalar_subquery q210_lateral_topk q211_recursive_bfs
+  # ANN / search serving stack (round-15 verdict #7: the families whose
+  # bucket caps and probe bounds are most scale-sensitive) + one media
+  # row (payload-pass batching)
+  q121_ivf_adc_serve q122_batch_ann_serve q142_ivfpq_serve
+  q154_lexical_dense_hybrid q164_bm25_topk q116_media_meta_dispatch
+  # round-16 additions: provider parity + state lifecycle at 10x
+  q218_tws_attribution q226_ssjoin_state_audit
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

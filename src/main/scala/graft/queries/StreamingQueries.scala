@@ -2830,11 +2830,120 @@ object StreamingQueries {
       q166StreamingSessionPaths(s, d)
     }
 
+  /** q226 — STREAM-STREAM JOIN STATE OBSERVABILITY (q208's discipline
+    * extended to the join family, round-15 verdict #6): q183's
+    * symmetric hash join re-run over the shared spool, then the
+    * checkpoint's state read back PER SIDE with Spark's state data
+    * source (`format("statestore")`, `joinSide` + `batchId` options —
+    * the production tool for answering "what is my join buffering and
+    * when does the watermark release it"). Three snapshots per side:
+    *
+    *  - `a_loaded` (last real-data batch): the delay covers full-span
+    *    disorder, so the watermark is still below every event — BOTH
+    *    sides hold every arrived row: all views left, all purchases
+    *    right. This is the state HIGH-WATER mark the horizon sizes.
+    *  - `b_drain1` (first sentinel batch): the sentinel that will jump
+    *    the watermark arrives — and evicts NOTHING in its own batch.
+    *    The join evicts with the watermark as of batch START (one
+    *    batch of lag — measured against Spark 4.1.2, and DIFFERENT
+    *    from the aggregation operator q208 pins, which evicts with the
+    *    batch's recalculated watermark): each side buffers all real
+    *    rows plus its sentinel.
+    *  - `c_drain2` (second sentinel batch): batch start now carries
+    *    sentinel 1's watermark, past every real event + join window —
+    *    the ENTIRE real buffer evicts here. The sentinels sit one DAY
+    *    apart, below the spool delay, so sentinel 1 is not yet
+    *    evictable: exactly the two sentinel rows remain per side.
+    *
+    * Run for BOTH ends of the join-type matrix — q183's INNER and
+    * q215's FULL OUTER over the same spool — because the claim worth
+    * pinning is that the STATE lifecycle is join-type-independent:
+    * outer-ness changes what EMITS at eviction (null-padded unmatched
+    * rows), never what is buffered or when it leaves. The oracle
+    * recomputes every count from the events table: accumulate under a
+    * low watermark, bulk-evict on the jump, retain inside the horizon.
+    * A red row here with q183/q215 green means the state lifecycle
+    * drifted (leak or premature eviction) even while results held.
+    */
+  val q226SsjoinStateAudit: Q = (s, d) => {
+    val sp = eventSpool(s, d)
+    val frames = Seq("inner", "full_outer").map { joinType =>
+      val base = RunStore.tableName(s"graft_stream_ssobs_$joinType", d)
+      def path(suffix: String) = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+      val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("_ckpt", "_out").foreach { suf =>
+        val p = path(suf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val outPath = path("_out").toString
+      val nRealFiles = fs.listStatus(new org.apache.hadoop.fs.Path(sp.dir))
+        .count(_.getPath.getName.startsWith("part-")) - 2 // minus sentinels
+      withFewShufflePartitions(s) {
+        ssJoinSide(s, sp, "view", "v")
+          .join(ssJoinSide(s, sp, "purchase", "p"), ssJoinCond, joinType)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", path("_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            writeBatch(batch, outPath, batchId)
+          }
+          .start().awaitTermination()
+      }
+      val phases = Seq(
+        "a_loaded" -> (nRealFiles - 1L), // last real file's batch
+        "b_drain1" -> nRealFiles.toLong, // sentinel 1's batch
+        "c_drain2" -> (nRealFiles + 1L)) // sentinel 2's batch
+      val counts = for {
+        side <- Seq("left", "right")
+        (phase, batchId) <- phases
+      } yield {
+        val n = s.read.format("statestore")
+          .option("joinSide", side)
+          .option("batchId", batchId)
+          .load(path("_ckpt").toString)
+          .count()
+        (joinType, if (side == "left") "v" else "p", phase, n)
+      }
+      import s.implicits._
+      counts.toDF("join_type", "side", "phase", "n_buffered")
+    }
+    frames.reduce(_ unionByName _).orderBy("join_type", "side", "phase")
+  }
+
+  /** q226's oracle: the state lifecycle recomputed from the events
+    * table. Loaded = every row of that side's type (watermark below
+    * everything, nothing evicted); drain 1 = all real rows PLUS the
+    * sentinel (join eviction lags one batch — batch-START watermark,
+    * Spark 4.1.2); drain 2 = both sentinels only (the lagged watermark
+    * now clears the real buffer; the sentinels are one day apart,
+    * below the spool delay, so neither evicts). Like q208, this pins
+    * Spark-internal protocol empirically: a future red row here with
+    * q183 green is eviction-protocol drift, not data loss.
+    */
+  val q226Sql: String =
+    """WITH v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+      |      WHERE event_type = 'purchase'),
+      |jt AS (SELECT 'inner' AS join_type UNION ALL SELECT 'full_outer')
+      |SELECT * FROM (
+      |  SELECT jt.join_type, 'v' AS side, 'a_loaded' AS phase,
+      |    v.n AS n_buffered FROM v, jt
+      |  UNION ALL SELECT jt.join_type, 'v', 'b_drain1', v.n + 1 FROM v, jt
+      |  UNION ALL SELECT jt.join_type, 'v', 'c_drain2', 2 FROM jt
+      |  UNION ALL SELECT jt.join_type, 'p', 'a_loaded', p.n FROM p, jt
+      |  UNION ALL SELECT jt.join_type, 'p', 'b_drain1', p.n + 1 FROM p, jt
+      |  UNION ALL SELECT jt.join_type, 'p', 'c_drain2', 2 FROM jt)
+      |ORDER BY join_type, side, phase""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q218_tws_attribution" -> q218TwsAttribution,
     "q219_rocksdb_ssjoin_parity" -> q219RocksdbSsjoinParity,
     "q220_rocksdb_dedup_parity" -> q220RocksdbDedupParity,
     "q221_rocksdb_session_parity" -> q221RocksdbSessionParity,
+    "q226_ssjoin_state_audit" -> q226SsjoinStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
@@ -2882,6 +2991,9 @@ object StreamingQueries {
     "q219_rocksdb_ssjoin_parity" -> q183Sql,
     "q220_rocksdb_dedup_parity" -> DedupTextQueries.q101Sql,
     "q221_rocksdb_session_parity" -> EventQueries.q139Sql,
+    // per-side join state lifecycle replayed in SQL from the spool
+    // recipe (accumulate / bulk-evict / retain-in-horizon)
+    "q226_ssjoin_state_audit" -> q226Sql,
     // the engine's own progress metrics vs the watermark protocol
     // recomputed in SQL over the late-heavy spool's recipe
     "q208_watermark_audit" -> q208Sql,
