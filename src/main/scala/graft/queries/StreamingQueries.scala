@@ -2912,6 +2912,97 @@ object StreamingQueries {
     frames.reduce(_ unionByName _).orderBy("join_type", "side", "phase")
   }
 
+  /** q227 — transformWithState INITIAL-STATE bootstrap (the API's
+    * third leg after q218's typed state + timers): attribution
+    * warm-started from a BATCH backfill instead of replaying history
+    * through the stream — the standard migration path into a running
+    * stateful pipeline (backfill yesterday in batch, stream from the
+    * cut). The timeline splits at mid-span: history (`ms < cut`) is
+    * attributed by q156's window expression in batch, and per user the
+    * single `(ms, event_id)`-maximum history touch seeds the TWS
+    * processor's `best` state via `handleInitialState` — sufficient by
+    * the operator's domination argument (only the maximum past touch
+    * can ever win a future purchase, so the backfill compresses to ONE
+    * row per user, not a replay). The live tail (`ms >= cut`) streams
+    * through [[graft.streaming.StreamingAttributionTws
+    * .attributeBootstrapped]]; a live purchase whose winning touch
+    * lies in the BACKFILL attributes correctly across the seam. Batch
+    * + streamed verdicts union to the full-log attribution table:
+    * oracle = q156's SQL VERBATIM, the third machine (after q159 and
+    * q218) to reproduce that hash.
+    *
+    * Scale shape: the backfill never enters the stream (one window
+    * pass + a per-user argmax, both corpus-bounded batch work); stream
+    * state stays O(1 + live disorder) per user.
+    */
+  val q227TwsBootstrap: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_attr_boot", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    val cut = sp.minTs + sp.spanMs / 2
+    val hist = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .filter(col("ms") < cut)
+    // q156's window expression over the backfill half
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val histVerdicts = hist
+      .withColumn("touch",
+        max(when(col("event_type").isin("view", "click"),
+          struct(col("ms"), col("event_id")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms"),
+        col("touch.event_id").as("t_id"), col("touch.ms").as("t_ms"))
+      .select(col("user_id"), col("purchase_id"),
+        when(col("ms") - col("t_ms") <= EventQueries.AttributionWindowMs,
+          col("t_id")).as("touch_id"),
+        when(col("ms") - col("t_ms") <= EventQueries.AttributionWindowMs,
+          col("ms") - col("t_ms")).as("latency_ms"))
+    val seed = hist.filter(col("event_type").isin("view", "click"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ms"), col("event_id"))).as("b"))
+      .select(col("user_id"), col("b.ms").as("best_ms"),
+        col("b.event_id").as("best_id"))
+    val live = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .filter(col("ts") >= timestamp_millis(lit(cut)))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    withSessionConfs(s, ProviderKey -> RocksDbProvider) {
+      withFewShufflePartitions(s) {
+        graft.streaming.StreamingAttributionTws
+          .attributeBootstrapped(live, seed,
+            EventQueries.AttributionWindowMs,
+            s"${sp.delayMs} milliseconds", stateTtlMs = sp.ttlMs)
+          .writeStream
+          .option("checkpointLocation", path("_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.AttributionRow],
+                batchId: Long) =>
+              writeBatch(batch.toDF(), outPath, batchId)
+          }
+          .start().awaitTermination()
+      }
+    }
+    readSink(s, outPath)
+      .filter(col("user_id") =!= lit(sp.sentinelUid))
+      .select("user_id", "purchase_id", "touch_id", "latency_ms")
+      .unionByName(histVerdicts)
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** q226's oracle: the state lifecycle recomputed from the events
     * table. Loaded = every row of that side's type (watermark below
     * everything, nothing evicted); drain 1 = all real rows PLUS the
@@ -2944,6 +3035,7 @@ object StreamingQueries {
     "q220_rocksdb_dedup_parity" -> q220RocksdbDedupParity,
     "q221_rocksdb_session_parity" -> q221RocksdbSessionParity,
     "q226_ssjoin_state_audit" -> q226SsjoinStateAudit,
+    "q227_tws_bootstrap" -> q227TwsBootstrap,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
@@ -2994,6 +3086,10 @@ object StreamingQueries {
     // per-side join state lifecycle replayed in SQL from the spool
     // recipe (accumulate / bulk-evict / retain-in-horizon)
     "q226_ssjoin_state_audit" -> q226Sql,
+    // q156's SQL verbatim, the third machine to reproduce it: batch
+    // backfill + initial-state-seeded live stream must union to the
+    // full-log attribution table
+    "q227_tws_bootstrap" -> EventQueries.q156Sql,
     // the engine's own progress metrics vs the watermark protocol
     // recomputed in SQL over the late-heavy spool's recipe
     "q208_watermark_audit" -> q208Sql,

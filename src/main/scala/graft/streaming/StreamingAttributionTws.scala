@@ -5,8 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** LAST-TOUCH attribution on Spark 4's `transformWithState` — the SAME
   * algebra as [[StreamingAttribution]] (whose pure kernel —
@@ -90,14 +90,19 @@ object StreamingAttributionTws {
     pending0.sorted.map(p =>
       StreamingAttribution.verdict(uid, p, best0, touches0, windowMs))
 
-  /** One key's processor: three typed state variables + a re-armed
-    * event-time flush timer. Scale shape: state per user is O(1 + rows
-    * inside the watermark horizon), identical to the fMGWS twin.
+  /** One key's processor shell, shared by the plain and the
+    * initial-state-bootstrapped forms (they differ only in which
+    * `StatefulProcessor` base Spark requires): three typed state
+    * variables + a re-armed event-time flush timer. Scale shape: state
+    * per user is O(1 + rows inside the watermark horizon), identical
+    * to the fMGWS twin.
     */
-  private class Processor(windowMs: Long, stateTtlMs: Long)
-      extends StatefulProcessor[Long, (Long, Timestamp, Long, String),
-        AttributionRow] {
-    @transient private var best: ValueState[(Long, Long)] = _
+  private trait AttributionShell {
+    self: StatefulProcessor[Long, (Long, Timestamp, Long, String),
+      AttributionRow] =>
+    protected def windowMs: Long
+    protected def stateTtlMs: Long
+    @transient protected var best: ValueState[(Long, Long)] = _
     @transient private var touches: ListState[(Long, Long)] = _
     @transient private var pending: ListState[(Long, Long)] = _
     @transient private var lastSeen: ValueState[Long] = _
@@ -149,6 +154,28 @@ object StreamingAttributionTws {
     }
   }
 
+  private class Processor(
+      protected val windowMs: Long, protected val stateTtlMs: Long)
+      extends StatefulProcessor[Long, (Long, Timestamp, Long, String),
+        AttributionRow] with AttributionShell
+
+  /** The BOOTSTRAPPED form (q227): identical machine, but the `best`
+    * touch is seeded per key from a batch-computed snapshot before the
+    * first micro-batch — Spark calls [[handleInitialState]] once per
+    * key of the initial-state relation. The seed is sufficient state
+    * by the operator's own domination argument: among touches wholly
+    * in the past (the backfill), only the `(ms, event_id)` maximum can
+    * ever win a future purchase.
+    */
+  private class BootstrappedProcessor(
+      protected val windowMs: Long, protected val stateTtlMs: Long)
+      extends StatefulProcessorWithInitialState[Long,
+        (Long, Timestamp, Long, String), AttributionRow, (Long, Long)]
+      with AttributionShell {
+    override def handleInitialState(uid: Long, init: (Long, Long),
+        timerValues: TimerValues): Unit = best.update(init)
+  }
+
   /** The q218 entry: same signature and contract as
     * [[StreamingAttribution.attribute]].
     */
@@ -163,5 +190,34 @@ object StreamingAttributionTws {
       .transformWithState[AttributionRow](
         new Processor(windowMs, stateTtlMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The q227 entry: [[attribute]] warm-started from a batch backfill.
+    * `initial` is one row per user — `(user_id, best_ms, best_id)`,
+    * the maximum backfill touch — and the stream carries only the live
+    * tail. Spark seeds each key's state via
+    * [[BootstrappedProcessor.handleInitialState]] before the first
+    * micro-batch: the standard migration path from a batch backfill
+    * (or a legacy operator's exported state) into a running
+    * transformWithState pipeline, without replaying history through
+    * the stream.
+    */
+  def attributeBootstrapped(events: DataFrame, initial: DataFrame,
+      windowMs: Long, watermarkDelay: String, stateTtlMs: Long)
+      : Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    val init = initial
+      .select(col("user_id"), col("best_ms"), col("best_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState[AttributionRow, (Long, Long)](
+        new BootstrappedProcessor(windowMs, stateTtlMs),
+        TimeMode.EventTime(), OutputMode.Append(), init)
   }
 }

@@ -144,4 +144,48 @@ class TwsAttributionParitySpec extends AnyFunSuite {
       assert(tws == want, s"trial=$trial tws vs batch truth")
     }
   }
+
+  test("initial-state bootstrap across a batch/stream seam: the seeded " +
+    "live stream's verdicts equal the full-log truth for live purchases " +
+    "(q227's machine, randomized)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(227227L)
+    val types = Array("view", "click", "purchase", "other")
+    for (trial <- 1 to 3) {
+      val users = 1 + rnd.nextInt(4)
+      val perUser = (1 to users).map { u =>
+        val n = 6 + rnd.nextInt(12)
+        u.toLong -> (0 until n).map(i =>
+          (rnd.nextInt(400).toLong + 1L, u * 1000L + i, rnd.nextInt(4)))
+      }
+      val cut = 200L
+      // per-user maximum backfill touch: the operator's domination
+      // argument says this one row is the whole backfill's state
+      val seed = perUser.flatMap { case (u, evs) =>
+        val touches = evs.collect {
+          case (ms, id, t) if t <= 1 && ms < cut => (ms, id) }
+        if (touches.isEmpty) None
+        else { val b = touches.max; Some((u, b._1, b._2)) }
+      }.toDF("user_id", "best_ms", "best_id")
+      val live = rnd.shuffle(perUser.flatMap { case (u, evs) =>
+        evs.collect { case (ms, id, t) if ms >= cut =>
+          AttrEv(u, new Timestamp(ms), id, types(t)) } })
+      val batches = live.grouped(1 + rnd.nextInt(5)).toSeq :+
+        Seq(AttrEv(-1L, new Timestamp(100000L), -1L, "sentinel"))
+      val got = graft.queries.StreamingQueries.withSessionConfs(spark,
+        graft.queries.StreamingQueries.ProviderKey ->
+          graft.queries.StreamingQueries.RocksDbProvider) {
+        run((ev, w, delay, ttl) => StreamingAttributionTws
+          .attributeBootstrapped(ev, seed, w, delay, ttl),
+          s"parity_boot_$trial", batches, -1L)
+      }
+      // truth: full-log attribution, restricted to LIVE purchases
+      val want = perUser.flatMap { case (u, evs) =>
+        expected(u, evs).filter { r =>
+          evs.exists(e => e._2 == r.purchase_id && e._1 >= cut) }
+      }.toSet
+      assert(got == want, s"trial=$trial bootstrapped vs full-log truth")
+    }
+  }
 }
