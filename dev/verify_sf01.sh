@@ -42,7 +42,7 @@ QUERIES=(
   q121_ivf_adc_serve q122_batch_ann_serve q142_ivfpq_serve
   q154_lexical_dense_hybrid q164_bm25_topk q116_media_meta_dispatch
   # round-16 additions: provider parity + state lifecycle at 10x
-  q218_tws_attribution q226_ssjoin_state_audit
+  q218_tws_attribution q226_ssjoin_state_audit q227_tws_bootstrap
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"
