@@ -1028,7 +1028,59 @@ object IngestQueries {
     jsonlReport(s.read.schema(JsonlSchema).orc(dir))
   }
 
+  /** q228 — HIVE-PARTITIONED lake layout + DYNAMIC partition overwrite:
+    * THE two primitives a 100 TB parquet lake runs on and the one
+    * layout family the engine had not yet gated (stores are bucketed;
+    * this is the directory-partitioned landing layout). The documents
+    * table lands `partitionBy(lang)`; then exactly ONE partition — the
+    * minimum lang, a data-derived deterministic choice — is rewritten
+    * in place with `partitionOverwriteMode=dynamic` (the mode that
+    * replaces only the partitions the incoming frame CONTAINS; static
+    * overwrite would truncate the whole table — the classic lake
+    * footgun). The report reads the WHOLE lake back per lang: the
+    * rewritten partition must carry exactly the transformed rows, every
+    * sibling partition exactly the originals — which is precisely what
+    * the oracle recomputes with a CASE on the target lang.
+    * PartitionedLakeSpec pins the physical claims the hash can't: the
+    * sibling partitions' FILES are untouched (same names/sizes — the
+    * rewrite never rewrote them), and a lang-filtered read prunes to
+    * `PartitionFilters` with the partition column absent from
+    * `ReadSchema` (scan-level pruning, the reason this layout exists).
+    *
+    * Scale shape: the rewrite reads and writes ONE partition; the
+    * report is one partial-agg pass whose shuffle is |langs| rows. At
+    * 100 TB, partition-grain rewrite is how backfills ship without
+    * touching the other 99.9% of the lake.
+    */
+  val q228PartitionedOverwrite: Q = (s, d) => {
+    val dir = landingDir(s, d, "partlake")
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    docs.write.partitionBy("lang").parquet(dir)
+    val target = docs.agg(min(col("lang"))).head().getString(0)
+    docs.filter(col("lang") === target)
+      .withColumn("text", concat(lit("rewritten:"), col("text")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text")))), 1, 10),
+            16, 10).cast("long")).as("docs_fp"))
+      .orderBy("lang")
+  }
+
+  val q228Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |    md5(CASE WHEN lang = (SELECT MIN(lang) FROM documents)
+      |        THEN 'rewritten:' || text ELSE text END)), 1, 10))::BIGINT)
+      |    AS BIGINT) AS docs_fp
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q228_partitioned_overwrite" -> q228PartitionedOverwrite,
     "q222_csv_roundtrip" -> q222CsvRoundtrip,
     "q223_csv_quarantine" -> q223CsvQuarantine,
     "q224_orc_roundtrip" -> q224OrcRoundtrip,
@@ -1057,6 +1109,9 @@ object IngestQueries {
     "q223_csv_quarantine" -> q223Sql,
     // q200's SQL verbatim: ORC encode→decode fidelity
     "q224_orc_roundtrip" -> q200Sql,
+    // the partial rewrite replayed in SQL: transformed rows for the
+    // overwritten partition, originals everywhere else
+    "q228_partitioned_overwrite" -> q228Sql,
     // q200's SQL verbatim: the gate is JSON -> VARIANT -> typed-extract
     // fidelity against the parquet-recomputed report
     "q212_variant_ingest" -> q200Sql,
