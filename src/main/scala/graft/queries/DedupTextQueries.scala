@@ -649,8 +649,13 @@ object DedupTextQueries {
     // bucketed-but-unsorted store simply appends unsorted.
     val spec = storeBucketSpec(s, tableName)
     // alias to the store's exact spelling: col() resolves the case-
-    // variant attribute but would carry ITS name into the append
-    val writer = frame.select(target.map(f => col(f.name).as(f.name)).toSeq: _*)
+    // variant attribute but would carry ITS name into the append.
+    // Backtick-quote the lookup: a bare col("a.b") parses the dot as
+    // struct-field access, which would strand foldWidenedVia's already-
+    // committed ALTER for a dotted column name (round-16 review)
+    val writer = frame.select(target.map { f =>
+        col(s"`${f.name.replace("`", "``")}`").as(f.name)
+      }.toSeq: _*)
       .write
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)

@@ -797,12 +797,25 @@ object IngestQueries {
     * batch write and q201's streaming-arrival spool — ONE serializer,
     * so the two forms can never round-trip different bytes.
     */
-  private[graft] def jsonlFrame(s: org.apache.spark.sql.SparkSession,
+  /** The hazard-bearing documents projection `(doc_id, lang, text,
+    * meta)` — THE expression every at-rest round-trip gate (q200 JSONL,
+    * q212/q217 VARIANT, q222 CSV, q224 ORC) encodes and q200Sql's
+    * `chr()` recipe replays. Single-sourced so a change to the hazard
+    * set can never leave one format's gate silently exercising a
+    * weaker escape surface (round-16 review).
+    */
+  private[graft] def hazardDocs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     documents(s, d)
-      .select(to_json(struct(col("doc_id"), col("lang"), col("text"),
+      .select(col("doc_id"), col("lang"), col("text"),
         concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
-          .as("meta"))).as("value"))
+          .as("meta"))
+
+  private[graft] def jsonlFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    hazardDocs(s, d)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"),
+        col("meta"))).as("value"))
 
   /** The explicit ingest schema (§1.2: inference is a dev check). */
   private[graft] val JsonlSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -913,10 +926,7 @@ object IngestQueries {
     */
   val q222CsvRoundtrip: Q = (s, d) => {
     val dir = landingDir(s, d, "csv")
-    val src = documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"),
-        concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
-          .as("meta"))
+    val src = hazardDocs(s, d)
     src.write.option("header", "true")
       .option("quote", "\"").option("escape", "\"")
       .csv(dir)
@@ -943,12 +953,13 @@ object IngestQueries {
     * zero-tolerance pipeline runs. Oracle: recomputes every number
     * from parquet by replaying the malformation recipe in SQL.
     *
-    * The parsed frame is persisted before aggregating: Spark forbids
-    * filter/projection pushdown past the corrupt-record column (the
-    * raw text must be materialized with the row), and the cache also
-    * keeps the FAILFAST leg from re-parsing. Scale shape: one map-side
-    * parse pass + one metrics reduction; the quarantine filter is a
-    * null test on a materialized column.
+    * Scale shape: ONE map-side parse pass + one metrics reduction (the
+    * aggregate references the data columns alongside `_quarantine`, so
+    * the corrupt-column pruning hazard — wrong results when the corrupt
+    * column is queried ALONE — cannot bite); the quarantine filter is a
+    * null test on the parsed row. The FAILFAST probe is deliberately an
+    * independent plan over the same directory: it gates the READER
+    * mode, not this query's cached state.
     */
   val q223CsvQuarantine: Q = (s, d) => {
     val dir = landingDir(s, d, "csvq")
@@ -968,12 +979,15 @@ object IngestQueries {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_quarantine",
         org.apache.spark.sql.types.StringType)))
-    val parsed = graft.core.CacheScope.track(
-      s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_quarantine")
-        .csv(dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // no cache: the report is ONE aggregate over one parse pass, and it
+    // references data columns alongside _quarantine (Spark only forbids
+    // — and column pruning only distorts — queries touching the corrupt
+    // column ALONE); the FAILFAST probe below is an independent plan
+    // that re-reads the directory by design
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .csv(dir)
     // the FAILFAST probe must actually PARSE the damaged column —
     // count() prunes every column and the reader then never converts a
     // token, so the refusal would silently not trigger
@@ -1020,11 +1034,7 @@ object IngestQueries {
     */
   val q224OrcRoundtrip: Q = (s, d) => {
     val dir = landingDir(s, d, "orc")
-    documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"),
-        concat(lit(JsonHazardPrefix), col("doc_id").cast("string"))
-          .as("meta"))
-      .write.orc(dir)
+    hazardDocs(s, d).write.orc(dir)
     jsonlReport(s.read.schema(JsonlSchema).orc(dir))
   }
 

@@ -2597,22 +2597,35 @@ object StreamingQueries {
     // POST map-side partial aggregation — one dropped row per distinct
     // window per batch — which only holds while each spool file lands
     // in a SINGLE input partition (a split file would partially
-    // aggregate per split and multiply the counts). A file is never
-    // split below maxPartitionBytes, so the layout assumption is
-    // checkable from metadata alone; a future red gate with this guard
-    // green is watermark-PROTOCOL drift (see q208Sql), not data loss.
+    // aggregate per split and multiply the counts). The bound is the
+    // EFFECTIVE split size, replicated from FilePartition.maxSplitBytes
+    // for the one-file-per-trigger batch: min(maxPartitionBytes,
+    // max(openCostInBytes, (len + openCost) / parallelism)) — NOT bare
+    // maxPartitionBytes, which would pass a file that the bytes-per-
+    // core term splits anyway (round-16 review). A future red gate
+    // with this guard green is watermark-PROTOCOL drift (see q208Sql),
+    // not data loss.
     locally {
       val spDir = new org.apache.hadoop.fs.Path(sp.dir)
       val spFs = spDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+      val conf = s.sessionState.conf
+      val maxBytes = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
+      val parallelism = conf.filesMinPartitionNum
+        .getOrElse(s.sparkContext.defaultParallelism)
       spFs.listStatus(spDir).filter(_.getPath.getName.startsWith("part-"))
         .foreach { f =>
-          require(f.getLen <= maxSplit,
+          val bytesPerCore = (f.getLen + openCost) / math.max(1, parallelism)
+          val effSplit =
+            math.min(maxBytes, math.max(openCost, bytesPerCore))
+          require(f.getLen <= effSplit,
             s"q208 late-spool file ${f.getPath.getName} is ${f.getLen} " +
-              s"bytes > maxPartitionBytes=$maxSplit: it would read as " +
-              "multiple partitions and the oracle's per-batch drop " +
-              "counts (one per window AFTER partial aggregation) no " +
-              "longer hold — shrink the spool files or raise the knob")
+              s"bytes > effective split size $effSplit (maxPartitionBytes=" +
+              s"$maxBytes, openCost=$openCost, parallelism=$parallelism): " +
+              "it would read as multiple partitions and the oracle's " +
+              "per-batch drop counts (one per window AFTER partial " +
+              "aggregation) no longer hold — shrink the spool files or " +
+              "raise the knobs")
         }
     }
     val stream = s.readStream

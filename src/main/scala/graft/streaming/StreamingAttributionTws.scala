@@ -173,7 +173,17 @@ object StreamingAttributionTws {
         (Long, Timestamp, Long, String), AttributionRow, (Long, Long)]
       with AttributionShell {
     override def handleInitialState(uid: Long, init: (Long, Long),
-        timerValues: TimerValues): Unit = best.update(init)
+        timerValues: TimerValues): Unit = {
+      best.update(init)
+      // seeded keys that never reappear in the live stream must still
+      // expire, or every backfill-only user is a permanent state row
+      // (round-16 review). The timer is LOSSLESS given ttl >= window
+      // (enforced at the entry point): any purchase admitted after the
+      // watermark passes best_ms + ttl sits more than the attribution
+      // window past the seed, so the cleared seed could never have won
+      // it. A live arrival before expiry re-arms via handleInputRows.
+      getHandle.registerTimer(init._1 + stateTtlMs)
+    }
   }
 
   /** The q218 entry: same signature and contract as
@@ -205,6 +215,10 @@ object StreamingAttributionTws {
   def attributeBootstrapped(events: DataFrame, initial: DataFrame,
       windowMs: Long, watermarkDelay: String, stateTtlMs: Long)
       : Dataset[AttributionRow] = {
+    require(stateTtlMs >= windowMs,
+      s"attributeBootstrapped: stateTtlMs=$stateTtlMs must cover the " +
+        s"attribution window ($windowMs ms) — the seeded-key expiry " +
+        "timer is only lossless when an expired seed can no longer win")
     import events.sparkSession.implicits._
     val init = initial
       .select(col("user_id"), col("best_ms"), col("best_id"))
