@@ -3016,6 +3016,56 @@ object StreamingQueries {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** q229 — DEDUP STATE AUDIT (completing the state-observability
+    * matrix: aggregation q208, stream-stream join q226, and now the
+    * keyed dedup operator): q181's `dropDuplicatesWithinWatermark`
+    * pipeline re-run, then the checkpoint's state read back with the
+    * state data source and the RETAINED KEY SET itself emitted — not a
+    * count, the keys. The spool's watermark delay exceeds its whole
+    * event-time span, so nothing evicts during the run and the final
+    * state must hold EXACTLY one entry per distinct doc_id: a leaked
+    * duplicate shows as a missing key (its copy consumed a different
+    * entry), state residue as an extra one, and either flips the hash.
+    * Oracle: the documents table's key column verbatim. The sink is
+    * the noop writer — this gate is about what the STATE holds, not
+    * what the stream emits (q181 gates that).
+    *
+    * Scale shape: the state read is one columnar scan of the
+    * checkpoint at key grain — the audit a production dedup runs to
+    * answer "what is my state actually retaining" without touching
+    * the stream.
+    */
+  val q229DedupStateAudit: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_dedupobs", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    locally {
+      val p = path("_ckpt")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = dupSpool(s, d)
+    val span = s.read.parquet(deltaPath)
+      .agg(unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+      .head().getLong(0)
+    withFewShufflePartitions(s) {
+      s.readStream
+        .schema(s.read.parquet(deltaPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltaPath)
+        .withWatermark("ts", s"${span + DayMs} milliseconds")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .writeStream
+        .format("noop")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    s.read.format("statestore").load(path("_ckpt").toString)
+      .select(col("key.doc_id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** q226's oracle: the state lifecycle recomputed from the events
     * table. Loaded = every row of that side's type (watermark below
     * everything, nothing evicted); drain 1 = all real rows PLUS the
@@ -3049,6 +3099,7 @@ object StreamingQueries {
     "q221_rocksdb_session_parity" -> q221RocksdbSessionParity,
     "q226_ssjoin_state_audit" -> q226SsjoinStateAudit,
     "q227_tws_bootstrap" -> q227TwsBootstrap,
+    "q229_dedup_state_audit" -> q229DedupStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
@@ -3103,6 +3154,10 @@ object StreamingQueries {
     // backfill + initial-state-seeded live stream must union to the
     // full-log attribution table
     "q227_tws_bootstrap" -> EventQueries.q156Sql,
+    // the dedup operator's retained state = exactly the distinct key
+    // set (nothing evicts inside the span-covering delay)
+    "q229_dedup_state_audit" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id",
     // the engine's own progress metrics vs the watermark protocol
     // recomputed in SQL over the late-heavy spool's recipe
     "q208_watermark_audit" -> q208Sql,
