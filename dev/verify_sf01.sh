@@ -43,7 +43,7 @@ QUERIES=(
   q154_lexical_dense_hybrid q164_bm25_topk q116_media_meta_dispatch
   # round-16 additions: provider parity + state lifecycle at 10x
   q218_tws_attribution q226_ssjoin_state_audit q227_tws_bootstrap
-  q229_dedup_state_audit
+  q229_dedup_state_audit q225_cbo_stats q228_partitioned_overwrite
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"
