@@ -233,6 +233,13 @@ object Bench {
       (shufWrite.getAndSet(0L), shufRead.getAndSet(0L))
     }
     val taintedTelemetry = scala.collection.mutable.LinkedHashSet[String]()
+    // set ONLY by a closing-drain timeout: the backed-up bus delivers
+    // the remainder into the NEXT query's bucket, so taint propagates
+    // exactly one query forward. An ENTRY-drain timeout contaminates
+    // only the current query and must NOT propagate (round-16 advisory:
+    // the shared flag, left set through the run, re-tainted N+1 even
+    // when N's closing drains succeeded).
+    var taintNext = false
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String], Seq[Long], (Long, Long)) = {
       // the scope unpersists exactly the frames the query tracked (q39,
@@ -240,10 +247,13 @@ object Bench {
       // the former clearCache which would evict caller-owned caches too
       // a PRIOR query's closing-drain timeout means late deliveries can
       // still land in THIS query's bucket — taint before discarding
-      if (drainTimedOut.getAndSet(false)) { taintedTelemetry += name; () }
+      if (taintNext) { taintedTelemetry += name; taintNext = false }
       drainTriggers() // anything already buffered belongs to a prior run
       drainShuffle()
-      if (drainTimedOut.get()) { taintedTelemetry += name; () }
+      // entry-drain timeout: this query's baseline discard was
+      // incomplete — taint N only, and clear the flag so it cannot
+      // masquerade as a closing timeout below
+      if (drainTimedOut.getAndSet(false)) { taintedTelemetry += name; () }
       val t0 = System.nanoTime()
       val err = try {
         graft.core.CacheScope.withScope { fn(spark, sfDir).count() }
@@ -257,8 +267,11 @@ object Bench {
       val triggers = drainTriggers()
       val shuffle = drainShuffle()
       // a closing-drain timeout means THIS query's numbers may be
-      // incomplete (the leaked remainder is handled at the next entry)
-      if (drainTimedOut.get()) { taintedTelemetry += name; () }
+      // incomplete AND the leaked remainder lands in the next query's
+      // bucket — taint both (the only path that sets taintNext)
+      if (drainTimedOut.getAndSet(false)) {
+        taintedTelemetry += name; taintNext = true
+      }
       (sec, err, triggers, shuffle)
     }
     val results = selected
@@ -386,12 +399,26 @@ object Bench {
       System.err.println(s"[bench] wrote $p")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: $e") }
-    // Marker-prefixed duplicate as the LAST stdout line (round-15
-    // verdict #8): the driver's artifact keeps only the output tail,
-    // and BENCH_r15.json landed with "parsed": null because the bare
-    // JSON line scrolled out of it. A grep-able prefix on the final
-    // line survives any tail window that survives at all.
+    // Marker-prefixed duplicate (round-15 verdict #8): the driver's
+    // artifact keeps only the output tail, and BENCH_r15.json landed
+    // with "parsed": null because the bare JSON line scrolled out.
     println("[bench-json] " + line)
+    // COMPACT summary as the very LAST stdout line (round-16 verdict
+    // #2): the full line above is >20k chars while the driver keeps a
+    // ~2,000-char log tail — the tail window slices it mid-JSON, so
+    // the marker alone never survives. This line is <1,500 chars
+    // (headline fields + the 10 slowest queries) and lands whole
+    // inside any tail window that survives at all; bench_last.json
+    // remains the complete artifact of record.
+    val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(10)
+      .map { case (n, sec, _, _, _, _) =>
+        s""""${esc(n)}":${math.round(sec * 100) / 100.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""[bench-summary] {"metric":"total","value":$total,""" +
+      s""""unit":"sec","n":${results.size},""" +
+      s""""n_failed":${results.count(_._3.isDefined)},""" +
+      s""""n_setup_failed":${setupTimes.count(_._3.isLeft)},""" +
+      s""""setup_sec":$setupSec,"slowest":$slowest,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

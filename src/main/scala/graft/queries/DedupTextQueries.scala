@@ -581,6 +581,19 @@ object DedupTextQueries {
         "retry of a widen whose ALTER committed but whose append " +
         "failed: the widened column already exists, so the remaining " +
         "work IS a plain fold)")
+    // the added set must also be resolver-distinct AMONG ITSELF
+    // (round-16 advisory): two delta columns differing only in case
+    // (`tag` and `TAG`, neither in the store) would both classify as
+    // added and reach the ALTER, surfacing as a confusing duplicate-
+    // column failure instead of this structural refusal
+    val selfDupes = added.combinations(2).collect {
+      case scala.collection.Seq(a, b) if resolver(a.name, b.name) =>
+        s"${a.name}/${b.name}"
+    }.toSeq
+    require(selfDupes.isEmpty,
+      s"foldWidenedVia: delta's added columns collide under the " +
+        s"session's case-insensitive resolver — ${selfDupes.mkString("; ")}" +
+        s" — rename them before widening $tableName")
     // Validate the OVERLAPPING columns BEFORE touching the catalog: a
     // type-mismatched delta must leave the store untouched — altering
     // first would strand a spurious empty column when the fold's own

@@ -990,14 +990,27 @@ object IngestQueries {
       .csv(dir)
     // the FAILFAST probe must actually PARSE the damaged column —
     // count() prunes every column and the reader then never converts a
-    // token, so the refusal would silently not trigger
+    // token, so the refusal would silently not trigger. The catch is
+    // NARROW (round-16 advisory): only a failure whose cause chain
+    // names the malformed-record path counts as a refusal — an
+    // unrelated exception (filesystem error, analysis error after a
+    // schema change) must fail the gate loudly, not green it.
     val ffRefused =
       try {
         s.read.schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
           .option("mode", "FAILFAST").csv(dir)
           .agg(sum(col("doc_id"))).head()
         false
-      } catch { case scala.util.control.NonFatal(_) => true }
+      } catch {
+        case scala.util.control.NonFatal(e)
+            if Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(10)
+              .exists { t =>
+                val m = Option(t.getMessage).getOrElse("")
+                m.contains("MALFORMED_RECORD_IN_PARSING") ||
+                  m.contains("Malformed") || m.contains("FAILFAST")
+              } => true
+      }
     parsed.agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("_quarantine").isNull, 1L).otherwise(0L)).as("n_good"),

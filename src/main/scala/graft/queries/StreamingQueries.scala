@@ -2611,7 +2611,15 @@ object StreamingQueries {
       val conf = s.sessionState.conf
       val maxBytes = conf.filesMaxPartitionBytes
       val openCost = conf.filesOpenCostInBytes
+      // mirror Spark's own fallback chain EXACTLY (round-16 advisory):
+      // FilePartition resolves filesMinPartitionNum →
+      // leafNodeDefaultParallelism → sparkContext.defaultParallelism;
+      // reading defaultParallelism directly would drift from the
+      // engine whenever spark.sql.leafNodeDefaultParallelism is set,
+      // and a file that actually splits could pass the guard
       val parallelism = conf.filesMinPartitionNum
+        .orElse(conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.LEAF_NODE_DEFAULT_PARALLELISM))
         .getOrElse(s.sparkContext.defaultParallelism)
       spFs.listStatus(spDir).filter(_.getPath.getName.startsWith("part-"))
         .foreach { f =>
@@ -2843,6 +2851,38 @@ object StreamingQueries {
       q166StreamingSessionPaths(s, d)
     }
 
+  /** Last path segment — `_metadata.file_path` and the file-source log
+    * render the same file with different URI prefixes/escaping; the
+    * name (with its embedded UUID) is the stable join key.
+    */
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** The checkpoint's file-source log (`sources/0/<batchId>`, one
+    * entry file per batch listing the files that batch consumed) as
+    * batchId → consumed file names. This is the engine's OWN record of
+    * the batch↔file mapping — the state-audit queries pin phase
+    * batchIds with it instead of assuming directory order. Driver-side
+    * reads at file grain (a handful of tiny JSON-lines files).
+    */
+  private def sourceLogBatches(s: SparkSession,
+      ckpt: org.apache.hadoop.fs.Path): Map[Long, Set[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(ckpt, "sources/0")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val body =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        val names = pathRe.findAllMatchIn(body)
+          .map(m => fileName(m.group(1).replace("\\/", "/"))).toSet
+        st.getPath.getName.toLong -> names
+      }.toMap
+  }
+
   /** q226 — STREAM-STREAM JOIN STATE OBSERVABILITY (q208's discipline
     * extended to the join family, round-15 verdict #6): q183's
     * symmetric hash join re-run over the shared spool, then the
@@ -2890,8 +2930,6 @@ object StreamingQueries {
         if (fs.exists(p)) fs.delete(p, true)
       }
       val outPath = path("_out").toString
-      val nRealFiles = fs.listStatus(new org.apache.hadoop.fs.Path(sp.dir))
-        .count(_.getPath.getName.startsWith("part-")) - 2 // minus sentinels
       withFewShufflePartitions(s) {
         ssJoinSide(s, sp, "view", "v")
           .join(ssJoinSide(s, sp, "purchase", "p"), ssJoinCond, joinType)
@@ -2904,10 +2942,36 @@ object StreamingQueries {
           }
           .start().awaitTermination()
       }
+      // Phase batchIds come from the checkpoint's OWN record of which
+      // file each batch consumed — the file-source log under
+      // sources/0 — matched against the sentinel files identified by
+      // CONTENT via `_metadata.file_path` (round-16 advisory: the
+      // former part-file count assumed one file per batch consumed in
+      // mtime order with the sentinels last; equal mtimes or a spool-
+      // writer change would silently misalign the three snapshots).
+      val sentinelNames = s.read.parquet(sp.dir)
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(max(when(col("user_id") === sp.sentinelUid, 1)
+          .otherwise(0)).as("is_sentinel"))
+        .filter(col("is_sentinel") === 1)
+        .collect() // file-grain, bounded by the spool's file count
+        .map(r => fileName(r.getString(0))).toSet
+      val consumed = sourceLogBatches(s, path("_ckpt"))
+      val sentinelBatches = consumed.collect {
+        case (b, names) if names.exists(sentinelNames) => b
+      }.toSeq.sorted
+      require(sentinelBatches.size == 2 &&
+        sentinelBatches == Seq(consumed.keys.max - 1, consumed.keys.max) &&
+        consumed(sentinelBatches.head).forall(sentinelNames) &&
+        consumed(sentinelBatches.last).forall(sentinelNames),
+        s"q226: expected the two sentinel files as the final two " +
+          s"single-file batches; source log maps $consumed with " +
+          s"sentinels $sentinelNames — the spool layout drifted and " +
+          "the three phase snapshots would misalign")
       val phases = Seq(
-        "a_loaded" -> (nRealFiles - 1L), // last real file's batch
-        "b_drain1" -> nRealFiles.toLong, // sentinel 1's batch
-        "c_drain2" -> (nRealFiles + 1L)) // sentinel 2's batch
+        "a_loaded" -> (sentinelBatches.head - 1), // last real-data batch
+        "b_drain1" -> sentinelBatches.head, // sentinel 1's batch
+        "c_drain2" -> sentinelBatches.last) // sentinel 2's batch
       val counts = for {
         side <- Seq("left", "right")
         (phase, batchId) <- phases
