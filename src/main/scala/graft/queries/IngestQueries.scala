@@ -1094,6 +1094,65 @@ object IngestQueries {
       .orderBy("lang")
   }
 
+  /** q230 — DYNAMIC PARTITION PRUNING through q228's lake layout (the
+    * single biggest scan-reducer a 100 TB star schema has): the
+    * documents table lands hive-partitioned by `lang` (the fact), a
+    * per-lang dimension with a data-derived `lang_rank` (rarest lang
+    * first — rank over `(n_docs, lang)`, deterministic at every SF)
+    * lands beside it, and the gate query joins fact⋈dim on the
+    * PARTITION column with a selective predicate on the dim's NON-key
+    * column (`lang_rank <= 2`). Static pruning cannot see through that
+    * predicate — the langs it selects are only known after the dim is
+    * read — so the optimizer must inject a `dynamicpruning#` subquery
+    * into the fact scan's `PartitionFilters` (free here: the dim is
+    * broadcast for the join anyway, and DPP's default
+    * `reuseBroadcastOnly` re-uses that exchange as the IN-filter). The
+    * hash gates the join+aggregate RESULT; DppPlanSpec pins the plan
+    * claims the hash can't — the `dynamicpruning` expression on the
+    * fact scan and the scan's own `number of partitions read` metric
+    * reporting the PRUNED count, not the total.
+    *
+    * Scale shape: at 100 TB the fact scan reads only the partitions
+    * the filtered dim names — the other 99% of the lake is never
+    * listed into tasks. One broadcast, one partial-agg pass; the
+    * predicate goes fact-side at RUNTIME, not read-everything-then-
+    * filter.
+    */
+  val q230DynamicPartitionPruning: Q = (s, d) => {
+    val dir = landingDir(s, d, "dpplake")
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    docs.write.partitionBy("lang").parquet(s"$dir/fact")
+    // |langs| rows: the single-partition window is dimension-build
+    // work, never corpus-scaled
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs"), col("lang"))))
+      .write.parquet(s"$dir/dim")
+    val fact = s.read.parquet(s"$dir/fact")
+    val dim = s.read.parquet(s"$dir/dim").filter(col("lang_rank") <= 2)
+    fact.join(broadcast(dim), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text")))), 1, 10),
+            16, 10).cast("long")).as("docs_fp"))
+      .orderBy("lang")
+  }
+
+  val q230Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |dim AS (
+      |  SELECT lang, ROW_NUMBER() OVER (ORDER BY n, lang) AS lang_rank
+      |  FROM counts)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+      |    md5(d.text)), 1, 10))::BIGINT) AS BIGINT) AS docs_fp
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |WHERE dim.lang_rank <= 2
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val q228Sql: String =
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
@@ -1104,6 +1163,7 @@ object IngestQueries {
 
   val queries: Map[String, Q] = Map(
     "q228_partitioned_overwrite" -> q228PartitionedOverwrite,
+    "q230_dynamic_partition_pruning" -> q230DynamicPartitionPruning,
     "q222_csv_roundtrip" -> q222CsvRoundtrip,
     "q223_csv_quarantine" -> q223CsvQuarantine,
     "q224_orc_roundtrip" -> q224OrcRoundtrip,
@@ -1135,6 +1195,7 @@ object IngestQueries {
     // the partial rewrite replayed in SQL: transformed rows for the
     // overwritten partition, originals everywhere else
     "q228_partitioned_overwrite" -> q228Sql,
+    "q230_dynamic_partition_pruning" -> q230Sql,
     // q200's SQL verbatim: the gate is JSON -> VARIANT -> typed-extract
     // fidelity against the parquet-recomputed report
     "q212_variant_ingest" -> q200Sql,
