@@ -2883,6 +2883,40 @@ object StreamingQueries {
       }.toMap
   }
 
+  /** Pinned phase batchIds for the state-audit queries, derived from
+    * the checkpoint's OWN record of which file each batch consumed —
+    * the file-source log under sources/0 — matched against the
+    * sentinel files identified by CONTENT via `_metadata.file_path`
+    * (round-16 advisory: counting part-files assumed one file per
+    * batch consumed in mtime order with the sentinels last; equal
+    * mtimes or a spool-writer change would silently misalign the
+    * snapshots). Returns (last real-data batch, sentinel-1 batch,
+    * sentinel-2 batch) and refuses if the layout drifted.
+    */
+  private def sentinelBatchSplit(s: SparkSession, sp: EventSpool,
+      ckpt: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+    val sentinelNames = s.read.parquet(sp.dir)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(max(when(col("user_id") === sp.sentinelUid, 1)
+        .otherwise(0)).as("is_sentinel"))
+      .filter(col("is_sentinel") === 1)
+      .collect() // file-grain, bounded by the spool's file count
+      .map(r => fileName(r.getString(0))).toSet
+    val consumed = sourceLogBatches(s, ckpt)
+    val sentinelBatches = consumed.collect {
+      case (b, names) if names.exists(sentinelNames) => b
+    }.toSeq.sorted
+    require(sentinelBatches.size == 2 &&
+      sentinelBatches == Seq(consumed.keys.max - 1, consumed.keys.max) &&
+      consumed(sentinelBatches.head).forall(sentinelNames) &&
+      consumed(sentinelBatches.last).forall(sentinelNames),
+      s"expected the two sentinel files as the final two single-file " +
+        s"batches; source log maps $consumed with sentinels " +
+        s"$sentinelNames — the spool layout drifted and the pinned " +
+        "phase snapshots would misalign")
+    (sentinelBatches.head - 1, sentinelBatches.head, sentinelBatches.last)
+  }
+
   /** q226 — STREAM-STREAM JOIN STATE OBSERVABILITY (q208's discipline
     * extended to the join family, round-15 verdict #6): q183's
     * symmetric hash join re-run over the shared spool, then the
@@ -2942,36 +2976,11 @@ object StreamingQueries {
           }
           .start().awaitTermination()
       }
-      // Phase batchIds come from the checkpoint's OWN record of which
-      // file each batch consumed — the file-source log under
-      // sources/0 — matched against the sentinel files identified by
-      // CONTENT via `_metadata.file_path` (round-16 advisory: the
-      // former part-file count assumed one file per batch consumed in
-      // mtime order with the sentinels last; equal mtimes or a spool-
-      // writer change would silently misalign the three snapshots).
-      val sentinelNames = s.read.parquet(sp.dir)
-        .groupBy(col("_metadata.file_path").as("fp"))
-        .agg(max(when(col("user_id") === sp.sentinelUid, 1)
-          .otherwise(0)).as("is_sentinel"))
-        .filter(col("is_sentinel") === 1)
-        .collect() // file-grain, bounded by the spool's file count
-        .map(r => fileName(r.getString(0))).toSet
-      val consumed = sourceLogBatches(s, path("_ckpt"))
-      val sentinelBatches = consumed.collect {
-        case (b, names) if names.exists(sentinelNames) => b
-      }.toSeq.sorted
-      require(sentinelBatches.size == 2 &&
-        sentinelBatches == Seq(consumed.keys.max - 1, consumed.keys.max) &&
-        consumed(sentinelBatches.head).forall(sentinelNames) &&
-        consumed(sentinelBatches.last).forall(sentinelNames),
-        s"q226: expected the two sentinel files as the final two " +
-          s"single-file batches; source log maps $consumed with " +
-          s"sentinels $sentinelNames — the spool layout drifted and " +
-          "the three phase snapshots would misalign")
+      val (lastReal, drain1, drain2) = sentinelBatchSplit(s, sp, path("_ckpt"))
       val phases = Seq(
-        "a_loaded" -> (sentinelBatches.head - 1), // last real-data batch
-        "b_drain1" -> sentinelBatches.head, // sentinel 1's batch
-        "c_drain2" -> sentinelBatches.last) // sentinel 2's batch
+        "a_loaded" -> lastReal, // last real-data batch
+        "b_drain1" -> drain1, // sentinel 1's batch
+        "c_drain2" -> drain2) // sentinel 2's batch
       val counts = for {
         side <- Seq("left", "right")
         (phase, batchId) <- phases
@@ -3130,6 +3139,158 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** q231 — transformWithState STATE AUDIT (the round-16 verdict's
+    * missing quadrant: q208/q226/q229 read the LEGACY operators' state
+    * back; the NEW stateful API's state was write-only). q218's TWS
+    * attribution pipeline re-run into its own checkpoint, then every
+    * typed state variable read back with the state source's
+    * TWS-specific surface — `stateVarName` per column family,
+    * `flattenCollectionTypes` for the ListStates,
+    * `readRegisteredTimers` for the timer registry — at TWO pinned
+    * moments, each batch-recomputable from the events table:
+    *
+    *  - `loaded_*` (last real-data batch, pinned via
+    *    [[sentinelBatchSplit]]): the spool delay covers the full span,
+    *    so the eviction watermark sits below every event — `touches`
+    *    holds EVERY view/click individually, `pending` every purchase,
+    *    `best` stays the NoTouch sentinel pair for every user (nothing
+    *    has collapsed), `last_seen` is each user's max event time, and
+    *    each user's flush timer sits at exactly `last_seen + ttl`.
+    *    This is the state HIGH-WATER mark the disorder horizon sizes.
+    *  - `final_*` (last committed snapshot): the two spool sentinels
+    *    jump the watermark past every real user's timer, so
+    *    [[graft.streaming.StreamingAttributionTws]] flushes and CLEARS
+    *    them — retained state must be EXACTLY the sentinel user (its
+    *    own timer beyond the final watermark): `best` still NoTouch,
+    *    `last_seen` = sentinel-2's timestamp (`max_ts + 3·span +
+    *    5·day`), timer at `+ttl` more, and both ListStates EMPTY. A
+    *    leaked key, un-fired timer, or state residue lands extra rows
+    *    and flips the hash.
+    *
+    * Oracle: every number recomputed from the events table and the
+    * spool recipe's arithmetic (delay = span+day, ttl = 2·span+2·day).
+    * Scale shape: the audit is a columnar scan of the checkpoint at
+    * state grain — how a production TWS pipeline answers "what is my
+    * state actually holding" without touching the stream.
+    */
+  val q231TwsStateAudit: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_attr_twsobs", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val sp = eventSpool(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(sp.dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sp.dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    withSessionConfs(s, ProviderKey -> RocksDbProvider) {
+      withFewShufflePartitions(s) {
+        graft.streaming.StreamingAttributionTws
+          .attribute(stream, EventQueries.AttributionWindowMs,
+            s"${sp.delayMs} milliseconds", stateTtlMs = sp.ttlMs)
+          .writeStream
+          .option("checkpointLocation", path("_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.AttributionRow],
+                batchId: Long) =>
+              writeBatch(batch.toDF(), outPath, batchId)
+          }
+          .start().awaitTermination()
+      }
+    }
+    val (lastReal, _, _) = sentinelBatchSplit(s, sp, path("_ckpt"))
+    def read(opts: (String, String)*): DataFrame =
+      opts.foldLeft(s.read.format("statestore")) { case (r, (k, v)) =>
+        r.option(k, v)
+      }.load(path("_ckpt").toString)
+    val pin = "batchId" -> lastReal.toString
+    def listRows(tag: String, name: String, pinned: Option[(String, String)]) =
+      read(Seq("stateVarName" -> name,
+        "flattenCollectionTypes" -> "true") ++ pinned: _*)
+        .select(lit(tag).as("state_var"), col("key.value").as("user_id"),
+          col("list_element._1").as("ms"),
+          col("list_element._2").as("item_id"))
+    def bestRows(tag: String, pinned: Option[(String, String)]) =
+      read(Seq("stateVarName" -> "best") ++ pinned: _*)
+        .select(lit(tag).as("state_var"), col("key.value").as("user_id"),
+          col("value._1").as("ms"), col("value._2").as("item_id"))
+    def seenRows(tag: String, pinned: Option[(String, String)]) =
+      read(Seq("stateVarName" -> "last_seen") ++ pinned: _*)
+        .select(lit(tag).as("state_var"), col("key.value").as("user_id"),
+          col("value.value").as("ms"),
+          lit(null).cast("long").as("item_id"))
+    def timerRows(tag: String, pinned: Option[(String, String)]) =
+      read(Seq("readRegisteredTimers" -> "true") ++ pinned: _*)
+        .select(lit(tag).as("state_var"), col("key.value").as("user_id"),
+          col("expiration_timestamp_ms").as("ms"),
+          lit(null).cast("long").as("item_id"))
+    Seq(
+      listRows("loaded_touches", "touches", Some(pin)),
+      listRows("loaded_pending", "pending", Some(pin)),
+      bestRows("loaded_best", Some(pin)),
+      seenRows("loaded_last_seen", Some(pin)),
+      timerRows("loaded_timers", Some(pin)),
+      listRows("final_touches", "touches", None),
+      listRows("final_pending", "pending", None),
+      bestRows("final_best", None),
+      seenRows("final_last_seen", None),
+      timerRows("final_timers", None))
+      .reduce(_ unionByName _)
+      .orderBy("state_var", "user_id", "ms", "item_id")
+  }
+
+  /** q231's oracle: each state variable's expected contents recomputed
+    * from the events table + the spool recipe (delay = span + day,
+    * ttl = 2·span + 2·day; sentinel-2 sits at max_ts + 3·span + 5·day;
+    * the NoTouch sentinel pair is Long.MinValue, written overflow-safe
+    * as −9223372036854775807 − 1). `final_touches`/`final_pending`
+    * contribute ZERO rows by design — their emptiness is what the gate
+    * holds.
+    */
+  val q231Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+      |            FROM events),
+      |c AS (SELECT MIN(ms) AS mn, MAX(ms) AS mx,
+      |        MIN(user_id) - 1 AS sid,
+      |        MAX(ms) - MIN(ms) AS span,
+      |        2 * (MAX(ms) - MIN(ms)) + 2 * 86400000 AS ttl
+      |      FROM ev)
+      |SELECT * FROM (
+      |  SELECT 'loaded_touches' AS state_var, user_id, ms,
+      |    event_id AS item_id
+      |  FROM ev WHERE event_type IN ('view', 'click')
+      |  UNION ALL
+      |  SELECT 'loaded_pending', user_id, ms, event_id FROM ev
+      |  WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT 'loaded_best', user_id,
+      |    CAST(-9223372036854775807 - 1 AS BIGINT),
+      |    CAST(-9223372036854775807 - 1 AS BIGINT)
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT 'loaded_last_seen', user_id, MAX(ms), NULL FROM ev
+      |  GROUP BY user_id
+      |  UNION ALL
+      |  SELECT 'loaded_timers', e.user_id, MAX(e.ms) + c.ttl, NULL
+      |  FROM ev e, c GROUP BY e.user_id, c.ttl
+      |  UNION ALL
+      |  SELECT 'final_best', sid, CAST(-9223372036854775807 - 1 AS BIGINT),
+      |    CAST(-9223372036854775807 - 1 AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 'final_last_seen', sid, mx + 3 * span + 5 * 86400000, NULL
+      |  FROM c
+      |  UNION ALL
+      |  SELECT 'final_timers', sid, mx + 5 * span + 7 * 86400000, NULL
+      |  FROM c)
+      |ORDER BY state_var, user_id, ms, item_id""".stripMargin
+
   /** q226's oracle: the state lifecycle recomputed from the events
     * table. Loaded = every row of that side's type (watermark below
     * everything, nothing evicted); drain 1 = all real rows PLUS the
@@ -3164,6 +3325,7 @@ object StreamingQueries {
     "q226_ssjoin_state_audit" -> q226SsjoinStateAudit,
     "q227_tws_bootstrap" -> q227TwsBootstrap,
     "q229_dedup_state_audit" -> q229DedupStateAudit,
+    "q231_tws_state_audit" -> q231TwsStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
     "q215_stream_stream_full_join" -> q215StreamStreamFullJoin,
@@ -3222,6 +3384,9 @@ object StreamingQueries {
     // set (nothing evicts inside the span-covering delay)
     "q229_dedup_state_audit" ->
       "SELECT doc_id FROM documents ORDER BY doc_id",
+    // every TWS state variable (typed values, flattened lists, timer
+    // registry) recomputed from the events table + spool arithmetic
+    "q231_tws_state_audit" -> q231Sql,
     // the engine's own progress metrics vs the watermark protocol
     // recomputed in SQL over the late-heavy spool's recipe
     "q208_watermark_audit" -> q208Sql,
