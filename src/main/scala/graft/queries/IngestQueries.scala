@@ -1051,6 +1051,154 @@ object IngestQueries {
     jsonlReport(s.read.schema(JsonlSchema).orc(dir))
   }
 
+  /** q232 — XML LANDING ZONE (Spark 4's built-in XML source; real
+    * corpora still land as XML feeds): the documents table serialized
+    * as one `<doc>` record per line — an `id` ATTRIBUTE, a nested
+    * `<meta lang=".." nc=".."/>` element with two attributes, and an
+    * `<h>` child element, so the reader exercises attribute prefixes
+    * AND nesting, not just flat fields — read back via `rowTag` with
+    * an EXPLICIT schema in PERMISSIVE mode + `columnNameOfCorruptRecord`,
+    * then the same directory re-read in FAILFAST must refuse (narrow
+    * catch — only a malformed-record failure counts).
+    *
+    * Both legs use Spark's XML machinery: the WRITER emits the lake
+    * (`rootTag`/`rowTag`, `_`-prefixed struct fields mapped to
+    * attributes — each file a well-formed document, which the reader
+    * REQUIRES: without an enclosing root only the first record of a
+    * file parses and the remainder lands corrupt, measured on 4.1.2),
+    * then the damage is injected ON DISK — every `</doc>` end tag in
+    * the five poisoned bucket files flipped to `</dok>`.
+    *
+    * The quarantine grain is deliberately DIFFERENT from q223's CSV:
+    * XML is a multiline format, so the source quarantines at FILE
+    * grain — a syntactically broken record poisons the file and the
+    * WHOLE file lands as a single corrupt row. The fixture makes that
+    * deterministic: docs land one FILE per `doc_id % 50` bucket
+    * (repartition on the bucket + partitionBy, so exactly one task
+    * writes each bucket), and in the poisoned buckets
+    * (`bucket % 10 = 7`) EVERY record's end tag is broken — whichever
+    * record the parser meets first, the file yields exactly one
+    * corrupt row and zero admitted rows. Type-conversion malformations
+    * are deliberately NOT used: a conversion failure on the first
+    * record of a file escapes PERMISSIVE entirely on 4.1.2 (attribute
+    * casts sit outside the bad-record wrapper) — syntax damage is the
+    * recipe with defined semantics. Report: total/good/corrupt split +
+    * fingerprint over ADMITTED rows, q223's contract; the oracle
+    * replays the bucket arithmetic from parquet and never sees the
+    * XML.
+    *
+    * Scale shape: map-side parse + one metrics reduction; the
+    * parallelism unit is the file (records span lines, so XML files
+    * are unsplittable — the landing zone must arrive as many files,
+    * exactly how distributed feed producers write it). The poisoning
+    * pass is driver-side by design — it touches exactly the 5 fixture
+    * files (file count is bucket-fixed, never corpus-scaled).
+    */
+  val q232XmlQuarantine: Q = (s, d) => {
+    val dir = landingDir(s, d, "xmlq")
+    documents(s, d).select(
+        col("doc_id").as("_id"),
+        struct(col("lang").as("_lang"), col("n_chars").as("_nc")).as("meta"),
+        md5(col("text")).as("h"),
+        (col("doc_id") % 50).as("bucket"))
+      .repartition(col("bucket"))
+      .write.option("rowTag", "doc").option("rootTag", "docs")
+      .partitionBy("bucket").xml(dir)
+    locally { // poison: break every record end tag in buckets %10 == 7
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val pfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      pfs.listStatus(root)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.startsWith("bucket=") &&
+            n.stripPrefix("bucket=").toLong % 10 == 7
+        }
+        .flatMap(st => pfs.listStatus(st.getPath))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          val in = pfs.open(st.getPath)
+          val body =
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            finally in.close()
+          // exact "</doc>" only — "</docs>" does not match, so the
+          // enclosing root stays intact and the damage is record-level
+          val out = pfs.create(st.getPath, true)
+          try out.write(body.replace("</doc>", "</dok>").getBytes("UTF-8"))
+          finally out.close()
+        }
+    }
+    val metaType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_nc",
+        org.apache.spark.sql.types.LongType)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("meta", metaType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_quarantine",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = s.read.schema(schema)
+      .option("rowTag", "doc")
+      .option("recursiveFileLookup", "true") // bucket dirs are layout,
+      .option("mode", "PERMISSIVE")          // not partition columns
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .xml(dir)
+    val ffRefused =
+      try {
+        s.read.schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+          .option("rowTag", "doc")
+          .option("recursiveFileLookup", "true")
+          .option("mode", "FAILFAST").xml(dir)
+          .agg(sum(col("_id"))).head()
+        false
+      } catch {
+        case scala.util.control.NonFatal(e)
+            if Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(10)
+              .exists { t =>
+                val m = Option(t.getMessage).getOrElse("")
+                m.contains("MALFORMED_RECORD_IN_PARSING") ||
+                  m.contains("Malformed") || m.contains("FAILFAST")
+              } => true
+      }
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("_quarantine").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_quarantine").isNotNull, 1L).otherwise(0L))
+        .as("n_corrupt"),
+      sum(when(col("_quarantine").isNull,
+        conv(substring(md5(concat_ws(":",
+          col("_id").cast("string"), col("meta._lang"),
+          col("meta._nc").cast("string"), col("h"))), 1, 10),
+          16, 10).cast("long"))).as("good_fp"))
+      .withColumn("ff_refused", lit(ffRefused))
+  }
+
+  /** q232's oracle: clean-bucket rows admitted exactly; each of the 5
+    * poisoned buckets (one file apiece by construction) collapses to
+    * ONE corrupt row — the file-grain quarantine contract.
+    */
+  val q232Sql: String =
+    """WITH b AS (SELECT doc_id, lang, n_chars, text,
+      |             (doc_id % 50) % 10 = 7 AS poisoned
+      |           FROM documents)
+      |SELECT CAST(SUM(CASE WHEN NOT poisoned THEN 1 ELSE 0 END) + 5
+      |    AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN NOT poisoned THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_good,
+      |  CAST(5 AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN NOT poisoned THEN
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang
+      |      || ':' || CAST(n_chars AS VARCHAR) || ':' || md5(text)),
+      |      1, 10))::BIGINT END) AS BIGINT)
+      |    AS good_fp,
+      |  TRUE AS ff_refused
+      |FROM b""".stripMargin
+
   /** q228 — HIVE-PARTITIONED lake layout + DYNAMIC partition overwrite:
     * THE two primitives a 100 TB parquet lake runs on and the one
     * layout family the engine had not yet gated (stores are bucketed;
@@ -1164,6 +1312,7 @@ object IngestQueries {
   val queries: Map[String, Q] = Map(
     "q228_partitioned_overwrite" -> q228PartitionedOverwrite,
     "q230_dynamic_partition_pruning" -> q230DynamicPartitionPruning,
+    "q232_xml_quarantine" -> q232XmlQuarantine,
     "q222_csv_roundtrip" -> q222CsvRoundtrip,
     "q223_csv_quarantine" -> q223CsvQuarantine,
     "q224_orc_roundtrip" -> q224OrcRoundtrip,
@@ -1196,6 +1345,7 @@ object IngestQueries {
     // overwritten partition, originals everywhere else
     "q228_partitioned_overwrite" -> q228Sql,
     "q230_dynamic_partition_pruning" -> q230Sql,
+    "q232_xml_quarantine" -> q232Sql,
     // q200's SQL verbatim: the gate is JSON -> VARIANT -> typed-extract
     // fidelity against the parquet-recomputed report
     "q212_variant_ingest" -> q200Sql,
