@@ -44,6 +44,12 @@ QUERIES=(
   # round-16 additions: provider parity + state lifecycle at 10x
   q218_tws_attribution q226_ssjoin_state_audit q227_tws_bootstrap
   q229_dedup_state_audit q225_cbo_stats q228_partitioned_overwrite
+  # round-17 additions: the RocksDB provider tier (round-16 verdict #8 —
+  # the rows most state-size-sensitive belong at 10x) + every new row
+  q219_rocksdb_ssjoin_parity q220_rocksdb_dedup_parity
+  q221_rocksdb_session_parity
+  q230_dynamic_partition_pruning q231_tws_state_audit
+  q232_xml_quarantine q233_collated_dedup q234_metadata_audit
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

@@ -378,6 +378,105 @@ object CorpusStatsQueries {
        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
        |FROM sharded ORDER BY doc_id""".stripMargin
 
+  /** q234 — `_metadata` PROVENANCE AUDIT of the sharded-corpus lake:
+    * the manifest-vs-files reconciliation every 100 TB lake needs
+    * before a training run trusts a layout. [[writeShardedCorpus]]
+    * materializes q74's manifest as `partitionBy(shard)` parquet; the
+    * audit then reads the lake back WITH the hidden `_metadata` struct
+    * (file_path, file_size — the provenance columns the scan carries
+    * for free, no extra I/O) and reconciles three independent views of
+    * the same bytes per shard:
+    *  - CONTENT: row count + content fingerprint from the file rows
+    *    must equal the manifest recomputation (the oracle's side);
+    *  - PLACEMENT: every row's `_metadata.file_path` must sit under
+    *    its own `shard=<n>/` directory (`path_ok`) and each shard must
+    *    hold exactly ONE data file (`n_files` — the write contract);
+    *  - LISTING: an INDEPENDENT filesystem listing (driver-side glob,
+    *    |shards| entries — bounded, never corpus-scaled) must agree
+    *    with `_metadata` file-for-file on name and byte size
+    *    (`n_listed`, `size_ok`) — a file the scan reads that the
+    *    listing lacks (or vice versa, or a size drift) is exactly the
+    *    orphan/torn-write class a lake audit exists to catch.
+    * DuckDB cannot see our filesystem, so the oracle replays the
+    * manifest derivation from `documents` and pins the physical
+    * invariants at their contract values (1 file, all-true) — any
+    * physical violation flips a hashed column.
+    *
+    * Scale shape: one scan of the lake with two virtual columns, one
+    * partial-agg shuffle of |shards| rows, one broadcast of the
+    * |shards|-row listing. At 100 TB the listing comes from the lake
+    * manifest/catalog instead of a glob; the reconciliation plan is
+    * unchanged.
+    */
+  val q234MetadataAudit: Q = (s, d) => {
+    val dir = IngestQueries.landingDir(s, d, "shardlake")
+    writeShardedCorpus(s, d, dir)
+    auditShardedLake(s, dir)
+  }
+
+  /** The q234 reconciliation over any sharded lake directory — split
+    * from the query so MetadataAuditSpec can tamper with a written
+    * lake and prove a physical violation flips the audit columns.
+    */
+  private[queries] def auditShardedLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listed = fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "shard=*/*.parquet"))
+      .toSeq.map { st =>
+        (st.getPath.getParent.getName.stripPrefix("shard=").toLong,
+          st.getPath.getName, st.getLen)
+      }
+    val listing = s.createDataFrame(listed)
+      .toDF("shard", "file_name", "listed_size")
+    val perShardListed = listing.groupBy("shard")
+      .agg(count(lit(1)).as("n_listed"))
+
+    val physical = s.read.parquet(dir)
+      .select(col("doc_id"), col("text"),
+        col("shard").cast("long").as("shard"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_size").as("file_size"))
+      .withColumn("file_name", element_at(split(col("file_path"), "/"), -1))
+
+    physical
+      .join(broadcast(listing), Seq("shard", "file_name"), "left")
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("file_name")).as("n_files"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text")))), 1, 10),
+            16, 10).cast("long")).as("docs_fp"),
+        bool_and(col("file_path").contains(
+          concat(lit("/shard="), col("shard"), lit("/")))).as("path_ok"),
+        bool_and(coalesce(
+          col("file_size") > 0 && col("file_size") === col("listed_size"),
+          lit(false))).as("size_ok"))
+      .join(broadcast(perShardListed), Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), col("n_files"),
+        coalesce(col("n_listed"), lit(0L)).as("n_listed"),
+        col("docs_fp"), col("path_ok"), col("size_ok"))
+      .orderBy("shard")
+  }
+
+  val q234Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, text,
+       |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(skey, 1, 15))::BIGINT % $ShuffleShards AS shard
+       |  FROM keyed)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(1 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_listed,
+       |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |    md5(text)), 1, 10))::BIGINT) AS BIGINT) AS docs_fp,
+       |  TRUE AS path_ok, TRUE AS size_ok
+       |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
+
   /** q83 — per-language MAD (median absolute deviation of n_chars):
     * the robust dispersion figure profiling uses where q71's stddev is
     * outlier-dominated (a handful of giant documents can double a
@@ -1219,6 +1318,7 @@ object CorpusStatsQueries {
     "q69_outlier_clip" -> q69OutlierClip,
     "q73_vocab_coverage" -> q73VocabCoverage,
     "q74_shard_manifest" -> q74ShardManifest,
+    "q234_metadata_audit" -> q234MetadataAudit,
     "q79_budget_sample" -> q79BudgetSample,
     "q83_length_mad" -> q83LengthMad
   )
@@ -1239,6 +1339,7 @@ object CorpusStatsQueries {
     "q69_outlier_clip" -> q69Sql,
     "q73_vocab_coverage" -> q73Sql,
     "q74_shard_manifest" -> q74Sql,
+    "q234_metadata_audit" -> q234Sql,
     "q79_budget_sample" -> q79Sql,
     "q83_length_mad" -> q83Sql
   )

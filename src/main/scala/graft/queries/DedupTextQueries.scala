@@ -82,6 +82,50 @@ object DedupTextQueries {
       | doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q233 — CASE-INSENSITIVE exact dedup on a COLLATED key (Spark 4
+    * string collations): the dedup key is `collate(text, 'UTF8_LCASE')`
+    * — the engine compares/hashes under the collation instead of
+    * rewriting the column with `lower()` (which would materialize a
+    * second copy of every document in the shuffle and break
+    * pushdown/statistics on a collated store; the collation IS the
+    * comparison). The corpus is seeded with deterministic case-variant
+    * clones (doc_id % 7 == 0 → upper-cased text, id offset 10,000,000)
+    * so the gate has real case-dups to find at every SF; canonical =
+    * min doc_id per collated key, so every clone resolves to its
+    * original. CollatedDedupSpec pins the plan claim the hash can't:
+    * the window partitions on the UTF8_LCASE comparison itself — no
+    * `lower(` rewrite anywhere in the optimized plan. DuckDB has no
+    * string collations, so the oracle replays the SEMANTICS with
+    * lower() — equal answers, different machinery, which is the point.
+    *
+    * Scale shape: identical to q30 — ONE shuffle, hash-partitioned
+    * under the collation (Spark hashes the collation key, not the raw
+    * bytes); no derived lowercase copy of the corpus anywhere.
+    */
+  val q233CollatedDedup: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val variants = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        upper(col("text")).as("text"))
+    val w = Window.partitionBy(collate(col("text"), "UTF8_LCASE"))
+    docs.unionByName(variants)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val q233Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, upper(text) AS text
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT doc_id,
+      | MIN(doc_id) OVER (PARTITION BY lower(text)) AS canonical_id,
+      | doc_id <> MIN(doc_id) OVER (PARTITION BY lower(text)) AS is_dup
+      |FROM corpus ORDER BY doc_id""".stripMargin
+
   /** q30's dedup over a fingerprint-bucketed layout
     * ([[graft.core.Tables.writeFingerprintedDocuments]]): identical rows,
     * ZERO exchanges — the bucket layout satisfies the window's hash
@@ -2485,6 +2529,7 @@ object DedupTextQueries {
     "q54_stratified_sample" -> q54StratifiedSample,
     "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
+    "q233_collated_dedup" -> q233CollatedDedup,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
     "q129_edit_confirm" -> q129EditConfirm,
@@ -2521,6 +2566,7 @@ object DedupTextQueries {
     "q56_decontamination" -> q56Sql,
     "q57_release_verdict" -> q57Sql,
     "q30_dedup_exact" -> q30Sql,
+    "q233_collated_dedup" -> q233Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
     "q129_edit_confirm" -> q129Sql,

@@ -894,8 +894,8 @@ object IngestQueries {
     * format round-trips (q222–q224), reset at entry like every
     * re-runnable query fixture.
     */
-  private def landingDir(s: org.apache.spark.sql.SparkSession, d: String,
-      tag: String): String = {
+  private[queries] def landingDir(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): String = {
     val dir = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       RunStore.tableName(s"graft_$tag", d) + "_data")
@@ -1309,7 +1309,160 @@ object IngestQueries {
       |    AS BIGINT) AS docs_fp
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q235 — RUN METRICS VIA `observe()` (the Observation API): the
+    * admission pass writes accepted documents to the landing zone and
+    * the run's metrics — total seen, admitted count, admitted volume —
+    * ride ON THE SAME SCAN as accumulator-backed observed metrics,
+    * collected when the write action completes. The alternative every
+    * naive pipeline ships is a second full scan (`count()` before or
+    * after the write) — at 100 TB that doubles the job. The returned
+    * frame reconciles the observation against the landing zone itself
+    * (a footer-count read, never a row scan): `write_ok` flips if the
+    * metrics and the written bytes disagree. Oracle recomputes the
+    * metrics from `documents` and pins the reconciliation TRUE.
+    *
+    * Scale shape: ONE corpus pass total; observed metrics are Spark
+    * accumulators merged on the driver (bytes per task, not rows);
+    * the reconciliation count reads parquet row-group metadata only.
+    */
+  val q235ObserveMetrics: Q = (s, d) => {
+    val dir = landingDir(s, d, "obslanding")
+    val obs = new org.apache.spark.sql.Observation("q235_admission")
+    documents(s, d)
+      .withColumn("admitted", col("n_chars") >= 200)
+      .observe(obs,
+        count(lit(1)).as("n_total"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_chars")).otherwise(0L))
+          .as("chars_admitted"))
+      .filter(col("admitted"))
+      .select("doc_id", "text", "lang")
+      .write.parquet(dir)
+    val m = obs.get
+    val written = s.read.parquet(dir).count()
+    import s.implicits._
+    Seq((m("n_total").asInstanceOf[Long],
+        m("n_admitted").asInstanceOf[Long],
+        m("chars_admitted").asInstanceOf[Long],
+        written == m("n_admitted").asInstanceOf[Long]))
+      .toDF("n_total", "n_admitted", "chars_admitted", "write_ok")
+  }
+
+  val q235Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_admitted,
+      |  CAST(SUM(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_admitted,
+      |  TRUE AS write_ok
+      |FROM documents""".stripMargin
+
+  /** q237 — SCHEMA EVOLUTION AT THE LANDING ZONE (`mergeSchema`): two
+    * ingest generations land side by side — generation 1 wrote
+    * (doc_id, text), generation 2 added `lang` and a `quality` column —
+    * and ONE read reconciles them: `mergeSchema=true` unions the
+    * parquet footers' schemas (a metadata operation, never a data
+    * scan) and back-fills the missing columns with NULL. The report
+    * proves the seam: per generation, row count, NULL back-fill count
+    * for the added column, the added measure's sum (0-coalesced where
+    * it predates the column), and a content fingerprint that would
+    * catch any row-level corruption through the merge. The oracle
+    * replays the generation split arithmetically from `documents`.
+    * This is q206's widen-on-fold discipline applied to the RAW
+    * landing zone, where history cannot be rewritten — the reader,
+    * not the writer, absorbs the schema drift.
+    *
+    * Scale shape: schema merge reads footers of each generation (at
+    * 100 TB: bounded by file count, parallelized by Spark); the report
+    * is one partial-agg pass. No rewrite of generation-1 data ever.
+    */
+  val q237SchemaEvolutionRead: Q = (s, d) => {
+    val dir = landingDir(s, d, "evolanding")
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .write.parquet(s"$dir/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").as("quality"))
+      .write.parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").option("basePath", dir)
+      .parquet(s"$dir/gen=1", s"$dir/gen=2")
+      .groupBy(col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+        sum(coalesce(col("quality"), lit(0L))).as("quality_sum"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text")))), 1, 10),
+            16, 10).cast("long")).as("docs_fp"))
+      .orderBy("gen")
+  }
+
+  val q237Sql: String =
+    """SELECT CAST(1 + (doc_id % 2) AS BIGINT) AS gen,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lang_null,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS quality_sum,
+      |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |    md5(text)), 1, 10))::BIGINT) AS BIGINT) AS docs_fp
+      |FROM documents GROUP BY gen ORDER BY gen""".stripMargin
+
+  /** Records-per-file cap for q238 — small enough that every shard
+    * splits into several files at every SF, so the rolling logic is
+    * actually exercised, never a one-file-per-shard degenerate pass.
+    */
+  private val FileCap = 40L
+
+  /** q238 — WRITER FILE-SIZING AUDIT (`maxRecordsPerFile`): the
+    * small-files/giant-files problem is the canonical 100 TB lake
+    * writer failure — a task owning a hot partition writes one
+    * unsplittable multi-GB file, or a thousand tasks write a thousand
+    * 10-row files. The control is `maxRecordsPerFile`: each shard is
+    * owned by one task (`repartition(shard)`) and the writer ROLLS to
+    * a new file every `FileCap` records. The audit reads the lake back
+    * with `_metadata.file_path` and proves the contract per shard:
+    * the file count is exactly ⌈rows/cap⌉ (no stragglers, no orphan
+    * tiny files), no file exceeds the cap, and the row count survived.
+    * The oracle replays the arithmetic from `documents` — any rolling
+    * misbehavior flips `n_files` or `cap_ok`.
+    *
+    * Scale shape: write is one hash exchange on shard; the audit is
+    * one scan with a virtual column and a two-level partial agg
+    * (file grain, then shard grain). At 100 TB the same audit runs on
+    * row-group metadata alone.
+    */
+  val q238WriterSizingAudit: Q = (s, d) => {
+    val dir = landingDir(s, d, "sizedlake")
+    documents(s, d)
+      .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("long"))
+      .repartition(4, col("shard"))
+      .write.option("maxRecordsPerFile", FileCap)
+      .partitionBy("shard").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("shard").cast("long").as("shard"),
+        col("_metadata.file_path").as("file_path"))
+      .groupBy("shard", "file_path")
+      .agg(count(lit(1)).as("rows_in_file"))
+      .groupBy("shard")
+      .agg(countDistinct(col("file_path")).as("n_files"),
+        sum(col("rows_in_file")).as("n_docs"),
+        bool_and(col("rows_in_file") <= FileCap).as("cap_ok"))
+      .orderBy("shard")
+  }
+
+  val q238Sql: String =
+    s"""SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+       |  CAST((COUNT(*) + ${FileCap - 1}) // $FileCap AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  TRUE AS cap_ok
+       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q235_observe_metrics" -> q235ObserveMetrics,
+    "q237_schema_evolution_read" -> q237SchemaEvolutionRead,
+    "q238_writer_sizing_audit" -> q238WriterSizingAudit,
     "q228_partitioned_overwrite" -> q228PartitionedOverwrite,
     "q230_dynamic_partition_pruning" -> q230DynamicPartitionPruning,
     "q232_xml_quarantine" -> q232XmlQuarantine,
@@ -1344,6 +1497,9 @@ object IngestQueries {
     // the partial rewrite replayed in SQL: transformed rows for the
     // overwritten partition, originals everywhere else
     "q228_partitioned_overwrite" -> q228Sql,
+    "q235_observe_metrics" -> q235Sql,
+    "q237_schema_evolution_read" -> q237Sql,
+    "q238_writer_sizing_audit" -> q238Sql,
     "q230_dynamic_partition_pruning" -> q230Sql,
     "q232_xml_quarantine" -> q232Sql,
     // q200's SQL verbatim: the gate is JSON -> VARIANT -> typed-extract

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The plan claim behind q233 that its hash gate cannot hold: the
+  * case-insensitive dedup key is the UTF8_LCASE-COLLATED text column —
+  * the comparison/hash runs under the collation — and NOT a `lower()`
+  * rewrite that would materialize a lowercase copy of every document
+  * into the shuffle. Plus the semantics seam the oracle replays with
+  * lower(): on collision-free fixtures the two formulations must agree
+  * row-for-row (they are the same equivalence relation expressed two
+  * ways), while the planned machinery differs.
+  */
+class CollatedDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q233's optimized plan partitions on the collated comparison " +
+    "itself — collate(..., UTF8_LCASE) present, no lower() rewrite") {
+    val df = DedupTextQueries.q233CollatedDedup(spark, TestSpark.Sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("UTF8_LCASE"),
+      s"expected a UTF8_LCASE-collated window key, got:\n$plan")
+    assert(!plan.toLowerCase.contains("lower("),
+      s"the collated key must not be a lower() rewrite, got:\n$plan")
+  }
+
+  test("collated dedup ≡ lower() dedup row-for-row (the oracle seam), " +
+    "and every seeded case-variant clone resolves to its original") {
+    import spark.implicits._
+    val collated = DedupTextQueries.q233CollatedDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          upper(col("text")).as("text")))
+    val w = Window.partitionBy(lower(col("text")))
+    val rewritten = corpus
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    assert(collated.toSeq == rewritten.toSeq)
+
+    val clones = collated.filter(_._1 >= 10000000L)
+    assert(clones.nonEmpty, "fixture must seed case-variant clones")
+    clones.foreach { case (id, canonical, isDup) =>
+      assert(isDup, s"clone $id must be a duplicate of its original")
+      assert(canonical <= id - 10000000L,
+        s"clone $id must canonicalize to an original doc_id, got $canonical")
+    }
+  }
+}
