@@ -50,6 +50,8 @@ QUERIES=(
   q221_rocksdb_session_parity
   q230_dynamic_partition_pruning q231_tws_state_audit
   q232_xml_quarantine q233_collated_dedup q234_metadata_audit
+  q235_observe_metrics q236_state_metadata_audit
+  q237_schema_evolution_read q238_writer_sizing_audit
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

@@ -3139,6 +3139,77 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** q236 — OPERATOR METADATA AUDIT (the `state-metadata` source —
+    * the state-observability matrix's missing first step: q208/q226/
+    * q229/q231 read state CONTENT, this reads the checkpoint's
+    * operator REGISTRY): q229's dedup pipeline re-run on its own
+    * checkpoint, then `spark.read.format("state-metadata")` lists
+    * every stateful operator the checkpoint holds — operator id/name,
+    * store name, state partition count, committed batch-id span. This
+    * is the first question an on-call asks of an unfamiliar 100 TB
+    * checkpoint ("WHAT state lives here, across how many partitions,
+    * covering which batches") and the precondition for every
+    * statestore point-read (operatorId and storeName come from here,
+    * not from reading the job's source). DuckDB cannot see
+    * checkpoints, so the oracle pins the contract values: exactly ONE
+    * stateful operator, the dedup-within-watermark operator name, the
+    * default store, the pinned shuffle-partition count (8 —
+    * [[withFewShufflePartitions]] is the stream's conf, and state
+    * partitioning is FROZEN at first run, which is why the count is a
+    * contract worth gating), and a batch span starting at 0 covering
+    * one micro-batch per spool file. Any drift — a second operator
+    * appearing, a partition-count change that would break checkpoint
+    * compatibility, a batch gap — flips a hashed column.
+    *
+    * Scale shape: the metadata read touches ONE small file per
+    * operator (the checkpoint's operator-metadata entry), never state
+    * rows — constant cost regardless of state size.
+    */
+  val q236StateMetadataAudit: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_statemeta", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    locally {
+      val p = path("_ckpt")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = dupSpool(s, d)
+    val span = s.read.parquet(deltaPath)
+      .agg(unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+      .head().getLong(0)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(deltaPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    withFewShufflePartitions(s) {
+      s.readStream
+        .schema(s.read.parquet(deltaPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltaPath)
+        .withWatermark("ts", s"${span + DayMs} milliseconds")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .writeStream
+        .format("noop")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    s.read.format("state-metadata").load(path("_ckpt").toString)
+      .select(col("operatorId").as("operator_id"),
+        col("operatorName").as("operator_name"),
+        col("stateStoreName").as("state_store_name"),
+        col("numPartitions").cast("long").as("num_partitions"),
+        (col("minBatchId") === 0 && col("maxBatchId") >= nFiles - 1)
+          .as("span_ok"))
+      .orderBy("operator_id")
+  }
+
+  val q236Sql: String =
+    """SELECT CAST(0 AS BIGINT) AS operator_id,
+      |  'dedupeWithinWatermark' AS operator_name,
+      |  'default' AS state_store_name,
+      |  CAST(8 AS BIGINT) AS num_partitions,
+      |  TRUE AS span_ok""".stripMargin
+
   /** q231 — transformWithState STATE AUDIT (the round-16 verdict's
     * missing quadrant: q208/q226/q229 read the LEGACY operators' state
     * back; the NEW stateful API's state was write-only). q218's TWS
@@ -3325,6 +3396,7 @@ object StreamingQueries {
     "q226_ssjoin_state_audit" -> q226SsjoinStateAudit,
     "q227_tws_bootstrap" -> q227TwsBootstrap,
     "q229_dedup_state_audit" -> q229DedupStateAudit,
+    "q236_state_metadata_audit" -> q236StateMetadataAudit,
     "q231_tws_state_audit" -> q231TwsStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
@@ -3384,6 +3456,11 @@ object StreamingQueries {
     // set (nothing evicts inside the span-covering delay)
     "q229_dedup_state_audit" ->
       "SELECT doc_id FROM documents ORDER BY doc_id",
+    // the checkpoint's operator registry at its contract values: one
+    // dedup operator, default store, the pinned partition count, a
+    // gapless batch span (DuckDB cannot see checkpoints — any physical
+    // drift flips a pinned column Spark-side)
+    "q236_state_metadata_audit" -> q236Sql,
     // every TWS state variable (typed values, flattened lists, timer
     // registry) recomputed from the events table + spool arithmetic
     "q231_tws_state_audit" -> q231Sql,
