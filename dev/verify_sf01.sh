@@ -52,6 +52,7 @@ QUERIES=(
   q232_xml_quarantine q233_collated_dedup q234_metadata_audit
   q235_observe_metrics q236_state_metadata_audit
   q237_schema_evolution_read q238_writer_sizing_audit
+  q239_join_agg_chain
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"
