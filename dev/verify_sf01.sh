@@ -52,7 +52,8 @@ QUERIES=(
   q232_xml_quarantine q233_collated_dedup q234_metadata_audit
   q235_observe_metrics q236_state_metadata_audit
   q237_schema_evolution_read q238_writer_sizing_audit
-  q239_join_agg_chain
+  q239_join_agg_chain q240_dynamic_gap_sessions q241_compaction_audit
+  q242_parameterized_sql
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

@@ -229,6 +229,66 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** q240 — DYNAMIC-GAP session windows: `session_window` with a
+    * per-event gap EXPRESSION — purchases close a session after 5
+    * minutes of silence, everything else after 30 — the form real
+    * funnels need (a checkout is "done" fast; browsing lingers).
+    * Semantics: each event contributes [ts, ts+gap(event)); Spark
+    * merges an event into the open session iff its ts is strictly
+    * inside the running max end (equality starts a new session, q21's
+    * fixed-gap convention), and the session end is the running max of
+    * per-event ends — NOT last-ts+gap, which differs as soon as a
+    * long-gap event precedes a short-gap one inside one session. The
+    * oracle replays exactly that with a gaps-and-islands construction
+    * whose island test is against the RUNNING MAX of event ends (q21's
+    * LAG test is a special case that only works when the gap is
+    * constant), in native timestamp precision (microseconds — an
+    * epoch-ms replay would mis-split sessions whose boundary falls
+    * inside a millisecond).
+    *
+    * Scale shape: one shuffle on user_id, per-user in-memory merge —
+    * identical to q21; the dynamic gap is a map-side expression, no
+    * extra pass.
+    */
+  val q240DynamicGapSessions: Q = (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", "5 minutes")
+          .otherwise("30 minutes")), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_ms")
+
+  val q240Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, ts, value,
+      |  ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 5 MINUTE
+      |            ELSE INTERVAL 30 MINUTE END AS ev_end
+      | FROM events),
+      |flagged AS (
+      | SELECT user_id, ts, value, ev_end,
+      |  CASE WHEN MAX(ev_end) OVER w_prev IS NULL
+      |       OR ts >= MAX(ev_end) OVER w_prev THEN 1 ELSE 0 END AS new_s
+      | FROM ev
+      | WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, value
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), sess AS (
+      | SELECT user_id, ts, value, ev_end,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM flagged)
+      |SELECT user_id,
+      | epoch_ms(MIN(ts)) AS session_start_ms,
+      | epoch_ms(MAX(ev_end)) AS session_end_ms,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** As-of join: for every click, the most recent error (ts <= click ts)
     * by the same user. Implemented the scalable way — union both sides,
     * one shuffle on user_id, a single `last(ignoreNulls)` running window —
@@ -1847,6 +1907,7 @@ object EventQueries {
     "q19_time_ago" -> q19TimeAgo,
     "q20_tumbling" -> q20Tumbling,
     "q21_session" -> q21Session,
+    "q240_dynamic_gap_sessions" -> q240DynamicGapSessions,
     "q81_sliding" -> q81Sliding,
     "q85_trailing_range" -> q85TrailingRange,
     "q22_asof_join" -> q22AsofJoin,
@@ -1886,6 +1947,7 @@ object EventQueries {
     "q19_time_ago" -> q19Sql,
     "q20_tumbling" -> q20Sql,
     "q21_session" -> q21Sql,
+    "q240_dynamic_gap_sessions" -> q240Sql,
     "q81_sliding" -> q81Sql,
     "q85_trailing_range" -> q85Sql,
     "q22_asof_join" -> q22Sql,

@@ -1459,7 +1459,67 @@ object IngestQueries {
        |  TRUE AS cap_ok
        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q241 — SMALL-FILES COMPACTION AUDIT (the OPTIMIZE pass every
+    * 100 TB lake schedules): a fragmented landing zone — streaming
+    * appends capped at 10 records/file, ⌈rows/10⌉ files per shard —
+    * is compacted by one rewrite (hash-repartition on the partition
+    * key → exactly ONE file per shard), and the audit proves the
+    * rewrite did what compaction must: file count collapses from the
+    * fragmentation arithmetic to 1, row counts survive, and a content
+    * fingerprint over (doc_id, text) is BYTE-IDENTICAL across the
+    * seam — compaction that loses or duplicates a row is corruption
+    * with a progress bar. Both sides are read back through
+    * `_metadata.file_path` (q234's discipline), so the file-grain
+    * claims come from the scan itself, not the writer's word.
+    *
+    * Scale shape: the compaction is one exchange on the partition
+    * key; each audit is one scan + partial agg. At 100 TB the same
+    * rewrite runs per-partition on the fragmented subset only (the
+    * partition predicate prunes the healthy ones); the audit
+    * arithmetic is unchanged.
+    */
+  val q241CompactionAudit: Q = (s, d) => {
+    val fragDir = landingDir(s, d, "fraglake")
+    documents(s, d)
+      .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("long"))
+      .repartition(4, col("shard"))
+      .write.option("maxRecordsPerFile", 10L)
+      .partitionBy("shard").parquet(fragDir)
+    def audit(path: String, filesCol: String, fpCol: String) =
+      s.read.parquet(path)
+        .select(col("shard").cast("long").as("shard"),
+          col("_metadata.file_path").as("file_path"),
+          col("doc_id"), col("text"))
+        .groupBy("shard")
+        .agg(countDistinct(col("file_path")).as(filesCol),
+          count(lit(1)).as(s"n_docs_$fpCol"),
+          sum(conv(substring(md5(concat_ws(":",
+              col("doc_id").cast("string"), md5(col("text")))), 1, 10),
+              16, 10).cast("long")).as(s"fp_$fpCol"))
+    val before = audit(fragDir, "n_files_before", "before")
+    val compactDir = landingDir(s, d, "compactlake")
+    s.read.parquet(fragDir)
+      .repartition(4, col("shard"))
+      .write.partitionBy("shard").parquet(compactDir)
+    val after = audit(compactDir, "n_files_after", "after")
+    before.join(after, Seq("shard"))
+      .select(col("shard"), col("n_docs_before").as("n_docs"),
+        col("n_files_before"), col("n_files_after"),
+        (col("n_docs_before") === col("n_docs_after") &&
+          col("fp_before") === col("fp_after")).as("content_ok"))
+      .orderBy("shard")
+  }
+
+  val q241Sql: String =
+    """SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST((COUNT(*) + 9) // 10 AS BIGINT) AS n_files_before,
+      |  CAST(1 AS BIGINT) AS n_files_after,
+      |  TRUE AS content_ok
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q241_compaction_audit" -> q241CompactionAudit,
     "q235_observe_metrics" -> q235ObserveMetrics,
     "q237_schema_evolution_read" -> q237SchemaEvolutionRead,
     "q238_writer_sizing_audit" -> q238WriterSizingAudit,
@@ -1498,6 +1558,7 @@ object IngestQueries {
     // overwritten partition, originals everywhere else
     "q228_partitioned_overwrite" -> q228Sql,
     "q235_observe_metrics" -> q235Sql,
+    "q241_compaction_audit" -> q241Sql,
     "q237_schema_evolution_read" -> q237Sql,
     "q238_writer_sizing_audit" -> q238Sql,
     "q230_dynamic_partition_pruning" -> q230Sql,

@@ -1228,7 +1228,55 @@ object RelationalQueries {
       |  (SELECT cand FROM rhs WHERE cand IS NOT NULL)
       |ORDER BY leg""".stripMargin
 
+  /** q242 — PARAMETERIZED SQL + EXECUTE IMMEDIATE (the
+    * injection-safe SQL surface a multi-tenant engine exposes):
+    * the SAME admission report runs through BOTH Spark 4 binding
+    * mechanisms — (1) the named-parameter API (`spark.sql(text,
+    * args)`) with the table bound via `IDENTIFIER(:tbl)` (identifiers
+    * cannot be value-parameterized; IDENTIFIER is the safe channel
+    * for them) and the threshold via `:min`, and (2) dynamic SQL:
+    * a session variable (`DECLARE` / `SET VAR`) fed into `EXECUTE
+    * IMMEDIATE ... USING` with a positional marker. Parameters are
+    * BOUND, never spliced — a value containing `'; DROP TABLE` is
+    * data, not syntax. The report joins the two legs and hashes their
+    * agreement: both binders must resolve to the same plan semantics
+    * or `legs_match` flips. Oracle recomputes the report with the
+    * values inlined — binding must be semantically invisible.
+    *
+    * Scale shape: binding is a driver-side parse concern; the plan is
+    * the same partial-agg pass either way (|langs| rows shuffled).
+    */
+  val q242ParameterizedSql: Q = (s, d) => {
+    val view = "graft_param_docs"
+    documents(s, d).createOrReplaceTempView(view)
+    val report =
+      "SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars " +
+        "FROM IDENTIFIER(:tbl) WHERE n_chars >= :min GROUP BY lang"
+    val byParam = s.sql(report, Map("tbl" -> view, "min" -> 200))
+    s.sql("DECLARE OR REPLACE VARIABLE min_chars INT")
+    s.sql("SET VAR min_chars = 200")
+    val byExec = s.sql(
+      s"""EXECUTE IMMEDIATE
+         |'SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |  FROM $view WHERE n_chars >= ? GROUP BY lang'
+         |USING min_chars""".stripMargin)
+      .select(col("lang"), col("n_docs").as("e_n_docs"),
+        col("chars").as("e_chars"))
+    byParam.join(byExec, Seq("lang"), "full_outer")
+      .select(col("lang"), col("n_docs"), col("chars"),
+        (col("n_docs") === col("e_n_docs") &&
+          col("chars") === col("e_chars")).as("legs_match"))
+      .orderBy("lang")
+  }
+
+  val q242Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars, TRUE AS legs_match
+      |FROM documents WHERE n_chars >= 200
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q242_parameterized_sql" -> q242ParameterizedSql,
     "q202_exists_correlated" -> q202ExistsCorrelated,
     "q203_scalar_subquery" -> q203ScalarSubquery,
     "q204_double_anti_exists" -> q204DoubleAntiExists,
@@ -1273,6 +1321,7 @@ object RelationalQueries {
     // catalog statistics vs exact recomputation: the numbers ANALYZE
     // writes (and CBO costing reads) must equal the data's truth
     "q225_cbo_stats" -> q225Sql,
+    "q242_parameterized_sql" -> q242Sql,
     "q210_lateral_topk" -> q210Sql,
     "q213_unpivot_measures" -> q213Sql,
     "q216_setops_all" -> q216Sql,
