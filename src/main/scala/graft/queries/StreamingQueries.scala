@@ -3288,6 +3288,135 @@ object StreamingQueries {
       .orderBy("window_start_ms")
   }
 
+  /** Shared harness for q243/q244 — SESSION-WINDOW STATE AUDIT: run a
+    * streaming sessionization whose watermark delay covers the WHOLE
+    * spool span (sentinels included), so nothing ever emits or evicts
+    * and the final checkpoint state must hold the complete MERGED
+    * session set; then read that state back with `format("statestore")`
+    * and emit the retained sessions themselves. This is the strongest
+    * gate on cross-batch session MERGE: the spool's files are an
+    * unordered split of the timeline, so an event arriving in batch 3
+    * regularly bridges two sessions the state already holds — the
+    * operator must merge them in place (stateFormatVersion 2 prefix-
+    * scan machinery), and any merge miss shows as a split session in
+    * the retained set. The batch oracle (gaps-and-islands in DuckDB)
+    * never sees the stream.
+    */
+  private def sessionStateAudit(s: SparkSession, d: String, tag: String,
+      gap: Column): DataFrame = {
+    val base = RunStore.tableName(s"graft_stream_$tag", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    locally {
+      val p = path("_ckpt")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val sp = eventSpool(s, d)
+    // span of the WHOLE spool (sentinels included): the delay must
+    // keep the watermark below every event or sessions start evicting
+    val fullSpan = s.read.parquet(sp.dir)
+      .agg(unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+      .head().getLong(0)
+    withFewShufflePartitions(s) {
+      s.readStream
+        .schema(s.read.parquet(sp.dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sp.dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withWatermark("ts", s"${fullSpan + DayMs} milliseconds")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // state layout (v2 prefix-key format): key = (grouping keys,
+    // sessionStartTime) so the store can prefix-scan a key's sessions
+    // for merge; the full merged window and the agg buffer live in the
+    // VALUE (the buffer count field keeps its pre-alias name `count`)
+    s.read.format("statestore").load(path("_ckpt").toString)
+      .filter(col("key.user_id") =!= lit(sp.sentinelUid))
+      .select(col("key.user_id").as("user_id"),
+        unix_millis(col("value.session_window.start"))
+          .as("session_start_ms"),
+        unix_millis(col("value.session_window.end"))
+          .as("session_end_ms"),
+        col("value.count").as("n_events"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** q243 — session-window state audit, FIXED gap (completing the
+    * state-observability matrix's last legacy operator: agg q208,
+    * join q226, dedup q229, TWS q231, registry q236 — session windows
+    * were the one stateful operator whose state nothing read back).
+    * See [[sessionStateAudit]]; oracle = q21's batch sessionization
+    * (count leg), which the retained state must equal EXACTLY even
+    * though the stream never emitted a row.
+    */
+  val q243SessionStateAudit: Q = (s, d) =>
+    sessionStateAudit(s, d, "sessobs", lit("30 minutes"))
+
+  /** q244 — session-window state audit, DYNAMIC gap: q240's per-event
+    * gap expression (purchase 5 min, else 30) run through the SAME
+    * streaming state harness — the merge now has to honor per-event
+    * horizons when it stitches cross-batch sessions (a short-gap
+    * purchase arriving late must NOT extend a session a long-gap view
+    * already closed). Oracle = q240's running-max islands, count leg.
+    */
+  val q244DynamicSessionStateAudit: Q = (s, d) =>
+    sessionStateAudit(s, d, "dynsessobs",
+      when(col("event_type") === "purchase", "5 minutes")
+        .otherwise("30 minutes"))
+
+  private[graft] val q243Sql: String =
+    """WITH flagged AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+      |  END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      | SELECT user_id, ts,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM flagged)
+      |SELECT user_id,
+      | epoch_ms(MIN(ts)) AS session_start_ms,
+      | epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+      | COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
+  private[graft] val q244Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, ts,
+      |  ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 5 MINUTE
+      |            ELSE INTERVAL 30 MINUTE END AS ev_end
+      | FROM events),
+      |flagged AS (
+      | SELECT user_id, ts, ev_end,
+      |  CASE WHEN MAX(ev_end) OVER w_prev IS NULL
+      |       OR ts >= MAX(ev_end) OVER w_prev THEN 1 ELSE 0 END AS new_s
+      | FROM ev
+      | WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), sess AS (
+      | SELECT user_id, ts, ev_end,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM flagged)
+      |SELECT user_id,
+      | epoch_ms(MIN(ts)) AS session_start_ms,
+      | epoch_ms(MAX(ev_end)) AS session_end_ms,
+      | COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** q239's oracle — the batch same-hour join re-grouped by the hour
     * window (epoch-aligned like Spark's `window()`): the chained
     * streaming query must reproduce it for any interleaving, or the
@@ -3494,6 +3623,8 @@ object StreamingQueries {
     "q229_dedup_state_audit" -> q229DedupStateAudit,
     "q236_state_metadata_audit" -> q236StateMetadataAudit,
     "q239_join_agg_chain" -> q239JoinAggChain,
+    "q243_session_state_audit" -> q243SessionStateAudit,
+    "q244_dynamic_session_state_audit" -> q244DynamicSessionStateAudit,
     "q231_tws_state_audit" -> q231TwsStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
@@ -3561,6 +3692,10 @@ object StreamingQueries {
     // the batch join+window-agg the chained stateful pipeline must
     // reproduce for any interleaving (watermark propagation seam)
     "q239_join_agg_chain" -> q239Sql,
+    // retained session state ≡ the batch sessionization (nothing ever
+    // emits under the span-covering delay; the state IS the answer)
+    "q243_session_state_audit" -> q243Sql,
+    "q244_dynamic_session_state_audit" -> q244Sql,
     // every TWS state variable (typed values, flattened lists, timer
     // registry) recomputed from the events table + spool arithmetic
     "q231_tws_state_audit" -> q231Sql,
