@@ -3219,10 +3219,12 @@ object StreamingQueries {
     * that choice is load-bearing, not stylistic — Spark's documented
     * multi-stateful restriction is that a TIME-INTERVAL join must be
     * the LAST stateful operator (its output event time is unbounded
-    * relative to the watermark, so rows it emits silently miss a
-    * downstream stateful op — verified empirically on 4.1.2: the
-    * interval form of this exact query runs without error and emits
-    * ZERO windows), while a window-equality join's output carries the
+    * relative to the watermark, so rows it emits arrive "late" at a
+    * downstream stateful op and are silently dropped — verified
+    * empirically on 4.1.2 and pinned by ChainedStatefulHazardSpec:
+    * the interval form of this exact query runs without error and
+    * emits only a straggler subset of windows), while a
+    * window-equality join's output carries the
     * window itself as event time and chains soundly (SPARK-40925
     * watermark propagation). The oracle — the batch join+group-by
     * replayed in DuckDB — would catch any pair dropped at the seam.
