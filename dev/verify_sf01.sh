@@ -54,7 +54,8 @@ QUERIES=(
   q237_schema_evolution_read q238_writer_sizing_audit
   q239_join_agg_chain q240_dynamic_gap_sessions q241_compaction_audit
   q242_parameterized_sql q243_session_state_audit
-  q244_dynamic_session_state_audit
+  q244_dynamic_session_state_audit q245_streaming_observe
+  q246_try_arithmetic
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

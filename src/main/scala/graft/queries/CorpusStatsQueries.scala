@@ -477,6 +477,63 @@ object CorpusStatsQueries {
        |  TRUE AS path_ok, TRUE AS size_ok
        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q246 — ANSI ERROR SEMANTICS + `try_` ARITHMETIC: Spark 4 runs
+    * ANSI-on by default, which changes the 100 TB failure mode — one
+    * bad row no longer poisons a result with a silent NULL/garbage, it
+    * KILLS THE JOB. This gate pins both halves of that contract: the
+    * strict side (a probe proves plain `/` raises DIVIDE_BY_ZERO — a
+    * session accidentally running ANSI-off would green silently
+    * otherwise, caught by the narrow `SparkThrowable` condition
+    * match), and the mitigation side — `try_divide`/`try_add` return
+    * NULL for exactly the rows the recipe damages (doc_id%5=0 zero
+    * divisors; doc_id%7=0 seeded Long.MaxValue overflow) while every
+    * healthy row computes normally, counted and summed per language.
+    * The oracle replays the recipe with CASE guards — the `try_`
+    * family must be semantically equal to guarded arithmetic, just
+    * without a second pass over the predicate.
+    *
+    * Scale shape: all map-side codegen'd expressions in one
+    * partial-agg pass; the strict probe is a pushdown-filtered
+    * `limit(1)` action, never a corpus scan.
+    */
+  val q246TryArithmetic: Q = (s, d) => {
+    val docs = documents(s, d)
+    val ansiStrict =
+      try {
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("n_chars") / (col("doc_id") % 5)).as("x"))
+          .limit(1).collect()
+        false
+      } catch {
+        case e: org.apache.spark.SparkThrowable
+            if e.getCondition != null &&
+              e.getCondition.startsWith("DIVIDE_BY_ZERO") => true
+      }
+    val ratio = try_divide(col("n_chars"), col("doc_id") % 5)
+    val seeded = try_add(
+      when(col("doc_id") % 7 === 0, lit(Long.MaxValue)).otherwise(lit(0L)),
+      col("n_chars"))
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(ratio.isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(when(seeded.isNull, 1L).otherwise(0L)).as("n_overflow_null"),
+        sum(floor(ratio)).as("sum_floor_ratio"))
+      .withColumn("ansi_strict", lit(ansiStrict))
+      .orderBy("lang")
+  }
+
+  val q246Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_div_null,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overflow_null,
+      |  CAST(SUM(CASE WHEN doc_id % 5 <> 0
+      |    THEN CAST(FLOOR(n_chars / (doc_id % 5)) AS BIGINT) END)
+      |    AS BIGINT) AS sum_floor_ratio,
+      |  TRUE AS ansi_strict
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q83 — per-language MAD (median absolute deviation of n_chars):
     * the robust dispersion figure profiling uses where q71's stddev is
     * outlier-dominated (a handful of giant documents can double a
@@ -1319,6 +1376,7 @@ object CorpusStatsQueries {
     "q73_vocab_coverage" -> q73VocabCoverage,
     "q74_shard_manifest" -> q74ShardManifest,
     "q234_metadata_audit" -> q234MetadataAudit,
+    "q246_try_arithmetic" -> q246TryArithmetic,
     "q79_budget_sample" -> q79BudgetSample,
     "q83_length_mad" -> q83LengthMad
   )
@@ -1340,6 +1398,7 @@ object CorpusStatsQueries {
     "q73_vocab_coverage" -> q73Sql,
     "q74_shard_manifest" -> q74Sql,
     "q234_metadata_audit" -> q234Sql,
+    "q246_try_arithmetic" -> q246Sql,
     "q79_budget_sample" -> q79Sql,
     "q83_length_mad" -> q83Sql
   )

@@ -3290,6 +3290,70 @@ object StreamingQueries {
       .orderBy("window_start_ms")
   }
 
+  /** q245 — STREAMING OBSERVED METRICS (`observe()` on an unbounded
+    * frame — q235's one-scan discipline for streams): the admission
+    * metrics ride each micro-batch as observed accumulators and
+    * surface in `StreamingQueryProgress.observedMetrics` — the
+    * alarm-feed a production stream exports per trigger without a
+    * second pass or a separate metrics query. The gate folds the
+    * per-batch reports back together: summed across batches they must
+    * equal the batch truth over the whole spool (a batch whose metrics
+    * under- or over-report flips the fold), and exactly one metrics
+    * report per spool file must arrive (`batches_ok`). Oracle
+    * recomputes the totals from `documents`.
+    *
+    * Scale shape: observed metrics are accumulator merges (bytes per
+    * task); the progress read is driver-side at batch grain. The noop
+    * sink keeps the gate about the METRICS channel, not the sink.
+    */
+  val q245StreamingObserve: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_observe", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    locally {
+      val p = path("_ckpt")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val deltaPath = docSpool(s, d)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(deltaPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val q = withFewShufflePartitions(s) {
+      s.readStream
+        .schema(s.read.parquet(deltaPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltaPath)
+        .observe("admission",
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("n_chars") >= 200, 1L).otherwise(0L))
+            .as("n_admitted"))
+        .writeStream
+        .format("noop")
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val reports = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("admission")))
+    import s.implicits._
+    Seq((reports.map(_.getAs[Long]("n_rows")).sum,
+        reports.map(_.getAs[Long]("chars")).sum,
+        reports.map(_.getAs[Long]("n_admitted")).sum,
+        reports.size.toLong == nFiles.toLong))
+      .toDF("rows_observed", "chars_observed", "admitted_observed",
+        "batches_ok")
+  }
+
+  private[graft] val q245Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS rows_observed,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_observed,
+      |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS admitted_observed,
+      |  TRUE AS batches_ok
+      |FROM documents""".stripMargin
+
   /** Shared harness for q243/q244 — SESSION-WINDOW STATE AUDIT: run a
     * streaming sessionization whose watermark delay covers the WHOLE
     * spool span (sentinels included), so nothing ever emits or evicts
@@ -3627,6 +3691,7 @@ object StreamingQueries {
     "q239_join_agg_chain" -> q239JoinAggChain,
     "q243_session_state_audit" -> q243SessionStateAudit,
     "q244_dynamic_session_state_audit" -> q244DynamicSessionStateAudit,
+    "q245_streaming_observe" -> q245StreamingObserve,
     "q231_tws_state_audit" -> q231TwsStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
@@ -3698,6 +3763,9 @@ object StreamingQueries {
     // emits under the span-covering delay; the state IS the answer)
     "q243_session_state_audit" -> q243Sql,
     "q244_dynamic_session_state_audit" -> q244Sql,
+    // per-batch observed metrics folded across the stream vs the
+    // batch truth over the whole spool
+    "q245_streaming_observe" -> q245Sql,
     // every TWS state variable (typed values, flattened lists, timer
     // registry) recomputed from the events table + spool arithmetic
     "q231_tws_state_audit" -> q231Sql,
