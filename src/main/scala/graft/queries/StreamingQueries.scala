@@ -3290,6 +3290,76 @@ object StreamingQueries {
       .orderBy("window_start_ms")
   }
 
+  /** q247 — MULTI-SINK FAN-OUT inside ONE `foreachBatch` (the "lake +
+    * serving store from one pass" production topology): each
+    * micro-batch is persisted once (`batch.persist()` — without it the
+    * second sink RE-EXECUTES the batch plan, doubling the read) and
+    * written to TWO independent sinks — the raw landing zone and a
+    * lang-grain aggregate feed — each under the idempotent
+    * per-batch-directory discipline ([[writeBatch]]), so a replayed
+    * epoch overwrites the SAME paths in BOTH sinks and exactly-once
+    * composes across the fan-out. The gate reconciles the two sinks
+    * against each other and the batch truth: the aggregate feed folded
+    * across batches must equal the same aggregation recomputed from
+    * the raw sink, and both must equal the oracle's recomputation from
+    * `documents` — a sink that dropped/duplicated a batch flips
+    * `sinks_agree` or the hashed totals.
+    *
+    * Scale shape: one source read per batch (the persist seam), two
+    * writes; the aggregate feed shuffles |langs| rows per batch. The
+    * reconciliation reads both sinks once.
+    */
+  val q247MultiSinkFanout: Q = (s, d) => {
+    val base = RunStore.tableName("graft_stream_fanout", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_raw", "_agg").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val rawPath = path("_raw").toString
+    val aggPath = path("_agg").toString
+    val deltaPath = docSpool(s, d)
+    withFewShufflePartitions(s) {
+      s.readStream
+        .schema(s.read.parquet(deltaPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltaPath)
+        .writeStream
+        .option("checkpointLocation", path("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try {
+            writeBatch(batch, rawPath, batchId)
+            writeBatch(
+              batch.groupBy("lang")
+                .agg(count(lit(1)).as("n_docs"),
+                  sum(col("n_chars")).as("chars")),
+              aggPath, batchId)
+          } finally batch.unpersist()
+        }
+        .start().awaitTermination()
+    }
+    val fromAggFeed = readSink(s, aggPath)
+      .groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"))
+    val fromRaw = readSink(s, rawPath)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("r_n_docs"), sum(col("n_chars")).as("r_chars"))
+    fromAggFeed.join(fromRaw, Seq("lang"), "full_outer")
+      .select(col("lang"), col("n_docs"), col("chars"),
+        (col("n_docs") === col("r_n_docs") &&
+          col("chars") === col("r_chars")).as("sinks_agree"))
+      .orderBy("lang")
+  }
+
+  private[graft] val q247Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars, TRUE AS sinks_agree
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q245 — STREAMING OBSERVED METRICS (`observe()` on an unbounded
     * frame — q235's one-scan discipline for streams): the admission
     * metrics ride each micro-batch as observed accumulators and
@@ -3692,6 +3762,7 @@ object StreamingQueries {
     "q243_session_state_audit" -> q243SessionStateAudit,
     "q244_dynamic_session_state_audit" -> q244DynamicSessionStateAudit,
     "q245_streaming_observe" -> q245StreamingObserve,
+    "q247_multi_sink_fanout" -> q247MultiSinkFanout,
     "q231_tws_state_audit" -> q231TwsStateAudit,
     "q208_watermark_audit" -> q208WatermarkAudit,
     "q209_dedup_join_compose" -> q209DedupJoinCompose,
@@ -3766,6 +3837,9 @@ object StreamingQueries {
     // per-batch observed metrics folded across the stream vs the
     // batch truth over the whole spool
     "q245_streaming_observe" -> q245Sql,
+    // both fan-out sinks reconciled against each other and the batch
+    // truth (exactly-once must compose across a multi-sink foreachBatch)
+    "q247_multi_sink_fanout" -> q247Sql,
     // every TWS state variable (typed values, flattened lists, timer
     // registry) recomputed from the events table + spool arithmetic
     "q231_tws_state_audit" -> q231Sql,
