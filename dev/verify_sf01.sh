@@ -55,7 +55,7 @@ QUERIES=(
   q239_join_agg_chain q240_dynamic_gap_sessions q241_compaction_audit
   q242_parameterized_sql q243_session_state_audit
   q244_dynamic_session_state_audit q245_streaming_observe
-  q246_try_arithmetic q247_multi_sink_fanout
+  q246_try_arithmetic q247_multi_sink_fanout q248_empty_relation
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

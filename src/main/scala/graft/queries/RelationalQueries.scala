@@ -1275,7 +1275,56 @@ object RelationalQueries {
       |FROM documents WHERE n_chars >= 200
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q248 — EMPTY-RELATION SEMANTICS: what every operator must do
+    * when its input is RUNTIME-empty — the normal state of affairs at
+    * 100 TB, where partition pruning, selective dim filters, and DPP
+    * routinely reduce a branch to zero rows. Three legs, each a
+    * distinct empty-input contract engines get wrong independently:
+    * a GLOBAL aggregate over an empty relation returns exactly ONE
+    * row (count 0, sum NULL — not zero rows, not a 0 sum); a GROUPED
+    * aggregate over the same input returns ZERO groups; and a LEFT
+    * join against an empty build side preserves every probe row with
+    * a 0 match count (an engine that "optimizes" the join away must
+    * not drop the probe side). The oracle replays all three in SQL —
+    * the legs are where subtly-wrong shortcut rewrites surface.
+    *
+    * Scale shape: the point IS the shortcut-correctness; each leg is
+    * one partial-agg pass whose empty branches cost nothing.
+    */
+  val q248EmptyRelation: Q = (s, d) => {
+    val docs = documents(s, d)
+    val none = docs.filter(col("lang") === "zz_none")
+    val global = none
+      .agg(count(lit(1)).as("c1"), sum(col("n_chars")).as("c2"))
+      .select(lit("agg_over_empty").as("leg"), col("c1"), col("c2"))
+    val groups = none.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("c1"), sum(col("n")).as("c2"))
+      .select(lit("groups_over_empty").as("leg"), col("c1"), col("c2"))
+    val leftJoin = docs
+      .join(none.select(col("doc_id").as("k"), col("n_chars").as("nc")),
+        col("doc_id") === col("k"), "left")
+      .agg(count(lit(1)).as("c1"), count(col("nc")).as("c2"))
+      .select(lit("left_join_empty").as("leg"), col("c1"), col("c2"))
+    global.unionByName(groups).unionByName(leftJoin).orderBy("leg")
+  }
+
+  val q248Sql: String =
+    """SELECT 'agg_over_empty' AS leg, CAST(COUNT(*) AS BIGINT) AS c1,
+      |  CAST(SUM(n_chars) AS BIGINT) AS c2
+      |FROM documents WHERE lang = 'zz_none'
+      |UNION ALL
+      |SELECT 'groups_over_empty',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      |    (SELECT lang FROM documents WHERE lang = 'zz_none' GROUP BY lang)),
+      |  CAST(NULL AS BIGINT)
+      |UNION ALL
+      |SELECT 'left_join_empty',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY leg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q248_empty_relation" -> q248EmptyRelation,
     "q242_parameterized_sql" -> q242ParameterizedSql,
     "q202_exists_correlated" -> q202ExistsCorrelated,
     "q203_scalar_subquery" -> q203ScalarSubquery,
@@ -1322,6 +1371,7 @@ object RelationalQueries {
     // writes (and CBO costing reads) must equal the data's truth
     "q225_cbo_stats" -> q225Sql,
     "q242_parameterized_sql" -> q242Sql,
+    "q248_empty_relation" -> q248Sql,
     "q210_lateral_topk" -> q210Sql,
     "q213_unpivot_measures" -> q213Sql,
     "q216_setops_all" -> q216Sql,
