@@ -56,6 +56,7 @@ QUERIES=(
   q242_parameterized_sql q243_session_state_audit
   q244_dynamic_session_state_audit q245_streaming_observe
   q246_try_arithmetic q247_multi_sink_fanout q248_empty_relation
+  q249_retention_vacuum
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

@@ -863,6 +863,96 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q249 — RETENTION VACUUM over the time-travel store (q207's
+    * history, bounded): three generations are built (base compaction,
+    * fold, compaction, fold — current = everything, history = two
+    * snapshots), then [[RunStore.vacuumRetain]] prunes history to ONE
+    * retained snapshot — the VACUUM every as-of-capable lake runs,
+    * because time travel is a retention contract and the history tail
+    * is where 100 TB of storage goes to die. The gate holds all four
+    * contract edges at once: the LIVE view is untouched (count +
+    * fingerprint vs the oracle's recomputation from `orders`), the
+    * RETAINED snapshot still reads and is byte-identical to its
+    * pre-vacuum self (`prev_stable`), exactly one generation was
+    * pruned and its directory is physically gone (`n_pruned`,
+    * `pruned_gone`), and a read past the new horizon REFUSES loudly
+    * (`pruned_refused`) — never silently serves the wrong snapshot.
+    * The vacuum call itself runs under the sweep guards (lease +
+    * age gate); the age gate is pinned to 0 for the freshly-built
+    * fixture exactly as the sweep specs do, and restored.
+    *
+    * Scale shape: vacuum is a driver-side metadata walk (|generations|
+    * entries) + directory deletes; no data pass anywhere. The
+    * content gates are one partial-agg read of the live store and one
+    * of the retained snapshot.
+    */
+  val q249RetentionVacuum: Q = (s, d) => {
+    val t = RunStore.tableName("graft_aggviewvac", d)
+    RunStore.dropWithLocation(s, t)
+    val o = orders(s, d)
+    val m10 = col("o_orderkey") % 10
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("rev_cents"))
+    graft.core.Tables.writeBucketed(partials(o.filter(m10 >= 2)), t, 8,
+      "o_custkey")
+    DedupTextQueries.compactStore(s, t)
+    DedupTextQueries.foldAdmittedVia(partials)(s, t, o.filter(m10 === 1))
+    DedupTextQueries.compactStore(s, t)
+    DedupTextQueries.foldAdmittedVia(partials)(s, t, o.filter(m10 === 0))
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev_cents")).as("rev_cents"))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = view(df).agg(count(lit(1)),
+        sum(conv(substring(md5(concat_ws(":",
+            col("o_custkey").cast("string"),
+            col("n_orders").cast("string"),
+            col("rev_cents").cast("string"))), 1, 10), 16, 10)
+          .cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val prevBefore = fingerprint(RunStore.asOfGeneration(s, t, back = 1))
+    val deleted = {
+      val saved = RunStore.sweepGraceMs
+      RunStore.sweepGraceMs = 0L
+      try RunStore.vacuumRetain(s, t, keepHistory = 1)
+      finally RunStore.sweepGraceMs = saved
+    }
+    val prevAfter = fingerprint(RunStore.asOfGeneration(s, t, back = 1))
+    val refused =
+      try {
+        RunStore.asOfGeneration(s, t, back = 2).count(); false
+      } catch { case _: IllegalArgumentException => true }
+    val fs = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (nKeys, liveFp) = fingerprint(s.table(t))
+    import s.implicits._
+    Seq((nKeys, liveFp, prevBefore == prevAfter, deleted.size.toLong,
+        deleted.nonEmpty && deleted.forall(p => !fs.exists(p)), refused))
+      .toDF("n_keys", "live_fp", "prev_stable", "n_pruned",
+        "pruned_gone", "pruned_refused")
+  }
+
+  val q249Sql: String =
+    """WITH v AS (
+      | SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS rev_cents
+      | FROM orders GROUP BY o_custkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+      |    CAST(n_orders AS VARCHAR) || ':' ||
+      |    CAST(rev_cents AS VARCHAR)), 1, 10))::BIGINT) AS BIGINT)
+      |    AS live_fp,
+      |  TRUE AS prev_stable, CAST(1 AS BIGINT) AS n_pruned,
+      |  TRUE AS pruned_gone, TRUE AS pruned_refused
+      |FROM v""".stripMargin
+
   /** q225 — CATALOG STATISTICS / CBO surface (`ANALYZE TABLE` +
     * `spark.sql.cbo.enabled`): at 100 TB, join order and broadcast
     * decisions are made from CATALOG statistics, not file sizes — a
@@ -1325,6 +1415,7 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     "q248_empty_relation" -> q248EmptyRelation,
+    "q249_retention_vacuum" -> q249RetentionVacuum,
     "q242_parameterized_sql" -> q242ParameterizedSql,
     "q202_exists_correlated" -> q202ExistsCorrelated,
     "q203_scalar_subquery" -> q203ScalarSubquery,
@@ -1372,6 +1463,7 @@ object RelationalQueries {
     "q225_cbo_stats" -> q225Sql,
     "q242_parameterized_sql" -> q242Sql,
     "q248_empty_relation" -> q248Sql,
+    "q249_retention_vacuum" -> q249Sql,
     "q210_lateral_topk" -> q210Sql,
     "q213_unpivot_measures" -> q213Sql,
     "q216_setops_all" -> q216Sql,

@@ -298,6 +298,43 @@ private[graft] object RunStore {
     }
   }
 
+  /** RETENTION VACUUM: physically delete demoted generations beyond
+    * the newest `keepHistory` — the bounded-history sweep every
+    * as-of-capable store needs (time travel is a RETENTION CONTRACT,
+    * not an archive; at 100 TB the history tail is where storage goes
+    * to die). Eligibility is exactly [[asOfGeneration]]'s trust set
+    * minus the current location: marker-bearing demotions and the
+    * default dir when it is history — retired incarnations and
+    * unmarked crash debris are never touched (debris stays for the
+    * aged compaction sweep). Each victim must ALSO pass the same
+    * guards as that sweep (a live in-JVM lease defers it; so does the
+    * [[sweepGraceMs]] age gate protecting cross-process readers) —
+    * vacuum is a policy about HOW MUCH history to keep, never a
+    * license to delete under a reader. Returns the deleted paths;
+    * afterwards `asOfGeneration(t, back)` refuses for back beyond the
+    * retained count, exactly as for any other horizon.
+    */
+  private[graft] def vacuumRetain(s: SparkSession, t: String,
+      keepHistory: Int): Seq[Path] = {
+    require(keepHistory >= 0,
+      s"vacuumRetain: keepHistory must be >= 0, got $keepHistory")
+    val cur = catalogLocation(s, t).getOrElse(
+      throw new IllegalArgumentException(s"$t: no catalog entry"))
+    val fs = hadoopFs(s, cur)
+    def q(p: Path) = fs.makeQualified(p).toString
+    val dflt = q(defaultLocation(s, t))
+    val all = generationPaths(s, t).filter(p =>
+      !isRetired(fs, p) &&
+        (q(p) == dflt || q(p) == q(cur) || isDemoted(fs, p)))
+    val curIdx = all.indexWhere(p => q(p) == q(cur))
+    require(curIdx >= 0,
+      s"$t: catalog location $cur is not a known generation dir")
+    all.take(curIdx).dropRight(keepHistory)
+      .filter(p => graft.core.StoreLeases.liveHoldersOf(t).isEmpty &&
+        sweepable(fs, p))
+      .map { p => fs.delete(p, true); p }
+  }
+
   /** A fresh, unused generation directory for a compaction write-aside. */
   private[graft] def nextGenerationDir(s: SparkSession, t: String): Path = {
     val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
