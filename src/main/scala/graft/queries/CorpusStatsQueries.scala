@@ -510,9 +510,13 @@ object CorpusStatsQueries {
               e.getCondition.startsWith("DIVIDE_BY_ZERO") => true
       }
     val ratio = try_divide(col("n_chars"), col("doc_id") % 5)
+    // `+ 1` makes the seeded overflow UNCONDITIONAL: n_chars >= 0 in
+    // any corpus, so MaxValue + (n_chars + 1) always wraps — a
+    // zero-length document in a future testdata regeneration cannot
+    // flip the gate (try_add(MaxValue, 0) would NOT overflow).
     val seeded = try_add(
       when(col("doc_id") % 7 === 0, lit(Long.MaxValue)).otherwise(lit(0L)),
-      col("n_chars"))
+      col("n_chars") + 1)
     docs.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(ratio.isNull, 1L).otherwise(0L)).as("n_div_null"),

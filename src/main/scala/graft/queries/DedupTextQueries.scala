@@ -115,6 +115,15 @@ object DedupTextQueries {
       .orderBy("doc_id")
   }
 
+  /** ORACLE EQUIVALENCE CAVEAT: the oracle equates Spark's UTF8_LCASE
+    * collation with DuckDB's `lower()`. Those agree on ASCII but
+    * diverge on locale-sensitive case mappings (ß→SS, Turkish İ, final
+    * sigma ς) — the gate therefore assumes an ASCII-cased corpus, and
+    * CollatedDedupSpec pins that assumption against the fixture
+    * (every `text` byte < 0x80) so a testdata regeneration that goes
+    * non-ASCII fails the SPEC loudly instead of silently bending this
+    * oracle.
+    */
   val q233Sql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents

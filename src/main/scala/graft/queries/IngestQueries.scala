@@ -11,6 +11,22 @@ import graft.core.Tables._
   */
 object IngestQueries {
 
+  /** True iff the cause chain carries a malformed-record error
+    * CONDITION — `SparkThrowable.getCondition`, the same narrow
+    * error-class contract q246 uses for DIVIDE_BY_ZERO — never a
+    * message substring, so an unrelated exception whose text happens
+    * to contain "Malformed" (a corrupt parquet footer, say) cannot
+    * green a FAILFAST refusal gate. Spark 4 wraps the per-file task
+    * failure in FAILED_READ_FILE with the malformed condition riding
+    * its cause chain, hence the walk.
+    */
+  private def malformedRefusal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case st: org.apache.spark.SparkThrowable if st.getCondition != null =>
+        st.getCondition.startsWith("MALFORMED_RECORD_IN_PARSING")
+      case _ => false
+    }
+
   /** Largest language's keep rate; smaller languages keep proportionally
     * more (up to everything), flattening the mixture toward α = 0.5.
     */
@@ -1002,14 +1018,7 @@ object IngestQueries {
           .agg(sum(col("doc_id"))).head()
         false
       } catch {
-        case scala.util.control.NonFatal(e)
-            if Iterator.iterate(e: Throwable)(_.getCause)
-              .takeWhile(_ != null).take(10)
-              .exists { t =>
-                val m = Option(t.getMessage).getOrElse("")
-                m.contains("MALFORMED_RECORD_IN_PARSING") ||
-                  m.contains("Malformed") || m.contains("FAILFAST")
-              } => true
+        case scala.util.control.NonFatal(e) if malformedRefusal(e) => true
       }
     parsed.agg(
       count(lit(1)).as("n_rows"),
@@ -1156,14 +1165,7 @@ object IngestQueries {
           .agg(sum(col("_id"))).head()
         false
       } catch {
-        case scala.util.control.NonFatal(e)
-            if Iterator.iterate(e: Throwable)(_.getCause)
-              .takeWhile(_ != null).take(10)
-              .exists { t =>
-                val m = Option(t.getMessage).getOrElse("")
-                m.contains("MALFORMED_RECORD_IN_PARSING") ||
-                  m.contains("Malformed") || m.contains("FAILFAST")
-              } => true
+        case scala.util.control.NonFatal(e) if malformedRefusal(e) => true
       }
     parsed.agg(
       count(lit(1)).as("n_rows"),

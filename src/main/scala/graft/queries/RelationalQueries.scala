@@ -878,8 +878,10 @@ object RelationalQueries {
     * `pruned_gone`), and a read past the new horizon REFUSES loudly
     * (`pruned_refused`) — never silently serves the wrong snapshot.
     * The vacuum call itself runs under the sweep guards (lease +
-    * age gate); the age gate is pinned to 0 for the freshly-built
-    * fixture exactly as the sweep specs do, and restored.
+    * age gate); the age gate is relaxed for the freshly-built fixture
+    * via vacuumRetain's PER-CALL graceMs override — the process-global
+    * sweepGraceMs is never mutated, so concurrent stores keep their
+    * cross-process-reader protection.
     *
     * Scale shape: vacuum is a driver-side metadata walk (|generations|
     * entries) + directory deletes; no data pass anywhere. The
@@ -916,12 +918,10 @@ object RelationalQueries {
       (r.getLong(0), r.getLong(1))
     }
     val prevBefore = fingerprint(RunStore.asOfGeneration(s, t, back = 1))
-    val deleted = {
-      val saved = RunStore.sweepGraceMs
-      RunStore.sweepGraceMs = 0L
-      try RunStore.vacuumRetain(s, t, keepHistory = 1)
-      finally RunStore.sweepGraceMs = saved
-    }
+    // Per-call grace override — the process-global sweepGraceMs stays
+    // untouched, so every OTHER store's cross-process-reader age gate
+    // holds while this query's freshly-built fixture is vacuumed.
+    val deleted = RunStore.vacuumRetain(s, t, keepHistory = 1, graceMs = 0L)
     val prevAfter = fingerprint(RunStore.asOfGeneration(s, t, back = 1))
     val refused =
       try {
@@ -1352,10 +1352,13 @@ object RelationalQueries {
          |USING min_chars""".stripMargin)
       .select(col("lang"), col("n_docs").as("e_n_docs"),
         col("chars").as("e_chars"))
+    // Null-safe <=> so a group missing from one leg of the full_outer
+    // reads as an explicit FALSE, honoring the column's "flips on any
+    // divergence" contract (=== would yield NULL there).
     byParam.join(byExec, Seq("lang"), "full_outer")
       .select(col("lang"), col("n_docs"), col("chars"),
-        (col("n_docs") === col("e_n_docs") &&
-          col("chars") === col("e_chars")).as("legs_match"))
+        (col("n_docs") <=> col("e_n_docs") &&
+          col("chars") <=> col("e_chars")).as("legs_match"))
       .orderBy("lang")
   }
 

@@ -315,7 +315,7 @@ private[graft] object RunStore {
     * retained count, exactly as for any other horizon.
     */
   private[graft] def vacuumRetain(s: SparkSession, t: String,
-      keepHistory: Int): Seq[Path] = {
+      keepHistory: Int, graceMs: Long = sweepGraceMs): Seq[Path] = {
     require(keepHistory >= 0,
       s"vacuumRetain: keepHistory must be >= 0, got $keepHistory")
     val cur = catalogLocation(s, t).getOrElse(
@@ -329,9 +329,17 @@ private[graft] object RunStore {
     val curIdx = all.indexWhere(p => q(p) == q(cur))
     require(curIdx >= 0,
       s"$t: catalog location $cur is not a known generation dir")
+    // The lease check is hoisted ONCE before the walk (the compaction
+    // sweep's discipline): a lease appearing mid-sweep must not make
+    // the prune set time-dependent across paths. And only a CONTIGUOUS
+    // oldest prefix is deleted — the first victim failing the age gate
+    // stops the sweep, so even non-monotone directory mtimes across
+    // generations can never leave retained history with a gap that
+    // would make asOfGeneration(back=N) silently serve an older
+    // snapshot at a too-small index.
+    val leased = graft.core.StoreLeases.liveHoldersOf(t).nonEmpty
     all.take(curIdx).dropRight(keepHistory)
-      .filter(p => graft.core.StoreLeases.liveHoldersOf(t).isEmpty &&
-        sweepable(fs, p))
+      .takeWhile(p => !leased && sweepable(fs, p, graceMs))
       .map { p => fs.delete(p, true); p }
   }
 
@@ -763,9 +771,10 @@ private[graft] object RunStore {
     * live-lease check. Unreadable status (dir vanished mid-check) is
     * "not sweepable": another sweeper got it, nothing to do.
     */
-  private[graft] def sweepable(fs: FileSystem, p: Path): Boolean =
+  private[graft] def sweepable(fs: FileSystem, p: Path,
+      graceMs: Long = sweepGraceMs): Boolean =
     try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime >
-      sweepGraceMs
+      graceMs
     catch { case NonFatal(_) => false }
 
   /** How old a build lock must be before a contender may presume its

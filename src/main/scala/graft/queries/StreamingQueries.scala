@@ -3348,10 +3348,12 @@ object StreamingQueries {
     val fromRaw = readSink(s, rawPath)
       .groupBy("lang")
       .agg(count(lit(1)).as("r_n_docs"), sum(col("n_chars")).as("r_chars"))
+    // Null-safe <=> so a group missing from one sink reads as an
+    // explicit FALSE, not a NULL that dodges the "flips" contract.
     fromAggFeed.join(fromRaw, Seq("lang"), "full_outer")
       .select(col("lang"), col("n_docs"), col("chars"),
-        (col("n_docs") === col("r_n_docs") &&
-          col("chars") === col("r_chars")).as("sinks_agree"))
+        (col("n_docs") <=> col("r_n_docs") &&
+          col("chars") <=> col("r_chars")).as("sinks_agree"))
       .orderBy("lang")
   }
 

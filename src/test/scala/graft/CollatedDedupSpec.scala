@@ -28,6 +28,17 @@ class CollatedDedupSpec extends AnyFunSuite {
       s"the collated key must not be a lower() rewrite, got:\n$plan")
   }
 
+  test("the corpus is ASCII — the precondition under which UTF8_LCASE " +
+    "≡ lower() (and so DuckDB's lower()-oracle) holds; a non-ASCII " +
+    "testdata regeneration must fail HERE, not bend the oracle") {
+    val nonAscii = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents carry non-ASCII text; q233's lower() oracle " +
+        "is only equivalent to UTF8_LCASE on ASCII (ß, Turkish İ, final " +
+        "sigma diverge) — revisit the oracle before regenerating testdata")
+  }
+
   test("collated dedup ≡ lower() dedup row-for-row (the oracle seam), " +
     "and every seeded case-variant clone resolves to its original") {
     import spark.implicits._
