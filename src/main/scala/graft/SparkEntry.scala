@@ -22,7 +22,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++
+    TpchQueries.queries ++
+      RelationalQueries.queries ++
       EventQueries.queries ++
       DedupTextQueries.queries ++
       CorpusStatsQueries.queries ++
@@ -58,7 +59,8 @@ object SparkEntry {
     * records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++
+    TpchQueries.oracle ++
+      RelationalQueries.oracle ++
       EventQueries.oracle ++
       DedupTextQueries.oracle ++
       CorpusStatsQueries.oracle ++
