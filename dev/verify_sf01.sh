@@ -57,6 +57,13 @@ QUERIES=(
   q244_dynamic_session_state_audit q245_streaming_observe
   q246_try_arithmetic q247_multi_sink_fanout q248_empty_relation
   q249_retention_vacuum
+  # round-18 additions: the scale-sensitive TPC-H canon rows (the
+  # decorrelated subquery shapes and the composite-key partsupp join
+  # whose COST profile, not just answer, changes at 10x) + the
+  # execution-fault gates (retry/spill/AQE engage on 10x volumes)
+  q250_tpch01 q251_tpch02 q258_tpch09 q266_tpch17 q267_tpch18
+  q269_tpch20 q270_tpch21
+  q272_retry_determinism q273_spill_gate q274_aqe_gate
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

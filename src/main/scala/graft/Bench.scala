@@ -13,7 +13,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
-      .master(s"local[$cpus]")
+      // local[N,4]: task retries ON (production default maxFailures=4);
+      // q272 injects first-attempt task failures and needs them retried
+      .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++
+      FaultGateQueries.queries ++
       RelationalQueries.queries ++
       EventQueries.queries ++
       DedupTextQueries.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     TpchQueries.oracle ++
+      FaultGateQueries.oracle ++
       RelationalQueries.oracle ++
       EventQueries.oracle ++
       DedupTextQueries.oracle ++

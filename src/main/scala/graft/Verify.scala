@@ -9,7 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
-      .master(s"local[$cpus]")
+      // local[N,4]: task retries ON, matching the production default
+      // spark.task.maxFailures=4 — plain local[N] (maxFailures=1)
+      // deletes the retry path q272 exists to exercise
+      .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -27,7 +27,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
         "q42_embed_neardup", "q06_anti_join", "q12_except",
         "q101_streaming_online_neardup",
         // downstream of q32's candidate set — empty whenever it is
-        "q129_edit_confirm").contains(name)
+        "q129_edit_confirm",
+        // TPC-H canon rows whose substitution parameters select through
+        // several dimension filters at once (Q2 size×type×region over 10
+        // suppliers, Q7 nation pair, Q11 single-nation partsupp, Q20/Q21
+        // nation-filtered supplier cohorts): legitimately empty at
+        // sf0.001's cardinalities, non-empty from sf0.01 up (the oracle
+        // gate runs there — DuckDB replays the same zero)
+        "q251_tpch02", "q256_tpch07", "q260_tpch11", "q269_tpch20",
+        "q270_tpch21").contains(name)
       if (mustBeNonEmpty) assert(n > 0, s"$name returned no rows")
     }
   }

@@ -7,7 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new GraftExtensions())
-      .master("local[4]")
+      .master("local[4,4]") // retries on: the q272 injection path
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
