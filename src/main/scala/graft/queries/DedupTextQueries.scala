@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.core.Tables._
 
@@ -102,13 +102,21 @@ object DedupTextQueries {
     * under the collation (Spark hashes the collation key, not the raw
     * bytes); no derived lowercase copy of the corpus anywhere.
     */
-  val q233CollatedDedup: Q = (s, d) => {
+  /** The case-variant-seeded corpus q233 and q275 both dedup: the
+    * documents table plus deterministic upper-cased clones (doc_id %
+    * 7 == 0, id offset 10,000,000). Shared so the two formulations
+    * can never drift onto different inputs.
+    */
+  private def caseVariantCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val variants = docs.filter(col("doc_id") % 7 === 0)
+    docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-        upper(col("text")).as("text"))
+        upper(col("text")).as("text")))
+  }
+
+  val q233CollatedDedup: Q = (s, d) => {
     val w = Window.partitionBy(collate(col("text"), "UTF8_LCASE"))
-    docs.unionByName(variants)
+    caseVariantCorpus(s, d)
       .select(col("doc_id"),
         min(col("doc_id")).over(w).as("canonical_id"))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
@@ -134,6 +142,62 @@ object DedupTextQueries {
       | MIN(doc_id) OVER (PARTITION BY lower(text)) AS canonical_id,
       | doc_id <> MIN(doc_id) OVER (PARTITION BY lower(text)) AS is_dup
       |FROM corpus ORDER BY doc_id""".stripMargin
+
+  /** q275 — COLLATED DEDUP WITHOUT SHUFFLING THE CORPUS TEXT (q233's
+    * exchange polish, round-17 verdict stretch #8): the SAME answer
+    * as q233, but the corpus-wide shuffle key is a 64-bit hash of a
+    * CASE-FOLDED routing key, so the full-corpus exchanges carry
+    * (doc_id, fp) rows instead of documents. The router is
+    * `xxhash64(lower(text))` — NOT the collated hash, because Spark
+    * 4.1.2's hash expressions are collation-UNAWARE (case variants of
+    * a UTF8_LCASE string hash apart; CollatedDedupSpec pins this
+    * measured fact so nobody "simplifies" the router back). lower()
+    * is exactly the UTF8_LCASE collation key on ASCII text — the same
+    * ASCII-corpus precondition the q233 oracle already leans on,
+    * spec-pinned against the fixture; a non-ASCII corpus needs a
+    * collation-key-faithful router (a native expression over the
+    * collator's sort key) before this plan shape is exact there.
+    *
+    * Exactness on the routed buckets is restored under the collation
+    * ITSELF: a router collision can only FALSE-MERGE an fp group
+    * (equal lower-keys ⇒ equal hash, so no group ever splits), and
+    * only fp groups with >1 member — true dups plus the vanishing
+    * collision fraction — re-window WITH their text partitioned by
+    * (fp, collate(text)), which separates any collided texts.
+    * Singleton fps are their own canonical with no text movement.
+    *
+    * Scale shape: one 16-byte-per-row corpus shuffle + one text
+    * shuffle proportional to the DUPLICATE fraction, vs q233's whole
+    * corpus text through the window exchange (CollatedDedupSpec pins
+    * the shuffle-bytes-written shrink and row equality with q233).
+    * The dup-candidate id list rides a broadcast here; at 100 TB
+    * (where 30% of a web corpus can be dup candidates) the text
+    * attach instead runs exchange-free over an id-bucketed corpus
+    * layout (Tables.writeBucketed, BucketedJoinSpec's proof) — either
+    * way the corpus text never crosses a hash exchange.
+    */
+  val q275CollatedDedupLean: Q = (s, d) => {
+    val corpus = caseVariantCorpus(s, d)
+    val keyed = corpus.select(col("doc_id"),
+      xxhash64(lower(col("text"))).as("fp"))
+    val counts = keyed.groupBy("fp").agg(count(lit(1)).as("n"))
+    val slim = keyed.join(counts, "fp")
+    val singles = slim.filter(col("n") === 1)
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    val multiIds = slim.filter(col("n") > 1).select("doc_id", "fp")
+    val w = Window.partitionBy(col("fp"),
+      collate(col("text"), "UTF8_LCASE"))
+    val multi = corpus.join(broadcast(multiIds), "doc_id")
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
+    singles.unionByName(multi)
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Same semantics as q233 — the lean plan must be invisible in the
+    * answer (see q233Sql's ASCII-corpus caveat, shared here).
+    */
+  val q275Sql: String = q233Sql
 
   /** q30's dedup over a fingerprint-bucketed layout
     * ([[graft.core.Tables.writeFingerprintedDocuments]]): identical rows,
@@ -2539,6 +2603,7 @@ object DedupTextQueries {
     "q55_repetition" -> q55Repetition,
     "q30_dedup_exact" -> q30DedupExact,
     "q233_collated_dedup" -> q233CollatedDedup,
+    "q275_collated_dedup_lean" -> q275CollatedDedupLean,
     "q31_minhash_signature" -> q31MinhashSignature,
     "q32_minhash_pairs" -> q32MinhashPairs,
     "q129_edit_confirm" -> q129EditConfirm,
@@ -2576,6 +2641,7 @@ object DedupTextQueries {
     "q57_release_verdict" -> q57Sql,
     "q30_dedup_exact" -> q30Sql,
     "q233_collated_dedup" -> q233Sql,
+    "q275_collated_dedup_lean" -> q275Sql,
     "q31_minhash_signature" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
     "q129_edit_confirm" -> q129Sql,

@@ -223,8 +223,14 @@ object FaultGateQueries {
       val aggRow = agg.collect()(0)
       val fallbackTasks = metricSum(agg, "numTasksFallBacked")
 
+      // every 5th 25-row group, WHOLE: groups stay above the 16-row
+      // spill threshold (sampling rows instead would shrink groups
+      // below it and silently un-spill the gate) while the quadratic
+      // pair volume — pure spill-I/O cost, no extra coverage — stays
+      // bounded at every SF
       val grouped = docs.select(col("doc_id"),
         expr("doc_id DIV 25").as("gk"))
+        .filter(col("gk") % 5 === 0)
       val pairs = grouped.select(col("doc_id").as("a_id"), col("gk"))
         .join(grouped.select(col("doc_id").as("b_id"), col("gk")), "gk")
         .agg(count(lit(1)).as("n_pairs"),
@@ -257,7 +263,8 @@ object FaultGateQueries {
       |      CAST(b.doc_id AS VARCHAR)), 1, 10))::BIGINT) AS BIGINT)
       |      AS pairs_fp
       |  FROM documents a JOIN documents b
-      |    ON a.doc_id // 25 = b.doc_id // 25)
+      |    ON a.doc_id // 25 = b.doc_id // 25
+      |  WHERE (a.doc_id // 25) % 5 = 0)
       |SELECT n_langs, n_docs, langs_fp, TRUE AS agg_fell_back,
       |  n_pairs, pairs_fp, TRUE AS join_spilled
       |FROM agg, pairs""".stripMargin

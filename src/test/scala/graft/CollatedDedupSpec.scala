@@ -28,6 +28,59 @@ class CollatedDedupSpec extends AnyFunSuite {
       s"the collated key must not be a lower() rewrite, got:\n$plan")
   }
 
+  test("xxhash64 is collation-UNAWARE on 4.1.2 (case variants of a " +
+    "UTF8_LCASE string hash apart) — the measured fact that forces " +
+    "q275's lower()-keyed router; a Spark release that makes this " +
+    "test fail lets q275 route on the collated hash directly") {
+    import spark.implicits._
+    val collatedHashes = Seq("Alpha", "alpha").toDF("t")
+      .select(xxhash64(collate(col("t"), "UTF8_LCASE")).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(collatedHashes.size == 2,
+      "xxhash64 became collation-aware — route q275 on the collated hash")
+    // the lower()-keyed router DOES unify case variants…
+    val routed = Seq("Alpha", "ALPHA", "alpha").toDF("t")
+      .select(xxhash64(lower(col("t"))).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(routed.size == 1)
+    // …and distinct texts still get distinct routes
+    val distinctH = Seq("alpha", "beta").toDF("t")
+      .select(xxhash64(lower(col("t"))).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(distinctH.size == 2)
+  }
+
+  test("q275 ≡ q233 row-for-row, and the lean plan moves FEWER shuffle " +
+    "bytes (the corpus text no longer rides the corpus-wide exchange)") {
+    def shuffleBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      def all(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => Seq(r.child)
+          case x => x.children
+        }
+        p +: kids.flatMap(all)
+      }
+      all(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
+    }
+    val lean = DedupTextQueries
+      .queries("q275_collated_dedup_lean")(spark, TestSpark.Sf0001)
+    val window = DedupTextQueries.q233CollatedDedup(spark, TestSpark.Sf0001)
+    val leanRows = lean.collect().map(_.toSeq).toSeq
+    val windowRows = window.collect().map(_.toSeq).toSeq
+    assert(leanRows == windowRows)
+    val (lb, wb) = (shuffleBytes(lean), shuffleBytes(window))
+    assert(lb > 0 && wb > 0, s"expected both plans to shuffle: $lb vs $wb")
+    assert(lb < wb,
+      s"lean plan must move fewer shuffle bytes: lean=$lb window=$wb")
+  }
+
   test("the corpus is ASCII — the precondition under which UTF8_LCASE " +
     "≡ lower() (and so DuckDB's lower()-oracle) holds; a non-ASCII " +
     "testdata regeneration must fail HERE, not bend the oracle") {
