@@ -64,7 +64,7 @@ QUERIES=(
   q250_tpch01 q251_tpch02 q258_tpch09 q266_tpch17 q267_tpch18
   q269_tpch20 q270_tpch21
   q272_retry_determinism q273_spill_gate q274_aqe_gate
-  q275_collated_dedup_lean
+  q275_collated_dedup_lean q276_cbo_join_reorder q277_streaming_retry
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

@@ -364,14 +364,79 @@ object FaultGateQueries {
       |FROM joined, coal""".stripMargin
 
   // ─────────────────────────────────────────────────────────────────
+  // q277 — STREAMING EXACTLY-ONCE UNDER TASK RETRIES (q272's write
+  // leg composed with the streaming stack): the doc spool streams one
+  // file per AvailableNow trigger, and EVERY task of every
+  // micro-batch's foreachBatch write job fails on its first attempt.
+  // Two layers of the exactly-once story are under test at once — the
+  // commit protocol must discard failed WRITE attempts' files inside
+  // each batch (task grain), and the batchId-keyed idempotent sink
+  // must keep replays single-landing (batch grain, the q181/q247
+  // contract). The sink must equal the spool truth row-for-row with
+  // one partition per micro-batch; the injection counter pins that
+  // the faults actually fired. At 100 TB this is the ordinary life of
+  // a long-running ingest stream — executors die mid-batch and the
+  // landing zone must not notice.
+  // ─────────────────────────────────────────────────────────────────
+  val q277StreamingRetry: Q = (s, d) => {
+    val spDir = StreamingQueries.docSpool(s, d)
+    val base = RunStore.tableName("graft_stream_retry", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val outPath = path("_out").toString
+    val before = injected.get()
+    s.readStream.schema(s.read.parquet(spDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(spDir)
+      .writeStream
+      .option("checkpointLocation", path("_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamingQueries.writeBatch(
+          failFirstAttempt(batch.sparkSession, batch), outPath, batchId)
+      }
+      .start().awaitTermination()
+    val faults = injected.get() - before
+    val nBatches = s.read.parquet(outPath)
+      .select(countDistinct(col("batch_id"))).head().getLong(0)
+    val sunk = StreamingQueries.readSink(s, outPath)
+      .agg(count(lit(1)).as("n"),
+        sum(fp(col("doc_id"), md5(col("text")))).as("f")).head()
+    import s.implicits._
+    Seq((sunk.getLong(0), sunk.getLong(1), nBatches, faults > 0))
+      .toDF("n_rows", "rows_fp", "n_batches", "faults_injected")
+  }
+
+  /** The spool is 3 parquet files by construction (docSpool's
+    * repartition(3)) and AvailableNow + maxFilesPerTrigger=1 makes
+    * each its own micro-batch — n_batches = 3 is the spool contract,
+    * pinned so a silently single-batch run (which would never
+    * exercise cross-batch retry) fails the gate.
+    */
+  val q277Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |    md5(text)), 1, 10))::BIGINT) AS BIGINT) AS rows_fp,
+      |  CAST(3 AS BIGINT) AS n_batches,
+      |  TRUE AS faults_injected
+      |FROM documents""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
     "q272_retry_determinism" -> q272RetryDeterminism,
     "q273_spill_gate" -> q273SpillGate,
-    "q274_aqe_gate" -> q274AqeGate)
+    "q274_aqe_gate" -> q274AqeGate,
+    "q277_streaming_retry" -> q277StreamingRetry)
 
   val oracle: Map[String, String] = Map(
     "q272_retry_determinism" -> q272Sql,
     "q273_spill_gate" -> q273Sql,
-    "q274_aqe_gate" -> q274Sql)
+    "q274_aqe_gate" -> q274Sql,
+    "q277_streaming_retry" -> q277Sql)
 }

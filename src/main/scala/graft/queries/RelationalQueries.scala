@@ -1024,6 +1024,80 @@ object RelationalQueries {
       |  CAST(MAX(n_chars) AS BIGINT) AS nchars_max
       |FROM documents""".stripMargin
 
+  /** q276 — COST-BASED JOIN REORDERING (`spark.sql.cbo.joinReorder`,
+    * q225's stats finally DRIVING a plan decision end-to-end): a
+    * 4-way star written in the WORST textual order — the fact table
+    * first — over ANALYZE'd catalog tables, with a highly selective
+    * filter on the customer dim. Without reorder Catalyst keeps the
+    * parse order (fact joins first, every downstream join carries
+    * fact-grain rows); with `cbo.enabled` + `cbo.joinReorder.enabled`
+    * CostBasedJoinReorder re-plans from the COLUMN statistics:
+    * filtered customer ⋈ nation first (15-row intermediate), orders
+    * next, the fact table LAST — measured, and pinned in CboPlanSpec
+    * (leaf order flips; the gate carries `fact_joined_last` from the
+    * optimized plan so a driver run proves the reorder engaged, not
+    * just that the answer held). The result rides the collect inside
+    * the conf scope — Spark optimizes lazily at action time, so a
+    * returned-then-executed frame would plan under RESTORED confs.
+    *
+    * Scale shape: THE join-order decision at 100 TB — cost ordering
+    * turns fact-grain intermediates into dim-grain ones; the stats
+    * that power it are q225's ANALYZE surface, maintained at ingest.
+    */
+  val q276CboJoinReorder: Q = (s, d) => {
+    def t(x: String) = RunStore.tableName(s"graft_cbojr_$x", d)
+    def put(x: String, df: org.apache.spark.sql.DataFrame,
+        cols: String): Unit = {
+      RunStore.dropWithLocation(s, t(x))
+      df.write.mode("overwrite").format("parquet").saveAsTable(t(x))
+      s.sql(s"ANALYZE TABLE ${t(x)} COMPUTE STATISTICS")
+      s.sql(s"ANALYZE TABLE ${t(x)} COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    put("li", lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+    put("or", orders(s, d).select("o_orderkey", "o_custkey"),
+      "o_orderkey, o_custkey")
+    put("cu", customer(s, d).select("c_custkey", "c_nationkey"),
+      "c_custkey, c_nationkey")
+    put("na", nation(s, d).select("n_nationkey", "n_name"),
+      "n_nationkey, n_name")
+    val text =
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+         |    AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM ${t("li")}, ${t("or")}, ${t("cu")}, ${t("na")}
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND c_custkey < 15
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    val rows = graft.queries.StreamingQueries.withSessionConfs(s,
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val df = s.sql(text)
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString)
+      val factLast = leaves.nonEmpty && leaves.last.contains(t("li"))
+      df.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2), factLast)).toSeq
+    }
+    import s.implicits._
+    rows.toDF("n_name", "revenue", "n_items", "fact_joined_last")
+      .orderBy("n_name")
+  }
+
+  val q276Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |    AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  TRUE AS fact_joined_last
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n_nationkey AND c_custkey < 15
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** q216 — MULTISET set ops (`INTERSECT ALL` / `EXCEPT ALL`): the bag
     * semantics q11/q12's set forms deliberately erase — per duplicate
     * key, INTERSECT ALL keeps min(multiplicity) rows and EXCEPT ALL
@@ -1427,6 +1501,7 @@ object RelationalQueries {
     "q206_store_widen_fold" -> q206StoreWidenFold,
     "q207_time_travel_diff" -> q207TimeTravelDiff,
     "q225_cbo_stats" -> q225CboStats,
+    "q276_cbo_join_reorder" -> q276CboJoinReorder,
     "q210_lateral_topk" -> q210LateralTopk,
     "q213_unpivot_measures" -> q213UnpivotMeasures,
     "q216_setops_all" -> q216SetopsAll,
@@ -1464,6 +1539,7 @@ object RelationalQueries {
     // catalog statistics vs exact recomputation: the numbers ANALYZE
     // writes (and CBO costing reads) must equal the data's truth
     "q225_cbo_stats" -> q225Sql,
+    "q276_cbo_join_reorder" -> q276Sql,
     "q242_parameterized_sql" -> q242Sql,
     "q248_empty_relation" -> q248Sql,
     "q249_retention_vacuum" -> q249Sql,

@@ -110,4 +110,39 @@ class CboPlanSpec extends AnyFunSuite {
     }
     RunStore.dropWithLocation(spark, t)
   }
+
+  test("CostBasedJoinReorder flips q276's worst-textual-order star: " +
+    "parse order keeps the fact table's join FIRST, cost order joins " +
+    "the filtered dims first and the fact LAST") {
+    val sf = TestSpark.Sf0001
+    // q276's own build (ANALYZE'd catalog tables) — run it once so the
+    // tables exist with stats, and its gate column says reorder engaged
+    val gate = RelationalQueries
+      .queries("q276_cbo_join_reorder")(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(_.getAs[Boolean]("fact_joined_last")))
+    def t(x: String) = RunStore.tableName(s"graft_cbojr_$x", sf)
+    val text =
+      s"""SELECT n_name, COUNT(*) AS n FROM
+         |${t("li")}, ${t("or")}, ${t("cu")}, ${t("na")}
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND c_custkey < 15
+         |GROUP BY n_name""".stripMargin
+    def leafOrder(reorder: String): Seq[String] =
+      StreamingQueries.withSessionConfs(spark,
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> reorder) {
+        spark.sql(text).queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString)
+          .map(l => Seq("li", "or", "cu", "na")
+            .find(x => l.contains(t(x))).getOrElse("?"))
+      }
+    val parseOrder = leafOrder("false")
+    val costOrder = leafOrder("true")
+    assert(parseOrder.head == "li",
+      s"without reorder the textual order must stand: $parseOrder")
+    assert(costOrder.last == "li",
+      s"cost order must join the fact table last: $costOrder")
+    assert(costOrder.take(2).toSet == Set("cu", "na"),
+      s"cost order must start from the filtered dims: $costOrder")
+  }
 }
