@@ -170,9 +170,13 @@ object DedupTextQueries {
     * shuffle proportional to the DUPLICATE fraction, vs q233's whole
     * corpus text through the window exchange (CollatedDedupSpec pins
     * the shuffle-bytes-written shrink and row equality with q233).
-    * The dup-candidate id list rides a broadcast here; at 100 TB
-    * (where 30% of a web corpus can be dup candidates) the text
-    * attach instead runs exchange-free over an id-bucketed corpus
+    * The dup-candidate id attach is deliberately UNHINTED (advisory
+    * r18 #2): the dup fraction grows with the corpus (~30% of a web
+    * corpus), so a forced broadcast of multiIds is a driver-OOM cliff
+    * at larger SFs. AQE's runtime size estimate picks the broadcast
+    * while the candidate set is genuinely small and degrades to a
+    * shuffle join past `autoBroadcastJoinThreshold` — and at 100 TB
+    * the attach instead runs exchange-free over an id-bucketed corpus
     * layout (Tables.writeBucketed, BucketedJoinSpec's proof) — either
     * way the corpus text never crosses a hash exchange.
     */
@@ -187,7 +191,7 @@ object DedupTextQueries {
     val multiIds = slim.filter(col("n") > 1).select("doc_id", "fp")
     val w = Window.partitionBy(col("fp"),
       collate(col("text"), "UTF8_LCASE"))
-    val multi = corpus.join(broadcast(multiIds), "doc_id")
+    val multi = corpus.join(multiIds, "doc_id")
       .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
     singles.unionByName(multi)
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))

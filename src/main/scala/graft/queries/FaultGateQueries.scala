@@ -31,12 +31,26 @@ import graft.core.Tables._
   */
 object FaultGateQueries {
 
-  /** Injected-failure counter — a plain JVM atomic, NOT a Spark
-    * accumulator: accumulator updates from failed task attempts are
+  /** Injected-failure counters — plain JVM atomics, NOT Spark
+    * accumulators: accumulator updates from failed task attempts are
     * discarded by design, which is exactly the attempt this counts.
+    * Keyed by a PER-INVOCATION tag (advisory r18 #3): a single
+    * process-global counter read as before/after deltas would
+    * cross-contaminate whenever two gates (or two sessions in the
+    * same JVM — parallel suites do this) inject concurrently, able to
+    * flip `faults_injected` true for a leg that never injected. The
+    * task closure captures only the tag STRING and resolves the
+    * counter through this static map at run time — a directly
+    * captured AtomicLong would be serialized into the task closure
+    * and the executor side would increment a deserialized COPY.
     * Single-JVM local mode makes the static reliable.
     */
-  private[graft] val injected = new AtomicLong(0)
+  private[graft] val injectedByTag =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  private val tagSeq = new AtomicLong(0)
+  private def freshTag(): String = "inj-" + tagSeq.incrementAndGet()
+  private def injectedCount(tag: String): Long =
+    Option(injectedByTag.get(tag)).map(_.get()).getOrElse(0L)
 
   /** Wrap `df` so that EVERY task of its stage throws on its first
     * attempt and succeeds on retry — the once-per-partition fault the
@@ -46,21 +60,23 @@ object FaultGateQueries {
     * the wrapped subtree, so a retried task re-runs the real scan/
     * shuffle-read and re-derives every value from scratch.
     */
-  private def failFirstAttempt(s: SparkSession, df: DataFrame): DataFrame = {
+  private def failFirstAttempt(s: SparkSession, df: DataFrame,
+      tag: String): DataFrame = {
     val schema = df.schema
     val rdd = df.rdd.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null && tc.attemptNumber() == 0) {
-        injected.incrementAndGet()
+        injectedByTag.computeIfAbsent(tag, _ => new AtomicLong(0))
+          .incrementAndGet()
         throw new RuntimeException(
-          s"q272: injected first-attempt failure (partition ${tc.partitionId})")
+          s"$tag: injected first-attempt failure (partition ${tc.partitionId})")
       }
       it
     }
     s.createDataFrame(rdd, schema)
   }
 
-  private def withConf[T](s: SparkSession)(kvs: (String, String)*)(
+  private[queries] def withConf[T](s: SparkSession)(kvs: (String, String)*)(
       body: => T): T = {
     val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
     kvs.foreach { case (k, v) => s.conf.set(k, v) }
@@ -75,7 +91,7 @@ object FaultGateQueries {
     * reused exchanges) — the DppPlanSpec traversal, needed here at
     * QUERY time because the metrics are part of the gate's output.
     */
-  private def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
+  private[queries] def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
     val kids = plan match {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         Seq(q.plan)
@@ -91,11 +107,11 @@ object FaultGateQueries {
   /** Sum of a named metric across all nodes of `df`'s EXECUTED plan
     * (call only after an action has run the plan).
     */
-  private def metricSum(df: DataFrame, metric: String): Long =
+  private[queries] def metricSum(df: DataFrame, metric: String): Long =
     allNodes(df.queryExecution.executedPlan)
       .flatMap(_.metrics.get(metric)).map(_.value).sum
 
-  private def fp(cols: Column*): Column =
+  private[queries] def fp(cols: Column*): Column =
     conv(substring(md5(concat_ws(":", cols.map(_.cast("string")): _*)),
       1, 10), 16, 10).cast("long")
 
@@ -134,19 +150,19 @@ object FaultGateQueries {
     }
 
     val cleanScan = firstRow(splitProfile(docs))
-    val before1 = injected.get()
-    val faultScan = firstRow(splitProfile(failFirstAttempt(s, docs)))
-    val scanFaults = injected.get() - before1
+    val scanTag = freshTag()
+    val faultScan = firstRow(splitProfile(failFirstAttempt(s, docs, scanTag)))
+    val scanFaults = injectedCount(scanTag)
 
     def landingProfile(src: DataFrame): DataFrame = src
       .agg(count(lit(1)).as("n_rows"),
         sum(fp(col("doc_id"), col("n_chars"))).as("rows_fp"))
     val cleanWrite = firstRow(landingProfile(docs))
     val dir = IngestQueries.landingDir(s, d, "retrylanding")
-    val before2 = injected.get()
-    failFirstAttempt(s, docs.repartition(8, col("doc_id")))
+    val writeTag = freshTag()
+    failFirstAttempt(s, docs.repartition(8, col("doc_id")), writeTag)
       .write.parquet(dir)
-    val writeFaults = injected.get() - before2
+    val writeFaults = injectedCount(writeTag)
     val written = firstRow(landingProfile(s.read.parquet(dir)))
 
     import s.implicits._
@@ -389,7 +405,7 @@ object FaultGateQueries {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val outPath = path("_out").toString
-    val before = injected.get()
+    val tag = freshTag()
     s.readStream.schema(s.read.parquet(spDir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(spDir)
@@ -398,10 +414,10 @@ object FaultGateQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         StreamingQueries.writeBatch(
-          failFirstAttempt(batch.sparkSession, batch), outPath, batchId)
+          failFirstAttempt(batch.sparkSession, batch, tag), outPath, batchId)
       }
       .start().awaitTermination()
-    val faults = injected.get() - before
+    val faults = injectedCount(tag)
     val nBatches = s.read.parquet(outPath)
       .select(countDistinct(col("batch_id"))).head().getLong(0)
     val sunk = StreamingQueries.readSink(s, outPath)

@@ -55,12 +55,40 @@ object TpchQueries {
       * 1..1000 (exact as BIGINT products in Q9/Q11); ps_availqty
       * 1..9999. The supplier count/min ride a broadcast 1-row frame
       * — part-grain work, never a corpus pass.
+      *
+      * PRECONDITION (pinned, not assumed): the spread arithmetic is
+      * only a bijection part→4 distinct existing suppliers when the
+      * supplier keys are CONTIGUOUS in [s_min, s_min + s_cnt) and
+      * s_cnt >= 4. A fixture violating either would dangle
+      * ps_suppkey references or duplicate (ps_partkey, ps_suppkey)
+      * pairs on BOTH engine and oracle (Q9 double-counts, Q16
+      * supplier_cnt deflates) with every hash gate still green — so
+      * the guard lives IN the 1-row broadcast frame as a lazy
+      * `raise_error`: any query that touches partsupp fails loudly
+      * the moment the fixture drifts, at zero extra actions.
+      * TpchLayerSpec additionally asserts the fixture directly.
+      * Keys are cast to BIGINT before the multiplications on both
+      * twin sides so a future narrowing of the parquet column width
+      * errors (DuckDB) / keeps 64-bit range (Spark) instead of the
+      * two engines diverging via silent 32-bit wraparound.
       */
     def partsupp(s: SparkSession, d: String): DataFrame = {
-      val sc = supplier(s, d).agg(
-        count(lit(1)).as("s_cnt"), min("s_suppkey").as("s_min"))
+      val sc = supplier(s, d)
+        .agg(count(lit(1)).as("s_cnt"), min("s_suppkey").as("s_min"),
+          max("s_suppkey").as("s_max"))
+        .select(
+          when(col("s_cnt") >= 4 &&
+               col("s_max") - col("s_min") + 1 === col("s_cnt"),
+            col("s_cnt"))
+            .otherwise(raise_error(concat(
+              lit("TpchLayer.partsupp precondition violated: supplier " +
+                "keys must be contiguous with count >= 4; got cnt="),
+              col("s_cnt"), lit(" min="), col("s_min"),
+              lit(" max="), col("s_max"))))
+            .as("s_cnt"),
+          col("s_min"))
       val is = s.range(4).select(col("id").cast("int").as("i"))
-      part(s, d).select("p_partkey")
+      part(s, d).select(col("p_partkey").cast("long").as("p_partkey"))
         .crossJoin(broadcast(sc)).crossJoin(broadcast(is))
         .select(
           col("p_partkey").as("ps_partkey"),
@@ -169,12 +197,13 @@ object TpchQueries {
         |               MIN(s_suppkey) AS s_min FROM supplier),
         |ii(i) AS (VALUES (0),(1),(2),(3)),
         |partsupp AS (
-        |  SELECT p_partkey AS ps_partkey,
-        |    s_min + (p_partkey * 4 + i) % s_cnt AS ps_suppkey,
-        |    CAST(1 + (p_partkey * 13 + i * 31) % 1000 AS DOUBLE)
-        |      AS ps_supplycost,
-        |    CAST(1 + (p_partkey * 17 + i * 23) % 9999 AS BIGINT)
-        |      AS ps_availqty
+        |  SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+        |    s_min + (CAST(p_partkey AS BIGINT) * 4 + i) % s_cnt
+        |      AS ps_suppkey,
+        |    CAST(1 + (CAST(p_partkey AS BIGINT) * 13 + i * 31) % 1000
+        |      AS DOUBLE) AS ps_supplycost,
+        |    CAST(1 + (CAST(p_partkey AS BIGINT) * 17 + i * 23) % 9999
+        |      AS BIGINT) AS ps_availqty
         |  FROM part, scnt, ii),
         |lineitem_x AS (
         |  SELECT l.*,
