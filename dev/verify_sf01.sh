@@ -65,6 +65,10 @@ QUERIES=(
   q269_tpch20 q270_tpch21
   q272_retry_determinism q273_spill_gate q274_aqe_gate
   q275_collated_dedup_lean q276_cbo_join_reorder q277_streaming_retry
+  # round-19 additions: the plan-mechanism gates — layout/AQE/reuse
+  # decisions are size-driven, so the booleans must hold at 10x too
+  q278_bucketed_colocated_join q279_aqe_join_switch q280_exchange_reuse
+  q281_codegen_parity
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

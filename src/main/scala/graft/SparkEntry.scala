@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++
       FaultGateQueries.queries ++
+      PlanGateQueries.queries ++
       RelationalQueries.queries ++
       EventQueries.queries ++
       DedupTextQueries.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.oracle ++
       FaultGateQueries.oracle ++
+      PlanGateQueries.oracle ++
       RelationalQueries.oracle ++
       EventQueries.oracle ++
       DedupTextQueries.oracle ++

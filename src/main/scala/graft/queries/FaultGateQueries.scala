@@ -69,7 +69,7 @@ object FaultGateQueries {
         injectedByTag.computeIfAbsent(tag, _ => new AtomicLong(0))
           .incrementAndGet()
         throw new RuntimeException(
-          s"$tag: injected first-attempt failure (partition ${tc.partitionId})")
+          s"$tag: injected first-attempt failure (partition ${tc.partitionId()})")
       }
       it
     }

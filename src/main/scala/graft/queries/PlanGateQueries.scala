@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.queries.FaultGateQueries.{allNodes, withConf}
+
+/** Plan-mechanism gates (q278–q280): the three physical-plan mechanisms
+  * a 100 TB deployment leans on that were previously proved only at
+  * scalatest grain (BucketedJoinSpec, AqeSkewSpec's strategy notes,
+  * PLANS.md's ReusedExchange mentions), each promoted to a
+  * driver-visible oracle row in the q272–q274 style: the DATA columns
+  * are recomputed cleanly by DuckDB (hash equality = the mechanism
+  * changes no bytes), and the MECHANISM columns are booleans read from
+  * the executed plan itself, pinned TRUE by the oracle — a run where
+  * the mechanism silently failed to engage (a bucketed join that
+  * shuffled anyway, an AQE that never switched strategies, an exchange
+  * recomputed instead of reused) fails the gate as loudly as a wrong
+  * answer.
+  *
+  * Why these three: at 100 TB the expensive resource is the shuffle —
+  *  - q278: the big-big join where NEITHER side broadcasts; bucketing
+  *    both sides on the join key at write time is the only plan that
+  *    moves zero bytes at read time.
+  *  - q279: runtime join-strategy switching is AQE's third leg (q274
+  *    gates the skew-split and coalesce legs) — static size estimates
+  *    over a derived dimension are garbage, and the planner must be
+  *    allowed to recover AFTER seeing real stage output sizes.
+  *  - q280: a multi-consumer subplan (self-joins, diffing a dataset
+  *    against its own aggregate) must pay its shuffle ONCE;
+  *    exchange reuse is what turns "read the corpus twice" into
+  *    "read the map output twice".
+  */
+object PlanGateQueries {
+
+  /** Identity-exact census of the HASH shuffle exchanges in an
+    * executed plan: (tree occurrences, distinct physical shuffles,
+    * reuse engaged). [[allNodes]] recurses a ReusedExchangeExec into
+    * its child — the ORIGINAL exchange object — and AQE's stage-level
+    * reuse grafts the same stage (or a ReusedExchange-wrapped one) at
+    * a second tree position, so in every reuse rendering the distinct
+    * count is by OBJECT IDENTITY of the underlying ShuffleExchangeExec
+    * nodes. Deliberately no structural/string comparison: two
+    * identical-looking exchanges that both RAN are exactly the
+    * regression this census exists to catch. Range exchanges (a final
+    * ORDER BY) are out of scope — the claim is about data shuffles.
+    */
+  private def exchangeCensus(plan: SparkPlan): (Int, Int, Boolean) = {
+    val nodes = allNodes(plan)
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    val explicitReuse = nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    val distinct = exchanges.map(System.identityHashCode).distinct.size
+    (exchanges.size, distinct,
+      explicitReuse || distinct < exchanges.size)
+  }
+
+  /** PlanGateSpec's negative-control seam. */
+  private[graft] def censusForTest(plan: SparkPlan): (Int, Int, Boolean) =
+    exchangeCensus(plan)
+
+  private def hasShuffleBelow(plan: SparkPlan): Boolean =
+    allNodes(plan).exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        true
+      case _ => false
+    }
+
+  // ─────────────────────────────────────────────────────────────────
+  // q278 — CO-LOCATED BUCKETED JOIN, ZERO EXCHANGE (BucketedJoinSpec
+  // promoted to the oracle tier): both sides written bucketed on
+  // doc_id with the same bucket count, broadcast disabled so the
+  // co-located path stands on its own. The gate reads the executed
+  // plan's join subtree: the bucketed join must have NO shuffle below
+  // it (`colocated_zero_exchange`), while the unbucketed control twin
+  // — same data, same join, one side a plain DataFrame — must pay one
+  // (`control_paid_exchange`): the claim is about the LAYOUT, not a
+  // planner coincidence that would also green a broken layout.
+  //
+  // Scale shape: this is THE big-big join plan at 100 TB — neither a
+  // web corpus nor its per-doc feature store fits a broadcast, and
+  // re-shuffling either per join is the cost the write-time bucket
+  // layout amortizes across every downstream join. The per-lang
+  // aggregate above the join legitimately exchanges lang-grain rows.
+  // ─────────────────────────────────────────────────────────────────
+  val q278BucketedColocatedJoin: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"))
+    val meta = docs.select(col("doc_id"),
+      (col("n_chars") * 2L).as("weight"))
+    val td = RunStore.tableName("graft_bkt_docs", d)
+    val tm = RunStore.tableName("graft_bkt_meta", d)
+    graft.core.Tables.writeBucketedSorted(docs, td, numBuckets = 8,
+      bucketKeys = Seq("doc_id"), sortKeys = Seq("doc_id"))
+    graft.core.Tables.writeBucketedSorted(meta, tm, numBuckets = 8,
+      bucketKeys = Seq("doc_id"), sortKeys = Seq("doc_id"))
+    withConf(s)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      def joinNode(df: DataFrame): Option[SparkPlan] = {
+        df.collect() // metrics/final plan need the real execution
+        allNodes(df.queryExecution.executedPlan).collectFirst {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }
+      }
+      val colocated = s.table(td).join(s.table(tm), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("weight_sum"))
+        .orderBy("lang")
+      val colocJoin = joinNode(colocated)
+      val zeroExchange = colocJoin.exists(j => !hasShuffleBelow(j))
+
+      val control = s.table(td).join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("weight_sum"))
+      val controlJoin = joinNode(control)
+      val controlPaid = controlJoin.exists(hasShuffleBelow)
+
+      val rows = colocated.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          zeroExchange, controlPaid))
+      import s.implicits._
+      rows.toDF("lang", "n_docs", "weight_sum",
+        "colocated_zero_exchange", "control_paid_exchange")
+        .orderBy("lang")
+    }
+  }
+
+  val q278Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars * 2) AS BIGINT) AS weight_sum,
+      |  TRUE AS colocated_zero_exchange,
+      |  TRUE AS control_paid_exchange
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q279 — AQE RUNTIME JOIN-STRATEGY SWITCH (the third AQE leg, after
+  // q274's skew-split and coalesce): the corpus joins a DERIVED
+  // dimension (the per-lang doc counts) whose size no static estimate
+  // can know — static broadcast is disabled outright
+  // (autoBroadcastJoinThreshold=-1), so the initial physical plan MUST
+  // carry a sort-merge join; the adaptive threshold stays on, so once
+  // the dimension's map stage finishes and its true size (a few
+  // hundred bytes) is known, AQE must re-plan the probe side as a
+  // broadcast-hash join. Both facts are read from the same
+  // QueryExecution: the plan BEFORE the action (isFinalPlan=false,
+  // `static_planned_smj`) and the plan after (`runtime_broadcast`).
+  //
+  // Scale shape: derived dims are the NORMAL case in a curation
+  // pipeline (every groupBy output joined back is one), and their
+  // static estimates inherit the fact table's garbage row counts —
+  // without this switch every such join is a full corpus shuffle.
+  // ─────────────────────────────────────────────────────────────────
+  val q279AqeJoinSwitch: Q = (s, d) =>
+    withConf(s)(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1m") {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      val dim = docs.groupBy("lang")
+        .agg(count(lit(1)).as("lang_docs"))
+      val joined = docs.join(dim, "lang")
+        .agg(count(lit(1)).as("n_joined"),
+          sum(col("n_chars") + col("lang_docs")).as("check_sum"))
+      val staticPlan = joined.queryExecution.executedPlan.toString
+      val staticSmj = staticPlan.contains("SortMergeJoin")
+      val row = joined.collect()(0)
+      val runtimeBroadcast =
+        allNodes(joined.queryExecution.executedPlan).exists(
+          _.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), staticSmj, runtimeBroadcast))
+        .toDF("n_joined", "check_sum", "static_planned_smj",
+          "runtime_broadcast")
+    }
+
+  val q279Sql: String =
+    """WITH dim AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs
+      |            FROM documents GROUP BY lang)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_joined,
+      |  CAST(SUM(n_chars + lang_docs) AS BIGINT) AS check_sum,
+      |  TRUE AS static_planned_smj, TRUE AS runtime_broadcast
+      |FROM documents JOIN dim USING (lang)""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q280 — EXCHANGE REUSE: the per-lang aggregate self-joined on lang
+  // (the "compare each group to its own aggregate" shape every
+  // reconciliation query has). Both join inputs are the SAME
+  // canonical subplan (scan → partial agg → exchange → final agg), so
+  // the planner must pay the corpus scan + shuffle ONCE and graft the
+  // second consumer onto the same exchange — surfaced as a
+  // ReusedExchangeExec or as one ShuffleQueryStage id appearing at
+  // two tree positions; `exchange_reused` pins it, and
+  // `n_distinct_exchanges` pins HOW MANY distinct shuffles actually
+  // ran (1 — a regression to 2 recomputes the corpus scan).
+  //
+  // Scale shape: without reuse, every self-referential query doubles
+  // its corpus I/O; with it, the second leg costs one map-output read.
+  // ─────────────────────────────────────────────────────────────────
+  val q280ExchangeReuse: Q = (s, d) =>
+    withConf(s)(
+      "spark.sql.exchange.reuse" -> "true",
+      // broadcast off: a broadcast of side b would still reuse the
+      // underlying shuffle, but the SMJ shape keeps the census exact
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val agg = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val joined = agg.as("a")
+        .join(agg.withColumnRenamed("n_docs", "n_docs_b").as("b"), "lang")
+        .orderBy("lang")
+      val rows = joined.collect().toSeq
+      val (_, distinct, reused) =
+        exchangeCensus(joined.queryExecution.executedPlan)
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          reused && distinct == 1, distinct.toLong))
+        .toDF("lang", "n_docs", "n_docs_b", "exchange_reused",
+          "n_distinct_exchanges")
+        .orderBy("lang")
+    }
+
+  val q280Sql: String =
+    """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |           FROM documents GROUP BY lang)
+      |SELECT a.lang, a.n_docs, b.n_docs AS n_docs_b,
+      |  TRUE AS exchange_reused, CAST(1 AS BIGINT) AS n_distinct_exchanges
+      |FROM c a JOIN c b USING (lang) ORDER BY lang""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q281 — CODEGEN ≡ INTERPRETED (the two execution paths every
+  // Catalyst expression ships): the same expression-dense pipeline —
+  // all five of the repo's native codegen'd expressions (WordShingles,
+  // CharTrigrams, LuhnScrub, MinHashBandKeys, VectorFunctions' dot
+  // product) composed with builtins — run twice in one query: once
+  // under whole-stage codegen (span presence pinned), once with
+  // `spark.sql.codegen.wholeStage=false` + `factoryMode=NO_CODEGEN`
+  // (every projection/predicate/ordering forced onto the interpreted
+  // eval path). The full per-lang fingerprints AND a double-valued
+  // embedding fingerprint must be BIT-IDENTICAL across the paths
+  // (`interpreted_matches`) — promoting VectorFunctionsSpec's
+  // per-function parity test to a whole-pipeline oracle row.
+  //
+  // Scale relevance: at 100 TB both paths RUN — codegen hits its
+  // 8,000-generated-method / 64 KB janino limits on wide plans and
+  // falls back per-operator, so a doGenCode that disagrees with eval
+  // is a silent wrong-answer generator that only manifests on the
+  // widest (= most expensive) queries. The doubles leg matters most:
+  // dot products must accumulate in index order on BOTH paths.
+  // ─────────────────────────────────────────────────────────────────
+  val q281CodegenParity: Q = (s, d) => {
+    import graft.functions.{CharTrigrams, LuhnScrub, MinHashBandKeys,
+      VectorFunctions, WordShingles}
+    // fixed Luhn-valid card: every doc gets exactly one real candidate,
+    // so the scrub's digit-walk branch runs on every row of both paths
+    val aug = concat(col("text"), lit(" card 4111111111111111 ok"))
+
+    def run(codegen: Boolean): (Seq[(String, Long, Long)], Long, Boolean) = {
+      val confs =
+        if (codegen) Seq("spark.sql.codegen.wholeStage" -> "true")
+        else Seq("spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+      withConf(s)(confs: _*) {
+        val scrub = LuhnScrub.luhnScrub(aug)
+        val perLang = documents(s, d).select(
+          col("lang"), col("doc_id"),
+          size(WordShingles.wordShingles(col("text"))).cast("long")
+            .as("n_shingles"),
+          size(CharTrigrams.charTrigrams(col("text"))).cast("long")
+            .as("n_trigrams"),
+          scrub.getField("n_candidates").cast("long").as("n_cand"),
+          scrub.getField("n_cards").cast("long").as("n_cards"),
+          md5(scrub.getField("redacted")).as("red_fp"),
+          md5(concat_ws(",", MinHashBandKeys.bandKeys(col("text"))))
+            .as("band_fp"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(FaultGateQueries.fp(col("doc_id"), col("n_shingles"),
+              col("n_trigrams"), col("n_cand"), col("n_cards"),
+              col("red_fp"), col("band_fp"))).as("lang_fp"))
+          .orderBy("lang")
+        val rows = perLang.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2)))
+        // span marker: simple-mode plan strings render whole-stage
+        // codegen as a `*(id)` operator prefix (the word
+        // "WholeStageCodegen" only appears in formatted explain)
+        val planStr = perLang.queryExecution.executedPlan.toString
+        val hasSpan = planStr.contains("WholeStageCodegen") ||
+          """\*\(\d+\)""".r.findFirstIn(planStr).isDefined
+
+        // the doubles leg: a dot product per embedding, fingerprinted
+        // through its shortest-repr rendering (exact on this JVM for
+        // both paths) — any cross-path difference in accumulation
+        // order or rounding flips the sum
+        val embSum = embeddings(s, d)
+          .select(col("vec_id"),
+            VectorFunctions.dotProduct(col("embedding"), col("embedding"))
+              .cast("string").as("dp_str"))
+          .agg(sum(FaultGateQueries.fp(col("vec_id"), col("dp_str"))))
+          .head().getLong(0)
+        (rows, embSum, hasSpan)
+      }
+    }
+
+    val (cgRows, cgEmb, cgSpan) = run(codegen = true)
+    val (inRows, inEmb, inSpan) = run(codegen = false)
+    val matches = cgRows == inRows && cgEmb == inEmb
+    import s.implicits._
+    cgRows.map { case (lang, n, _) =>
+      (lang, n, matches, cgSpan, !inSpan) }
+      .toDF("lang", "n_docs", "interpreted_matches", "codegen_engaged",
+        "interpreted_plan_clean")
+      .orderBy("lang")
+  }
+
+  val q281Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  TRUE AS interpreted_matches, TRUE AS codegen_engaged,
+      |  TRUE AS interpreted_plan_clean
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+
+  val queries: Map[String, Q] = Map(
+    "q278_bucketed_colocated_join" -> q278BucketedColocatedJoin,
+    "q279_aqe_join_switch" -> q279AqeJoinSwitch,
+    "q280_exchange_reuse" -> q280ExchangeReuse,
+    "q281_codegen_parity" -> q281CodegenParity)
+
+  val oracle: Map[String, String] = Map(
+    "q278_bucketed_colocated_join" -> q278Sql,
+    "q279_aqe_join_switch" -> q279Sql,
+    "q280_exchange_reuse" -> q280Sql,
+    "q281_codegen_parity" -> q281Sql)
+}
