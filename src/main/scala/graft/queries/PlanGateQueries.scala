@@ -332,16 +332,89 @@ object PlanGateQueries {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ─────────────────────────────────────────────────────────────────
+  // q282 — NULL-SAFE EQUI-JOIN (`<=>` as a JOIN KEY, not just a
+  // predicate): a curation pipeline's canonical keys are nullable
+  // (un-attributable source, failed language ID), and the reconcile
+  // joins must treat NULL as a real group — a plain `=` join silently
+  // DROPS every null-keyed row (no error, no count mismatch on the
+  // joined side, just missing data downstream). ~10% of the corpus
+  // gets a NULL key here; the facts join their per-key dimension on
+  // `<=>` and the NULL group must come through with its stats.
+  //
+  // The plan boolean is the 100 TB half of the claim: EqualNullSafe is
+  // HASHABLE — Spark must plan this as a shuffled hash/sort-merge/
+  // broadcast-hash equi-join (`equi_join_planned`), never a nested
+  // loop; an engine that demotes null-safe keys to a theta-join dies
+  // at scale. DuckDB replays with IS NOT DISTINCT FROM.
+  //
+  // Output keys ride COALESCE'd (`k_filled`) with an explicit
+  // `is_null_group` flag — Spark sorts NULLS FIRST by default, DuckDB
+  // NULLS LAST, so a raw nullable ORDER BY key would hash-mismatch on
+  // row order even with identical data (the package parity rule:
+  // total ORDER BY on a never-null key).
+  // ─────────────────────────────────────────────────────────────────
+  val q282NullsafeJoin: Q = (s, d) => {
+    val facts = documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      when(col("n_chars") % 10 === 0, lit(null)).otherwise(col("lang"))
+        .as("k"))
+    // dim derives from facts — rename its key so the <=> condition
+    // never trips the ambiguous-self-join resolver
+    val dim = facts.groupBy("k").agg(count(lit(1)).as("grp_n"))
+      .withColumnRenamed("k", "dk")
+    val joined = facts.join(dim, col("k") <=> col("dk"))
+      .select(col("k"), col("grp_n"), col("n_chars"))
+      .groupBy("k", "grp_n")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"))
+    joined.collect()
+    val nodes = allNodes(joined.queryExecution.executedPlan)
+    val equiJoin = nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    } && !nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }
+    joined
+      .select(coalesce(col("k"), lit("(null)")).as("k_filled"),
+        col("k").isNull.as("is_null_group"),
+        col("grp_n"), col("n_docs"), col("chars_sum"),
+        lit(equiJoin).as("equi_join_planned"))
+      .orderBy("k_filled")
+  }
+
+  val q282Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN n_chars % 10 = 0 THEN NULL ELSE lang END AS k
+      |  FROM documents),
+      |dim AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS grp_n
+      |        FROM f GROUP BY k)
+      |SELECT COALESCE(f.k, '(null)') AS k_filled,
+      |  f.k IS NULL AS is_null_group, dim.grp_n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(f.n_chars) AS BIGINT) AS chars_sum,
+      |  TRUE AS equi_join_planned
+      |FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
+      |GROUP BY 1, 2, 3 ORDER BY k_filled""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
     "q278_bucketed_colocated_join" -> q278BucketedColocatedJoin,
     "q279_aqe_join_switch" -> q279AqeJoinSwitch,
     "q280_exchange_reuse" -> q280ExchangeReuse,
-    "q281_codegen_parity" -> q281CodegenParity)
+    "q281_codegen_parity" -> q281CodegenParity,
+    "q282_nullsafe_join" -> q282NullsafeJoin)
 
   val oracle: Map[String, String] = Map(
     "q278_bucketed_colocated_join" -> q278Sql,
     "q279_aqe_join_switch" -> q279Sql,
     "q280_exchange_reuse" -> q280Sql,
-    "q281_codegen_parity" -> q281Sql)
+    "q281_codegen_parity" -> q281Sql,
+    "q282_nullsafe_join" -> q282Sql)
 }

@@ -23,8 +23,12 @@ class PlanGateSpec extends AnyFunSuite {
       val df = q(spark, sf)
       val rows = df.collect()
       assert(rows.nonEmpty, s"$name returned no rows")
+      // `is_null_group` is a DATA column (one group is legitimately
+      // the null group) — the TRUE-pinned columns are the MECHANISM
+      // booleans only
       val boolCols = df.schema.fields.filter(
         _.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+        .filterNot(_ == "is_null_group")
       assert(boolCols.nonEmpty, s"$name has no mechanism booleans")
       for (c <- boolCols; r <- rows)
         assert(r.getBoolean(r.fieldIndex(c)), s"$name.$c is false")
