@@ -68,7 +68,7 @@ QUERIES=(
   # round-19 additions: the plan-mechanism gates — layout/AQE/reuse
   # decisions are size-driven, so the booleans must hold at 10x too
   q278_bucketed_colocated_join q279_aqe_join_switch q280_exchange_reuse
-  q281_codegen_parity q282_nullsafe_join
+  q281_codegen_parity q282_nullsafe_join q283_collation_key_dedup
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"
