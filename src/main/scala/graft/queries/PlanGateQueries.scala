@@ -403,8 +403,62 @@ object PlanGateQueries {
       |GROUP BY 1, 2, 3 ORDER BY k_filled""".stripMargin
 
   // ─────────────────────────────────────────────────────────────────
+  // q284 — NESTED SCHEMA PRUNING: corpora land as nested documents
+  // (id + metadata struct + the payload body — the quake pipeline's
+  // P8 shape, and every JSONL/parquet web-corpus drop), and most
+  // curation passes touch only metadata leaves. The optimizer
+  // (`spark.sql.optimizer.nestedSchemaPruning`, on by default) must
+  // narrow the parquet scan's requiredSchema to the REFERENCED leaves
+  // — a scan that materializes `doc.body` to answer a metadata
+  // aggregate reads the corpus's payload bytes for nothing, the
+  // column-pruning failure mode flat-column PlanSpec pins cannot see.
+  //
+  // The gate lands a nested rendering of documents, aggregates two
+  // metadata leaves, and reads the executed scan's requiredSchema:
+  // both referenced leaves present, the payload AND the unreferenced
+  // sibling leaf absent (`nested_pruned`). Data columns replay from
+  // the flat table in DuckDB. At 100 TB this is the difference
+  // between scanning kilobytes of metadata columns and scanning the
+  // corpus.
+  // ─────────────────────────────────────────────────────────────────
+  val q284NestedPruning: Q = (s, d) => {
+    val dir = IngestQueries.landingDir(s, d, "nestedlanding")
+    documents(s, d).select(struct(
+        col("doc_id").as("id"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+        col("text").as("body")).as("doc"))
+      .write.parquet(dir)
+    val agg = s.read.parquet(dir)
+      .select(col("doc.meta.lang").as("lang"),
+        col("doc.meta.n_chars").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("lang")
+    val rows = agg.collect().toSeq
+    val required = allNodes(agg.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.catalogString
+    }.getOrElse("")
+    val pruned = required.contains("lang") &&
+      required.contains("n_chars") &&
+      !required.contains("body") && !required.contains("source")
+    import s.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), pruned))
+      .toDF("lang", "n_docs", "chars_sum", "nested_pruned")
+      .orderBy("lang")
+  }
+
+  val q284Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  TRUE AS nested_pruned
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
+    "q284_nested_pruning" -> q284NestedPruning,
     "q278_bucketed_colocated_join" -> q278BucketedColocatedJoin,
     "q279_aqe_join_switch" -> q279AqeJoinSwitch,
     "q280_exchange_reuse" -> q280ExchangeReuse,
@@ -416,5 +470,6 @@ object PlanGateQueries {
     "q279_aqe_join_switch" -> q279Sql,
     "q280_exchange_reuse" -> q280Sql,
     "q281_codegen_parity" -> q281Sql,
-    "q282_nullsafe_join" -> q282Sql)
+    "q282_nullsafe_join" -> q282Sql,
+    "q284_nested_pruning" -> q284Sql)
 }
