@@ -7,20 +7,23 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.queries.FaultGateQueries.{allNodes, withConf}
 
-/** Plan-mechanism gates (q278–q280): the three physical-plan mechanisms
-  * a 100 TB deployment leans on that were previously proved only at
-  * scalatest grain (BucketedJoinSpec, AqeSkewSpec's strategy notes,
-  * PLANS.md's ReusedExchange mentions), each promoted to a
-  * driver-visible oracle row in the q272–q274 style: the DATA columns
-  * are recomputed cleanly by DuckDB (hash equality = the mechanism
-  * changes no bytes), and the MECHANISM columns are booleans read from
-  * the executed plan itself, pinned TRUE by the oracle — a run where
-  * the mechanism silently failed to engage (a bucketed join that
-  * shuffled anyway, an AQE that never switched strategies, an exchange
-  * recomputed instead of reused) fails the gate as loudly as a wrong
-  * answer.
+/** Plan-mechanism gates (q278–q282, q284): the physical-plan
+  * mechanisms a 100 TB deployment leans on that were previously proved
+  * only at scalatest grain (BucketedJoinSpec, AqeSkewSpec's strategy
+  * notes, VectorFunctionsSpec's parity tests, PLANS.md's
+  * ReusedExchange mentions), each promoted to a driver-visible oracle
+  * row in the q272–q274 style: the DATA columns are recomputed cleanly
+  * by DuckDB (hash equality = the mechanism changes no bytes), and the
+  * MECHANISM columns are booleans read from the executed plan itself,
+  * pinned TRUE by the oracle — a run where the mechanism silently
+  * failed to engage (a bucketed join that shuffled anyway, an AQE that
+  * never switched strategies, an exchange recomputed instead of
+  * reused, a nested scan that materialized the payload) fails the gate
+  * as loudly as a wrong answer. PlanGateSpec holds each detector's
+  * discriminative power with negative controls.
   *
-  * Why these three: at 100 TB the expensive resource is the shuffle —
+  * Why these: at 100 TB the expensive resources are the shuffle and
+  * the scan —
   *  - q278: the big-big join where NEITHER side broadcasts; bucketing
   *    both sides on the join key at write time is the only plan that
   *    moves zero bytes at read time.
@@ -32,6 +35,15 @@ import graft.queries.FaultGateQueries.{allNodes, withConf}
   *    against its own aggregate) must pay its shuffle ONCE;
   *    exchange reuse is what turns "read the corpus twice" into
   *    "read the map output twice".
+  *  - q281: codegen and interpreted evaluation both RUN at scale
+  *    (janino method/size limits force per-operator fallbacks on the
+  *    widest plans) — eval/doGenCode divergence in any expression is
+  *    a silent wrong-answer generator.
+  *  - q282: null-safe join keys must stay HASHABLE — an engine that
+  *    demotes `<=>` to a nested loop dies at scale, and a plain `=`
+  *    join silently drops the null-keyed corpus slice.
+  *  - q284: nested corpora must scan metadata leaves, not payloads —
+  *    requiredSchema narrowing is the nested analog of column pruning.
   */
 object PlanGateQueries {
 
