@@ -69,7 +69,7 @@ QUERIES=(
   # decisions are size-driven, so the booleans must hold at 10x too
   q278_bucketed_colocated_join q279_aqe_join_switch q280_exchange_reuse
   q281_codegen_parity q282_nullsafe_join q283_collation_key_dedup
-  q284_nested_pruning
+  q284_nested_pruning q285_filter_pushdown
 )
 
 ONLY="$(IFS=,; echo "${QUERIES[*]}")"

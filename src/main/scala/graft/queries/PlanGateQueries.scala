@@ -468,8 +468,53 @@ object PlanGateQueries {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ─────────────────────────────────────────────────────────────────
+  // q285 — PARQUET FILTER PUSHDOWN as a driver-visible gate (the
+  // PushedFilters claim PlanSpec pins for Q1/Q6, promoted to an
+  // oracle row and completing the scan-reduction trio: q230 partition
+  // pruning, q284 nested-leaf pruning, here row-group/row-level
+  // predicate pushdown): a selective conjunctive predicate over the
+  // corpus must reach the parquet reader — the executed scan's
+  // PushedFilters metadata must carry BOTH conjuncts
+  // (`filters_pushed`), and the filtered aggregate must match
+  // DuckDB's replay. A regression that evaluates the predicate
+  // post-scan is invisible in results and costs the full corpus read
+  // at 100 TB — exactly the class of silent regression these gates
+  // exist to catch.
+  // ─────────────────────────────────────────────────────────────────
+  val q285FilterPushdown: Q = (s, d) => {
+    val agg = documents(s, d)
+      .filter(col("n_chars") >= 400 && col("lang") =!= "en")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("lang")
+    val rows = agg.collect().toSeq
+    val pushed = allNodes(agg.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.getOrElse("")
+    val filtersPushed =
+      pushed.contains("GreaterThanOrEqual(n_chars,400)") &&
+        pushed.contains("Not(EqualTo(lang,en))")
+    import s.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        filtersPushed))
+      .toDF("lang", "n_docs", "chars_sum", "filters_pushed")
+      .orderBy("lang")
+  }
+
+  val q285Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  TRUE AS filters_pushed
+      |FROM documents
+      |WHERE n_chars >= 400 AND lang <> 'en'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
+    "q285_filter_pushdown" -> q285FilterPushdown,
     "q284_nested_pruning" -> q284NestedPruning,
     "q278_bucketed_colocated_join" -> q278BucketedColocatedJoin,
     "q279_aqe_join_switch" -> q279AqeJoinSwitch,
@@ -483,5 +528,6 @@ object PlanGateQueries {
     "q280_exchange_reuse" -> q280Sql,
     "q281_codegen_parity" -> q281Sql,
     "q282_nullsafe_join" -> q282Sql,
-    "q284_nested_pruning" -> q284Sql)
+    "q284_nested_pruning" -> q284Sql,
+    "q285_filter_pushdown" -> q285Sql)
 }
