@@ -49,8 +49,14 @@ object FaultGateQueries {
     new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
   private val tagSeq = new AtomicLong(0)
   private def freshTag(): String = "inj-" + tagSeq.incrementAndGet()
+  /** Consume-on-read: each tag is read exactly once, after the action
+    * that drove the injecting stage has completed — removing the entry
+    * here keeps the static map from growing without bound across
+    * repeated gate runs in a long-lived JVM (bench loops, repeated
+    * suites; advisory r19 #3).
+    */
   private def injectedCount(tag: String): Long =
-    Option(injectedByTag.get(tag)).map(_.get()).getOrElse(0L)
+    Option(injectedByTag.remove(tag)).map(_.get()).getOrElse(0L)
 
   /** Wrap `df` so that EVERY task of its stage throws on its first
     * attempt and succeeds on retry — the once-per-partition fault the

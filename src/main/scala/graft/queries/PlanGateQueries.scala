@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.queries.FaultGateQueries.{allNodes, withConf}
 
-/** Plan-mechanism gates (q278–q282, q284): the physical-plan
+/** Plan-mechanism gates (q278–q288): the physical-plan
   * mechanisms a 100 TB deployment leans on that were previously proved
   * only at scalatest grain (BucketedJoinSpec, AqeSkewSpec's strategy
   * notes, VectorFunctionsSpec's parity tests, PLANS.md's
@@ -279,6 +279,15 @@ object PlanGateQueries {
     // so the scrub's digit-walk branch runs on every row of both paths
     val aug = concat(col("text"), lit(" card 4111111111111111 ok"))
 
+    // span marker: simple-mode plan strings render whole-stage codegen
+    // as a `*(id)` operator prefix (the word "WholeStageCodegen" only
+    // appears in formatted explain)
+    def spanMarker(plan: SparkPlan): Boolean = {
+      val str = plan.toString
+      str.contains("WholeStageCodegen") ||
+        """\*\(\d+\)""".r.findFirstIn(str).isDefined
+    }
+
     def run(codegen: Boolean): (Seq[(String, Long, Long)], Long, Boolean) = {
       val confs =
         if (codegen) Seq("spark.sql.codegen.wholeStage" -> "true")
@@ -305,23 +314,32 @@ object PlanGateQueries {
           .orderBy("lang")
         val rows = perLang.collect().toSeq.map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2)))
-        // span marker: simple-mode plan strings render whole-stage
-        // codegen as a `*(id)` operator prefix (the word
-        // "WholeStageCodegen" only appears in formatted explain)
-        val planStr = perLang.queryExecution.executedPlan.toString
-        val hasSpan = planStr.contains("WholeStageCodegen") ||
-          """\*\(\d+\)""".r.findFirstIn(planStr).isDefined
 
         // the doubles leg: a dot product per embedding, fingerprinted
         // through its shortest-repr rendering (exact on this JVM for
         // both paths) — any cross-path difference in accumulation
-        // order or rounding flips the sum
-        val embSum = embeddings(s, d)
+        // order or rounding flips the sum. collect(), not head():
+        // head() runs a separate limit(1) QueryExecution, so the span
+        // inspection below would read an unexecuted plan.
+        val embDf = embeddings(s, d)
           .select(col("vec_id"),
             VectorFunctions.dotProduct(col("embedding"), col("embedding"))
               .cast("string").as("dp_str"))
           .agg(sum(FaultGateQueries.fp(col("vec_id"), col("dp_str"))))
-          .head().getLong(0)
+        val embSum = embDf.collect()(0).getLong(0)
+
+        // mechanism marker over BOTH legs' executed plans (advisory
+        // r19 #5): codegen must engage on the strings pipeline AND the
+        // doubles pipeline; the interpreted pass must be span-free on
+        // both — a codegen leak confined to the embeddings leg flips
+        // the boolean just as loudly as one on perLang
+        val hasSpan =
+          if (codegen)
+            spanMarker(perLang.queryExecution.executedPlan) &&
+              spanMarker(embDf.queryExecution.executedPlan)
+          else
+            spanMarker(perLang.queryExecution.executedPlan) ||
+              spanMarker(embDf.queryExecution.executedPlan)
         (rows, embSum, hasSpan)
       }
     }
@@ -512,8 +530,232 @@ object PlanGateQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ─────────────────────────────────────────────────────────────────
+  // q286 — PARQUET AGGREGATE PUSHDOWN (round-19 verdict #3, completing
+  // the scan-reduction QUARTET: q230 partition pruning, q284 nested
+  // pruning, q285 filter pushdown, and here footer-metadata
+  // aggregation): a filterless COUNT/MIN/MAX over the corpus is
+  // answerable from parquet FOOTERS alone — row-group statistics and
+  // row counts — without touching a single data page. Spark ships the
+  // mechanism behind `spark.sql.parquet.aggregatePushdown` on the
+  // DSv2 parquet reader (v1's FileSourceScanExec has no aggregate
+  // pushdown, so the gate routes this one read through
+  // `useV1SourceList=""`), where ParquetScanBuilder implements
+  // SupportsPushDownAggregates. The executed BatchScan's description
+  // must carry the pushed aggregate list (`agg_pushed`) — at 100 TB
+  // the difference is reading ~kilobytes of footers vs the corpus.
+  //
+  // The numbers themselves are the honesty check: footer stats
+  // DISAGREE with recomputation if any writer lied (the classic
+  // corrupt-statistics hazard), and DuckDB recomputes the same
+  // COUNT/MIN/MAX from the data pages — hash equality means the
+  // footer path changed no answer. PlanGateSpec holds the negative
+  // controls: a filtered shape and a SUM shape both refuse the
+  // pushdown (empty PushedAggregation) and still answer correctly.
+  // ─────────────────────────────────────────────────────────────────
+  val q286AggregatePushdown: Q = (s, d) => {
+    val (rows, scanDesc) = withConf(s)(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "") {
+      val agg = s.read.parquet(s"$d/documents.parquet")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("text")).as("n_texts"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      val collected = agg.collect().toSeq
+      val desc = allNodes(agg.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse("")
+      (collected, desc)
+    }
+    val aggPushed = Seq("COUNT(*)", "COUNT(text)", "MIN(n_chars)",
+      "MAX(n_chars)").forall(scanDesc.contains) &&
+      scanDesc.contains("PushedAggregation")
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        aggPushed))
+      .toDF("n_docs", "n_texts", "min_chars", "max_chars", "agg_pushed")
+  }
+
+  val q286Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(text) AS BIGINT) AS n_texts,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  TRUE AS agg_pushed
+      |FROM documents""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q287 — STORAGE-PARTITIONED JOIN (round-19 verdict #5, q278's
+  // zero-exchange discipline in DSv2 form): two datasets land in a
+  // key-grouped lake layout (`source=value/` directories), are read
+  // through [[graft.sources.KeyGroupedTableProvider]] — a v2 source
+  // whose scan reports KeyGroupedPartitioning over identity(source)
+  // with per-partition keys ([[HasPartitionKey]]) — and join on the
+  // partition key under `spark.sql.sources.v2.bucketing.enabled`.
+  // The planner must recognize the two scans as co-partitioned and
+  // plan the join with ZERO shuffle below it (`spj_zero_exchange`);
+  // the same join through ONE v2 side and one plain DataFrame is the
+  // in-query negative control (`control_paid_exchange`) proving the
+  // detector can flip. Broadcast is disabled so the exchange-free
+  // plan is SPJ's doing, not a small-table shortcut.
+  //
+  // Scale shape: this is THE join template for a curated lake — both
+  // sides clustered by the join key at write time (Iceberg bucket/
+  // identity transforms), reconcile/attach passes read-side free. The
+  // v1 twin (q278) proves the bucketed-table form; together they
+  // cover both halves of the engine's storage-colocation story.
+  // ─────────────────────────────────────────────────────────────────
+  val q287StoragePartitionedJoin: Q = (s, d) => {
+    import graft.sources.KeyGroupedLayout
+    val facts = documents(s, d).select(col("doc_id"), col("n_chars"),
+      col("source"))
+    val dims = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("src_docs"))
+    val factsDir = IngestQueries.landingDir(s, d, "kgfacts")
+    val dimsDir = IngestQueries.landingDir(s, d, "kgdims")
+    KeyGroupedLayout.write(facts, "source", factsDir)
+    KeyGroupedLayout.write(dims, "source", dimsDir)
+    def kg(dir: String, ddl: String): DataFrame =
+      s.read.format("graft-kg").option("path", dir)
+        .option("schema", ddl).option("key", "source").load()
+    withConf(s)(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val kgFacts = kg(factsDir,
+        "doc_id BIGINT, n_chars BIGINT, source STRING")
+      val kgDims = kg(dimsDir, "source STRING, src_docs BIGINT")
+      def joinNode(df: DataFrame): Option[SparkPlan] = {
+        df.collect()
+        allNodes(df.queryExecution.executedPlan).collectFirst {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }
+      }
+      val spj = kgFacts.join(kgDims, "source")
+        .groupBy("source", "src_docs")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy("source")
+      val spjJoin = joinNode(spj)
+      val zeroExchange = spjJoin.exists(j => !hasShuffleBelow(j))
+      // control: same join, dims as a plain (non-reporting) DataFrame
+      // — the planner has no layout to trust and must shuffle
+      val control = kgFacts.join(dims, "source")
+        .groupBy("source", "src_docs")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"))
+      val controlPaid = joinNode(control).exists(hasShuffleBelow)
+      val rows = spj.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          zeroExchange, controlPaid))
+      import s.implicits._
+      rows.toDF("source", "src_docs", "n_docs", "chars_sum",
+        "spj_zero_exchange", "control_paid_exchange")
+        .orderBy("source")
+    }
+  }
+
+  val q287Sql: String =
+    """WITH dims AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs
+      |              FROM documents GROUP BY source)
+      |SELECT source, src_docs, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  TRUE AS spj_zero_exchange, TRUE AS control_paid_exchange
+      |FROM documents JOIN dims USING (source)
+      |GROUP BY source, src_docs ORDER BY source""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q288 — VECTORIZED ≡ ROW-BASED PARQUET READER (round-19 verdict
+  // #6, q281's parity discipline moved from the expression layer to
+  // the SCAN): at 100 TB the vectorized reader IS the scan — every
+  // byte the engine ever sees passes through its column-batch decode
+  // paths (dictionary, RLE/bit-packing, nested arrays) — while the
+  // row-based reader remains the fallback for types/shapes the
+  // columnar path refuses. The same aggregate runs twice, once per
+  // reader (`spark.sql.parquet.enableVectorizedReader`), over BOTH a
+  // string-heavy table (documents: dictionary + plain pages) and a
+  // nested-array table (embeddings: the repeated-group decode path,
+  // fingerprinted over the float array's string rendering). The
+  // full per-lang stats and the array fingerprint must be
+  // BIT-IDENTICAL across readers (`readers_match`); the vectorized
+  // leg's scans are pinned columnar (`vectorized_columnar`) and the
+  // disabled leg's scans pinned row-based (`row_reader_clean`) so a
+  // silent fall-back — the reader config ignored, or a complex-type
+  // shape quietly demoting to row decode — fails the gate even when
+  // the answers happen to agree. Divergence here is a silent
+  // wrong-answer generator on every query the engine runs.
+  // ─────────────────────────────────────────────────────────────────
+  val q288VectorizedParity: Q = (s, d) => {
+    def leg(vectorized: Boolean)
+        : (Seq[(String, Long, Long)], Long, Boolean) =
+      withConf(s)(
+        "spark.sql.parquet.enableVectorizedReader" -> vectorized.toString) {
+        val perLang = documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_sum"),
+            // 40-bit bounded fingerprints (FaultGateQueries.fp) — a
+            // full-range xxhash64 sum overflows BIGINT under ANSI
+            sum(FaultGateQueries.fp(col("doc_id"), col("text"),
+              col("source"))).as("text_fp"))
+          .orderBy("lang")
+        val rows = perLang.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2)))
+        val embDf = embeddings(s, d)
+          .agg(sum(FaultGateQueries.fp(col("vec_id"),
+            col("embedding").cast("string"))).as("emb_fp"))
+        val embFp = embDf.collect()(0).getLong(0)
+        // every parquet scan in BOTH legs' plans must sit on the
+        // expected decode path — one marker per leg, AND'd over all
+        // FileSourceScanExec nodes of both queries
+        val scansColumnar =
+          (allNodes(perLang.queryExecution.executedPlan) ++
+            allNodes(embDf.queryExecution.executedPlan)).collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.supportsColumnar
+          }
+        val marker =
+          if (vectorized) scansColumnar.nonEmpty && scansColumnar.forall(identity)
+          else scansColumnar.forall(!_)
+        (rows, embFp, marker)
+      }
+    val (vRows, vEmb, vColumnar) = leg(vectorized = true)
+    val (rRows, rEmb, rClean) = leg(vectorized = false)
+    val matches = vRows == rRows && vEmb == rEmb
+    import s.implicits._
+    vRows.map { case (lang, n, chars) =>
+      (lang, n, chars, matches, vColumnar, rClean) }
+      .toDF("lang", "n_docs", "chars_sum", "readers_match",
+        "vectorized_columnar", "row_reader_clean")
+      .orderBy("lang")
+  }
+
+  val q288Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  TRUE AS readers_match, TRUE AS vectorized_columnar,
+      |  TRUE AS row_reader_clean
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The q286 detector's raw pieces, exposed for PlanGateSpec's
+    * negative controls (filtered / SUM shapes must show an EMPTY
+    * pushed-aggregation list while still answering correctly).
+    */
+  private[graft] def v2ScanDescription(df: DataFrame): String = {
+    df.collect()
+    allNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse("")
+  }
+
+  // ─────────────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
+    "q286_aggregate_pushdown" -> q286AggregatePushdown,
+    "q287_storage_partitioned_join" -> q287StoragePartitionedJoin,
+    "q288_vectorized_parity" -> q288VectorizedParity,
     "q285_filter_pushdown" -> q285FilterPushdown,
     "q284_nested_pruning" -> q284NestedPruning,
     "q278_bucketed_colocated_join" -> q278BucketedColocatedJoin,
@@ -529,5 +771,8 @@ object PlanGateQueries {
     "q281_codegen_parity" -> q281Sql,
     "q282_nullsafe_join" -> q282Sql,
     "q284_nested_pruning" -> q284Sql,
-    "q285_filter_pushdown" -> q285Sql)
+    "q285_filter_pushdown" -> q285Sql,
+    "q286_aggregate_pushdown" -> q286Sql,
+    "q287_storage_partitioned_join" -> q287Sql,
+    "q288_vectorized_parity" -> q288Sql)
 }

@@ -17,8 +17,8 @@ class PlanGateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf0001
 
-  test("q278/q279/q280 run green at sf0.001 with every mechanism " +
-    "boolean TRUE") {
+  test("every registered plan gate (q278-q288) runs green at " +
+    "sf0.001 with every mechanism boolean TRUE") {
     for ((name, q) <- PlanGateQueries.queries) {
       val df = q(spark, sf)
       val rows = df.collect()
@@ -32,6 +32,46 @@ class PlanGateSpec extends AnyFunSuite {
       assert(boolCols.nonEmpty, s"$name has no mechanism booleans")
       for (c <- boolCols; r <- rows)
         assert(r.getBoolean(r.fieldIndex(c)), s"$name.$c is false")
+    }
+  }
+
+  test("q286's detector is discriminative: a filtered shape and a SUM " +
+    "shape both REFUSE the aggregate pushdown (empty PushedAggregation) " +
+    "and still answer correctly") {
+    val dir = s"$sf/documents.parquet"
+    val saved = Seq("spark.sql.parquet.aggregatePushdown",
+      "spark.sql.sources.useV1SourceList")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val expected = graft.core.Tables.documents(spark, sf)
+        .filter(col("n_chars") >= 400)
+        .agg(count(lit(1))).head().getLong(0)
+      // filtered COUNT: pushdown must refuse (footer stats cannot
+      // answer a row-level predicate), answer must still be right
+      val filtered = spark.read.parquet(dir)
+        .filter(col("n_chars") >= 400).agg(count(lit(1)).as("n"))
+      val desc1 = PlanGateQueries.v2ScanDescription(filtered)
+      assert(!desc1.contains("PushedAggregation: [COUNT"),
+        s"filtered aggregate unexpectedly pushed: $desc1")
+      assert(filtered.head().getLong(0) == expected)
+      // SUM: not a footer-answerable aggregate on 4.1.2 — must refuse
+      val summed = spark.read.parquet(dir).agg(sum(col("n_chars")).as("s"))
+      val desc2 = PlanGateQueries.v2ScanDescription(summed)
+      assert(!desc2.contains("PushedAggregation: [SUM"),
+        s"SUM unexpectedly pushed: $desc2")
+      // and the positive really is v2 + pushed (guards the detector
+      // against a silent fall-back to the v1 reader, where the scan
+      // census would be empty and agg_pushed trivially false)
+      val pushed = spark.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("mn"))
+      val desc3 = PlanGateQueries.v2ScanDescription(pushed)
+      assert(desc3.contains("PushedAggregation: [COUNT(*), MIN(n_chars)]"),
+        s"expected pushed COUNT/MIN, got: $desc3")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
