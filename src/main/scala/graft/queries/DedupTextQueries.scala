@@ -114,6 +114,44 @@ object DedupTextQueries {
         upper(col("text")).as("text")))
   }
 
+  /** q283's corpus: [[caseVariantCorpus]] plus NON-ASCII witness
+    * clones (round-19 verdict #2 — the collation gate must be
+    * hash-proven on data where `lower()` DIVERGES from UTF8_LCASE,
+    * not just where they coincide). The MEASURED 4.1.2 semantics
+    * (TmpProbe-era probes, now pinned in CollatedDedupSpec): UTF8_LCASE
+    * is ICU lowercase comparison with Greek final sigma ς unified with
+    * medial σ in EVERY position, and it does NOT full-fold German ß to
+    * "ss". Meanwhile Spark's `lower()` is context-sensitive (word-final
+    * Σ → ς) and DuckDB's is not (Σ → σ always) — so a lower()-replay
+    * oracle and a lower()-keyed router each partition the witnesses
+    * DIFFERENTLY from the collation and from each other.
+    *
+    * For doc_id % 11 == 0 the corpus gains five clones:
+    *   +20M: text ⧺ " θεος"   (final ς) ┐ one UTF8_LCASE dup group
+    *   +30M: text ⧺ " θεοσ"   (medial σ)│ (canonical = +20M); lower()
+    *   +40M: text ⧺ " ΘΕΟΣ"   (capital) ┘ splits +20M from +30M
+    *   +50M: text ⧺ " straße"           ┐ NOT collated-equal — the
+    *   +60M: text ⧺ " STRASSE"          ┘ overfold control: an oracle
+    * that full-case-folds (ß→ss, à la casefold()) wrongly MERGES the
+    * ß pair; one that merely lower()s wrongly SPLITS the sigma trio.
+    * Only a replay of the collation's own equivalence — lower() plus
+    * ς→σ unification, exact on this fixture's codepoint inventory —
+    * matches the engine row-for-row.
+    */
+  private[queries] def foldVariantCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = caseVariantCorpus(s, d)
+    val seeds = documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 11 === 0)
+    def clone(offset: Long, suffix: String): DataFrame =
+      seeds.select((col("doc_id") + lit(offset)).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+    base.unionByName(clone(20000000L, " θεος"))
+      .unionByName(clone(30000000L, " θεοσ"))
+      .unionByName(clone(40000000L, " ΘΕΟΣ"))
+      .unionByName(clone(50000000L, " straße"))
+      .unionByName(clone(60000000L, " STRASSE"))
+  }
+
   val q233CollatedDedup: Q = (s, d) => {
     val w = Window.partitionBy(collate(col("text"), "UTF8_LCASE"))
     caseVariantCorpus(s, d)
@@ -175,10 +213,13 @@ object DedupTextQueries {
     * corpus), so a forced broadcast of multiIds is a driver-OOM cliff
     * at larger SFs. AQE's runtime size estimate picks the broadcast
     * while the candidate set is genuinely small and degrades to a
-    * shuffle join past `autoBroadcastJoinThreshold` — and at 100 TB
-    * the attach instead runs exchange-free over an id-bucketed corpus
-    * layout (Tables.writeBucketed, BucketedJoinSpec's proof) — either
-    * way the corpus text never crosses a hash exchange.
+    * shuffle join past `autoBroadcastJoinThreshold`. In that middle
+    * regime the attach DOES move text through one doc_id exchange —
+    * but only the dup fraction's text, never the whole corpus, which
+    * is still the point of the lean shape vs q233. At 100 TB the
+    * attach instead runs exchange-free over an id-bucketed corpus
+    * layout (Tables.writeBucketed, BucketedJoinSpec's proof), where
+    * no corpus text crosses a hash exchange at all.
     */
   val q275CollatedDedupLean: Q = (s, d) =>
     leanCollatedDedup(caseVariantCorpus(s, d), t => lower(t))
@@ -191,7 +232,7 @@ object DedupTextQueries {
     * collision can only false-merge, which the bucket-side collated
     * window separates).
     */
-  private def leanCollatedDedup(corpus: DataFrame,
+  private[queries] def leanCollatedDedup(corpus: DataFrame,
       router: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
     val keyed = corpus.select(col("doc_id"),
@@ -232,15 +273,22 @@ object DedupTextQueries {
     * duplicate fraction. The collation key is computed map-side and
     * never stored or shuffled — only its xxhash64 crosses the wire.
     *
-    * ORACLE CAVEAT (same seam as q233/q275, now narrower): DuckDB
-    * cannot evaluate UTF8_LCASE, so the oracle remains the lower()
-    * replay, exact on the spec-pinned ASCII fixture; the non-ASCII
-    * claim — router faithfulness where lower() DIVERGES from the
-    * collation — is held by CollationRouterSpec's measured witnesses,
-    * which q275's router provably fails.
+    * ORACLE (round-19 verdict #2 — the ASCII pin retired): the corpus
+    * is [[foldVariantCorpus]], seeded with non-ASCII sigma witnesses
+    * that UTF8_LCASE equates and lower() splits (plus a ß pair the
+    * collation does NOT equate, guarding against an overfolding
+    * oracle), and the oracle replays the collation's equivalence for
+    * exactly the fixture's codepoint inventory —
+    * `replace(lower(text),'ς','σ')` — exact here because the base
+    * corpus is ASCII (spec-pinned in CollatedDedupSpec) and the only
+    * non-ASCII codepoints are the seeded witnesses (ς/σ/Σ/Θ, ß).
+    * A lower()-only oracle now FAILS this gate on every sigma-trio
+    * row, and a casefold() oracle fails it on the ß pair;
+    * general-corpus faithfulness beyond the fixture inventory remains
+    * held by CollationRouterSpec's probe table (Turkish İ, ligatures).
     */
   val q283CollationKeyDedup: Q = (s, d) =>
-    leanCollatedDedup(caseVariantCorpus(s, d), collationKeyRouter)
+    leanCollatedDedup(foldVariantCorpus(s, d), collationKeyRouter)
 
   /** xxhash64-ready collation key of `text` under UTF8_LCASE. */
   private[graft] def collationKeyRouter(
@@ -250,7 +298,40 @@ object DedupTextQueries {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(
           collate(text, "UTF8_LCASE"))))
 
-  val q283Sql: String = q233Sql
+  /** The collation-faithful replay of q283: same shape as q233Sql,
+    * with the witness clones in the corpus CTE and the partition key
+    * folded as `replace(lower(text),'ς','σ')` — lower() plus sigma
+    * unification, NO ß→ss fold (see q283's scaladoc for why that is
+    * exactly UTF8_LCASE on this fixture).
+    */
+  val q283Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, upper(text) AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text || ' θεος'
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000000, text || ' θεοσ'
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 40000000, text || ' ΘΕΟΣ'
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 50000000, text || ' straße'
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 60000000, text || ' STRASSE'
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |folded AS (
+      |  SELECT doc_id, replace(lower(text), 'ς', 'σ') AS fold
+      |  FROM corpus)
+      |SELECT doc_id,
+      | MIN(doc_id) OVER (PARTITION BY fold) AS canonical_id,
+      | doc_id <> MIN(doc_id) OVER (PARTITION BY fold) AS is_dup
+      |FROM folded ORDER BY doc_id""".stripMargin
 
   /** q30's dedup over a fingerprint-bucketed layout
     * ([[graft.core.Tables.writeFingerprintedDocuments]]): identical rows,

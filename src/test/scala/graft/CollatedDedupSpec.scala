@@ -81,6 +81,48 @@ class CollatedDedupSpec extends AnyFunSuite {
       s"lean plan must move fewer shuffle bytes: lean=$lb window=$wb")
   }
 
+  test("q283's fold fixture is discriminative: each non-ASCII witness " +
+    "pair merges under the collation-key router and SPLITS under the " +
+    "lower() router — a lower()-only oracle cannot green this gate") {
+    val sf = TestSpark.Sf0001
+    val q283 = DedupTextQueries
+      .queries("q283_collation_key_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(seeds.nonEmpty, "no %11 seeds at sf0.001 — fixture empty")
+    for (s <- seeds) {
+      // the sigma trio (final ς / medial σ / capital Σ) is ONE
+      // UTF8_LCASE group
+      assert(q283(s + 30000000L) == s + 20000000L,
+        s"θεος/θεοσ pair for seed $s did not merge under the " +
+          "collation-key router")
+      assert(q283(s + 40000000L) == s + 20000000L,
+        s"θεος/ΘΕΟΣ pair for seed $s did not merge under the " +
+          "collation-key router")
+      // the ß pair is NOT collated-equal (UTF8_LCASE does not
+      // full-fold ß→ss) — an overfolding oracle would merge it
+      assert(q283(s + 60000000L) == s + 60000000L,
+        s"straße/STRASSE pair for seed $s merged — UTF8_LCASE began " +
+          "full-folding ß; the q283 oracle's replay needs re-measuring")
+      assert(q283(s + 20000000L) != q283(s),
+        s"suffixed clone for seed $s merged with its base document")
+    }
+    // negative control: the q275 lower() router over the SAME corpus
+    // splits the sigma trio (Spark's lower keeps final ς distinct
+    // from medial σ), so a lower()-keyed dedup misses those dups
+    val lowered = DedupTextQueries.leanCollatedDedup(
+      DedupTextQueries.foldVariantCorpus(spark, sf), t => lower(t))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (s <- seeds) {
+      assert(lowered(s + 30000000L) == s + 30000000L,
+        s"lower() router unexpectedly merged final-ς with medial-σ " +
+          s"for seed $s — UTF8_LCASE no longer diverges from lower(); " +
+          "retire the fold-replay oracle commentary")
+    }
+  }
+
   test("the corpus is ASCII — the precondition under which UTF8_LCASE " +
     "≡ lower() (and so DuckDB's lower()-oracle) holds; a non-ASCII " +
     "testdata regeneration must fail HERE, not bend the oracle") {
