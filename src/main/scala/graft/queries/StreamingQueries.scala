@@ -2851,6 +2851,117 @@ object StreamingQueries {
       q166StreamingSessionPaths(s, d)
     }
 
+  /** q289 — CHANGELOG-CHECKPOINTING RESTORE EQUIVALENCE (round-19
+    * verdict #7; the q219–q221 parity tier runs RocksDB with full
+    * snapshots — this gates the PRODUCTION configuration for large
+    * state, `rocksdb.changelogCheckpointing.enabled=true`, ACROSS A
+    * RESTART). A keyed streaming dedup (`dropDuplicates` on doc_id —
+    * seen-keys state) runs in TWO phases over ONE checkpoint:
+    *
+    *  - phase 1: two spool files (doc_id thirds 0 and 1) drain under
+    *    AvailableNow, one file per micro-batch; the stream stops.
+    *  - phase 2: two MORE files land — the new third plus EXACT
+    *    REPEATS of both phase-1 slices — and the stream restarts from
+    *    the checkpoint. RocksDB must rebuild each store from its last
+    *    snapshot + changelog replay; the repeats are suppressed ONLY
+    *    if every phase-1 key survived the restore. A lost or partial
+    *    restore re-emits repeated rows and fails the count/hash
+    *    against the batch oracle (distinct documents, exactly once).
+    *
+    * Mechanism booleans: `changelog_engaged` — the state checkpoint
+    * actually contains `.changelog` files (the incremental-upload
+    * artifact; a silent fall-back to full snapshots has none);
+    * `n_batches` = 4 pins that the restart really resumed offsets
+    * (phase 2 continued batch numbering) rather than reprocessing.
+    * At 100 TB changelog checkpointing is what keeps commit latency
+    * independent of total state size — and a restore bug is silent
+    * data corruption on every executor loss.
+    */
+  val q289ChangelogRestore: Q = (s, d) => {
+    val base = RunStore.tableName("graft_changelog_restore", d)
+    def path(suffix: String) = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), base + suffix)
+    val fs = path("").getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_spool", "_ckpt", "_out").foreach { suf =>
+      val p = path(suf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val spool = path("_spool")
+    val outPath = path("_out").toString
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    def slice(m: Int) = docs.filter(col("doc_id") % 3 === m)
+    def addFile(df: DataFrame, name: String): Unit = {
+      val tmp = path(s"_tmp_$name")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      fs.mkdirs(spool)
+      fs.rename(part, new org.apache.hadoop.fs.Path(spool, s"$name.parquet"))
+      fs.delete(tmp, true)
+      ()
+    }
+    def runPhase(): Unit =
+      withSessionConfs(s, ProviderKey -> RocksDbProvider,
+          ChangelogKey -> "true") {
+        withFewShufflePartitions(s) {
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool.toString)
+            .dropDuplicates("doc_id")
+            .writeStream
+            .option("checkpointLocation", path("_ckpt").toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              writeBatch(batch, outPath, batchId)
+            }
+            .start().awaitTermination()
+        }
+      }
+    addFile(slice(0), "f0")
+    addFile(slice(1), "f1")
+    runPhase()
+    addFile(slice(2).unionByName(slice(0)), "f2")
+    addFile(slice(1), "f3")
+    runPhase()
+    val changelogFiles = {
+      val it = fs.listFiles(path("_ckpt"), true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".changelog")) n += 1
+      n
+    }
+    // committed batches from the checkpoint's OWN commit log — the
+    // sink can't be the census because batch 3 (all repeats, fully
+    // suppressed by the restored state) legitimately lands ZERO rows,
+    // so a row-side countDistinct(batch_id) undercounts exactly when
+    // the restore WORKS
+    val nBatches = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path("_ckpt"), "commits"))
+      .count(st => st.getPath.getName.forall(_.isDigit)).toLong
+    val sunk = readSink(s, outPath)
+      .agg(count(lit(1)).as("n"),
+        sum(FaultGateQueries.fp(col("doc_id"), md5(col("text")))).as("f"))
+      .head()
+    import s.implicits._
+    Seq((sunk.getLong(0), sunk.getLong(1), nBatches, changelogFiles > 0))
+      .toDF("n_rows", "rows_fp", "n_batches", "changelog_engaged")
+  }
+
+  /** Distinct documents exactly once (the repeats suppressed by the
+    * RESTORED state), 4 micro-batches (2 per phase), changelog files
+    * present.
+    */
+  val q289Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |    md5(text)), 1, 10))::BIGINT) AS BIGINT) AS rows_fp,
+      |  CAST(4 AS BIGINT) AS n_batches,
+      |  TRUE AS changelog_engaged
+      |FROM documents""".stripMargin
+
   /** Last path segment — `_metadata.file_path` and the file-source log
     * render the same file with different URI prefixes/escaping; the
     * name (with its embedded UUID) is the stable join key.
@@ -3756,6 +3867,7 @@ object StreamingQueries {
     "q219_rocksdb_ssjoin_parity" -> q219RocksdbSsjoinParity,
     "q220_rocksdb_dedup_parity" -> q220RocksdbDedupParity,
     "q221_rocksdb_session_parity" -> q221RocksdbSessionParity,
+    "q289_changelog_restore" -> q289ChangelogRestore,
     "q226_ssjoin_state_audit" -> q226SsjoinStateAudit,
     "q227_tws_bootstrap" -> q227TwsBootstrap,
     "q229_dedup_state_audit" -> q229DedupStateAudit,
@@ -3813,6 +3925,7 @@ object StreamingQueries {
     "q219_rocksdb_ssjoin_parity" -> q183Sql,
     "q220_rocksdb_dedup_parity" -> DedupTextQueries.q101Sql,
     "q221_rocksdb_session_parity" -> EventQueries.q139Sql,
+    "q289_changelog_restore" -> q289Sql,
     // per-side join state lifecycle replayed in SQL from the spool
     // recipe (accumulate / bulk-evict / retain-in-horizon)
     "q226_ssjoin_state_audit" -> q226Sql,
