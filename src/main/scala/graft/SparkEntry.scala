@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++
+      TpcdsShapeQueries.queries ++
       FaultGateQueries.queries ++
       PlanGateQueries.queries ++
       RelationalQueries.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     TpchQueries.oracle ++
+      TpcdsShapeQueries.oracle ++
       FaultGateQueries.oracle ++
       PlanGateQueries.oracle ++
       RelationalQueries.oracle ++

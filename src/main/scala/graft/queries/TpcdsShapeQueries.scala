@@ -1,0 +1,545 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables._
+
+/** The TPC-DS shape slice (q290–q298, round-19 verdict #8): the
+  * windowed/rollup/channel-reconciliation query shapes TPC-H's canon
+  * (q250–q271) does not cover, each taken from a named TPC-DS query
+  * and re-fit onto the driver's TPC-H-ish tables — the SHAPES are the
+  * point (rank-over-rollup, cumulative full-outer reconcile, grouped
+  * top-k join-back, multi-band single-pass, semi-join composition),
+  * not the DS schema, which the testdata does not ship. A synthetic
+  * "channel" column (`l_linenumber % 2` — deterministic, balanced)
+  * stands in for DS's store/web/catalog channel split everywhere a DS
+  * query reconciles channels.
+  *
+  * All oracle-parity conventions follow the package contract: exact
+  * DECIMAL money sums cast to DOUBLE at the boundary, ratios as
+  * IEEE-identical double divisions of exact sums, BIGINT casts on
+  * every SUM-derived integer column, rank windows tie-broken to a
+  * total order, and every result ends in a total ORDER BY.
+  *
+  * Scale notes: every query here is one-or-two fact-grain shuffles +
+  * broadcast dims (part, and the derived per-key dims AQE sizes at
+  * runtime); the window stages partition on their PARTITION BY keys
+  * (brand/category grain — thousands of groups at 100 TB, never a
+  * single-partition sort except the deliberate global top-k in q290,
+  * which ranks an already part-grain aggregate, ~rows = |part|).
+  * TpcdsShapeSpec pins no-cartesian and the broadcast shapes.
+  */
+object TpcdsShapeQueries {
+
+  // the TpchQueries money twins, restated here (they are private to
+  // that object by design — each tier carries its own adjacent pair)
+  private def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def fac(c: Column): Column = c.cast(DecimalType(3, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+  private def discPrice: Column =
+    dec12(col("l_extendedprice")) * (one - fac(col("l_discount")))
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  /** The synthetic channel: 0 = "store", 1 = "web". Line-number parity
+    * is deterministic, independent of every value column, and splits
+    * each order's lines across both channels.
+    */
+  private def chan: Column = (col("l_linenumber") % 2).cast("long")
+  private val chanSql = "CAST(l_linenumber % 2 AS BIGINT)"
+
+  private def monCol: Column =
+    (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long")
+  private val monSql =
+    "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
+
+  // ─────────────────────────────────────────────────────────────────
+  // q290 — DS Q44's shape: best/worst performing items by average
+  // revenue, ranked from both ends and joined back to the item names
+  // on the RANK. Two global rank windows over a part-grain aggregate
+  // (|part| rows — the global sort ranks the aggregate, never the
+  // fact table), the name attach is a broadcast of part, and the
+  // rank join is 10×10. Ties broken by part key for a total order.
+  // ─────────────────────────────────────────────────────────────────
+  val q290Ds44TopkWindow: Q = (s, d) => {
+    val perf = lineitem(s, d).groupBy("l_partkey")
+      .agg((sum(discPrice).cast("double") / count(lit(1))).as("avg_rev"))
+    val descW = Window.orderBy(col("avg_rev").desc, col("l_partkey"))
+    val ascW = Window.orderBy(col("avg_rev").asc, col("l_partkey"))
+    def side(w: org.apache.spark.sql.expressions.WindowSpec,
+        nameAs: String): DataFrame =
+      perf.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 10)
+        .join(broadcast(part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("rnk"), col("p_name").as(nameAs))
+    side(descW, "best_part").join(side(ascW, "worst_part"), "rnk")
+      .orderBy("rnk")
+  }
+
+  val q290Sql: String =
+    s"""WITH perf AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM($discPriceSql) AS DOUBLE) / COUNT(*) AS avg_rev
+       |  FROM lineitem GROUP BY l_partkey),
+       |b AS (SELECT l_partkey,
+       |        RANK() OVER (ORDER BY avg_rev DESC, l_partkey) AS rnk
+       |      FROM perf),
+       |w AS (SELECT l_partkey,
+       |        RANK() OVER (ORDER BY avg_rev ASC, l_partkey) AS rnk
+       |      FROM perf)
+       |SELECT b.rnk AS rnk, pb.p_name AS best_part,
+       |  pw.p_name AS worst_part
+       |FROM b JOIN w USING (rnk)
+       |JOIN part pb ON b.l_partkey = pb.p_partkey
+       |JOIN part pw ON w.l_partkey = pw.p_partkey
+       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q291 — DS Q67's shape: sales ROLLUP over the item hierarchy ×
+  // time, then top-5 rollup rows PER BRAND by a rank window — the
+  // "which aggregation levels dominate each brand" report. The window
+  // partitions on the coalesced brand (thousands of partitions at
+  // scale, never global); rank ties (a brand with one type/year has
+  // EQUAL sums at every rollup level) break on level then keys for a
+  // total order. grouping-bit arithmetic is spelled per-column so the
+  // engine and the oracle agree on the bit order by construction.
+  // ─────────────────────────────────────────────────────────────────
+  // Through spark.sql over temp views: referencing rollup grouping
+  // columns post-agg from the DSL trips the ambiguous-self-join false
+  // positive after a join (the q08 convention; dev gotcha pinned in
+  // the verify skill notes). The text is the ORACLE's with the
+  // broadcast hint added — one source of truth per engine, same
+  // algebra.
+  val q291Ds67RollupWindow: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    orders(s, d).createOrReplaceTempView("g_orders")
+    part(s, d).createOrReplaceTempView("g_part")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT /*+ BROADCAST(g_part) */ p_brand, p_type,
+         |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    $discPriceSql AS rev
+         |  FROM g_lineitem
+         |  JOIN g_orders ON l_orderkey = o_orderkey
+         |  JOIN g_part ON l_partkey = p_partkey),
+         |agg AS (
+         |  SELECT p_brand, p_type, o_year,
+         |    CAST(SUM(rev) AS DOUBLE) AS sumsales,
+         |    CAST(GROUPING(p_brand) * 4 + GROUPING(p_type) * 2 +
+         |      GROUPING(o_year) AS BIGINT) AS lvl
+         |  FROM base GROUP BY ROLLUP(p_brand, p_type, o_year)),
+         |r AS (
+         |  SELECT *, RANK() OVER (
+         |    PARTITION BY COALESCE(p_brand, '(all)')
+         |    ORDER BY sumsales DESC, lvl, COALESCE(p_type, '(all)'),
+         |      COALESCE(o_year, -1)) AS rnk
+         |  FROM agg)
+         |SELECT COALESCE(p_brand, '(all)') AS brand_f,
+         |  COALESCE(p_type, '(all)') AS type_f,
+         |  COALESCE(o_year, -1) AS yr_f, lvl, sumsales, rnk
+         |FROM r WHERE rnk <= 5
+         |ORDER BY brand_f, rnk, type_f, yr_f""".stripMargin)
+  }
+
+  val q291Sql: String =
+    s"""WITH base AS (
+       |  SELECT p_brand, p_type,
+       |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    $discPriceSql AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey),
+       |agg AS (
+       |  SELECT p_brand, p_type, o_year,
+       |    CAST(SUM(rev) AS DOUBLE) AS sumsales,
+       |    CAST(GROUPING(p_brand) * 4 + GROUPING(p_type) * 2 +
+       |      GROUPING(o_year) AS BIGINT) AS lvl
+       |  FROM base GROUP BY ROLLUP(p_brand, p_type, o_year)),
+       |r AS (
+       |  SELECT *, RANK() OVER (
+       |    PARTITION BY COALESCE(p_brand, '(all)')
+       |    ORDER BY sumsales DESC, lvl, COALESCE(p_type, '(all)'),
+       |      COALESCE(o_year, -1)) AS rnk
+       |  FROM agg)
+       |SELECT COALESCE(p_brand, '(all)') AS brand_f,
+       |  COALESCE(p_type, '(all)') AS type_f,
+       |  COALESCE(o_year, -1) AS yr_f, lvl, sumsales, rnk
+       |FROM r WHERE rnk <= 5
+       |ORDER BY brand_f, rnk, type_f, yr_f""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q292 — DS Q51's shape: per-brand monthly revenue CUMULATIVES for
+  // the two channels, FULL-OUTER reconciled on (brand, month), kept
+  // where the web channel's running maximum has overtaken the store
+  // channel's. The cumulative windows run per channel BEFORE the
+  // reconcile (brand-grain partitions); the full outer join is the
+  // channel-reconciliation shape every multi-source pipeline needs —
+  // months that exist in only one channel must survive with NULLs,
+  // and the running maxima skip them (MAX ignores NULL on both
+  // engines). Cumulative compare stays in exact DECIMAL; doubles
+  // only at the output boundary.
+  // ─────────────────────────────────────────────────────────────────
+  val q292Ds51CumulativeFullOuter: Q = (s, d) => {
+    val sales = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), monCol.as("mon"), chan.as("ch"),
+        discPrice.as("rev"))
+    def channel(c: Int, cumAs: String): DataFrame = {
+      val m = sales.filter(col("ch") === c)
+        .groupBy("p_brand", "mon").agg(sum(col("rev")).as("rev"))
+      m.select(col("p_brand"), col("mon"),
+        sum(col("rev")).over(Window.partitionBy("p_brand").orderBy("mon"))
+          .as(cumAs))
+    }
+    val joined = channel(1, "web_cum")
+      .join(channel(0, "store_cum"), Seq("p_brand", "mon"), "full_outer")
+    val w = Window.partitionBy("p_brand").orderBy("mon")
+    joined
+      .select(col("p_brand"), col("mon"),
+        col("web_cum"), col("store_cum"),
+        max(col("web_cum")).over(w).as("web_max"),
+        max(col("store_cum")).over(w).as("store_max"))
+      .filter(col("web_max") > col("store_max"))
+      .select(col("p_brand"), col("mon"),
+        col("web_cum").cast("double").as("web_cum"),
+        col("store_cum").cast("double").as("store_cum"))
+      .orderBy("p_brand", "mon")
+  }
+
+  val q292Sql: String =
+    s"""WITH sales AS (
+       |  SELECT p_brand, $monSql AS mon, $chanSql AS ch,
+       |    $discPriceSql AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey),
+       |web AS (
+       |  SELECT p_brand, mon, SUM(rev2) OVER (
+       |      PARTITION BY p_brand ORDER BY mon) AS web_cum
+       |  FROM (SELECT p_brand, mon, SUM(rev) AS rev2 FROM sales
+       |        WHERE ch = 1 GROUP BY p_brand, mon)),
+       |store AS (
+       |  SELECT p_brand, mon, SUM(rev2) OVER (
+       |      PARTITION BY p_brand ORDER BY mon) AS store_cum
+       |  FROM (SELECT p_brand, mon, SUM(rev) AS rev2 FROM sales
+       |        WHERE ch = 0 GROUP BY p_brand, mon)),
+       |j AS (
+       |  SELECT p_brand, mon, web_cum, store_cum,
+       |    MAX(web_cum) OVER (PARTITION BY p_brand ORDER BY mon)
+       |      AS web_max,
+       |    MAX(store_cum) OVER (PARTITION BY p_brand ORDER BY mon)
+       |      AS store_max
+       |  FROM web FULL OUTER JOIN store USING (p_brand, mon))
+       |SELECT p_brand, mon, CAST(web_cum AS DOUBLE) AS web_cum,
+       |  CAST(store_cum AS DOUBLE) AS store_cum
+       |FROM j WHERE web_max > store_max
+       |ORDER BY p_brand, mon""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q293 — DS Q36's shape: gross-margin-style RATIO over a ROLLUP of
+  // the item hierarchy, ranked WITHIN EACH AGGREGATION LEVEL (the
+  // GROUPING-driven partition: level bits + the parent key when one
+  // exists). The ratio divides two exact decimal sums as doubles —
+  // IEEE-identical on both engines — and rank ties break on the
+  // group keys for a total order.
+  // ─────────────────────────────────────────────────────────────────
+  // spark.sql for the same reason as q291 (rollup grouping columns
+  // referenced post-agg after a join); text = oracle + broadcast hint,
+  // minus the rnk projection difference.
+  val q293Ds36MarginRollup: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    part(s, d).createOrReplaceTempView("g_part")
+    s.sql(
+      """WITH base AS (
+        |  SELECT /*+ BROADCAST(g_part) */ p_type, p_brand,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(l_discount AS DECIMAL(3,2)) AS disc_amt,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS ext
+        |  FROM g_lineitem JOIN g_part ON l_partkey = p_partkey),
+        |agg AS (
+        |  SELECT p_type, p_brand,
+        |    CAST(SUM(disc_amt) AS DOUBLE) / CAST(SUM(ext) AS DOUBLE)
+        |      AS ratio,
+        |    CAST(GROUPING(p_type) * 2 + GROUPING(p_brand) AS BIGINT)
+        |      AS lvl,
+        |    CAST(GROUPING(p_brand) AS BIGINT) AS gb
+        |  FROM base GROUP BY ROLLUP(p_type, p_brand)),
+        |r AS (
+        |  SELECT *, RANK() OVER (
+        |    PARTITION BY lvl, CASE WHEN gb = 0 THEN p_type END
+        |    ORDER BY ratio, COALESCE(p_type, '(all)'),
+        |      COALESCE(p_brand, '(all)')) AS rnk
+        |  FROM agg)
+        |SELECT COALESCE(p_type, '(all)') AS type_f,
+        |  COALESCE(p_brand, '(all)') AS brand_f, lvl, ratio, rnk
+        |FROM r ORDER BY lvl, type_f, brand_f""".stripMargin)
+  }
+
+  val q293Sql: String =
+    """WITH base AS (
+      |  SELECT p_type, p_brand,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(l_discount AS DECIMAL(3,2)) AS disc_amt,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS ext
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |agg AS (
+      |  SELECT p_type, p_brand,
+      |    CAST(SUM(disc_amt) AS DOUBLE) / CAST(SUM(ext) AS DOUBLE)
+      |      AS ratio,
+      |    CAST(GROUPING(p_type) * 2 + GROUPING(p_brand) AS BIGINT)
+      |      AS lvl,
+      |    CAST(GROUPING(p_brand) AS BIGINT) AS gb
+      |  FROM base GROUP BY ROLLUP(p_type, p_brand)),
+      |r AS (
+      |  SELECT *, RANK() OVER (
+      |    PARTITION BY lvl, CASE WHEN gb = 0 THEN p_type END
+      |    ORDER BY ratio, COALESCE(p_type, '(all)'),
+      |      COALESCE(p_brand, '(all)')) AS rnk
+      |  FROM agg)
+      |SELECT COALESCE(p_type, '(all)') AS type_f,
+      |  COALESCE(p_brand, '(all)') AS brand_f, lvl, ratio, rnk
+      |FROM r ORDER BY lvl, type_f, brand_f""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q294 — DS Q88's shape: N independent band counts over the fact
+  // table, presented as one row. DS writes it as 8 scalar subqueries
+  // cross-joined — 8 scans; the Spark-first form is ONE conditional-
+  // aggregation pass (8 sums of CASE over one scan — at 100 TB the
+  // difference between reading the corpus once and eight times). The
+  // ORACLE keeps DS's literal 8-subquery × CROSS JOIN text, so hash
+  // equality doubles as the rewrite's equivalence proof.
+  // ─────────────────────────────────────────────────────────────────
+  val q294Ds88BandCounts: Q = (s, d) => {
+    def band(i: Int): Column =
+      sum(when(col("l_quantity") >= 1 + 6 * i &&
+          col("l_quantity") < 7 + 6 * i &&
+          col("l_returnflag") =!= "R", 1L).otherwise(0L))
+        .cast("long").as(s"h$i")
+    lineitem(s, d).agg(band(0), (1 to 7).map(band): _*)
+  }
+
+  val q294Sql: String = {
+    val subs = (0 to 7).map { i =>
+      s"""(SELECT CAST(COUNT(*) AS BIGINT) AS h$i FROM lineitem
+         |  WHERE l_quantity >= ${1 + 6 * i} AND l_quantity < ${7 + 6 * i}
+         |    AND l_returnflag <> 'R') t$i""".stripMargin
+    }
+    s"SELECT * FROM\n${subs.mkString(" CROSS JOIN\n")}"
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // q295 — DS Q97's shape: channel-overlap census. The distinct
+  // (customer, part) pairs of each channel FULL-OUTER joined on both
+  // keys; one row out: pairs seen only in store, only in web, and in
+  // both. The two DISTINCTs and the join all shuffle on the same
+  // (custkey, partkey) key — one exchange layout reused end-to-end.
+  // ─────────────────────────────────────────────────────────────────
+  val q295Ds97ChannelOverlap: Q = (s, d) => {
+    val pairs = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), chan.as("ch"))
+    def side(c: Int, flag: String): DataFrame =
+      pairs.filter(col("ch") === c).select("o_custkey", "l_partkey")
+        .distinct().withColumn(flag, lit(1))
+    side(0, "s_flag")
+      .join(side(1, "w_flag"), Seq("o_custkey", "l_partkey"), "full_outer")
+      .agg(
+        sum(when(col("s_flag").isNotNull && col("w_flag").isNull, 1L)
+          .otherwise(0L)).cast("long").as("store_only"),
+        sum(when(col("s_flag").isNull && col("w_flag").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("web_only"),
+        sum(when(col("s_flag").isNotNull && col("w_flag").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("both_ch"))
+  }
+
+  val q295Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT o_custkey, l_partkey, $chanSql AS ch
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ss AS (SELECT DISTINCT o_custkey, l_partkey FROM pairs WHERE ch = 0),
+       |ws AS (SELECT DISTINCT o_custkey, l_partkey FROM pairs WHERE ch = 1)
+       |SELECT
+       |  CAST(SUM(CASE WHEN ss.o_custkey IS NOT NULL
+       |    AND ws.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS store_only,
+       |  CAST(SUM(CASE WHEN ss.o_custkey IS NULL
+       |    AND ws.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS web_only,
+       |  CAST(SUM(CASE WHEN ss.o_custkey IS NOT NULL
+       |    AND ws.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS both_ch
+       |FROM ss FULL OUTER JOIN ws
+       |  ON ss.o_custkey = ws.o_custkey
+       |  AND ss.l_partkey = ws.l_partkey""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q296 — DS Q11's shape: year-over-year growth reconciliation —
+  // customers whose WEB revenue grew faster from 1996 to 1997 than
+  // their STORE revenue. One conditional-aggregation pass per
+  // customer (4 exact decimal sums), then an IEEE-identical double
+  // ratio compare; a customer missing either 1996 baseline drops out
+  // through NULL comparison semantics on both engines.
+  // ─────────────────────────────────────────────────────────────────
+  val q296Ds11YoyGrowth: Q = (s, d) => {
+    val sales = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"), chan.as("ch"),
+        discPrice.as("rev"))
+      .filter(col("yr").isin(1996L, 1997L))
+    def part(c: Long, y: Long, as: String): Column =
+      sum(when(col("ch") === c && col("yr") === y, col("rev"))).as(as)
+    sales.groupBy("o_custkey")
+      .agg(part(1, 1996, "w1"), part(1, 1997, "w2"),
+        part(0, 1996, "s1"), part(0, 1997, "s2"))
+      .filter(col("w1") > 0 && col("s1") > 0 &&
+        (col("w2").cast("double") / col("w1").cast("double")) >
+          (col("s2").cast("double") / col("s1").cast("double")))
+      .select(col("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val q296Sql: String =
+    s"""WITH sales AS (
+       |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |    $chanSql AS ch, $discPriceSql AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) IN (1996, 1997)),
+       |agg AS (
+       |  SELECT o_custkey,
+       |    SUM(CASE WHEN ch = 1 AND yr = 1996 THEN rev END) AS w1,
+       |    SUM(CASE WHEN ch = 1 AND yr = 1997 THEN rev END) AS w2,
+       |    SUM(CASE WHEN ch = 0 AND yr = 1996 THEN rev END) AS s1,
+       |    SUM(CASE WHEN ch = 0 AND yr = 1997 THEN rev END) AS s2
+       |  FROM sales GROUP BY o_custkey)
+       |SELECT o_custkey FROM agg
+       |WHERE w1 > 0 AND s1 > 0
+       |  AND CAST(w2 AS DOUBLE) / CAST(w1 AS DOUBLE) >
+       |      CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)
+       |ORDER BY o_custkey""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q297 — DS Q59's shape: period-over-period comparison by joining a
+  // time-grain aggregate TO ITSELF shifted one year — per-brand
+  // monthly revenue, 1997 vs 1996, with the ratio per month. The
+  // self-join key is (brand, calendar month); both sides come from
+  // the same aggregate subtree, so the exchange is computed once and
+  // REUSED (the q280 mechanism doing real analytic work).
+  // ─────────────────────────────────────────────────────────────────
+  val q297Ds59PopRatio: Q = (s, d) => {
+    val monthly = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        discPrice.as("rev"))
+      .groupBy("p_brand", "yr", "m").agg(sum(col("rev")).as("rev"))
+    val y96 = monthly.filter(col("yr") === 1996)
+      .select(col("p_brand"), col("m"), col("rev").as("rev96"))
+    val y97 = monthly.filter(col("yr") === 1997)
+      .select(col("p_brand"), col("m"), col("rev").as("rev97"))
+    y96.join(y97, Seq("p_brand", "m"))
+      .select(col("p_brand"), col("m"),
+        col("rev96").cast("double").as("rev96"),
+        col("rev97").cast("double").as("rev97"),
+        (col("rev97").cast("double") / col("rev96").cast("double"))
+          .as("ratio"))
+      .orderBy("p_brand", "m")
+  }
+
+  val q297Sql: String =
+    s"""WITH monthly AS (
+       |  SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |    CAST(month(o_orderdate) AS BIGINT) AS m,
+       |    SUM($discPriceSql) AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT a.p_brand AS p_brand, a.m AS m,
+       |  CAST(a.rev AS DOUBLE) AS rev96, CAST(b.rev AS DOUBLE) AS rev97,
+       |  CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE) AS ratio
+       |FROM monthly a JOIN monthly b
+       |  ON a.p_brand = b.p_brand AND a.m = b.m
+       |WHERE a.yr = 1996 AND b.yr = 1997
+       |ORDER BY p_brand, m""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
+  // q298 — DS Q23's shape: semi-join composition — revenue in a
+  // target month restricted to FREQUENT items (bought ≥ 4 times over
+  // the two-year window) AND BEST customers (lifetime revenue within
+  // 2× of the top customer, via a SCALAR subquery). Both restrictions
+  // plan as semi-joins against derived aggregates (the frequent-item
+  // dim and best-customer dim broadcast at runtime); the scalar max
+  // is a one-row broadcast — no per-row subquery execution anywhere.
+  // ─────────────────────────────────────────────────────────────────
+  val q298Ds23FrequentBest: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val sales = li
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    val frequent = sales
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4).select("l_partkey")
+    val perCust = sales.groupBy("o_custkey")
+      .agg(sum(discPrice).as("rev"))
+    val maxRev = perCust.select(max(col("rev"))).scalar()
+    val best = perCust.filter(col("rev") * 2 >= maxRev)
+      .select("o_custkey")
+    sales
+      .filter(year(col("o_orderdate")) === 1997 &&
+        month(col("o_orderdate")) === 6)
+      .join(frequent, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(discPrice).cast("double").as("total_rev"))
+  }
+
+  val q298Sql: String =
+    s"""WITH sales AS (
+       |  SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |frequent AS (
+       |  SELECT l_partkey FROM sales
+       |  WHERE year(o_orderdate) IN (1996, 1997)
+       |  GROUP BY l_partkey HAVING COUNT(*) >= 4),
+       |percust AS (
+       |  SELECT o_custkey, SUM($discPriceSql) AS rev
+       |  FROM sales GROUP BY o_custkey),
+       |best AS (
+       |  SELECT o_custkey FROM percust
+       |  WHERE rev * 2 >= (SELECT MAX(rev) FROM percust))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM($discPriceSql) AS DOUBLE) AS total_rev
+       |FROM sales
+       |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 6
+       |  AND l_partkey IN (SELECT l_partkey FROM frequent)
+       |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q290_ds44_topk_window" -> q290Ds44TopkWindow,
+    "q291_ds67_rollup_window" -> q291Ds67RollupWindow,
+    "q292_ds51_cumulative_full_outer" -> q292Ds51CumulativeFullOuter,
+    "q293_ds36_margin_rollup" -> q293Ds36MarginRollup,
+    "q294_ds88_band_counts" -> q294Ds88BandCounts,
+    "q295_ds97_channel_overlap" -> q295Ds97ChannelOverlap,
+    "q296_ds11_yoy_growth" -> q296Ds11YoyGrowth,
+    "q297_ds59_pop_ratio" -> q297Ds59PopRatio,
+    "q298_ds23_frequent_best" -> q298Ds23FrequentBest)
+
+  val oracle: Map[String, String] = Map(
+    "q290_ds44_topk_window" -> q290Sql,
+    "q291_ds67_rollup_window" -> q291Sql,
+    "q292_ds51_cumulative_full_outer" -> q292Sql,
+    "q293_ds36_margin_rollup" -> q293Sql,
+    "q294_ds88_band_counts" -> q294Sql,
+    "q295_ds97_channel_overlap" -> q295Sql,
+    "q296_ds11_yoy_growth" -> q296Sql,
+    "q297_ds59_pop_ratio" -> q297Sql,
+    "q298_ds23_frequent_best" -> q298Sql)
+}
