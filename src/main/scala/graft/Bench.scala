@@ -40,10 +40,11 @@ object Bench {
     // suspiciously perfect benchmark instead of an operator error
     val only = SparkEntry.parseOnlyFilter("bench")
     // SPARK_GRAFT_REPEAT=3 times each query N times (warm-vs-cold /
-    // wobble diagnosis); "queries" still reports run 1 so numbers stay
-    // comparable with driver rounds, and every query's min/median land
+    // wobble diagnosis); "queries" reports MIN-of-repeats wherever a
+    // query got repeats (r19 verdict #4 — see headlineOf below), the
+    // single shot otherwise, and every repeated query's min/median land
     // in the JSON's "repeats" (without the env var, only the 15 most
-    // expensive get extra runs — see repeatRuns below)
+    // expensive + the wobble allowlist get extra runs — see repeatRuns)
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -287,12 +288,8 @@ object Bench {
       (name, if (err.isEmpty) sec else -1.0, err,
         runs.collect { case (t, None, _, _) => t }, triggers, shuffle)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"${esc(k)}\":$v" }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m), _, _, _) =>
       s"\"${esc(k)}\":\"${esc(m)}\"" }.mkString("{", ",", "}")
-    val total = setupSec + results.collect {
-      case (_, sec, None, _, _, _) => sec }.sum
     // Repeat statistics (round-9 verdict #5): the load telemetry below
     // says WHETHER the machine was busy; per-query repeats say WHICH
     // reading to trust. With SPARK_GRAFT_REPEAT>1 every query's runs
@@ -306,8 +303,20 @@ object Bench {
     // the comparable single-shot pass — so the driver artifact always
     // carries min/median where wobble matters most, not merely where
     // cost ranks highest.
+    // …plus every query whose BODY rebuilds an on-disk store (round-19
+    // verdict #4: q189's single-shot headline read 15.4 s while its
+    // repeat min was 0.96 s — the first run pays a JVM-pool/compaction
+    // cost that belongs to the harness, not the operator). The fold/
+    // lifecycle family re-materializes store generations inside the
+    // timed region, so their single shots carry the same first-touch
+    // wobble the allowlist was built for.
     val wobbleAllowlist = Set(
-      "q33_simhash", "q34_ngram_jaccard", "q59_dup_clusters")
+      "q33_simhash", "q34_ngram_jaccard", "q59_dup_clusters",
+      "q126_quant_index_fold", "q147_ivfpq_index_fold",
+      "q163_posting_index_fold", "q180_streaming_merge_fold",
+      "q189_incremental_agg_view", "q206_store_widen_fold",
+      "q207_time_travel_diff", "q241_compaction_audit",
+      "q249_retention_vacuum")
     val repeatRuns: Seq[(String, Seq[Double])] =
       if (repeat > 1)
         results.collect { case (n, _, None, ts, _, _) if ts.size > 1 => (n, ts) }
@@ -331,6 +340,25 @@ object Bench {
     val repeatsJson = repeatRuns.map { case (name, ts) =>
       s""""${esc(name)}":{"min":${ts.min},"median":${median(ts)},"n":${ts.size}}"""
     }.mkString("{", ",", "}")
+    // Per-query HEADLINE (round-19 verdict #4): min-of-repeats where
+    // repeats exist, the single shot otherwise. The min is the
+    // attribution-correct number — it is the code's cost with the
+    // harness wobble (JIT, JVM-pool quiesce, first-touch page cache)
+    // subtracted, which is what a round-over-round comparison of
+    // UNCHANGED code must see. "repeats" still carries min/median/n,
+    // and "headline":"min_of_repeats" marks the policy in-artifact so
+    // r19-and-earlier artifacts (run-1 headline) are not misread
+    // against r20+.
+    val headlineOf: Map[String, Double] = repeatRuns.map {
+      case (name, ts) => name -> ts.min }.toMap
+    val headlined = results.map { case (name, sec, err, ts, trg, shf) =>
+      (name, if (err.isEmpty) headlineOf.getOrElse(name, sec) else sec,
+        err, ts, trg, shf)
+    }
+    val qs = headlined.map { case (k, v, _, _, _, _) => s"\"${esc(k)}\":$v" }
+      .mkString("{", ",", "}")
+    val total = setupSec + headlined.collect {
+      case (_, sec, None, _, _, _) => sec }.sum
     // Per-streaming-query trigger split (run 1, like "queries"): a
     // streaming number is adjudicable only as triggers × median-trigger
     // — a +1 s move with unchanged trigger count and median is harness
@@ -367,7 +395,7 @@ object Bench {
     }
     val taintedJson = taintedTelemetry
       .map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"shuffle":$shuffleJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"telemetry_tainted":$taintedJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_repeats","queries":$qs,"repeats":$repeatsJson,"streaming":$streamingJson,"shuffle":$shuffleJson,"setup":$setupJson,"warmup":$warmupJson,"load":$loadJson,"telemetry_tainted":$taintedJson,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"n_setup_failed":${setupTimes.count(_._3.isLeft)},"sf":"$sfDir"}"""
     println(line)
     // Persist the full JSON as a repo artifact too (round-12 verdict #3:
     // the driver's BENCH_r*.json captures only the last 2000 chars of
@@ -412,7 +440,7 @@ object Bench {
     // (headline fields + the 10 slowest queries) and lands whole
     // inside any tail window that survives at all; bench_last.json
     // remains the complete artifact of record.
-    val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(10)
+    val slowest = headlined.filter(_._3.isEmpty).sortBy(-_._2).take(10)
       .map { case (n, sec, _, _, _, _) =>
         s""""${esc(n)}":${math.round(sec * 100) / 100.0}""" }
       .mkString("{", ",", "}")
