@@ -316,7 +316,12 @@ object Bench {
       "q163_posting_index_fold", "q180_streaming_merge_fold",
       "q189_incremental_agg_view", "q206_store_widen_fold",
       "q207_time_travel_diff", "q241_compaction_audit",
-      "q249_retention_vacuum")
+      "q249_retention_vacuum",
+      // r20 additions: sub-2 s queries whose single shots moved >2x
+      // between two same-code runs this round (landing-write page
+      // cache / first-touch wobble at their size)
+      "q94_media_dup_clusters", "q210_lateral_topk",
+      "q284_nested_pruning")
     val repeatRuns: Seq[(String, Seq[Double])] =
       if (repeat > 1)
         results.collect { case (n, _, None, ts, _, _) if ts.size > 1 => (n, ts) }
