@@ -292,6 +292,54 @@ object FaultGateQueries {
       |FROM agg, pairs""".stripMargin
 
   // ─────────────────────────────────────────────────────────────────
+  // q299 — WINDOW-OPERATOR SPILL (q273's discipline for the THIRD
+  // stateful-memory operator class): q273 proves aggregation's sort
+  // fallback and the sort-merge join's buffered-row spill change no
+  // bytes; WindowExec is the remaining operator that buffers a whole
+  // partition in memory (ExternalAppendOnlyUnsafeRowArray — running
+  // frames, ranking functions), and at 100 TB a per-key window over a
+  // hot key WILL exceed any in-memory threshold. Under punitive
+  // thresholds every per-lang partition spills to disk
+  // (`spillSize` > 0 read off the executed WindowExec) while the
+  // running-sum + row_number fingerprints stay hash-equal to DuckDB's
+  // pressure-free replay — degradation changes no bytes here either.
+  // PlanGateSpec holds the negative control (default thresholds spill
+  // nothing), so the detector can flip.
+  // ─────────────────────────────────────────────────────────────────
+  val q299WindowSpillGate: Q = (s, d) =>
+    withConf(s)(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val win = documents(s, d).select(col("doc_id"), col("lang"),
+          sum(col("n_chars")).over(w).as("run_chars"),
+          row_number().over(w).as("rn"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(fp(col("doc_id"), col("run_chars"), col("rn")))
+            .as("win_fp"))
+      val row = win.collect()(0)
+      val spill = metricSum(win, "spillSize")
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), spill > 0))
+        .toDF("n_rows", "win_fp", "window_spilled")
+    }
+
+  val q299Sql: String =
+    """WITH win AS (
+      |  SELECT doc_id,
+      |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+      |      AS run_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |    CAST(run_chars AS VARCHAR) || ':' || CAST(rn AS VARCHAR)),
+      |    1, 10))::BIGINT) AS BIGINT) AS win_fp,
+      |  TRUE AS window_spilled
+      |FROM win""".stripMargin
+
+  // ─────────────────────────────────────────────────────────────────
   // q274 — AQE AS A DRIVER-VISIBLE GATE: the two runtime re-plans
   // production leans on hardest, each pinned from the final adaptive
   // plan's own metrics (promoting AqeSkewSpec's claims to the oracle
@@ -454,11 +502,13 @@ object FaultGateQueries {
     "q272_retry_determinism" -> q272RetryDeterminism,
     "q273_spill_gate" -> q273SpillGate,
     "q274_aqe_gate" -> q274AqeGate,
-    "q277_streaming_retry" -> q277StreamingRetry)
+    "q277_streaming_retry" -> q277StreamingRetry,
+    "q299_window_spill_gate" -> q299WindowSpillGate)
 
   val oracle: Map[String, String] = Map(
     "q272_retry_determinism" -> q272Sql,
     "q273_spill_gate" -> q273Sql,
     "q274_aqe_gate" -> q274Sql,
-    "q277_streaming_retry" -> q277Sql)
+    "q277_streaming_retry" -> q277Sql,
+    "q299_window_spill_gate" -> q299Sql)
 }
