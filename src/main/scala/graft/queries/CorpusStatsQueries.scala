@@ -723,6 +723,14 @@ object CorpusStatsQueries {
     var it = 0
     var exhausted = false
     while (it < BpeIters && !exhausted) {
+      // r20 note: an array-first rewrite (explode over
+      // `transform(sequence(...), p -> substring(text, p, 2))`) was
+      // tried to avoid copying the full text into every per-position
+      // generator row — and MEASURED SLOWER (min-of-3 at sf0.1: 4.05 s
+      // vs 3.53 s): higher-order-function lambdas evaluate outside
+      // whole-stage codegen, and that interpretation tax exceeds the
+      // generator's byte copying at this row width. Kept codegen-first
+      // per guide §4.
       val winner = texts
         .filter(length(col("text")) >= 2)
         .select(col("text"),
@@ -885,20 +893,44 @@ object CorpusStatsQueries {
   private[graft] val CmsWidth = 512
   private[graft] val CmsQueryCount = 50
 
-  /** The d×w sketch over a token stream: one corpus pass, the shuffle
-    * carries (row, bucket) partials — at most d·w groups whatever the
-    * corpus size. The bucket hash is the repo's standard md5-uniform
-    * construction, so DuckDB replays it bit-for-bit.
+  /** Vocab-grain token counts `(tok, n)` — the word-count shape whose
+    * map-side partial aggregation bounds the exchange at
+    * min(vocab, rows·partitions). Shared pre-pass of the CMS family
+    * (r20 optimization, guide §2.3 "aggregate before you shuffle"):
+    * every downstream hash/probe then runs once per DISTINCT token
+    * instead of once per occurrence.
+    */
+  private[graft] def tokenCounts(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks.groupBy("tok").agg(count(lit(1)).as("n"))
+
+  /** The d×w sketch over a token stream. r20 optimization (guide §2.3,
+    * §4): the d md5 probes are computed per DISTINCT token over the
+    * [[tokenCounts]] pre-aggregation and weighted by `n`, instead of
+    * per occurrence — identical bucket sums (the bucket is a pure
+    * function of `(i, tok)`), ~vocab/corpus of the hashing work. The
+    * sketch's own exchange stays ≤ d·w groups; the added vocab-grain
+    * exchange is the family's standard word-count shape (q63/q135
+    * already pay it). For a truly unbounded key domain, feed occurrence
+    * rows with `n = 1` via [[cmsSketch]]'s raw form — the weighted
+    * fold degrades to the original per-occurrence sketch.
     */
   private[graft] def cmsSketch(toks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    toks
-      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"), col("tok"))
+    cmsSketchCounted(tokenCounts(toks))
+
+  /** [[cmsSketch]] over an already-counted `(tok, n)` frame. */
+  private[graft] def cmsSketchCounted(tc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tc
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"),
+        col("tok"), col("n"))
       .select(col("i"),
         (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
-          col("tok"))), 1, 15), 16, 10).cast("long") % CmsWidth).as("bucket"))
+          col("tok"))), 1, 15), 16, 10).cast("long") % CmsWidth).as("bucket"),
+        col("n"))
       .groupBy("i", "bucket")
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("n")).as("c"))
 
   /** The fixed md5-sampled token query set over a token stream. */
   private[graft] def cmsQuerySet(toks: org.apache.spark.sql.DataFrame)
@@ -932,22 +964,33 @@ object CorpusStatsQueries {
     * estimate — the overestimate-only contract (`cms_n ≥ exact_n`,
     * CmsSpec) visible in the result itself.
     *
-    * Scale shape: the sketch build is one token pass whose shuffle
-    * carries at most d·w = 2048 partial-agg'd groups regardless of
-    * corpus size — the whole point of a sketch; the exact side (one
-    * vocab-grain count, here for the comparison) is what the sketch
-    * exists to avoid at 100 TB. Probes are a 50×4-row frame joined to
-    * a 2048-row sketch — broadcast class.
+    * Scale shape: one token pass feeds a vocab-grain word count (the
+    * exchange q63/q135/the exact side already pay; map-side partials
+    * bound it), and the sketch folds that count with the d md5 probes
+    * per DISTINCT token — its own exchange stays ≤ d·w = 2048 groups
+    * regardless of corpus size. Probes are a 50×4-row frame joined to
+    * a 2048-row sketch — broadcast class. For an unbounded key domain
+    * (where even the vocab count is corpus-grain) the sketch degrades
+    * to the per-occurrence fold via [[cmsSketch]]'s raw form.
     */
   val q149CountMinSketch: Q = (s, d) => {
-    val toks = graft.core.CacheScope.track(
-      documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
+    // ONE tokenize + count pass feeds all three legs (r20, guide §2.3):
+    // the persisted frame is the vocab-grain (tok, n) table — far
+    // smaller than the former per-occurrence token stream — and the
+    // query-set distinct and the exact counts fall out of it for free
+    // (qset's `distinct` and the exact leg's corpus-grain re-count both
+    // retired). Values are unchanged: exact_n ≡ n, and the sketch's
+    // weighted fold sums the same occurrences.
+    val tc = graft.core.CacheScope.track(
+      tokenCounts(documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val qset = cmsQuerySet(toks)
-    val exact = toks.join(qset, Seq("tok"), "left_semi")
-      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
-    cmsEstimates(qset, cmsSketch(toks))
+    val qset = tc.select("tok")
+      .orderBy(md5(concat(lit("cms:"), col("tok"))))
+      .limit(CmsQueryCount)
+    val exact = tc.join(qset, Seq("tok"), "left_semi")
+      .select(col("tok"), col("n").as("exact_n"))
+    cmsEstimates(qset, cmsSketchCounted(tc))
       .join(exact, "tok")
       .select(col("tok"), col("exact_n"), col("cms_n"))
       .orderBy("tok")
@@ -1266,7 +1309,15 @@ object CorpusStatsQueries {
   private[graft] def hhCandidates(toks: org.apache.spark.sql.DataFrame,
       total: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    cmsEstimates(toks.select("tok").distinct(), cmsSketch(toks))
+    hhCandidatesCounted(tokenCounts(toks), total)
+
+  /** [[hhCandidates]] over an already-counted `(tok, n)` frame — the
+    * probe set is the counted frame's key column (already distinct).
+    */
+  private[graft] def hhCandidatesCounted(tc: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cmsEstimates(tc.select("tok"), cmsSketchCounted(tc))
       .crossJoin(total)
       .filter(col("cms_n") * lit(HhShareDen) >= col("total"))
 
@@ -1280,13 +1331,13 @@ object CorpusStatsQueries {
     * 100 TB — "which tokens exceed 0.1% of the stream" — answered
     * EXACTLY through the sketch: pass 1 probes the ≤ 2048-row CMS for
     * candidates (overestimate-only ⇒ the candidate set provably
-    * contains every true heavy hitter), pass 2 exact-counts ONLY the
-    * candidate tokens' occurrences (left-semi before the count, so the
-    * count shuffle carries the candidates' rows, not the corpus token
-    * stream) and re-applies the threshold to drop the sketch's false
-    * positives. Output = the true heavy hitters with exact counts —
-    * the ORACLE is the direct exact computation, so the two-pass
-    * algorithm's exactness (not just plausibility) is hash-gated.
+    * contains every true heavy hitter), pass 2 keeps ONLY the candidate
+    * tokens' exact counts (a semi-join against the shared vocab-grain
+    * count — see the body comment) and re-applies the threshold to
+    * drop the sketch's false positives. Output = the true heavy
+    * hitters with exact counts — the ORACLE is the direct exact
+    * computation, so the two-pass algorithm's exactness (not just
+    * plausibility) is hash-gated.
     *
     * Scale shape: the sketch build shuffles ≤ d·w = 2048 groups; the
     * candidate probe is a vocab-grain distinct (the q63 bounded-vocab
@@ -1298,14 +1349,24 @@ object CorpusStatsQueries {
     * into pass 2's scan — the shape survives.
     */
   val q179HeavyHitters: Q = (s, d) => {
-    val toks = graft.core.CacheScope.track(
-      documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
+    // r20 (guide §2.3): the two passes now run over ONE persisted
+    // vocab-grain (tok, n) count — the sketch probe hashes each
+    // distinct token d times instead of each occurrence, and pass 2's
+    // exact counts are a semi-join row-pick instead of a corpus-grain
+    // re-count. Same candidates, same exact_n, same threshold. For an
+    // unbounded key domain where even the counted frame is too big,
+    // the original shape (candidate filter pushed into a second
+    // occurrence-grain scan) remains the documented fallback —
+    // [[hhCandidates]] still accepts raw occurrence rows.
+    val tc = graft.core.CacheScope.track(
+      tokenCounts(documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks
-      .join(hhCandidates(toks, total).select("tok"), Seq("tok"), "left_semi")
-      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val total = tc.agg(sum(col("n")).as("total"))
+    tc
+      .join(hhCandidatesCounted(tc, total).select("tok"),
+        Seq("tok"), "left_semi")
+      .select(col("tok"), col("n").as("exact_n"))
       .crossJoin(total)
       .filter(col("exact_n") * lit(HhShareDen) >= col("total"))
       .select(col("tok"), col("exact_n"), col("total"))

@@ -1652,13 +1652,18 @@ object StreamingQueries {
     }
     require(lastBatch >= 0, "the sketch stream processed no batches")
     val sketch = s.read.parquet(s"${path("_state")}/batch_$lastBatch")
-    val toks = graft.core.CacheScope.track(
-      s.read.parquet(deltaPath)
-        .select(explode(tokens(col("text"))).as("tok"))
+    // the serve side shares q149's r20 shape: one vocab-grain count
+    // feeds query set + exact counts (values unchanged — exact_n ≡ n)
+    val tc = graft.core.CacheScope.track(
+      CorpusStatsQueries.tokenCounts(
+        s.read.parquet(deltaPath)
+          .select(explode(tokens(col("text"))).as("tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val qset = CorpusStatsQueries.cmsQuerySet(toks)
-    val exact = toks.join(qset, Seq("tok"), "left_semi")
-      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val qset = tc.select("tok")
+      .orderBy(md5(concat(lit("cms:"), col("tok"))))
+      .limit(CorpusStatsQueries.CmsQueryCount)
+    val exact = tc.join(qset, Seq("tok"), "left_semi")
+      .select(col("tok"), col("n").as("exact_n"))
     CorpusStatsQueries.cmsEstimates(qset, sketch)
       .join(exact, "tok")
       .select(col("tok"), col("exact_n"), col("cms_n"))
