@@ -2652,11 +2652,18 @@ object DedupTextQueries {
         sh.groupBy("s").agg(count(lit(1)).as("df")), "s")
       .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "s")
-    val prefix = sized
+    // persisted (r20, guide §5): the prefix frame feeds BOTH sides of
+    // the candidate self-join, and without the persist the whole
+    // derivation pipeline — the df and per-doc-size aggregations and
+    // the window rank — planned (and ran) once per side. The frame is
+    // the ~30% rarest shingles per doc, far smaller than the shingle
+    // table; CacheScope releases it with the caller's scope.
+    val prefix = graft.core.CacheScope.track(sized
       .withColumn("rn", row_number().over(wDoc))
       // p = n − ceil(0.7·n) + 1, all-integer ceil
       .filter(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
       .select(col("s"), col("doc_id"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
       .join(prefix.select(col("s"), col("doc_id").as("doc_b"),
         col("n").as("nb")), "s")
