@@ -162,9 +162,15 @@ object GraphQueries {
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
+    // persisted (r20, guide §5): the degree table feeds THREE consumers
+    // — the two orientation joins and the wedge-total aggregate — and
+    // re-aggregated the edge union for each without it (node-grain, so
+    // the cache is small at any scale)
+    val deg = graft.core.CacheScope.track(
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // orient each edge low→high in the (degree, id) total order; carry
     // the target's order key so wedges can be emitted in canonical
     // order without a re-join
