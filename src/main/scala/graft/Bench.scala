@@ -277,8 +277,25 @@ object Bench {
       }
       (sec, err, triggers, shuffle)
     }
+    // JVM quiesce between timed regions (r19 verdict #4's alternative
+    // fix, extended): across ~300 queries the JVM accumulates
+    // weak-referenced debris — unpersisted block metadata, broadcast
+    // cleanup backlog (ContextCleaner only reclaims after a GC),
+    // janino/codegen classes — and late-run queries measured 2-3x
+    // their isolated minimum (r20: q211 3.6 s in-suite vs 1.3 s
+    // isolated, q216 1.7 vs 0.5, same code). A periodic synchronous
+    // GC OUTSIDE any timed region drives the cleaner and returns the
+    // heap to steady state; it runs every QuiesceEvery queries and
+    // before each adaptive-repeat block (whose end-of-run medians
+    // read 3-5x the min for the same reason — q209's 44.7 s median
+    // vs 12.6 s min in the r20 mid-round artifact).
+    val QuiesceEvery = 25
+    var sinceQuiesce = 0
+    def quiesce(): Unit = { System.gc(); sinceQuiesce = 0 }
     val results = selected
       .map { case (name, fn) =>
+      sinceQuiesce += 1
+      if (sinceQuiesce >= QuiesceEvery) quiesce()
       val runs = (0 until repeat).map(_ => timeOnce(name, fn))
       if (repeat > 1)
         System.err.println(s"[bench] $name reps: " +
@@ -332,6 +349,7 @@ object Bench {
           ok.filter(r => wobbleAllowlist.contains(r._1)))
           .distinctBy(_._1)
         chosen.map { case (name, _, _, ts, _, _) =>
+          quiesce() // repeats measure the query, not end-of-run debris
           val extra = (1 to 2).map(_ => timeOnce(name, fnOf(name)))
             .collect { case (t, None, _, _) => t }
           (name, ts ++ extra)
