@@ -323,6 +323,44 @@ object StreamingQueries {
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(4)
 
+  /** Spool files per micro-batch for the NON-AUDIT streaming queries
+    * (env-overridable, SPARK_GRAFT_SPOOL_FPT, default 2).
+    *
+    * r21 measurement (guide §2, §5): per-trigger wall-clock in this
+    * tier is a FIXED floor — ~0.15 s incremental planning, ~0.12 s
+    * offset/commit WAL, state-store instance commits (HDFS ~60 ms,
+    * RocksDB ~80 ms per instance, snapshot fileSync+zip dominating),
+    * rest job overhead — ~1.0-1.3 s/trigger regardless of batch size
+    * (TriggerProfile: q209 ≈1.2 s on a 2-ROW batch). Batching two
+    * spool files per trigger halves the trigger count (6 → 3-4) and
+    * therefore the total fixed cost, while each batch stays KB-MB.
+    *
+    * Semantics: safe exactly for the queries whose oracle is the batch
+    * SQL over the whole spool ("join-on-ingest ≡ join-at-rest for ANY
+    * interleaving of the two streams") — the spool's watermark horizon
+    * covers full-span disorder (delay > span), so no row is ever
+    * late-dropped before the trailing sentinel files arrive, and the
+    * final sink contents are independent of how the data files batch.
+    * With 5 spool files (3 data + 2 sentinels) and FPT=2 the batches
+    * are [d,d], [d,s1], [s2]: sentinel 1 still advances the watermark
+    * past every real row with sentinel 2's batch still to come, so
+    * watermark-gated emission (outer-join nulls, append-mode windows)
+    * keeps a real batch to emit into — the same two-sentinel protocol
+    * as FPT=1. The AUDIT queries (q208/q226/q229/q231/q236/q243/q244)
+    * pin per-BATCH state/metrics lifecycles and keep their explicit
+    * maxFilesPerTrigger=1; q103's store lifecycle folds per batch
+    * likewise. The driver-visible multi-batch queries whose specs pin
+    * a commit count (q97-q99 admission trio, q100/q102 disordered
+    * spools, q109 cluster maintenance, q114/q117/q123 scrub/decode/
+    * serve — StreamingQueriesSpec asserts >=3 or >=5 commits as part
+    * of the declared contract) also keep explicit FPT=1. At 100 TB
+    * the equivalent knob is trigger sizing (files/bytes per trigger)
+    * against latency SLO — a deployment decision, hence the env knob.
+    */
+  private[graft] val SpoolFilesPerTrigger: Int =
+    sys.env.get("SPARK_GRAFT_SPOOL_FPT").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(2)
+
   private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T =
     withShufflePartitions(s, StreamShufflePartitions)(body)
 
@@ -378,7 +416,7 @@ object StreamingQueries {
     delta.repartition(nFiles).write.parquet(deltaPath)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       graft.streaming.StreamingAdmission.admissionQuery(
@@ -489,7 +527,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(sp.dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     withFewShufflePartitions(s) {
@@ -558,7 +596,11 @@ object StreamingQueries {
     val (a, b) = (lo + spanMs / 3, lo + 2 * spanMs / 3)
     // sequential range writes with explicitly stamped, strictly
     // increasing modification times (see stampOrder): processing order
-    // IS ownership order, so it must never fall to a path tie-break
+    // IS ownership order, so it must never fall to a path tie-break.
+    // SpoolFilesPerTrigger=2 below is order-safe: the kernel sorts each
+    // batch's claims by (ts, doc_id) and ts is monotone in doc_id, so
+    // merging ADJACENT ranges into one micro-batch replays exactly the
+    // sequential ownership order (r21; oracle re-proven)
     val stamped = scala.collection.mutable.Set.empty[String]
     var epoch = System.currentTimeMillis()
     Seq(col("doc_id") <= a,
@@ -571,7 +613,7 @@ object StreamingQueries {
       }
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       graft.streaming.StreamingNearDup
@@ -657,7 +699,7 @@ object StreamingQueries {
       }
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       graft.streaming.StreamingNearDup
@@ -850,7 +892,7 @@ object StreamingQueries {
       .select(col("doc_id")).repartition(3).write.parquet(deltaPath)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -913,7 +955,7 @@ object StreamingQueries {
       .repartition(3).write.parquet(deltaPath)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -960,7 +1002,7 @@ object StreamingQueries {
     val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -1013,7 +1055,7 @@ object StreamingQueries {
       .repartition(3).write.parquet(deltaPath)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -1069,7 +1111,7 @@ object StreamingQueries {
       .repartition(3).write.parquet(deltaPath)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 1) // spec-pinned batch count
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -1172,7 +1214,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .select(col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("ms"))
@@ -1247,7 +1289,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     withFewShufflePartitions(s) {
@@ -1294,10 +1336,10 @@ object StreamingQueries {
     * late-dropped.
     */
   private def ssJoinSide(s: SparkSession, sp: EventSpool, t: String,
-      prefix: String): DataFrame =
+      prefix: String, filesPerTrigger: Int = SpoolFilesPerTrigger): DataFrame =
     s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(sp.dir)
       .filter(col("event_type").isin(t, "sentinel"))
       .select(col("user_id").as(s"${prefix}_uid"),
@@ -1552,7 +1594,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .select(col("user_id"), col("ts"), col("event_type"))
     withFewShufflePartitions(s) {
@@ -1605,7 +1647,7 @@ object StreamingQueries {
     val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -1663,7 +1705,7 @@ object StreamingQueries {
     val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -1685,9 +1727,10 @@ object StreamingQueries {
         s.read.parquet(deltaPath)
           .select(explode(tokens(col("text"))).as("tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val qset = tc.select("tok")
-      .orderBy(md5(concat(lit("cms:"), col("tok"))))
-      .limit(CorpusStatsQueries.CmsQueryCount)
+    // single-sourced from CorpusStatsQueries (the distinct() inside is
+    // a no-op over the already-distinct vocab column) so the 'cms:'
+    // salt / CmsQueryCount can never silently diverge from q149's
+    val qset = CorpusStatsQueries.cmsQuerySet(tc)
     val exact = tc.join(qset, Seq("tok"), "left_semi")
       .select(col("tok"), col("n").as("exact_n"))
     CorpusStatsQueries.cmsEstimates(qset, sketch)
@@ -1740,7 +1783,7 @@ object StreamingQueries {
     val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -1803,7 +1846,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .filter(col("user_id") =!= lit(sp.sentinelUid))
       .select(col("event_type"), col("user_id"))
@@ -1854,7 +1897,7 @@ object StreamingQueries {
     val outPath = path("_out").toString
     val stream = s.readStream
       .schema(IngestQueries.JsonlSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .json(path("_data").toString)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -1893,7 +1936,7 @@ object StreamingQueries {
       .repartition(3).write.text(path("_data").toString)
     val outPath = path("_out").toString
     val stream = s.readStream
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .text(path("_data").toString)
     withFewShufflePartitions(s) {
       stream.writeStream
@@ -1964,7 +2007,7 @@ object StreamingQueries {
     val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -2030,7 +2073,7 @@ object StreamingQueries {
     val deltaPath = docSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -2108,7 +2151,7 @@ object StreamingQueries {
       .head().getLong(0)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
       .withWatermark("ts", s"${span + DayMs} milliseconds")
       .dropDuplicatesWithinWatermark("doc_id")
@@ -2183,7 +2226,7 @@ object StreamingQueries {
     val deltaPath = cdcSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -2291,7 +2334,7 @@ object StreamingQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stream = s.readStream
       .schema(s.read.parquet(deltaPath).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(deltaPath)
     var lastBatch = -1L
     withFewShufflePartitions(s) {
@@ -2344,7 +2387,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     withFewShufflePartitions(s) {
@@ -2393,7 +2436,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     withFewShufflePartitions(s) {
@@ -2562,7 +2605,7 @@ object StreamingQueries {
     def side(t: String, prefix: String): DataFrame =
       s.readStream
         .schema(s.read.parquet(sp.dir).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
         .parquet(sp.dir)
         .filter(col("event_type").isin(t, "sentinel"))
         .select(col("user_id").as(s"${prefix}_uid"),
@@ -2826,7 +2869,7 @@ object StreamingQueries {
     val sp = eventSpool(s, d)
     val stream = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     withSessionConfs(s, ProviderKey -> RocksDbProvider) {
@@ -3096,6 +3139,14 @@ object StreamingQueries {
     */
   val q226SsjoinStateAudit: Q = (s, d) => {
     val sp = eventSpool(s, d)
+    // handles of the streams THIS query started — on a failure path the
+    // sibling AvailableNow stream must be stopped before rethrowing
+    // (Future.sequence fails fast; pool.shutdown does not stop a
+    // running stream, which would keep writing its checkpoint/sink
+    // while Bench moves to the next query)
+    val started =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQuery]()
     def runOne(joinType: String): DataFrame = {
       val base = RunStore.tableName(s"graft_stream_ssobs_$joinType", d)
       def path(suffix: String) = new org.apache.hadoop.fs.Path(
@@ -3106,8 +3157,11 @@ object StreamingQueries {
         if (fs.exists(p)) fs.delete(p, true)
       }
       val outPath = path("_out").toString
-      ssJoinSide(s, sp, "view", "v")
-        .join(ssJoinSide(s, sp, "purchase", "p"), ssJoinCond, joinType)
+      // FPT pinned to 1: sentinelBatchSplit + the per-batch state reads
+      // below audit the one-file-per-trigger lifecycle the oracle replays
+      ssJoinSide(s, sp, "view", "v", filesPerTrigger = 1)
+        .join(ssJoinSide(s, sp, "purchase", "p", filesPerTrigger = 1),
+          ssJoinCond, joinType)
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", path("_ckpt").toString)
@@ -3115,7 +3169,7 @@ object StreamingQueries {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           writeBatch(batch, outPath, batchId)
         }
-        .start().awaitTermination()
+        .start() match { case q => started.add(q); q.awaitTermination() }
       val (lastReal, drain1, drain2) = sentinelBatchSplit(s, sp, path("_ckpt"))
       val phases = Seq(
         "a_loaded" -> lastReal, // last real-data batch
@@ -3153,6 +3207,16 @@ object StreamingQueries {
           Seq("inner", "full_outer").map(jt =>
             scala.concurrent.Future(runOne(jt)))),
         scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable =>
+        // fail-fast path: stop whichever of OUR streams is still
+        // running (stop() on a terminated stream is a no-op) so the
+        // sibling cannot keep holding threads past this query
+        started.forEach { q =>
+          try q.stop()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+      }
       finally pool.shutdown()
     }
     frames.reduce(_ unionByName _).orderBy("join_type", "side", "phase")
@@ -3221,7 +3285,7 @@ object StreamingQueries {
         col("b.event_id").as("best_id"))
     val live = s.readStream
       .schema(s.read.parquet(sp.dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
       .parquet(sp.dir)
       .filter(col("ts") >= timestamp_millis(lit(cut)))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -3487,7 +3551,7 @@ object StreamingQueries {
     withFewShufflePartitions(s) {
       s.readStream
         .schema(s.read.parquet(deltaPath).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
         .parquet(deltaPath)
         .writeStream
         .option("checkpointLocation", path("_ckpt").toString)
@@ -3622,7 +3686,7 @@ object StreamingQueries {
     withFewShufflePartitions(s) {
       s.readStream
         .schema(s.read.parquet(sp.dir).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SpoolFilesPerTrigger)
         .parquet(sp.dir)
         .select(col("user_id"), col("ts"), col("event_type"))
         .withWatermark("ts", s"${fullSpan + DayMs} milliseconds")
