@@ -711,34 +711,44 @@ object CorpusStatsQueries {
   private def bpeTrain(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame)
       : (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
-    // ONE up-front spread of the text across the cluster: a small
-    // corpus file arrives as a single scan partition, and without this
-    // every one of the K training passes would run its explode+count
-    // on ONE core (measured: 2.5 s/round single-task vs ~0.4 s spread
-    // at sf0.1). The persisted per-round texts inherit the layout, so
-    // the shuffle is paid once, not per round.
-    var texts = docs.select(col("doc_id"), col("text"))
+    // r21 (guide §2.3 "aggregate before you shuffle" — the Sennrich
+    // trainer's own word-dictionary form): pairs never span whitespace,
+    // so the corpus-grain per-position explode (one generator row per
+    // CHARACTER, each copying the full text — the former 8 × corpus
+    // passes, ~0.4 s/round at sf0.1) collapses to the WORD-FREQUENCY
+    // table: split once, count words once, and every training round
+    // explodes only the DISTINCT words (vocabulary-grain), weighting
+    // pair counts by word frequency. Merges rewrite the vocabulary
+    // (replace + re-aggregate — a merge can only rewrite within a
+    // word, since the merged pair contains no whitespace character and
+    // an occurrence spanning a word boundary would have to), so the
+    // per-round pass is O(vocab), not O(corpus). Counts are identical
+    // by Σ_word n_word × pairs_in_word = pairs_in_corpus (whitespace-
+    // crossing pairs excluded on both forms: the old rlike("\\s")
+    // filter ≡ splitting on the same \s class). The r20 negative
+    // result (array-first rewrite, interpreted lambda tax) is moot on
+    // this shape: the explode now runs over KB of vocabulary.
+    // Up-front spread as before: a small corpus file arrives as ONE
+    // scan partition and the first split+count pass would run on one
+    // core without it; the vocab frames inherit hash distribution.
+    var words = graft.core.CacheScope.track(docs
+      .select(col("text"))
       .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var it = 0
     var exhausted = false
     while (it < BpeIters && !exhausted) {
-      // r20 note: an array-first rewrite (explode over
-      // `transform(sequence(...), p -> substring(text, p, 2))`) was
-      // tried to avoid copying the full text into every per-position
-      // generator row — and MEASURED SLOWER (min-of-3 at sf0.1: 4.05 s
-      // vs 3.53 s): higher-order-function lambdas evaluate outside
-      // whole-stage codegen, and that interpretation tax exceeds the
-      // generator's byte copying at this row width. Kept codegen-first
-      // per guide §4.
-      val winner = texts
-        .filter(length(col("text")) >= 2)
-        .select(col("text"),
-          explode(sequence(lit(1), length(col("text")) - 1)).as("p"))
-        .selectExpr("substr(text, p, 2) AS pair")
-        .filter(!col("pair").rlike("\\s"))
+      val winner = words
+        .filter(length(col("w")) >= 2)
+        .select(col("w"), col("n"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
+        .selectExpr("substr(w, p, 2) AS pair", "n")
         .groupBy("pair")
-        .agg(count(lit(1)).as("n_pair"))
+        .agg(sum(col("n")).as("n_pair"))
         .orderBy(col("n_pair").desc, col("pair"))
         .limit(1)
         .collect()
@@ -746,15 +756,24 @@ object CorpusStatsQueries {
       else {
         val pair = winner(0).getAs[String]("pair")
         merges += ((it, pair, winner(0).getAs[Long]("n_pair")))
-        texts = graft.core.CacheScope.track(
-          texts.withColumn("text",
+        words = graft.core.CacheScope.track(
+          words.select(
             org.apache.spark.sql.functions.replace(
-              col("text"), lit(pair), lit(mergeSym(it))))
+              col("w"), lit(pair), lit(mergeSym(it))).as("w"),
+            col("n"))
+            .groupBy("w").agg(sum(col("n")).as("n"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         it += 1
       }
     }
-    (merges.toSeq, texts)
+    // The fully-merged corpus at doc grain — ONE chained-replace pass
+    // (the q128 encode shape) instead of the former 8 persisted
+    // corpus generations; lazily defined, consumers pay only if used.
+    val mergedTexts = docs.select(col("doc_id"),
+      merges.foldLeft(col("text")) { case (c, (i, pair, _)) =>
+        org.apache.spark.sql.functions.replace(c, lit(pair), lit(mergeSym(i)))
+      }.as("text"))
+    (merges.toSeq, mergedTexts)
   }
 
   /** The unrolled training rounds as chained CTE stages (`t0` →
