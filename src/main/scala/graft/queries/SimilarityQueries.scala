@@ -2430,18 +2430,24 @@ object SimilarityQueries {
     */
   private[graft] def ivfPqProbe(s: org.apache.spark.sql.SparkSession,
       meta: IvfPqMeta, queries: org.apache.spark.sql.DataFrame,
-      nprobe: Int): org.apache.spark.sql.DataFrame = {
+      nprobe: Int, keepRank: Boolean = false): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
     val centF = meta.centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("c_id", "c_emb")
-    queries
+    val ranked = queries
       .crossJoin(broadcast(centF))
       .withColumn("p_sim", cosineSimilarity(col("c_emb"), col("q_emb")))
       .withColumn("rn", row_number().over(
         byQ.orderBy(col("p_sim").desc, col("c_id"))))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+    // keepRank: q165 probes ONCE at the maximum nprobe and carries the
+    // cell rank, because probe(np) for np <= nprobe is exactly the
+    // rank-prefix rn <= np of this frame (same deterministic ordering)
+    if (keepRank)
+      ranked.select(col("q_id"), col("q_emb"), col("c_id").as("cell"),
+        col("rn"))
+    else ranked.select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
   }
 
   private[graft] def serveIvfPqBatch(s: org.apache.spark.sql.SparkSession,
@@ -3047,17 +3053,74 @@ object SimilarityQueries {
       exact.join(approx.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as(as))
+    // r21 (guide §5, §2.3): the four nprobe tiers previously each ran
+    // their own store scan + ADC reconstruction + probe (before-plan:
+    // four BroadcastHashJoin+scan subtrees over the store; scanned-row
+    // work = 997+1947+3925+7933 at sf0.01 = 1.9x the widest tier).
+    // Probe ONCE at the maximum nprobe keeping the cell rank, compute
+    // the ADC cosine ONCE per candidate over the widest cell set, and
+    // persist that candidate frame: tier np's candidate set is exactly
+    // the rank-prefix rn <= np (probe ordering is deterministic), so
+    // every tier's shortlist, hit count and scanned count are filters/
+    // aggregates over the ONE shared frame. The per-tier exact re-rank
+    // collapses to a single embeddings join over the unioned (tagged)
+    // shortlists. Identical results: same candidate sets, same ADC
+    // values, same TopK/rank tie-breaks, same integer outputs.
+    val nprobes = Seq(1, 2, 4, 8)
+    val maxNp = nprobes.max
     val store = IvfPqIndexStore.table(s, d)
-    val tiers = Seq(1, 2, 4, 8).map { np =>
-      val scanned = store
-        .join(broadcast(ivfPqProbe(s, meta, qs, np).select("q_id", "cell")),
-          "cell")
-        .filter(col("vec_id") =!= col("q_id"))
-        .agg(count(lit(1)).as("scanned"))
-      totalHits(serveIvfPqBatch(s, d, qs, np), "hits")
-        .crossJoin(scanned)
-        .select(lit(np.toLong).as("nprobe"), col("hits"), col("scanned"))
+    val cbFlatL = typedLit(meta.cbFlat.toSeq)
+    import s.implicits._
+    val centD = meta.anchors.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cd")
+    val cand = graft.core.CacheScope.track(store
+      .join(broadcast(ivfPqProbe(s, meta, qs, maxNp, keepRank = true)), "cell")
+      .join(broadcast(centD), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("rn"),
+        cosineSimilarity(col("q_emb"),
+          transform(sequence(lit(0), lit(63)), dd =>
+            element_at(col("cd"), dd + 1) +
+              element_at(cbFlatL,
+                element_at(col("codes"), (dd / 8).cast("int") + 1) * 64 + dd + 1)))
+          .as("adc_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shortlists = nprobes.map { np =>
+      cand.filter(col("rn") <= np)
+        .groupBy("q_id")
+        .agg(graft.functions.TopKAggregate
+          .topK(col("vec_id"), col("adc_sim"), 20).as("topk"))
+        .transform(df => graft.functions.TopKAggregate
+          .explodeTopK(df, col("q_id"), col("topk")))
+        .select(lit(np.toLong).as("nprobe"), col("group").as("q_id"),
+          col("id").as("vec_id"))
     }.reduce(_ unionByName _)
+    val byNpQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("nprobe", "q_id")
+    val approx10 = emb.join(broadcast(shortlists), "vec_id")
+      .join(broadcast(qs.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("nprobe"), col("q_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        byNpQ.orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+    val hits = approx10
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    val scanned = cand.select(
+      nprobes.map(np =>
+        sum(when(col("rn") <= np, 1L).otherwise(0L)).as(s"sc$np")): _*)
+    // spine left-join: a tier with zero hits must still report 0, the
+    // aggregate-without-groupBy semantics the per-tier form had
+    val spine = nprobes.map(_.toLong).toDF("nprobe")
+    val tiers = spine
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(scanned))
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        nprobes.foldLeft(lit(0L)) { (acc, np) =>
+          when(col("nprobe") === np.toLong, col(s"sc$np")).otherwise(acc)
+        }.as("scanned"))
     val pqHits = totalHits(servePqFlatBatch(s, d, qs), "pq_hits")
     val pqScanned = emb.agg(
       ((count(lit(1)) - 1) * lit(AnnQueryCount.toLong)).as("pq_scanned"))
