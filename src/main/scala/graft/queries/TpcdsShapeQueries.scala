@@ -510,7 +510,15 @@ object TpcdsShapeQueries {
     // from the cache, whose planning-time stats no longer qualify for
     // auto-broadcast (measured: the semi joins fell back to
     // SortMergeJoin) — and they are item-/customer-grain, bounded far
-    // below the fact at any scale (DS Q23's canonical dim broadcast)
+    // below the fact at any scale (DS Q23's canonical dim broadcast).
+    // Size bound for the hint (r20 advisory): each side is one 8-byte
+    // key per qualifying part/customer — TPC-H has 0.2M parts and
+    // 0.15M customers per SF, so even SF=1000 (100 TB class) caps the
+    // frequent side at ~1.6 GB and best at ~1.2 GB framed, under the
+    // 8 GB broadcast-relation limit; the cnt>=4 / rev-threshold
+    // filters keep the realized sets far smaller. If the key domain
+    // ever outgrows that, drop the hints and let the planner fall
+    // back — correctness is unaffected.
     sales
       .filter(year(col("o_orderdate")) === 1997 &&
         month(col("o_orderdate")) === 6)
