@@ -654,7 +654,13 @@ object MultimodalQueries {
   val q106PngDecode: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaPipeline
-    val media = documents(s, d).select(col("doc_id")).as[Long]
+    val media = documents(s, d).select(col("doc_id"))
+      // r21 (guide §2 stragglers): documents.parquet is ONE row
+      // group at bench SFs, so without this spread every codec
+      // encode/decode below ran on a single core (sf1 evidence:
+      // q113 22.8 s flat from 8 to 32 cores). One exchange of
+      // 8-byte ids buys partition-wise parallel codec work.
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         MediaPipeline.MediaRow(id, "image/png",
           MediaPipeline.encodePng((id % 31 + 8).toInt, (id % 17 + 8).toInt))
@@ -696,7 +702,13 @@ object MultimodalQueries {
   val q110PngResizeFeatures: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaPipeline
-    val media = documents(s, d).select(col("doc_id")).as[Long]
+    val media = documents(s, d).select(col("doc_id"))
+      // r21 (guide §2 stragglers): documents.parquet is ONE row
+      // group at bench SFs, so without this spread every codec
+      // encode/decode below ran on a single core (sf1 evidence:
+      // q113 22.8 s flat from 8 to 32 cores). One exchange of
+      // 8-byte ids buys partition-wise parallel codec work.
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         MediaPipeline.MediaRow(id, "image/png",
           MediaPipeline.encodePng((id % 31 + 8).toInt, (id % 17 + 8).toInt))
@@ -746,6 +758,12 @@ object MultimodalQueries {
   val q111WavDecode: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaPipeline
+    // r21 note: the sibling queries' defaultParallelism spread was
+    // tried here and MEASURED SLOWER (0.70 -> 1.09 s min-of-5 at
+    // sf0.1): the WAV fixture's per-row codec work is far lighter
+    // than PNG/AVI, so the extra exchange + 32-task scheduling costs
+    // more than the spread buys. Kept single-stage per guide §1
+    // (measure, don't assume).
     val media = documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         MediaPipeline.MediaRow(id, "audio/wav",
@@ -798,7 +816,13 @@ object MultimodalQueries {
   val q113AviFrameSample: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.{AviCodec, MediaPipeline}
-    val media = documents(s, d).select(col("doc_id")).as[Long]
+    val media = documents(s, d).select(col("doc_id"))
+      // r21 (guide §2 stragglers): documents.parquet is ONE row
+      // group at bench SFs, so without this spread every codec
+      // encode/decode below ran on a single core (sf1 evidence:
+      // q113 22.8 s flat from 8 to 32 cores). One exchange of
+      // 8-byte ids buys partition-wise parallel codec work.
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         val (w, h) = ((id % 19 + 8).toInt, (id % 13 + 8).toInt)
         val frames = (0 until (id % 7 + 2).toInt).map { f =>
@@ -856,7 +880,13 @@ object MultimodalQueries {
       graft.multimodal.MediaPipeline.MediaRow] = {
     import s.implicits._
     import graft.multimodal.{AviCodec, MediaPipeline}
-    documents(s, d).select(col("doc_id")).as[Long]
+    documents(s, d).select(col("doc_id"))
+      // r21 (guide §2 stragglers): documents.parquet is ONE row
+      // group at bench SFs, so without this spread every codec
+      // encode/decode below ran on a single core (sf1 evidence:
+      // q113 22.8 s flat from 8 to 32 cores). One exchange of
+      // 8-byte ids buys partition-wise parallel codec work.
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         (id % 3) match {
           case 0 => MediaPipeline.MediaRow(id, "image/png",
@@ -952,7 +982,13 @@ object MultimodalQueries {
         graft.multimodal.MediaPipeline.MediaRow] = {
     import s.implicits._
     import graft.multimodal.MediaPipeline
-    documents(s, d).select(col("doc_id")).as[Long]
+    documents(s, d).select(col("doc_id"))
+      // r21 (guide §2 stragglers): documents.parquet is ONE row
+      // group at bench SFs, so without this spread every codec
+      // encode/decode below ran on a single core (sf1 evidence:
+      // q113 22.8 s flat from 8 to 32 cores). One exchange of
+      // 8-byte ids buys partition-wise parallel codec work.
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { id =>
@@ -1034,6 +1070,10 @@ object MultimodalQueries {
         graft.multimodal.MediaPipeline.MediaRow] = {
     import s.implicits._
     import graft.multimodal.MediaPipeline
+    // r21 note: the sibling fixtures' defaultParallelism spread was
+    // tried here and MEASURED SLOWER (q195 1.37 -> 1.78 s min-of-5 at
+    // sf0.1) — the WAV-PCM encode is cheap enough that the extra
+    // exchange dominates. Kept single-stage per guide §1.
     documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
