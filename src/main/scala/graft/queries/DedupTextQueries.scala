@@ -2668,6 +2668,16 @@ object DedupTextQueries {
       .join(prefix.select(col("s"), col("doc_id").as("doc_b"),
         col("n").as("nb")), "s")
       .filter(col("doc_a") < col("doc_b"))
+      // r21: the PPJoin LENGTH filter (guide §3 — pre-filter the big
+      // side when selective). J(A,B) ≥ 0.7 forces |A∩B| ≤ min(n) and
+      // |A∪B| ≥ max(n), so 10·min(na,nb) ≥ 10·inter ≥ 7·uni ≥
+      // 7·max(na,nb): any pair the final verify keeps satisfies this,
+      // so pruning size-mismatched candidates BEFORE the distinct and
+      // the shingle-list verify join loses nothing (all-integer, the
+      // same 7/10 arithmetic as the verify). SimJoinSpec re-proves
+      // completeness against brute force every run.
+      .filter(col("na") * lit(10L) >= col("nb") * lit(7L) &&
+        col("nb") * lit(10L) >= col("na") * lit(7L))
       .select("doc_a", "doc_b", "na", "nb")
       .distinct()
   }
